@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (SURVEY §2.11 N3).
+
+- cosine_topk:   brute-force exact top-k neighbors. The query set is
+                 broadcast; similarity is a pure Catalyst fold
+                 (zip_with + aggregate) in whole-stage codegen; per-key
+                 top-k via rank-limit window (partial top-k before the
+                 shuffle). Exact baseline + verifier.
+- lsh_topk:      random-hyperplane LSH bucket pre-filter — the scale path:
+                 candidates share ≥1 hyperplane-sign band with the query,
+                 so cost is bucket-local, not corpus × queries.
+
+Vectors are cast to double before the fold so results are deterministic
+(float32 accumulation order would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), self-matches
+    excluded. `queries` is expected small (it is broadcast)."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, num_planes: int = 16, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH: bit i = sign(vec · r_i). Plane coefficients
+    are seeded driver-side constants folded into the plan."""
+    import random
+
+    rng = random.Random(seed)
+    bits = []
+    for i in range(num_planes):
+        coeffs = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coeffs]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates must share at least one of `bands`
+    hyperplane-sign bands with the query, then exact cosine re-rank.
+
+    At corpus scale the band join replaces the full cross product with
+    bucket-local work; recall is tunable via num_planes/bands (verified
+    against cosine_topk in tests)."""
+    bits_per_band = num_planes // bands
+
+    def band_keys(vec: Column) -> Column:
+        sig = hyperplane_signature(vec, dim, num_planes, seed)
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(sig, i * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ]
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("nvec"),
+    ).withColumn("bk", F.explode(band_keys(F.col("nvec"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("bk", F.explode(band_keys(F.col("qvec"))))
+
+    cand = (
+        v.join(F.broadcast(q), ["bk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

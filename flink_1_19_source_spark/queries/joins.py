@@ -1,0 +1,261 @@
+"""Join operators (SURVEY §2.3).
+
+Flink locus: flink-table-runtime operators/join (hash, interval, temporal,
+window joins) + planner join-strategy rules. On Spark, strategy selection
+(broadcast / shuffle-hash / sort-merge / BNL) is Catalyst's + AQE's job;
+we add explicit ``broadcast()`` hints where the engine knows a side is a
+dimension table — at 100 TB that removes the fact-table shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..operators.asof_join import asof_join
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "j1_inner_equi",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    survey="J1 J9",
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact→dim→dim. Dims are broadcast (no shuffle
+    of orders); at scale the only shuffle is the final 25-group agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_outer_joins",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o_totalprice')}, 0.0) AS spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    survey="J2",
+)
+def j2_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-padded aggregation (customers with zero
+    orders kept, COUNT over a nullable column skips nulls)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("spent"),
+        )
+    )
+
+
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    survey="J3",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (Flink planner subquery rewrite)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j3_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    survey="J3",
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "j4_theta_join",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    survey="J4",
+)
+def j4_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (region) + non-equi predicate (<). Catalyst
+    hashes on the equi key and applies the residual — not a cross product."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+
+
+@register(
+    "j5_interval_join",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
+    """,
+    survey="J5",
+)
+def j5_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (Flink intervalJoin / time-bounded SQL join): key
+    equality + bounded time range. Same DataFrame shape works as a
+    watermarked stream-stream join (streaming/ tests)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").alias("s")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    return s.join(
+        p,
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.value AS purchase_value,
+           v.value AS last_view_value, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    survey="J6",
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/as-of join via the union-tag + last_value operator
+    (operators/asof_join.py). Oracle: DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("purchase_value"), "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("value").alias("last_view_value"),
+        "ts",
+        F.col("ts").alias("last_view_ts"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_values=["last_view_value", "last_view_ts"],
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value", "last_view_value", "last_view_ts"
+    )
+
+
+@register(
+    "j7_lookup_broadcast",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    survey="J7 J9",
+)
+def j7_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join: per-row probe of a dimension snapshot → broadcast hash
+    join (dimension ships to every executor; the 100 TB fact table never
+    shuffles)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j8_window_join",
+    oracle="""
+    SELECT c.user_id, c.window_start, c.n_clicks, e.n_errors
+    FROM (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, window_start
+    ) c
+    JOIN (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, window_start
+    ) e ON c.user_id = e.user_id AND c.window_start = e.window_start
+    """,
+    survey="J8 W1",
+)
+def j8_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join (Flink window TVF join): window both sides with the same
+    tumble, then join on (key, window)."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+
+    def per_type(event_type: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .groupBy("user_id", win.alias("w"))
+            .agg(F.count(F.lit(1)).alias(out))
+            .select("user_id", F.col("w.start").alias("window_start"), out)
+        )
+
+    clicks = per_type("click", "n_clicks")
+    errors = per_type("error", "n_errors")
+    return clicks.join(errors, ["user_id", "window_start"])

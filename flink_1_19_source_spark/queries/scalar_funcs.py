@@ -1,0 +1,328 @@
+"""Built-in scalar function coverage (SURVEY §2.8).
+
+One query per function family, each exercising the representative Flink
+1.19 built-ins (upstream: flink-table-common BuiltInFunctionDefinitions)
+through their Spark equivalents, DuckDB-oracled. Everything here is a pure
+Catalyst expression — JVM-side, inside WholeStageCodegen.
+
+Transcendental functions (LN/EXP/trig) are rounded to 9 decimals on both
+sides: libm implementations may differ in the final ulp between the JVM
+and DuckDB's C++; 1e-9 is far above ulp error and far below any semantic
+difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import compat
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "f_string_family",
+    oracle="""
+    SELECT p_partkey,
+           CONCAT(p_brand, '|', p_type) AS cat,
+           UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+           SUBSTRING(p_name, 3, 5) AS sub,
+           LENGTH(p_name) AS len,
+           TRIM('  ' || p_brand || ' ') AS trimmed,
+           LPAD(p_brand, 12, '*') AS padded,
+           REPLACE(p_type, 'a', '@') AS replaced,
+           REVERSE(p_brand) AS rev,
+           POSITION('an' IN p_name) AS pos,
+           LEFT(p_name, 4) AS l4, RIGHT(p_name, 4) AS r4,
+           REPEAT(p_brand, 2) AS rep,
+           ASCII(p_brand) AS asc_first,
+           -- Flink SPLIT_INDEX yields NULL out-of-range; SPLIT_PART yields ''
+           NULLIF(SPLIT_PART(p_type, ' ', 2), '') AS split2,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devowel,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+           MD5(p_name) AS name_md5,
+           -- DuckDB 1.0 has no INITCAP; emulate for single-word values
+           UPPER(LEFT(p_brand, 1)) || LOWER(SUBSTRING(p_brand, 2)) AS inited
+    FROM part WHERE p_partkey <= 50
+    """,
+    survey="2.8-string",
+)
+def f_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("cat"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 3, 5).alias("sub"),
+        F.length("p_name").alias("len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.replace(F.col("p_type"), F.lit("a"), F.lit("@")).alias("replaced"),
+        F.reverse("p_brand").alias("rev"),
+        F.instr("p_name", "an").cast("long").alias("pos"),
+        F.left(F.col("p_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("p_name"), F.lit(4)).alias("r4"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.ascii("p_brand").cast("long").alias("asc_first"),
+        # Flink SPLIT_INDEX is 0-based; SQL SPLIT_PART is 1-based — shim maps
+        compat.split_index(F.col("p_type"), " ", 1).alias("split2"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.md5("p_name").alias("name_md5"),
+        F.initcap("p_brand").alias("inited"),
+    )
+
+
+@register(
+    "f_math_family",
+    oracle="""
+    SELECT p_partkey,
+           ABS(p_size - 25) AS a,
+           MOD(p_size, 7) AS m,
+           ROUND(SQRT(p_retailprice), 9) AS sq,
+           CEIL(p_retailprice / 100) AS c,
+           FLOOR(p_retailprice / 100) AS f,
+           ROUND(p_retailprice, 1) AS r1,
+           CAST(SIGN(p_size - 25) AS DOUBLE) AS sg,
+           POWER(p_size, 2) AS p2,
+           ROUND(LN(p_retailprice), 9) AS lnp,
+           ROUND(LOG10(p_retailprice), 9) AS log10p,
+           ROUND(EXP(p_size / 50.0), 9) AS ex,
+           ROUND(SIN(p_size), 9) AS sn,
+           ROUND(ATAN2(p_size, 10), 9) AS at2,
+           GREATEST(p_size, 20) AS g, LEAST(p_size, 20) AS l,
+           BIN(p_size) AS b, HEX(p_size) AS h,
+           ROUND(DEGREES(p_size / 50.0), 9) AS deg,
+           ROUND(RADIANS(p_size), 9) AS rad,
+           ROUND(PI(), 9) AS pi_const,
+           FLOOR(p_retailprice * 10.0) / 10.0 AS truncated
+    FROM part WHERE p_partkey <= 50
+    """,
+    survey="2.8-math",
+)
+def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    sz = F.col("p_size")
+    pr = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(sz - 25).alias("a"),
+        (sz % 7).alias("m"),
+        F.round(F.sqrt(pr), 9).alias("sq"),
+        F.ceil(pr / 100).alias("c"),
+        F.floor(pr / 100).alias("f"),
+        F.round(pr, 1).alias("r1"),
+        F.signum(sz - 25).cast("double").alias("sg"),
+        F.pow(sz, 2).alias("p2"),
+        F.round(F.log(pr), 9).alias("lnp"),
+        F.round(F.log10(pr), 9).alias("log10p"),
+        F.round(F.exp(sz / 50.0), 9).alias("ex"),
+        F.round(F.sin(sz), 9).alias("sn"),
+        F.round(F.atan2(sz.cast("double"), F.lit(10.0)), 9).alias("at2"),
+        F.greatest(sz, F.lit(20)).alias("g"),
+        F.least(sz, F.lit(20)).alias("l"),
+        F.bin(sz).alias("b"),
+        F.hex(sz).alias("h"),
+        F.round(F.degrees(sz / 50.0), 9).alias("deg"),
+        F.round(F.radians(sz), 9).alias("rad"),
+        F.round(F.lit(3.141592653589793), 9).alias("pi_const"),
+        compat.truncate(pr, 1).alias("truncated"),
+    )
+
+
+@register(
+    "f_temporal_family",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo, DAY(o_orderdate) AS d,
+           HOUR(o_orderdate) AS h,
+           DAYOFWEEK(o_orderdate) + 1 AS dow,
+           QUARTER(o_orderdate) AS q,
+           WEEKOFYEAR(o_orderdate) AS woy,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS fmt,
+           DATE_TRUNC('month', o_orderdate) AS mon_start,
+           o_orderdate + INTERVAL 3 DAY AS plus3d,
+           o_orderdate - INTERVAL 2 HOUR AS minus2h,
+           DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+           EXTRACT(DOY FROM o_orderdate) AS doy,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS unix_ts,
+           -- string-typed on both sides: Spark returns DateType, DuckDB's
+           -- pandas bridge widens DATE to datetime64 — compare as ISO strings
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS as_date,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders WHERE o_orderkey <= 100
+    """,
+    survey="2.8-temporal",
+)
+def f_temporal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("d"),
+        F.hour(d).alias("h"),
+        # DuckDB DAYOFWEEK: 0=Sunday; Spark dayofweek: 1=Sunday
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("woy"),
+        F.date_format(d, "yyyy-MM-dd").alias("fmt"),
+        F.date_trunc("month", d).alias("mon_start"),
+        (d + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
+        (d - F.expr("INTERVAL 2 HOURS")).alias("minus2h"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.unix_timestamp(d).alias("unix_ts"),
+        d.cast("date").cast("string").alias("as_date"),
+        F.last_day(d.cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "f_conditional_family",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS urgent,
+           NULLIF(o_orderstatus, o_orderstatus) AS always_null,
+           IFNULL(NULLIF(o_orderstatus, 'F'), 'finished') AS status3,
+           o_totalprice IS NOT NULL AS has_price,
+           o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open
+    FROM orders WHERE o_orderkey <= 100
+    """,
+    survey="2.8-conditional",
+)
+def f_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    tp = F.col("o_totalprice")
+    st = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 200000, "big").when(tp > 100000, "mid").otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif(st, F.lit("O")), F.lit("open")).alias("status2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent"),
+        F.nullif(st, st).alias("always_null"),
+        F.nvl(F.nullif(st, F.lit("F")), F.lit("finished")).alias("status3"),
+        tp.isNotNull().alias("has_price"),
+        st.eqNullSafe(F.lit("O")).alias("is_open"),
+    )
+
+
+@register(
+    "f_json_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.k') AS k_str,
+           props LIKE '{%' AS looks_json,
+           JSON_VALID(props) AS valid
+    FROM events WHERE event_id < 200
+    """,
+    survey="2.8-json",
+)
+def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.col("props").like("{%").alias("looks_json"),
+        compat.is_json(F.col("props")).alias("valid"),
+    )
+
+
+@register(
+    "f_collection_family",
+    oracle="""
+    SELECT doc_id,
+           LEN(toks) AS cardinality,
+           toks[1] AS first_tok,
+           toks[LEN(toks)] AS last_tok,
+           LIST_CONTAINS(toks, 'data') AS has_data,
+           LEN(LIST_DISTINCT(toks)) AS n_distinct,
+           LIST_POSITION(toks, 'data') AS data_pos,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), '|') AS sorted_joined,
+           LIST_SORT(LIST_DISTINCT(toks))[1] AS min_tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 50)
+    """,
+    survey="2.8-collection",
+)
+def f_collection_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    dd = d.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    return dd.select(
+        "doc_id",
+        F.size(t).alias("cardinality"),
+        F.element_at(t, 1).alias("first_tok"),
+        F.element_at(t, -1).alias("last_tok"),
+        F.array_contains(t, "data").alias("has_data"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        # Flink ARRAY_POSITION / DuckDB LIST_POSITION: 1-based, NULL/0 when absent
+        F.coalesce(F.array_position(t, "data"), F.lit(0)).cast("int").alias("data_pos"),
+        F.array_join(F.array_sort(F.array_distinct(t)), "|").alias("sorted_joined"),
+        F.array_min(F.array_distinct(t)).alias("min_tok"),
+    )
+
+
+@register(
+    "f_map_family",
+    oracle="""
+    SELECT doc_id,
+           m['lang'] AS lang_val,
+           CARDINALITY(m) AS n_keys,
+           ARRAY_TO_STRING(LIST_SORT(map_keys(m)), ',') AS keys_sorted,
+           LIST_CONTAINS(map_keys(m), 'source') AS has_source
+    FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
+          FROM documents WHERE doc_id < 30)
+    """,
+    survey="2.8-collection",
+)
+def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    dd = d.select("doc_id", m.alias("m"))
+    return dd.select(
+        "doc_id",
+        F.col("m").getItem("lang").alias("lang_val"),
+        F.size("m").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.array_contains(F.map_keys("m"), "source").alias("has_source"),
+    )
+
+
+@register(
+    "f_cast_hash_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+           MD5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+           SHA256(o_orderstatus) AS status_sha
+    FROM orders WHERE o_orderkey <= 100
+    """,
+    survey="2.8-cast 2.8-hash",
+)
+def f_cast_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        # CAST(double AS BIGINT): Spark truncates toward zero; DuckDB rounds —
+        # use explicit floor-style truncation semantics matched to Spark
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec_str"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
+        F.sha2(F.col("o_orderstatus"), 256).alias("status_sha"),
+    )

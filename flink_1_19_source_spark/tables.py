@@ -1,0 +1,106 @@
+"""Table-spec layer.
+
+Flink declares per-table metadata in DDL (``WATERMARK FOR ts AS ts -
+INTERVAL 'x'``, ``PRIMARY KEY ... NOT ENFORCED``) that Spark keeps outside
+the schema. This registry carries that metadata so batch queries, streaming
+replays and sinks agree on event-time columns, watermark delays and upsert
+keys. (SURVEY.md §1.2/§7.2; upstream: flink-table DDL + catalog.)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    event_time: str | None = None          # event-time column (Flink: rowtime attribute)
+    watermark_delay: str | None = None     # Flink: WATERMARK FOR ts AS ts - INTERVAL <delay>
+    primary_key: tuple[str, ...] = ()      # Flink: PRIMARY KEY ... NOT ENFORCED
+    partition_hint: tuple[str, ...] = ()   # natural co-location key at scale
+
+
+SPECS: dict[str, TableSpec] = {
+    s.name: s
+    for s in [
+        TableSpec("region", primary_key=("r_regionkey",)),
+        TableSpec("nation", primary_key=("n_nationkey",)),
+        TableSpec("customer", primary_key=("c_custkey",)),
+        TableSpec("supplier", primary_key=("s_suppkey",)),
+        TableSpec("part", primary_key=("p_partkey",)),
+        TableSpec(
+            "orders",
+            event_time="o_orderdate",
+            watermark_delay="1 day",
+            primary_key=("o_orderkey",),
+            partition_hint=("o_orderkey",),
+        ),
+        TableSpec(
+            "lineitem",
+            event_time="l_shipdate",
+            watermark_delay="1 day",
+            primary_key=("l_orderkey", "l_linenumber"),
+            partition_hint=("l_orderkey",),
+        ),
+        TableSpec(
+            "events",
+            event_time="ts",
+            watermark_delay="10 minutes",
+            primary_key=("event_id",),
+            partition_hint=("user_id",),
+        ),
+        TableSpec("documents", primary_key=("doc_id",)),
+        TableSpec("embeddings", primary_key=("vec_id",)),
+    ]
+}
+
+TABLE_NAMES = tuple(SPECS)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain ``spark.read.parquet`` so Catalyst keeps full
+    pushdown freedom (column pruning, predicate pushdown, partition pruning
+    on real partitioned layouts).
+
+    Nanosecond-precision parquet timestamps (events.ts) predate Spark's
+    supported types: read as int64 ns (legacy conf, runtime-settable) and
+    truncate to µs with *integer* division — ns epochs (~1.7e18) exceed
+    double's 2^53 exact range, so float division would corrupt timestamps.
+    DuckDB performs the same ns→µs truncation, keeping the oracle aligned.
+    """
+    if name not in SPECS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (the engine's `catalog`),
+    making the whole suite runnable via ``spark.sql``."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def with_event_time(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming-shaped load: apply the spec's watermark (Flink's
+    ``WATERMARK FOR`` clause) — used by the streaming layer."""
+    df = load_table(spark, sf_dir, name)
+    spec = SPECS[name]
+    if spec.event_time and spec.watermark_delay:
+        df = df.withWatermark(spec.event_time, spec.watermark_delay)
+    return df
