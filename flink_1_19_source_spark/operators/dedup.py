@@ -11,17 +11,24 @@ grade, designed for 100 TB document corpora.
 - simhash:          64-bit SimHash fingerprint + Hamming-ball candidate
                     pairs via 4-way block rotation.
 
-All signature math uses Spark built-in expressions (xxhash64, aggregate,
-transform) — no Python in the hot path.
+Shingling/hashing is Spark built-in expression work (xxhash64, codegen);
+signature math (minhash mins, simhash majority votes) is Arrow-vectorized
+numpy in pandas UDFs — Catalyst does not codegen higher-order-function
+lambdas, so vectorized numpy is the fast path for per-document linear
+algebra at scale.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# large Mersenne prime for affine MinHash permutations
-_MERSENNE = (1 << 61) - 1
+# Mersenne-31 prime for affine MinHash permutations: with h, a, b < 2^31,
+# h*a + b < 2^62 + 2^31 stays inside signed int64 — no overflow under
+# Spark's ANSI arithmetic (Mersenne-61 would overflow the multiply).
+_MERSENNE = (1 << 31) - 1
 
 
 def tokenize(text: Column) -> Column:
@@ -38,6 +45,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _shingle_hashes(text: str, n: int) -> "np.ndarray":
+    """Distinct word n-gram shingles of one document, hashed to uint64 via
+    blake2b (deterministic across processes/executors). Mirrors
+    `word_shingles` semantics: lowercase \\s+ tokens, n-grams joined by a
+    space, whole doc if fewer than n tokens."""
+    import hashlib
+
+    toks = text.lower().split()
+    if len(toks) >= n:
+        shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        shingles = {" ".join(toks)}
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            >> 1  # keep positive in signed int64
+            for s in shingles
+        ),
+        dtype=np.int64,
+        count=len(shingles),
     )
 
 
@@ -92,16 +122,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_one(perm_a: int, perm_b: int) -> "Column":
-    """min over shingle hashes of (a·h + b) mod p — one signature slot."""
-    return F.array_min(
-        F.transform(
-            F.col("__sh_hashes"),
-            lambda h: (h * perm_a + perm_b) % _MERSENNE,
-        )
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -112,24 +132,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: array<long> of length num_hashes.
 
-    Permutation coefficients come from a seeded RNG (driver-side constants,
-    baked into the plan — identical on every executor). Shingle hashing is
-    xxhash64 (JVM, codegen). Cost: one narrow pass, no shuffle.
+    One Arrow-vectorized pandas UDF does shingling, hashing (blake2b-64:
+    C-speed, process-independent, unlike Python's seeded ``hash``) and the
+    min over `num_hashes` affine permutations as a numpy broadcast
+    (S×1 · 1×K). Interpreted Catalyst lambdas (transform/slice/array_join)
+    were ~10× slower for the same work — Catalyst does not codegen
+    higher-order functions. Permutation coefficients are seeded driver-side
+    constants, identical on every executor. One narrow pass, no shuffle.
     """
     import random
 
-    rng = random.Random(seed)
-    perms = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
 
-    with_hashes = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), n),
-            lambda s: F.abs(F.xxhash64(s)) % _MERSENNE,
-        ).alias("__sh_hashes"),
+    rng = random.Random(seed)
+    pa = np.array([rng.randrange(1, _MERSENNE) for _ in range(num_hashes)], dtype=np.int64)
+    pb = np.array([rng.randrange(0, _MERSENNE) for _ in range(num_hashes)], dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minsig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hv = _shingle_hashes(t, n)[:, None] % _MERSENNE  # S×1, < 2^31
+            # h*a + b < 2^62 + 2^31: no int64 overflow
+            out.append(((hv * pa[None, :] + pb[None, :]) % _MERSENNE).min(axis=0))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), minsig(F.col(text_col)).alias("signature")
     )
-    sig = F.array(*[_minhash_one(a, b) for a, b in perms])
-    return with_hashes.select("id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -199,29 +230,26 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """64-bit SimHash fingerprint per document (bit b set iff the sum of
-    ±1 contributions of shingle-hash bit b is positive)."""
-    sh = F.col("__shingles")
-    bits = F.array(*[F.lit(i) for i in range(64)])
-    with_sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("__shingles"),
-    )
-    # per bit: count of shingles with bit set, vs total
-    def bit_score(i: int) -> Column:
-        set_count = F.size(
-            F.filter(sh, lambda s: F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1)
-        )
-        return F.when(set_count * 2 > F.size(sh), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << i).cast("long")
+    """64-bit SimHash fingerprint per document: bit b is set iff more than
+    half the shingle hashes have bit b set (bit 63 left clear so the value
+    stays positive in a signed long).
 
-    fingerprint = sum_cols([bit_score(i) for i in range(63)])  # bit 63 left clear (sign)
-    return with_sh.select("id", fingerprint.alias("simhash"))
+    Shingling + blake2b hashing + the 63 per-bit majority votes run in one
+    Arrow-vectorized numpy pass per document (S×63 bit matrix)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
 
+    shifts = np.arange(63, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
 
-def sum_cols(cols: list[Column]) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = out + c
-    return out
+    @pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            hv = _shingle_hashes(t, n).view(np.uint64)[:, None]  # S×1
+            bits = (hv >> shifts[None, :]) & np.uint64(1)  # S×63
+            majority = bits.sum(axis=0) * 2 > len(hv)
+            out[i] = int((weights * majority.astype(np.uint64)).sum())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("simhash"))

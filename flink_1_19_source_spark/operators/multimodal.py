@@ -1,0 +1,113 @@
+"""Multimodal-column plumbing (SURVEY §2.11 N5).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with a typed metadata struct. The Spark-side plumbing — schema, Arrow
+batch shape, ``mapInPandas`` signature, partition behavior — is real and
+tested; the *codec* step is stubbed (no image/audio libraries in this
+container) behind ``decode_image`` which raises ``NotImplementedError``,
+with ``fake_decode_features`` as the deterministic test double.
+
+At 100 TB the binary payloads dominate I/O: keep them in their own
+parquet column (column pruning skips them unless asked for), size
+``spark.sql.files.maxPartitionBytes`` to bound per-task memory, and do
+all feature extraction in one ``mapInPandas`` pass (Arrow-batched, no
+per-row Python overhead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("media_type", StringType()),   # image/audio/video
+        StructField("format", StringType()),       # png/jpeg/wav/...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, id_col: str, payload_text_col: str) -> DataFrame:
+    """Testdata has no real media files: synthesize an opaque binary
+    payload (utf-8 bytes of the text column) plus a typed metadata struct.
+    The engine treats the payload as opaque from here on — exactly how a
+    real image column flows."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(payload_text_col), "UTF-8").alias("media_bytes"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake-rgb8").alias("format"),
+            (F.length(F.col(payload_text_col)) % 64 + 1).cast("int").alias("width"),
+            (F.length(F.col(payload_text_col)) % 48 + 1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes, fmt: str):  # pragma: no cover - stub
+    """Real codec hook. The container ships no imaging libraries, so this
+    is an explicit stub; swap in PIL/torchvision decode on a real cluster."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use fake_decode_features for deterministic testing"
+    )
+
+
+def fake_decode_features(doc_id: int, payload: bytes, width: int, height: int) -> dict:
+    """Deterministic stand-in for decode + feature-extract: byte length and
+    an md5 digest of the payload (stable across engines and runs)."""
+    return {
+        "doc_id": doc_id,
+        "n_bytes": len(payload),
+        "digest": hashlib.md5(payload).hexdigest(),
+        "width": width,
+        "height": height,
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the opaque payload column.
+
+    ``mapInPandas`` so each task processes whole Arrow batches — the
+    per-batch Python cost is amortized over thousands of rows, and the
+    operation is embarrassingly parallel (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                fake_decode_features(
+                    row.doc_id,
+                    bytes(row.media_bytes),
+                    row.media_meta["width"],
+                    row.media_meta["height"],
+                )
+                for row in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,1 +1,319 @@
-"""placeholder — populated in later milestones."""
+"""North-star LLM-data-pipeline queries (SURVEY §2.11 N1–N5).
+
+Dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+(exact + LSH), text analysis (quality stats, token counting, lang-id,
+fingerprinting) and multimodal plumbing over the `documents` /
+`embeddings` tables. Exact paths are DuckDB-oracled; hash-seeded
+approximate paths (xxhash64 is not reproducible in DuckDB) register as
+rows-only here and are recall-verified against their exact counterparts
+in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text_analysis as ta
+from ..registry import register
+from ..tables import load_table
+
+
+# --------------------------------------------------------------------------
+# N1 — exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "n1_exact_dedup",
+    oracle="""
+    SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    survey="N1",
+)
+def n1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["text"], "doc_id")
+
+
+@register(
+    "n1_fingerprint_dedup",
+    oracle="""
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id,
+                 MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+    survey="N1 N4",
+)
+def n1_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on the normalized-text fingerprint: catches duplicates that
+    differ only in case/whitespace. At 100 TB this is the cheap first
+    pass — a 32-byte digest shuffles instead of the document body."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N2 — near-dup dedup
+# --------------------------------------------------------------------------
+@register(
+    "n2_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+    """,
+    survey="N2",
+)
+def n2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register("n2_minhash_lsh_pairs", survey="N2", tags=("approx",))
+def n2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH candidate pairs — the 100 TB-scale near-dup
+    path (xxhash64 signatures are not reproducible in DuckDB → rows-only
+    here; recall vs n2_ngram_jaccard_pairs is asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+
+
+@register("n2_simhash_fingerprints", survey="N2", tags=("approx",))
+def n2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64-seeded)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", n=3)
+
+
+@register(
+    "n2_embedding_cosine_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 150
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+               / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e)))
+               AS cs
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cs, 9) AS cosine_sim
+    FROM pairs WHERE ROUND(cs, 9) >= 0.35
+    """,
+    survey="N2 N3",
+)
+def n2_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs ≥ 0.35 cosine. Exact
+    (quadratic) form on a bounded slice; the LSH path covers scale."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    v = e.select("vec_id", similarity.as_double(F.col("embedding")).alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    cs = F.round(similarity.cosine(F.col("a.e"), F.col("b.e")), 9)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cs.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+# --------------------------------------------------------------------------
+# N3 — similarity search
+# --------------------------------------------------------------------------
+@register(
+    "n3_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (SELECT * FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, v.e)
+               / (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               9) AS cosine_sim
+      FROM v CROSS JOIN q WHERE q.vec_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+)
+def n3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 query vectors (broadcast the
+    query side; the corpus side streams through codegen)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(e, q, k=5)
+
+
+@register("n3_lsh_topk", survey="N3", tags=("approx",))
+def n3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-5 (rows-only: seeded gaussian
+    hyperplanes are plan constants; recall vs n3_cosine_topk in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(e, q, dim=64, k=5, num_planes=16, bands=4)
+
+
+# --------------------------------------------------------------------------
+# N4 — text analysis
+# --------------------------------------------------------------------------
+@register(
+    "n4_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len(list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> ''))
+             AS n_tokens,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                 AS DOUBLE) / LENGTH(text), 9) AS punct_ratio,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g'))
+                 AS DOUBLE) / LENGTH(text), 9) AS upper_ratio,
+           ROUND(CAST(LENGTH(text) - (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                 AS DOUBLE)
+                 / len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                   t -> t <> '')), 9) AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS bpe_ish_tokens
+    FROM documents WHERE doc_id < 300
+    """,
+    survey="N4",
+)
+def n4_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    stats = ta.quality_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in stats.items()],
+        ta.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "n4_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(tk, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        len(list_filter(tk, t -> list_contains(['the','and','of','to','is','it'], t))) AS s_en,
+        len(list_filter(tk, t -> list_contains(['el','los','y','es','una','para'], t))) AS s_es,
+        len(list_filter(tk, t -> list_contains(['le','les','et','est','une','pour'], t))) AS s_fr,
+        len(list_filter(tk, t -> list_contains(['de5','shi4','le5','zai4','he2','you3'], t))) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+             WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS detected_lang
+    FROM scores
+    """,
+    survey="N4",
+)
+def n4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-overlap language id vs the labeled lang.
+    (CASE..GREATEST in the oracle picks the first language in de<en<es<fr<zh
+    order on ties — same rule as the engine's argmax/min-code.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ta.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "n4_corpus_token_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, lang,
+             UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    )
+    SELECT lang, tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM ex GROUP BY lang, tok
+    HAVING COUNT(*) >= 50
+    """,
+    survey="N4 R4 A1",
+)
+def n4_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term/document frequency (the tf-idf building block):
+    explode → two-level agg; partial aggregation collapses each partition's
+    token counts before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", "lang", F.explode(ta.tokens(F.col("text"))).alias("tok"))
+    return (
+        ex.groupBy("lang", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= 50)
+    )
+
+
+# --------------------------------------------------------------------------
+# N5 — multimodal columns
+# --------------------------------------------------------------------------
+@register(
+    "n5_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           MD5(text) AS digest,
+           CAST(LENGTH(text) % 64 + 1 AS INTEGER) AS width,
+           CAST(LENGTH(text) % 48 + 1 AS INTEGER) AS height
+    FROM documents WHERE doc_id < 200
+    """,
+    survey="N5",
+)
+def n5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column → Arrow-batched mapInPandas feature
+    extraction (deterministic fake decode; real codec is an explicit stub
+    — see operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.attach_media(d, "doc_id", "text")
+    return multimodal.extract_features(media)

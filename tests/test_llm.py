@@ -1,0 +1,88 @@
+"""Property tests for the approximate (non-oracle-able) LLM-pipeline ops:
+recall of LSH paths against their exact counterparts, and invariants of
+signature/fingerprint operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_19_source_spark.operators import dedup, multimodal, similarity
+from flink_1_19_source_spark.tables import load_table
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """Every exact-Jaccard pair ≥ 0.5 must appear among LSH candidates
+    (with 32 hashes / 8 bands, the 4-row band match probability at
+    J=0.5 is 1-(1-0.5^4)^8 ≈ 0.41 per band set... so require ≥ 0.8 recall
+    on the high-sim (≥0.7) pairs where hit probability ≈ 0.99)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.7)
+    lsh = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    if exact_pairs:
+        recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.8, f"minhash-LSH recall {recall} on {len(exact_pairs)} pairs"
+
+
+def test_minhash_identical_docs_full_signature_match(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    dup = d.select(F.col("doc_id") + 100000, F.col("text")).toDF("doc_id", "text")
+    both = d.select("doc_id", "text").union(dup)
+    sigs = {r.id: tuple(r.signature) for r in dedup.minhash_signatures(
+        both, "doc_id", "text").collect()}
+    for r in d.select("doc_id").collect():
+        assert sigs[r.doc_id] == sigs[r.doc_id + 100000]
+
+
+def test_simhash_identical_docs_equal_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    dup = d.select(F.col("doc_id") + 100000, F.col("text")).toDF("doc_id", "text")
+    both = d.select("doc_id", "text").union(dup)
+    fps = {r.id: r.simhash for r in dedup.simhash(both, "doc_id", "text").collect()}
+    for r in d.select("doc_id").collect():
+        assert fps[r.doc_id] == fps[r.doc_id + 100000]
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    """ANN top-5 must recover a reasonable fraction of the exact top-5.
+    Random 64-d embeddings are a worst case for LSH (no cluster structure);
+    recall ≥ 0.3 guards the plumbing, exactness is n3_cosine_topk's job."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.lsh_topk(e, q, dim=64, k=5, num_planes=16, bands=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH ANN recall {recall}"
+
+
+def test_lsh_candidates_are_exactly_scored(spark, sf_dir):
+    """Approximate path must agree with the exact path on any pair both
+    return (LSH only prunes candidates; it never changes the score)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id): r.cosine_sim
+             for r in similarity.cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.cosine_sim
+              for r in similarity.lsh_topk(e, q, dim=64, k=5).collect()}
+    for pair in exact.keys() & approx.keys():
+        assert abs(exact[pair] - approx[pair]) < 1e-12
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG", "png")
+
+
+def test_multimodal_payload_roundtrip(spark, sf_dir):
+    """The opaque binary payload must survive the Arrow round-trip intact:
+    n_bytes equals the utf-8 length of the source text."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media = multimodal.attach_media(d, "doc_id", "text")
+    feats = {r.doc_id: r.n_bytes for r in multimodal.extract_features(media).collect()}
+    for r in d.select("doc_id", "text").collect():
+        assert feats[r.doc_id] == len(r.text.encode("utf-8"))
