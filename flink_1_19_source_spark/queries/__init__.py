@@ -8,3 +8,4 @@ from . import sort_set  # noqa: F401
 from . import scalar_funcs  # noqa: F401
 from . import windows  # noqa: F401
 from . import llm  # noqa: F401
+from . import streaming_queries  # noqa: F401

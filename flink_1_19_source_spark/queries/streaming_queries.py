@@ -1,0 +1,252 @@
+"""Streaming coverage queries (SURVEY §2.5 W1/W4-S, §2.6 O6/O7-S, §2.3
+J5-S, §2.9 X1/X4).
+
+Each entry REALLY runs Structured Streaming: the events table is replayed
+as a time-ordered file stream (8 micro-batches, availableNow trigger,
+checkpointed state store), drained into a sink, and the converged result
+is returned as the query's DataFrame. Because event-time logic is
+deterministic given the data, the converged result is DuckDB-oracle-able —
+the oracle expresses the same event-time semantics in batch SQL (append
+sinks: windows closed by the final watermark; update sinks: the final
+keyed snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming import ops, replay, sinks, topn
+from ..tables import load_table
+
+_WORK_ROOT = os.path.join(tempfile.gettempdir(), "sgraft_stream_queries")
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    # per-(sf, query) scratch: chunk files are reused across calls, the
+    # checkpoint is rebuilt per run (epoch suffix would break determinism)
+    key = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(_WORK_ROOT, key, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, name: str):
+    wd = _work_dir(sf_dir, name)
+    sdf = replay.replay_table(spark, sf_dir, "events", os.path.join(wd, "src"), chunks=8)
+    return sdf, wd
+
+
+def _drain_to_memory(
+    spark: SparkSession, sdf: DataFrame, name: str, mode: str, wd: str
+) -> DataFrame:
+    import shutil
+    import uuid
+
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    replay.run_available_now(sdf, name, output_mode=mode, checkpoint_dir=ckpt)
+    out = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@register(
+    "s_tumble_stream",
+    oracle="""
+    WITH closed AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             <= (SELECT wm FROM closed)
+    """,
+    survey="W1-S X1",
+    tags=("streaming",),
+)
+def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TUMBLE(1h) agg, append mode: emits exactly the windows the
+    final watermark (max ts − 10 min) has closed — Flink's emit-on-
+    watermark. Run through a real replayed stream with checkpointed state."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_tumble")
+    out = _drain_to_memory(
+        spark,
+        ops.tumble_agg(sdf, "ts", "1 hour", ["event_type"]),
+        "s_tumble_q",
+        "append",
+        wd,
+    )
+    return out
+
+
+@register(
+    "s_dedup_within_watermark_stream",
+    oracle="""
+    SELECT event_type, hour, event_id, ts
+    FROM (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+               event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    survey="O7-S N1-S X1",
+    tags=("streaming",),
+)
+def s_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keep-first dedup per (event_type, hour) via
+    dropDuplicatesWithinWatermark. The 2 h state lifetime exceeds the 1 h
+    key span, and the replay is ts-ordered, so the kept row per key equals
+    the batch ts-min row."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_dedup")
+    keyed = sdf.withColumn("hour", F.date_trunc("hour", "ts"))
+    out = _drain_to_memory(
+        spark,
+        ops.dedup_keep_first(keyed, ["event_type", "hour"], "ts", delay="2 hours")
+        .select("event_type", "hour", "event_id", "ts"),
+        "s_dedup_q",
+        "append",
+        wd,
+    )
+    return out
+
+
+@register(
+    "s_topn_stream",
+    oracle="""
+    SELECT event_type, event_id, value, rank FROM (
+        SELECT event_type, event_id, value,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id)
+                 AS BIGINT) AS rank
+        FROM events
+    ) WHERE rank <= 3
+    """,
+    survey="O6-S X2",
+    tags=("streaming",),
+)
+def s_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Top-3 per event_type via applyInPandasWithState (keyed
+    state + update mode — Flink's retractable rank operator). The final
+    snapshot per key is materialized through the keyed upsert sink and
+    equals the batch row_number()<=3 answer."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_topn")
+    sink = sinks.UpsertSink(pk_cols=["event_type", "rank"])
+    import uuid
+
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    replay.run_foreach_batch(topn.streaming_topn(sdf, n=3), sink, checkpoint_dir=ckpt, output_mode="update")
+    rows = [
+        (d["event_type"], d["event_id"], d["value"], d["rank"])
+        for d in sink.snapshot()
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, event_id long, value double, rank long"
+    )
+
+
+@register(
+    "s_keep_last_stream",
+    oracle="""
+    SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    survey="O7-S X2",
+    tags=("streaming",),
+)
+def s_keep_last_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup keep-LAST per user_id via applyInPandasWithState
+    (ValueState holding the latest row — not expressible with
+    dropDuplicates, which keeps first)."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_keeplast")
+    sink = sinks.UpsertSink(pk_cols=["user_id"])
+    import uuid
+
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    replay.run_foreach_batch(
+        topn.streaming_keep_last(sdf), sink, checkpoint_dir=ckpt, output_mode="update"
+    )
+    rows = [(d["user_id"], d["event_id"]) for d in sink.snapshot()]
+    return spark.createDataFrame(rows, "user_id long, event_id long")
+
+
+@register(
+    "s_interval_join_stream",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'signup'
+    """,
+    survey="J5-S X1",
+    tags=("streaming",),
+)
+def s_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (signup → same-user events within 30
+    min), both sides watermarked; state pruned by the time bound."""
+    sdf1, wd = _events_stream(spark, sf_dir, "s_ijoin")
+    sdf2, _ = _events_stream(spark, sf_dir, "s_ijoin")
+    left = sdf1.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = sdf2.select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    joined = ops.interval_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        lower="0 seconds", upper="30 minutes",
+    ).select("l_id", "r_id")
+    return _drain_to_memory(spark, joined, "s_ijoin_q", "append", wd)
+
+
+@register(
+    "s_cdc_apply",
+    oracle="""
+    WITH oped AS (
+        SELECT user_id, event_id, ts, value,
+               CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd'
+                               ELSE 'u' END AS op
+        FROM events
+    ), latest AS (
+        SELECT user_id, event_id, ts, value, op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM oped
+    )
+    SELECT user_id, event_id, value
+    FROM latest WHERE rn = 1 AND op <> 'd'
+    """,
+    survey="X6",
+    tags=("streaming",),
+)
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingestion (X6): synthesize a debezium-ish op column from
+    event_type (signup→c, error→d, else u), map ops to RowKind, fold the
+    changelog to final state — deletes drop the key's row."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u"),
+    )
+    out = sinks.apply_changelog(
+        sinks.interpret_cdc(e), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "event_id", "value")

@@ -1,0 +1,266 @@
+"""Streaming convergence tests (SURVEY §5.2): each streaming operator,
+replayed deterministically over the events table (time-ordered chunk
+files, availableNow trigger), must converge to its batch twin's answer.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_19_source_spark.streaming import ops, replay, sinks, topn
+from flink_1_19_source_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def work_dir():
+    d = tempfile.mkdtemp(prefix="sgraft_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events_stream_src(spark, sf_dir, work_dir):
+    """Chunked replay source for events (time-ordered, 8 micro-batches)."""
+    sdf = replay.replay_table(spark, sf_dir, "events", work_dir, chunks=8)
+    return sdf
+
+
+def _drain(spark, sdf, name, mode, work_dir):
+    replay.run_available_now(
+        sdf, name, output_mode=mode, checkpoint_dir=f"{work_dir}/ckpt_{name}"
+    )
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumble_converges_to_batch(spark, sf_dir, events_stream_src, work_dir):
+    got = _drain(
+        spark,
+        ops.tumble_agg(events_stream_src, "ts", "1 hour", ["event_type"]),
+        "s_tumble",
+        "append",
+        work_dir,
+    )
+    e = load_table(spark, sf_dir, "events")
+    # append mode emits a window only once the watermark passes its end:
+    # the final watermark is max(ts) - delay, so compare the closed set
+    wm = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    closed = wm - datetime.timedelta(minutes=10)
+    batch = (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "total",
+        )
+        .filter(F.col("window_end") <= F.lit(closed))
+    )
+    cols = ["event_type", "window_start", "window_end", "n", "total"]
+    got = got.filter(F.col("window_end") <= F.lit(closed))
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(batch, cols)) > 100
+
+
+def test_stream_session_converges_to_batch(spark, sf_dir, events_stream_src, work_dir):
+    got = _drain(
+        spark,
+        ops.session_agg(events_stream_src, "ts", "5 minutes", ["user_id"]),
+        "s_session",
+        "append",
+        work_dir,
+    )
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    closed = wm - datetime.timedelta(minutes=10)
+    batch = (
+        e.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+        .filter(F.col("window_end") <= F.lit(closed))
+    )
+    cols = ["user_id", "window_start", "window_end", "n"]
+    got = got.filter(F.col("window_end") <= F.lit(closed))
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(batch, cols)) > 100
+
+
+def test_stream_dedup_keep_first(spark, sf_dir, events_stream_src, work_dir):
+    """Keep-first dedup per (event_type, hour): dropDuplicatesWithinWatermark
+    keeps state for at least the watermark delay, so with delay (2h) longer
+    than the key's time span (1h bucket) and a ts-ordered replay, the kept
+    row per key is exactly the batch ts-min row."""
+    keyed = events_stream_src.withColumn("hour", F.date_trunc("hour", "ts"))
+    got = _drain(
+        spark,
+        ops.dedup_keep_first(keyed, ["event_type", "hour"], "ts", delay="2 hours"),
+        "s_dedup",
+        "append",
+        work_dir,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got_keys = {(r.event_type, r.hour, r.event_id) for r in got.collect()}
+    batch_keys = {(r.event_type, r.hour, r.event_id) for r in batch.collect()}
+    assert got_keys == batch_keys
+
+
+def test_stream_interval_self_join(spark, sf_dir, work_dir):
+    """Stream-stream interval join: each signup joined to the same user's
+    events within the next 30 minutes — converges to the batch range join."""
+    left = replay.replay_table(spark, sf_dir, "events", work_dir, chunks=8).filter(
+        F.col("event_type") == "signup"
+    )
+    right = replay.replay_table(spark, sf_dir, "events", work_dir, chunks=8)
+    joined = ops.interval_join(
+        left.select(
+            F.col("user_id"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+        ),
+        right.select(
+            F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        ).withColumnRenamed("r_user", "user_id"),
+        key="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    ).select("l_id", "r_id")
+    got = _drain(spark, joined, "s_ijoin", "append", work_dir)
+
+    e = load_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    r = e.select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    batch = l.join(
+        r,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select("l_id", "r_id")
+    assert _rows(got, ["l_id", "r_id"]) == _rows(batch, ["l_id", "r_id"])
+
+
+def test_streaming_topn(spark, sf_dir, events_stream_src, work_dir):
+    """transformWithStateInPandas Top-3 per event_type: the final snapshot
+    per key must equal the batch row_number()<=3 answer."""
+    got = _drain(
+        spark, topn.streaming_topn(events_stream_src, n=3), "s_topn", "update", work_dir
+    )
+    # memory sink in update mode appends every refresh: take the LAST
+    # emitted snapshot per (event_type, rank)
+    latest = {}
+    for i, r in enumerate(got.collect()):
+        latest[(r.event_type, r.rank)] = (i, r.event_id, r.value)
+    got_final = {k: (eid, val) for k, (_, eid, val) in latest.items()}
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    batch_final = {
+        (r.event_type, r.rank): (r.event_id, r.value) for r in batch.collect()
+    }
+    assert got_final == batch_final
+
+
+def test_streaming_keep_last(spark, sf_dir, events_stream_src, work_dir):
+    got = _drain(
+        spark, topn.streaming_keep_last(events_stream_src), "s_keeplast", "update", work_dir
+    )
+    latest = {}
+    for i, r in enumerate(got.collect()):
+        latest[r.user_id] = r.event_id
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    batch_last = {r.user_id: r.event_id for r in batch.collect()}
+    assert latest == batch_last
+
+
+def test_upsert_sink_merges_by_pk(spark, sf_dir, events_stream_src, work_dir):
+    """foreachBatch upsert sink: final materialized view has one row per
+    user_id = the last arrival (replay is ts-ordered)."""
+    sink = sinks.UpsertSink(pk_cols=["user_id"])
+    replay.run_foreach_batch(
+        events_stream_src.select("user_id", "event_id", "ts"),
+        sink,
+        checkpoint_dir=f"{work_dir}/ckpt_upsert",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r["user_id"]: r["event_id"] for r in sink.snapshot()}
+    # foreachBatch batches preserve chunk order; within a batch collect()
+    # order follows file order (ts-sorted) — last writer per key wins
+    want = {r.user_id: r.event_id for r in batch.collect()}
+    assert got == want
+
+
+def test_cdc_interpret_and_apply(spark, sf_dir):
+    """CDC ingestion (X6): op column → _rowkind, changelog folded to final
+    table state (deletes drop keys, last update wins)."""
+    rows = [
+        (1, "c", 10, "2024-01-01 00:00:00"),
+        (1, "u", 11, "2024-01-01 00:01:00"),
+        (2, "c", 20, "2024-01-01 00:00:30"),
+        (2, "d", None, "2024-01-01 00:02:00"),
+        (3, "r", 30, "2024-01-01 00:00:10"),
+    ]
+    df = spark.createDataFrame(rows, "id long, op string, val long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sinks.apply_changelog(sinks.interpret_cdc(df), ["id"], "ts")
+    got = {(r.id): r.val for r in out.collect()}
+    assert got == {1: 11, 3: 30}
+
+
+def test_late_data_capture(spark, sf_dir, work_dir):
+    """W8 late side output: rows older than max_ts - delay are diverted."""
+    cap = ops.LateDataCapture("ts", delay_seconds=300)
+    sdf = replay.replay_table(spark, sf_dir, "events", work_dir, chunks=8)
+    replay.run_foreach_batch(sdf, cap, checkpoint_dir=f"{work_dir}/ckpt_late")
+    total = len(cap.on_time) + len(cap.late)
+    assert total == load_table(spark, sf_dir, "events").count()
+    # replay is globally ts-sorted → nothing is late
+    assert len(cap.late) == 0
