@@ -1,0 +1,104 @@
+"""MATCH_RECOGNIZE-lite: regex pattern matching over per-key event
+sequences (SURVEY §2.9 X5; Flink CEP / SQL MATCH_RECOGNIZE, upstream
+flink-libraries/flink-cep + flink-table-planner MatchRecognize nodes).
+
+Batch semantics implemented here; the contiguous-pattern subset:
+
+- events are grouped by key and ordered by (ts, id);
+- each row is classified to a single-character symbol;
+- a Python regex engine (a compiled NFA — the same machinery Flink's CEP
+  NFA implements in Java) scans the per-key symbol string left-to-right,
+  non-overlapping — equivalent to MATCH_RECOGNIZE's default
+  AFTER MATCH SKIP PAST LAST ROW;
+- each match is emitted with its row span mapped back to event ids.
+
+Scale shape: one shuffle on the key (applyInPandas group-map); per-key
+work is linear in sequence length. Keys are independent — 1000 executors
+each match their own key ranges. Streaming NFA state is v2 (declared gap,
+SURVEY §7.1 M5).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+
+def match_recognize_lite(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+) -> DataFrame:
+    """Contiguous-pattern MATCH_RECOGNIZE over (key, time)-ordered events.
+
+    `symbol` must evaluate to a single-character string per row; `pattern`
+    is a regex over those characters (e.g. ``AB+C``). Returns one row per
+    match with the matched span."""
+    compiled = re.compile(pattern)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        s = "".join(pdf["__sym"])
+        ids = pdf[id_col].to_numpy()
+        tss = pdf[ts_col].to_numpy()
+        out = []
+        for i, m in enumerate(compiled.finditer(s)):
+            a, b = m.start(), m.end() - 1
+            out.append(
+                (
+                    int(pdf[key_col].iloc[0]),
+                    i + 1,
+                    int(ids[a]),
+                    int(ids[b]),
+                    b - a + 1,
+                    tss[a],
+                    tss[b],
+                )
+            )
+        return pd.DataFrame(
+            out, columns=[f.name for f in MATCH_SCHEMA.fields]
+        )
+
+    prepared = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
+    )
+    return prepared.groupBy(key_col).applyInPandas(run, MATCH_SCHEMA)
+
+
+def classify(mapping: dict[str, str], other: str = "X") -> Callable[[Column], Column]:
+    """Build a classifier column: event_type value → one-char symbol."""
+
+    def apply(col: Column) -> Column:
+        expr = None
+        for val, sym in mapping.items():
+            cond = F.when(col == val, sym)
+            expr = cond if expr is None else expr.when(col == val, sym)
+        return expr.otherwise(other)
+
+    return apply

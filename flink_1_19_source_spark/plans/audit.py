@@ -1,0 +1,85 @@
+"""Physical-plan audit helpers (SURVEY §4).
+
+Flink exposes optimizer effects through EXPLAIN / compiled-plan JSON;
+Catalyst's equivalent is the formatted explain. These helpers make plan
+properties assertable in tests so regressions in pushdown / broadcast /
+codegen show up as test failures, not 100 TB surprises:
+
+- parquet scans must show PushedFilters + pruned ReadSchema;
+- dimension joins must be BroadcastHashJoin (no shuffle of the fact side);
+- hot expression pipelines must sit inside WholeStageCodegen spans;
+- partitioned reads must prune partitions (PartitionFilters).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def scans(df: DataFrame) -> list[str]:
+    """The Scan node descriptions from the formatted plan."""
+    txt = plan_text(df)
+    out = []
+    block: list[str] = []
+    for line in txt.splitlines():
+        if line.startswith("(") and "Scan " in line:
+            if block:
+                out.append("\n".join(block))
+            block = [line]
+        elif block:
+            if line.startswith("(") or not line.strip():
+                out.append("\n".join(block))
+                block = []
+            else:
+                block.append(line)
+    if block:
+        out.append("\n".join(block))
+    return out
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return any(
+        "PushedFilters" in s and fragment in s.split("PushedFilters", 1)[1]
+        for s in scans(df)
+    )
+
+
+def read_schema_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets each scan actually reads (column pruning check)."""
+    import re
+
+    out = []
+    for s in scans(df):
+        m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+        if m:
+            out.append({c.split(":")[0].strip() for c in m.group(1).split(",") if c})
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_text(df, "simple")
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    # with AQE on, codegen spans appear only in the FINAL adaptive plan —
+    # execute this exact Dataset first, then read its finalized plan.
+    # Codegen'd operators carry a "* " marker in explain output.
+    df.collect()
+    txt = plan_text(df, "formatted")
+    return "WholeStageCodegen" in txt or "+- * " in txt or ":- * " in txt
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return plan_text(df, "simple").count("Exchange hashpartitioning") + plan_text(
+        df, "simple"
+    ).count("Exchange rangepartitioning")

@@ -9,3 +9,5 @@ from . import scalar_funcs  # noqa: F401
 from . import windows  # noqa: F401
 from . import llm  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import sources  # noqa: F401
+from . import cep  # noqa: F401

@@ -1,0 +1,133 @@
+"""Source/sink/format coverage queries (SURVEY §2.1).
+
+Round-trip queries prove format fidelity: write a slice in the format,
+read it back, return it — the DuckDB oracle reads the ORIGINAL parquet,
+so a hash match certifies the round-trip was lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import formats
+from ..tables import load_table
+
+_PART_COLS = "p_partkey, p_name, p_brand, p_type, p_size, p_retailprice"
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle=f"SELECT {_PART_COLS} FROM part WHERE p_partkey <= 200",
+    survey="S1 S3",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source (S3): null-token and header handling; read back
+    with the writer's schema (inference would widen types)."""
+    d = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    d = d.select(*[c.strip() for c in _PART_COLS.split(",")])
+    path = os.path.join(formats.scratch(sf_dir, "csv"), "part")
+    return formats.write_read_roundtrip(d, "csv", path, formats.CSV_OPTS)
+
+
+@register(
+    "src_json_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate "
+    "FROM orders WHERE o_orderkey <= 500",
+    survey="S1 S4",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source (S4), timestamps round-tripped."""
+    d = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = d.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    path = os.path.join(formats.scratch(sf_dir, "json"), "orders")
+    return formats.write_read_roundtrip(d, "json", path)
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    survey="S5",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (S5; columnar, vectorized read like parquet)."""
+    d = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(formats.scratch(sf_dir, "orc"), "nation")
+    return formats.write_read_roundtrip(d, "orc", path)
+
+
+@register(
+    "src_partitioned_pruning",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_orderkey <= 2000",
+    survey="S1",
+)
+def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned read (S1): the o_orderstatus filter
+    resolves to directory pruning — only the F partition's files open.
+    (Partition values surface as strings in the read schema; cast back.)"""
+    d = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    path = os.path.join(formats.scratch(sf_dir, "part_orders"), "orders")
+    formats.partitioned_write(
+        d.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        path,
+        ["o_orderstatus"],
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@register(
+    "src_datagen",
+    oracle="""
+    SELECT id, id * 7 % 100 AS bucket,
+           CAST(id AS VARCHAR) AS id_str,
+           CAST(CAST(DATE '2024-01-01' + INTERVAL (id % 30) DAY AS DATE) AS VARCHAR) AS d
+    FROM range(1000) t(id)
+    """,
+    survey="S9",
+)
+def src_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic datagen source (S9): spark.range + expressions."""
+    return formats.datagen(
+        spark,
+        1000,
+        {
+            "bucket": "id * 7 % 100",
+            "id_str": "CAST(id AS STRING)",
+            "d": "CAST(DATE '2024-01-01' + make_interval(0,0,0, CAST(id % 30 AS INT)) AS DATE)",
+        },
+    ).select("id", "bucket", "id_str", F.col("d").cast("string").alias("d"))
+
+
+@register(
+    "sql_ddl_surface",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    survey="S12 A1 J1",
+)
+def sql_ddl_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (§3.1): tables registered as views by the table-spec
+    layer (the engine's DDL surface), query via spark.sql → full Catalyst
+    lifecycle. Flink: TableEnvironment.executeSql."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

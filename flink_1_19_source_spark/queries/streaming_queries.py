@@ -216,6 +216,48 @@ def s_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_broadcast_state_join",
+    oracle="""
+    SELECT e.event_type,
+           u.segment,
+           COUNT(*) AS n
+    FROM events e
+    JOIN (SELECT DISTINCT user_id, user_id % 5 AS segment FROM events) u
+      ON e.user_id = u.user_id
+    GROUP BY e.event_type, u.segment
+    """,
+    survey="X7 J7",
+    tags=("streaming",),
+)
+def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-state pattern (X7): a small control/dimension table joined
+    to every element of the stream. Spark shape: stream-static join — the
+    static side is broadcast to every task each micro-batch (Flink:
+    broadcast state updated by a control stream; refresh here = re-read
+    per batch). Aggregated per type×segment in update mode, final snapshot
+    via the keyed upsert sink."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_bcast")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.col("user_id") % 5)
+    )
+    joined = (
+        sdf.join(F.broadcast(dim), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = sinks.UpsertSink(pk_cols=["event_type", "segment"])
+    import uuid
+
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    replay.run_foreach_batch(joined, sink, checkpoint_dir=ckpt, output_mode="update")
+    rows = [(d["event_type"], d["segment"], d["n"]) for d in sink.snapshot()]
+    return spark.createDataFrame(rows, "event_type string, segment long, n long")
+
+
+@register(
     "s_cdc_apply",
     oracle="""
     WITH oped AS (

@@ -1,0 +1,74 @@
+"""Filesystem sources/sinks and formats (SURVEY §2.1 S1–S5, S9, S12).
+
+Flink locus: flink-connector-files + flink-formats/{flink-csv, flink-json,
+flink-parquet, flink-orc, flink-avro}. Spark equivalents are the built-in
+DataSource V2 implementations; the engine's value-add is (a) round-trip
+fidelity guarantees per format and (b) the scale-relevant options set on
+every writer (partitioned layout, compression).
+
+Avro note: Spark treats avro as an external module jar; this container
+has no network to deploy it, so `avro` raises a clear error (S5 partial —
+ORC is covered; the avro call-path is identical modulo the format name).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_WORK_ROOT = os.path.join(tempfile.gettempdir(), "sgraft_formats")
+
+CSV_OPTS = {"header": "true", "nullValue": "\\N", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def scratch(sf_dir: str, name: str) -> str:
+    key = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(_WORK_ROOT, key, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def write_read_roundtrip(
+    df: DataFrame, fmt: str, path: str, options: dict[str, str] | None = None
+) -> DataFrame:
+    """Write `df` in `fmt`, read it back with the SAME explicit schema
+    (schema inference would silently widen CSV ints); the caller compares
+    against the source — the engine's format-fidelity contract."""
+    spark = df.sparkSession
+    opts = options or {}
+    if fmt == "avro":
+        raise NotImplementedError(
+            "spark-avro module jar is not deployed in this container "
+            "(external module since Spark 2.4; needs network to fetch)"
+        )
+    w = df.write.mode("overwrite").format(fmt)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save(path)
+    r = spark.read.format(fmt).schema(df.schema)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def partitioned_write(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout — at 100 TB this is what makes
+    partition pruning possible: a filter on the partition column prunes
+    directories before any file is opened."""
+    df.write.mode("overwrite").format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def datagen(
+    spark: SparkSession, n: int, seed_cols: dict[str, str]
+) -> DataFrame:
+    """Deterministic synthetic rows (Flink datagen connector, S9):
+    `spark.range` + column expressions — pure Catalyst, fully parallel
+    (range splits across executors; no driver materialization)."""
+    df = spark.range(n)
+    for name, expr in seed_cols.items():
+        df = df.selectExpr("*", f"({expr}) AS {name}")
+    return df

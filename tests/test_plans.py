@@ -1,0 +1,78 @@
+"""Plan-quality audit (SURVEY §4): the physical plans the engine produces
+must keep the properties that make them survive a 100× scale-up —
+pushdown, pruning, broadcast joins, whole-stage codegen. A regression here
+is a 100 TB incident caught at test time."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_19_source_spark.plans import audit
+from flink_1_19_source_spark.registry import REGISTRY, queries
+from flink_1_19_source_spark.tables import load_table
+
+queries()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert audit.has_pushed_filter(df, "l_shipdate"), audit.plan_text(df)
+    cols = audit.read_schema_columns(df)
+    assert cols, "no parquet scan found"
+    # 16-column lineitem: Q1 needs only 7
+    assert all(len(c) <= 8 for c in cols), f"column pruning failed: {cols}"
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    df = REGISTRY["j7_lookup_broadcast"].fn(spark, sf_dir)
+    assert audit.has_broadcast_join(df), audit.plan_text(df, "simple")
+
+
+def test_sql_surface_join_is_broadcast_and_codegen(spark, sf_dir):
+    df = REGISTRY["sql_ddl_surface"].fn(spark, sf_dir)
+    assert audit.has_broadcast_join(df)
+    assert audit.has_whole_stage_codegen(df)
+
+
+def test_agg_is_partial_then_final_single_shuffle(spark, sf_dir):
+    """GROUP BY must shuffle exactly once (partial agg map-side)."""
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert audit.shuffle_count(df) == 1, audit.plan_text(df, "simple")
+    txt = audit.plan_text(df, "simple")
+    assert txt.count("HashAggregate") == 2, txt  # partial + final
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
+    REGISTRY["src_partitioned_pruning"].fn(spark, sf_dir)  # writes layout
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sgraft_formats",
+        os.path.basename(sf_dir.rstrip("/")),
+        "part_orders",
+        "orders",
+    )
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    txt = audit.plan_text(df)
+    assert "PartitionFilters" in txt and "o_orderstatus" in txt.split(
+        "PartitionFilters", 1
+    )[1].split("\n")[0], txt
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    df = REGISTRY["n1_exact_dedup"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 1, audit.plan_text(df, "simple")
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """The query side must broadcast — a shuffle join on the corpus side
+    would move the 100 TB."""
+    df = REGISTRY["n3_cosine_topk"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
