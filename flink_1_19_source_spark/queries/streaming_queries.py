@@ -25,6 +25,23 @@ from ..tables import load_table
 
 _WORK_ROOT = os.path.join(tempfile.gettempdir(), "sgraft_stream_queries")
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: str = "8"):
+    """State-store partition count is pinned by spark.sql.shuffle.partitions
+    at query start. At replay scale (≤100k events, 8 micro-batches) 32
+    state partitions just multiply per-batch task/Python-worker overhead —
+    8 is right here; a real 100 TB stream sizes this up with key
+    cardinality, not down."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def _work_dir(sf_dir: str, name: str) -> str:
     # per-(sf, query) scratch: chunk files are reused across calls, the
@@ -48,7 +65,8 @@ def _drain_to_memory(
     import uuid
 
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
-    replay.run_available_now(sdf, name, output_mode=mode, checkpoint_dir=ckpt)
+    with _stream_shuffle_partitions(spark):
+        replay.run_available_now(sdf, name, output_mode=mode, checkpoint_dir=ckpt)
     out = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
@@ -144,7 +162,10 @@ def s_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
-    replay.run_foreach_batch(topn.streaming_topn(sdf, n=3), sink, checkpoint_dir=ckpt, output_mode="update")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            topn.streaming_topn(sdf, n=3), sink, checkpoint_dir=ckpt, output_mode="update"
+        )
     rows = [
         (d["event_type"], d["event_id"], d["value"], d["rank"])
         for d in sink.snapshot()
@@ -176,9 +197,10 @@ def s_keep_last_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
-    replay.run_foreach_batch(
-        topn.streaming_keep_last(sdf), sink, checkpoint_dir=ckpt, output_mode="update"
-    )
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            topn.streaming_keep_last(sdf), sink, checkpoint_dir=ckpt, output_mode="update"
+        )
     rows = [(d["user_id"], d["event_id"]) for d in sink.snapshot()]
     return spark.createDataFrame(rows, "user_id long, event_id long")
 
@@ -252,7 +274,8 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
-    replay.run_foreach_batch(joined, sink, checkpoint_dir=ckpt, output_mode="update")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(joined, sink, checkpoint_dir=ckpt, output_mode="update")
     rows = [(d["event_type"], d["segment"], d["n"]) for d in sink.snapshot()]
     return spark.createDataFrame(rows, "event_type string, segment long, n long")
 
