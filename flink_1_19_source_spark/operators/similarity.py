@@ -103,6 +103,78 @@ def hyperplane_signature_udf(dim: int, num_planes: int = 16, seed: int = 7):
     return sig
 
 
+def _centroid_assign_udf(centroids: "np.ndarray", nprobe: int):
+    """Assign each vector to its `nprobe` nearest coarse centroids (by
+    cosine on L2-normalized vectors = max dot product). One BLAS matmul
+    per Arrow batch; returns the centroid-id list per row."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    unit_centroids = centroids / np.where(norms == 0, 1.0, norms)  # K×D
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # N×D
+        vn = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(vn == 0, 1.0, vn)
+        sims = mat @ unit_centroids.T  # N×K
+        top = np.argsort(-sims, axis=1)[:, :nprobe]  # N×nprobe
+        return pd.Series([row.astype("int32") for row in top])
+
+    return assign
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-pruned ANN
+    path (SURVEY §2.11 N3 scale variant; the structure behind FAISS IVF).
+
+    The corpus is bucketed by nearest coarse centroid (the "inverted
+    lists"); a query probes only its `nprobe` nearest centroids' lists and
+    exact-reranks inside them. At 100 TB the centroid id becomes the
+    table's partition key, so a query's scan prunes to nprobe/K of the
+    data before any distance math runs. Centroids are a fixed codebook
+    (trained offline in practice; any deterministic array works —
+    recall is verified against the exact path in tests)."""
+    n_cent = centroids.shape[0]
+    # corpus side: each vector lands in exactly ONE list (its nearest
+    # centroid) — standard IVF; queries fan out to nprobe lists
+    corpus_assign = _centroid_assign_udf(centroids, 1)
+    query_assign = _centroid_assign_udf(centroids, nprobe)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("nvec"),
+    ).withColumn("list_id", F.explode(corpus_assign(F.col("nvec"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("list_id", F.explode(query_assign(F.col("qvec"))))
+
+    cand = (
+        v.join(F.broadcast(q), ["list_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

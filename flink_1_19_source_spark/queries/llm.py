@@ -185,6 +185,25 @@ def n3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, q, k=5)
 
 
+@register("n3_ivf_topk", survey="N3", tags=("approx",))
+def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-5: corpus partitioned into 16 inverted lists
+    by nearest coarse centroid, queries probe their 3 nearest lists, exact
+    cosine re-rank inside (rows-only: numpy codebook math isn't
+    reproducible in DuckDB; recall vs n3_cosine_topk in tests). The
+    codebook is the first 16 corpus vectors — deterministic; production
+    trains one offline."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    return similarity.ivf_topk(e, q, centroids, k=5, nprobe=3)
+
+
 @register("n3_lsh_topk", survey="N3", tags=("approx",))
 def n3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-5 (rows-only: seeded gaussian

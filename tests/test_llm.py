@@ -58,6 +58,32 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"LSH ANN recall {recall}"
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=3 of 16 lists must recover a solid fraction of the
+    exact top-5 (random embeddings are the worst case for any ANN)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cent = np.array(
+        [r.embedding for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+         .select("embedding").collect()],
+        dtype=float,
+    )
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.ivf_topk(e, q, cent, k=5, nprobe=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"IVF ANN recall {recall}"
+    # scores on shared pairs must be exact (IVF only prunes)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r.cosine_sim) < 1e-12
+
+
 def test_lsh_candidates_are_exactly_scored(spark, sf_dir):
     """Approximate path must agree with the exact path on any pair both
     return (LSH only prunes candidates; it never changes the score)."""
