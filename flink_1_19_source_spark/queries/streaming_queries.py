@@ -281,6 +281,59 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_sessionize_timers",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), agg AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start, MAX(ts) AS session_last,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM sess GROUP BY user_id, sid
+    ), wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id, session_start, session_last, n_events, total_value
+    FROM agg, wm
+    WHERE session_last + INTERVAL 30 MINUTE <= w
+       OR sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    """,
+    survey="X2 X3 W4-S",
+    tags=("streaming",),
+)
+def s_sessionize_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyedProcessFunction + event-time timers (X2) with TTL cleanup (X3):
+    per-user sessions close either when a later event exceeds the 30 min
+    gap or when the watermark passes last_ts + gap (the timer); state is
+    removed on close. Emitted set = every non-final session per user, plus
+    final sessions whose timer fired before the final watermark."""
+    from ..streaming import sessionize
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_sessionize")
+    out = _drain_to_memory(
+        spark,
+        sessionize.sessionize_with_timers(sdf, gap="30 minutes"),
+        "s_sessionize_q",
+        "append",
+        wd,
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_last",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+@register(
     "s_cdc_apply",
     oracle="""
     WITH oped AS (
