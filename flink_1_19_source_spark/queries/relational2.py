@@ -266,3 +266,81 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         "max_price",
     )
+
+
+@register(
+    "o4b_range_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                       RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS near_sum,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
+                 AS BIGINT) AS near_n
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    survey="O4",
+)
+def o4b_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN value frames (Flink batch OVER windows allow general
+    frames; streaming only ...AND CURRENT ROW — both shapes here)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w1 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, 50000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w1).cast("double"),
+            2,
+        ).alias("near_sum"),
+        F.count(F.lit(1)).over(w2).alias("near_n"),
+    )
+
+
+@register(
+    "f_json2_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+           json_extract_string(props, '$.k') AS k_tuple,
+           to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER),
+                               t := event_type)) AS rebuilt,
+           json_valid(props) AS ok
+    FROM events WHERE event_id < 150
+    """,
+    survey="2.8-json",
+)
+def f_json2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_VALUE typed extraction, JSON_OBJECT construction (from_json →
+    struct → to_json round-trip), json_tuple, IS JSON."""
+    from pyspark.sql.types import IntegerType, StructField as SF_, StructType as ST_
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 150)
+    parsed = F.from_json("props", ST_([SF_("k", IntegerType())]))
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+        F.to_json(
+            # named_struct: F.struct() keeps the source column name and
+            # ignores .alias() on plain column references
+            F.named_struct(
+                F.lit("k"), parsed["k"], F.lit("t"), F.col("event_type")
+            )
+        ).alias("rebuilt"),
+        F.col("props").rlike("^\\s*\\{").alias("ok"),
+    )
