@@ -229,6 +229,61 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → dedup clusters
+    (id, component) with component = min id reachable.
+
+    Iterative min-label propagation: each round joins labels across edges
+    and keeps the per-node min; stops when no label changed. Rounds are
+    O(diameter) — near-dup graphs are clusters of near-identical docs, so
+    diameter is tiny. Each round is one shuffle on node id;
+    ``localCheckpoint`` truncates the lineage so round N's plan does not
+    re-execute rounds 1..N-1 (the classic iterative-Spark trap).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, per node
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst2"),
+                       F.col("dst") == F.col("dst2"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """64-bit SimHash fingerprint per document: bit b is set iff more than
     half the shingle hashes have bit b set (bit 63 left clear so the value
