@@ -1,0 +1,131 @@
+"""Randomized property tests (hypothesis) for the custom operators, checked
+against brute-force Python references — the edge-case net the fixed-data
+oracle tests can't cast: empty inputs, boundary timestamps, tie-breaks,
+single-row groups.
+
+Flink's temporal join requires a primary key on the build side; we mirror
+that constraint (unique (key, ts) right rows) — with duplicates the as-of
+winner is undefined in both engines.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_1_19_source_spark.operators.asof_join import asof_join
+from flink_1_19_source_spark.operators.cumulate import cumulate
+from flink_1_19_source_spark.operators.dedup import connected_components
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _ts(seconds: int) -> datetime.datetime:
+    return _EPOCH + datetime.timedelta(seconds=seconds)
+
+
+@given(
+    rows=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=25),
+    step_n=st.sampled_from([1, 2, 3]),
+)
+@_settings
+def test_cumulate_matches_reference(spark, rows, step_n):
+    """Every row lands in exactly its covering cumulate windows —
+    [w0, w0+k·step) for k = ceil((t-w0)/step) … max/step."""
+    step_s = step_n * 300
+    max_s = step_s * 4
+    df = spark.createDataFrame(
+        [(i, _ts(s)) for i, s in enumerate(rows)], "id long, ts timestamp"
+    )
+    got = {
+        (r.id, r.window_start, r.window_end)
+        for r in cumulate(df, "ts", f"{step_s} seconds", f"{max_s} seconds").collect()
+    }
+    want = set()
+    for i, s in enumerate(rows):
+        w0 = s - (s % max_s)
+        k0 = (s - w0) // step_s + 1  # first step boundary strictly after t
+        for end in range(k0 * step_s, max_s + 1, step_s):
+            want.add((i, _ts(w0), _ts(w0 + end)))
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=15
+    ),
+    right_ts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # build side PK: (key, ts)
+    ),
+)
+@_settings
+def test_asof_join_matches_reference(spark, left, right_ts):
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(s)) for i, (k, s) in enumerate(left)] or [],
+        "lid long, k long, lt timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(s), v) for k, s, v in right_ts] or [],
+        "k long, rt timestamp, v long",
+    )
+    if not left:
+        return
+    got = {
+        (r.lid, r.v)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="lt", right_time="rt", right_values=["v"]
+        ).collect()
+    }
+    want = set()
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, v) for rk, rs, v in right_ts if rk == k and rs <= s]
+        want.add((i, max(cands)[1] if cands else None))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    ).distinct()
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        union(a, b)
+        nodes.update((a, b))
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
