@@ -48,6 +48,21 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_parquet_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate "
+    "FROM lineitem WHERE l_orderkey <= 300",
+    survey="S1 S2",
+)
+def src_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink + vectorized source (S2) — the engine's native format;
+    the write side is what every job's output stage exercises."""
+    d = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    d = d.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    path = os.path.join(formats.scratch(sf_dir, "parquet"), "lineitem")
+    return formats.write_read_roundtrip(d, "parquet", path)
+
+
+@register(
     "src_orc_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
     survey="S5",

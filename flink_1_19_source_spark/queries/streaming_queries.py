@@ -86,7 +86,7 @@ def _drain_to_memory(
     HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
              <= (SELECT wm FROM closed)
     """,
-    survey="W1-S X1",
+    survey="W1-S X1 X4",
     tags=("streaming",),
 )
 def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +278,45 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay.run_foreach_batch(joined, sink, checkpoint_dir=ckpt, output_mode="update")
     rows = [(d["event_type"], d["segment"], d["n"]) for d in sink.snapshot()]
     return spark.createDataFrame(rows, "event_type string, segment long, n long")
+
+
+@register(
+    "s_late_data_capture",
+    oracle="""
+    -- replicate the arrival order (user_id, ts, event_id) and the capture
+    -- rule: late iff running-max(ts) over PRIOR arrivals exceeds ts by > 300 s
+    SELECT event_id, ts
+    FROM (
+        SELECT event_id, ts,
+               MAX(ts) OVER (ORDER BY user_id, ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+        FROM events
+    )
+    WHERE prev_max - ts > INTERVAL 300 SECOND
+    """,
+    survey="W8 R6 X1",
+    tags=("streaming",),
+)
+def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side output (W8): Flink routes watermark-late rows to a
+    side output; Spark drops them. The foreachBatch capture reproduces the
+    side output against a deterministic out-of-order replay (arrival order
+    user_id,ts — so ts regresses at user boundaries). Returns the captured
+    LATE rows; the oracle replays the same running-max rule in SQL."""
+    import uuid
+
+    wd = _work_dir(sf_dir, "s_late")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=8,
+        order_by=["user_id", "ts", "event_id"],
+    )
+    cap = ops.LateDataCapture("ts", delay_seconds=300)
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, cap, checkpoint_dir=ckpt)
+    rows = [(r["event_id"], r["ts"]) for r in cap.late]
+    return spark.createDataFrame(rows or [], "event_id long, ts timestamp")
 
 
 @register(

@@ -25,11 +25,16 @@ from pyspark.sql.types import StructType
 
 
 def split_into_chunks(
-    src_parquet: str, out_dir: str, ts_col: str, chunks: int = 8
+    src_parquet: str,
+    out_dir: str,
+    ts_col: str,
+    chunks: int = 8,
+    order_by: list[str] | None = None,
 ) -> None:
-    """Sort by event time and write K chunk files (driver-side pyarrow —
-    test-scale data; on a real cluster the source would already arrive in
-    time-ordered partition files)."""
+    """Sort by `order_by` (default: event time) and write K chunk files
+    (driver-side pyarrow — test-scale data; on a real cluster the source
+    would already arrive in partition files). A non-time order simulates
+    out-of-order arrival deterministically (for late-data tests)."""
     t = pq.read_table(src_parquet)
     # normalize ns → µs so the streaming schema is a plain TimestampType
     schema = t.schema
@@ -46,7 +51,8 @@ def split_into_chunks(
                 pa.timestamp("us", tz="UTC")
             ),
         )
-    order = pa.compute.sort_indices(t.column(ts_col))
+    sort_keys = [(c, "ascending") for c in (order_by or [ts_col])]
+    order = pa.compute.sort_indices(t, sort_keys=sort_keys)
     t = t.take(order)
     os.makedirs(out_dir, exist_ok=True)
     n = t.num_rows
@@ -118,13 +124,14 @@ def replay_table(
     ts_col: str = "ts",
     chunks: int = 8,
     files_per_trigger: int = 1,
+    order_by: list[str] | None = None,
 ) -> DataFrame:
     """One-call helper: split `sf_dir/name.parquet` into chunks under
     `work_dir` and return the streaming DataFrame reading them."""
     src = os.path.join(sf_dir, f"{name}.parquet")
     chunk_dir = os.path.join(work_dir, f"{name}_chunks")
     if not os.path.isdir(chunk_dir) or not os.listdir(chunk_dir):
-        split_into_chunks(src, chunk_dir, ts_col, chunks)
+        split_into_chunks(src, chunk_dir, ts_col, chunks, order_by=order_by)
     # schema from a batch read of the chunks (ts already µs there)
     schema = spark.read.parquet(chunk_dir).schema
     return read_stream(spark, chunk_dir, schema, files_per_trigger)

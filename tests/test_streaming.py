@@ -264,3 +264,55 @@ def test_late_data_capture(spark, sf_dir, work_dir):
     assert total == load_table(spark, sf_dir, "events").count()
     # replay is globally ts-sorted → nothing is late
     assert len(cap.late) == 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, work_dir):
+    """X4: stop after half the input, restart from the SAME checkpoint with
+    more input — the source must resume where it left off (no reprocessing,
+    no loss) and the merged sink must equal the full batch answer."""
+    import os
+    import shutil
+
+    src_all = f"{work_dir}/ckptrec_all"
+    src_live = f"{work_dir}/ckptrec_live"
+    ckpt = f"{work_dir}/ckptrec_ckpt"
+    replay.split_into_chunks(
+        os.path.join(sf_dir, "events.parquet"), src_all, "ts", chunks=8
+    )
+    os.makedirs(src_live, exist_ok=True)
+    files = sorted(os.listdir(src_all))
+
+    schema = spark.read.parquet(src_all).schema
+    sink = sinks.UpsertSink(pk_cols=["event_type", "hour"])
+
+    def run_once():
+        sdf = replay.read_stream(spark, src_live, schema)
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .withColumn("hour", F.date_trunc("hour", "ts"))
+            .groupBy("event_type", "hour")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        replay.run_foreach_batch(agg, sink, checkpoint_dir=ckpt, output_mode="update")
+
+    for f in files[:4]:
+        shutil.copy(os.path.join(src_all, f), os.path.join(src_live, f))
+    run_once()
+    batches_after_first = set(sink.seen_batches)
+
+    for f in files[4:]:
+        shutil.copy(os.path.join(src_all, f), os.path.join(src_live, f))
+    run_once()
+
+    # restart resumed batch ids after the first run's (no replay of old ids)
+    assert min(set(sink.seen_batches) - batches_after_first) > max(batches_after_first)
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r.event_type, r.hour): r.n for r in batch.collect()}
+    got = {(d["event_type"], d["hour"]): d["n"] for d in sink.snapshot()}
+    assert got == want
