@@ -182,7 +182,13 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, est_jaccard) for candidates, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # materialize signatures once: the band self-join otherwise evaluates
+    # the signature UDF on BOTH sides (python-UDF plans don't canonicalize
+    # equal, so ReusedExchange never fires). At warehouse scale you'd
+    # persist signatures as a table; localCheckpoint is the in-query form.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
     band_keys = F.array(
         *[
             F.struct(
