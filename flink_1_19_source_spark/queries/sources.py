@@ -124,6 +124,51 @@ def src_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_flink_dialect",
+    oracle="""
+    SELECT p_partkey,
+           NULLIF(SPLIT_PART(p_type, ' ', 2), '') AS tok1,
+           CAST(NULL AS VARCHAR) AS tok_oob,
+           TRUNC(p_retailprice * 10) / 10 AS price_t,
+           CAST(CASE WHEN p_brand = p_type THEN 0
+                     WHEN p_brand < p_type THEN -1 ELSE 1 END AS BIGINT) AS cmp,
+           json_extract_string('{"b":"' || p_brand || '"}', '$.b') AS jb,
+           to_base64(encode(p_brand)) AS b64,
+           decode(from_base64(to_base64(encode(p_brand)))) AS rt,
+           CAST(LENGTH(p_name) AS BIGINT) AS clen
+    FROM part WHERE p_partkey <= 60 AND regexp_matches(p_name, '^[a-m]')
+    """,
+    survey="S12 2.8-string 2.8-json",
+)
+def sql_flink_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-SQL dialect surface (S12 / §2.8): the query below is written
+    with Flink 1.19 built-in names (SPLIT_INDEX 0-based, TRUNCATE, STRCMP,
+    JSON_VALUE, TO_BASE64/FROM_BASE64, REGEXP, CHARACTER_LENGTH) and runs
+    through functions.flink_sql — name-alias translation plus registered
+    shims — on Spark. Upstream: flink-table-common
+    BuiltInFunctionDefinitions; semantics from the Flink 1.19 docs."""
+    from ..functions.flink_sql import flink_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return flink_sql(
+        spark,
+        """
+        SELECT p_partkey,
+               SPLIT_INDEX(p_type, ' ', 1) AS tok1,
+               SPLIT_INDEX(p_type, ' ', 9) AS tok_oob,
+               TRUNCATE(p_retailprice, 1) AS price_t,
+               CAST(STRCMP(p_brand, p_type) AS BIGINT) AS cmp,
+               JSON_VALUE(CONCAT('{"b":"', p_brand, '"}'), '$.b') AS jb,
+               TO_BASE64(p_brand) AS b64,
+               CAST(FROM_BASE64(TO_BASE64(p_brand)) AS STRING) AS rt,
+               CAST(CHARACTER_LENGTH(p_name) AS BIGINT) AS clen
+        FROM part WHERE p_partkey <= 60 AND REGEXP(p_name, '^[a-m]')
+        """,
+    )
+
+
+@register(
     "sql_ddl_surface",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
