@@ -52,9 +52,22 @@ def _work_dir(sf_dir: str, name: str) -> str:
     return d
 
 
+#: Micro-batches per replay. 4, not more: every watermark/timer/state op
+#: here is chunk-count-invariant (append windows close on the FINAL
+#: watermark; keyed snapshots depend only on per-key order, which the
+#: ts-sorted replay preserves at any chunk count), so extra batches buy no
+#: coverage beyond "state survives across batches" while each batch pays
+#: fixed planning + state-commit + Python-worker cost. This is the same
+#: knob as Flink's mini-batch interval: larger batches = throughput,
+#: smaller = latency. Cross-batch state is still genuinely exercised.
+_CHUNKS = 4
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, name: str):
     wd = _work_dir(sf_dir, name)
-    sdf = replay.replay_table(spark, sf_dir, "events", os.path.join(wd, "src"), chunks=8)
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS
+    )
     return sdf, wd
 
 
@@ -259,11 +272,15 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch). Aggregated per type×segment in update mode, final snapshot
     via the keyed upsert sink."""
     sdf, wd = _events_stream(spark, sf_dir, "s_bcast")
+    # cache the dimension: Spark re-executes the static side's plan every
+    # micro-batch (that re-execution IS the "control stream refresh" hook),
+    # so without a cache the distinct-shuffle would run once per batch
     dim = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .withColumn("segment", F.col("user_id") % 5)
+        .cache()
     )
     joined = (
         sdf.join(F.broadcast(dim), "user_id")
@@ -274,8 +291,13 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
-    with _stream_shuffle_partitions(spark):
-        replay.run_foreach_batch(joined, sink, checkpoint_dir=ckpt, output_mode="update")
+    try:
+        with _stream_shuffle_partitions(spark):
+            replay.run_foreach_batch(
+                joined, sink, checkpoint_dir=ckpt, output_mode="update"
+            )
+    finally:
+        dim.unpersist()
     rows = [(d["event_type"], d["segment"], d["n"]) for d in sink.snapshot()]
     return spark.createDataFrame(rows, "event_type string, segment long, n long")
 
@@ -308,7 +330,7 @@ def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wd = _work_dir(sf_dir, "s_late")
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=8,
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["user_id", "ts", "event_id"],
     )
     cap = ops.LateDataCapture("ts", delay_seconds=300)

@@ -129,7 +129,9 @@ def replay_table(
     """One-call helper: split `sf_dir/name.parquet` into chunks under
     `work_dir` and return the streaming DataFrame reading them."""
     src = os.path.join(sf_dir, f"{name}.parquet")
-    chunk_dir = os.path.join(work_dir, f"{name}_chunks")
+    # chunk count in the dir name: a cached 8-chunk split must never be
+    # picked up by a 4-chunk replay (the reuse guard only checks non-empty)
+    chunk_dir = os.path.join(work_dir, f"{name}_chunks{chunks}")
     if not os.path.isdir(chunk_dir) or not os.listdir(chunk_dir):
         split_into_chunks(src, chunk_dir, ts_col, chunks, order_by=order_by)
     # schema from a batch read of the chunks (ts already µs there)
