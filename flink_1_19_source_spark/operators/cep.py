@@ -14,8 +14,8 @@ Batch semantics implemented here; the contiguous-pattern subset:
 
 Scale shape: one shuffle on the key (applyInPandas group-map); per-key
 work is linear in sequence length. Keys are independent — 1000 executors
-each match their own key ranges. Streaming NFA state is v2 (declared gap,
-SURVEY §7.1 M5).
+each match their own key ranges. The streaming twin (incremental NFA in
+keyed state) is streaming/cep_stream.py.
 """
 
 from __future__ import annotations

@@ -395,6 +395,56 @@ def s_sessionize_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_match_recognize_stream",
+    oracle="""
+    WITH sym AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'signup' THEN 'A'
+                                          WHEN 'click' THEN 'B'
+                                          WHEN 'view' THEN 'B'
+                                          WHEN 'purchase' THEN 'C'
+                                          ELSE 'X' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(s, 'AB+C')) AS BIGINT) AS n_matches,
+           CAST(COALESCE(list_max(list_transform(regexp_extract_all(s, 'AB+C'),
+                                                 m -> LEN(m))), 0) AS BIGINT)
+             AS longest_match
+    FROM sym
+    WHERE len(regexp_extract_all(s, 'AB+C')) > 0
+    """,
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP NFA (X5): A B+ C matched incrementally in keyed state
+    (streaming/cep_stream.py) over the replayed event stream — each match
+    emitted the micro-batch its closing row arrives. The emitted match set
+    must equal the batch scan's (same oracle as x5_match_recognize_abc)."""
+    from ..operators import cep as cep_batch
+    from ..streaming import cep_stream
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_cep")
+    symbols = {"signup": "A", "click": "B", "view": "B", "purchase": "C"}
+    matches = cep_stream.streaming_match_recognize(
+        sdf,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        symbol=cep_batch.classify(symbols)(F.col("event_type")),
+        pattern="AB+C",
+        start_chars="A",
+    )
+    out = _drain_to_memory(spark, matches, "s_cep_q", "append", wd)
+    return out.groupBy(F.col("key").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("n_rows").alias("longest_match"),
+    )
+
+
+@register(
     "s_cdc_apply",
     oracle="""
     WITH oped AS (

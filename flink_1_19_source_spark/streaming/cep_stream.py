@@ -1,0 +1,142 @@
+"""Streaming MATCH_RECOGNIZE-lite: the CEP NFA over a keyed stream
+(SURVEY §2.9 X5 streaming tier; Flink CEP NFA operator, upstream
+flink-libraries/flink-cep NFA + SQL MatchRecognize exec nodes).
+
+The batch twin (operators/cep.py) scans the complete per-key symbol
+string. Here the same compiled regex/NFA runs *incrementally*: per-key
+state carries the undecided suffix of the symbol sequence (plus aligned
+row ids/timestamps), each micro-batch appends its rows in (ts, id) order,
+emits every newly completed match (AFTER MATCH SKIP PAST LAST ROW), and
+retains only the residue that can still participate in a future match:
+
+- everything up to the end of the last emitted match is dropped (SKIP
+  PAST LAST ROW — matches never overlap);
+- the residue is pruned to its first possible match-start symbol
+  (`start_chars`): a dropped prefix can never begin a new match;
+- a hard `max_buffer` cap bounds state for adversarial keys (Flink CEP
+  bounds the same way via the WITHIN clause); overflow drops oldest rows.
+
+Because matches are emitted exactly when their last row arrives and the
+replay is event-time-ordered, the union of emitted matches over the run
+equals the batch scan's match set — the convergence oracle.
+
+Scale shape: one shuffle on the key; state per key is O(longest pending
+partial match), independent of history length. 1000 executors each own
+their key ranges' NFA state — identical layout to Flink's keyed CEP.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+MATCH_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+# undecided suffix: symbol string + aligned ids and µs timestamps
+MATCH_STATE = StructType(
+    [
+        StructField("syms", StringType()),
+        StructField("ids", ArrayType(LongType())),
+        StructField("tss", ArrayType(LongType())),
+        StructField("match_no", LongType()),
+    ]
+)
+
+
+def _match_func_factory(pattern: str, start_chars: str, max_buffer: int):
+    compiled = re.compile(pattern)
+
+    def match_func(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            syms, ids, tss, match_no = state.get
+            ids, tss = list(ids), list(tss)
+        else:
+            syms, ids, tss, match_no = "", [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            syms += "".join(pdf["sym"])
+            ids.extend(int(i) for i in pdf["id"])
+            tss.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+
+        out, consumed = [], 0
+        for m in compiled.finditer(syms):
+            a, b = m.start(), m.end() - 1
+            match_no += 1
+            out.append(
+                (
+                    int(key[0]),
+                    match_no,
+                    ids[a],
+                    ids[b],
+                    b - a + 1,
+                    pd.to_datetime(tss[a], unit="us"),
+                    pd.to_datetime(tss[b], unit="us"),
+                )
+            )
+            consumed = m.end()
+
+        # SKIP PAST LAST ROW, then prune to the first possible match start
+        rest = syms[consumed:]
+        first_start = next(
+            (i for i, ch in enumerate(rest) if ch in start_chars), len(rest)
+        )
+        cut = consumed + first_start
+        syms, ids, tss = syms[cut:], ids[cut:], tss[cut:]
+        if len(syms) > max_buffer:  # adversarial key: bound the state
+            syms, ids, tss = syms[-max_buffer:], ids[-max_buffer:], tss[-max_buffer:]
+        state.update((syms, ids, tss, match_no))
+        yield pd.DataFrame(out, columns=[f.name for f in MATCH_OUTPUT.fields])
+
+    return match_func
+
+
+def streaming_match_recognize(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    start_chars: str,
+    max_buffer: int = 4096,
+) -> DataFrame:
+    """Keyed streaming CEP: emits one row per completed `pattern` match,
+    as soon as its closing row arrives (append semantics)."""
+    prepared = sdf.select(
+        sdf[key_col].alias("key"),
+        sdf[ts_col].alias("ts"),
+        sdf[id_col].alias("id"),
+        symbol.alias("sym"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _match_func_factory(pattern, start_chars, max_buffer),
+        outputStructType=MATCH_OUTPUT,
+        stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -316,3 +316,28 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, work_dir):
     want = {(r.event_type, r.hour): r.n for r in batch.collect()}
     got = {(d["event_type"], d["hour"]): d["n"] for d in sink.snapshot()}
     assert got == want
+
+
+def test_streaming_cep_matches_batch_spans(spark, sf_dir, work_dir):
+    """Streaming NFA (cep_stream) must emit exactly the batch scanner's
+    match spans — per-match equality, stronger than the aggregate oracle."""
+    from flink_1_19_source_spark.operators import cep
+    from flink_1_19_source_spark.streaming import cep_stream
+
+    symbols = {"signup": "A", "click": "B", "view": "B", "purchase": "C"}
+    e = load_table(spark, sf_dir, "events")
+    batch = cep.match_recognize_lite(
+        e, key_col="user_id", ts_col="ts", id_col="event_id",
+        symbol=cep.classify(symbols)(F.col("event_type")), pattern="AB+C",
+    )
+    sdf = replay.replay_table(spark, sf_dir, "events", work_dir, chunks=5)
+    stream = cep_stream.streaming_match_recognize(
+        sdf, key_col="user_id", ts_col="ts", id_col="event_id",
+        symbol=cep.classify(symbols)(F.col("event_type")), pattern="AB+C",
+        start_chars="A",
+    )
+    out = _drain(spark, stream, "cep_span_q", "append", work_dir)
+    cols = ["key", "start_id", "end_id", "n_rows", "start_ts", "end_ts"]
+    got = _rows(out.withColumnRenamed("key", "key"), cols)
+    want = _rows(batch, cols)
+    assert got == want
