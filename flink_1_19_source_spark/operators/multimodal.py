@@ -90,6 +90,99 @@ def fake_decode_features(doc_id: int, payload: bytes, width: int, height: int) -
     }
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_digest", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing (1→1, payload-in → derived-out). The resampling
+    kernel is the stubbed codec step (`decode_image`); the deterministic
+    fake digests payload+target-size so the full Arrow path is testable.
+    No shuffle: pure map over whatever partitioning the scan produced."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f":{width}x{height}".encode()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "resized_digest": [
+                        hashlib.md5(bytes(b) + tag).hexdigest()
+                        for b in pdf["media_bytes"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """Frame sampling (1→N): one output row per sampled frame timestamp in
+    [0, duration_ms). The frame *decode* is the stubbed codec step; the
+    deterministic fake digests payload+frame_no. Fan-out happens inside
+    the Arrow batch — no shuffle, no driver involvement; at 100 TB each
+    task fans out its own videos."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, tss, digs = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                dur = row.media_meta["duration_ms"]
+                if dur is None:
+                    continue
+                payload = bytes(row.media_bytes)
+                for no, ts in enumerate(range(0, int(dur), every_ms)):
+                    ids.append(row.doc_id)
+                    nos.append(no)
+                    tss.append(ts)
+                    digs.append(
+                        hashlib.md5(payload + b":" + str(no).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame_ts_ms": tss,
+                    "frame_digest": digs,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def attach_video(df: DataFrame, id_col: str, payload_text_col: str) -> DataFrame:
+    """Video-flavored twin of attach_media: synthesizes a duration (40 ms
+    per payload byte — deterministic) so frame sampling has a timeline."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(payload_text_col), "UTF-8").alias("media_bytes"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake-v1").alias("format"),
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            (F.length(F.col(payload_text_col)).cast("long") * 40).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque payload column.
 

@@ -389,3 +389,47 @@ def n5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = multimodal.attach_media(d, "doc_id", "text")
     return multimodal.extract_features(media)
+
+
+@register(
+    "n5_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(256 AS INTEGER) AS out_width,
+           CAST(192 AS INTEGER) AS out_height,
+           MD5(text || ':256x192') AS resized_digest
+    FROM documents WHERE doc_id < 100
+    """,
+    survey="N5",
+)
+def n5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (N5): binary payload in → derived record out
+    through one mapInPandas pass; the resample kernel is the stubbed codec
+    (deterministic fake digests payload+target size)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.attach_media(d, "doc_id", "text")
+    return multimodal.resize_images(media, 256, 192)
+
+
+@register(
+    "n5_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(f.no AS BIGINT) AS frame_no,
+           CAST(f.no * 1000 AS BIGINT) AS frame_ts_ms,
+           MD5(d.text || ':' || CAST(f.no AS VARCHAR)) AS frame_digest
+    FROM documents d,
+         LATERAL (SELECT UNNEST(range(0, CAST(CEIL(LEN(d.text) * 40 / 1000.0)
+                                              AS BIGINT)))
+                    AS no) f
+    WHERE d.doc_id < 50
+    """,
+    survey="N5 R4",
+)
+def n5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (N5): 1→N fan-out per payload inside the Arrow
+    batch (one frame per second of synthesized 40 ms/byte timeline); the
+    frame decode is the stubbed codec, digests are deterministic."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = multimodal.attach_video(d, "doc_id", "text")
+    return multimodal.sample_frames(media, every_ms=1000)
