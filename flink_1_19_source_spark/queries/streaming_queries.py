@@ -118,6 +118,38 @@ def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_hop_stream",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    ex AS (
+        SELECT event_type,
+               UNNEST([time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR,
+                       time_bucket(INTERVAL '1 hour', ts)]) AS window_start
+        FROM events
+    )
+    SELECT event_type, window_start, COUNT(*) AS n
+    FROM ex
+    WHERE window_start + INTERVAL 2 HOUR <= (SELECT w FROM wm)
+    GROUP BY event_type, window_start
+    """,
+    survey="W2-S X1",
+    tags=("streaming",),
+)
+def s_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOP(slide 1h, size 2h) agg, append mode: each event lands
+    in size/slide = 2 overlapping windows; only windows the final
+    watermark closed are emitted (same emit rule as s_tumble_stream)."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_hop")
+    return _drain_to_memory(
+        spark,
+        ops.hop_agg(sdf, "ts", "2 hours", "1 hour", ["event_type"]),
+        "s_hop_q",
+        "append",
+        wd,
+    )
+
+
+@register(
     "s_dedup_within_watermark_stream",
     oracle="""
     SELECT event_type, hour, event_id, ts

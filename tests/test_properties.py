@@ -129,3 +129,16 @@ def test_connected_components_matches_union_find(spark, edges):
         nodes.update((a, b))
     want = {(n, find(n)) for n in nodes}
     assert got == want
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """A9: HLL estimate must sit within ~5×rsd of the exact distinct count
+    (rsd=0.05 ⇒ assert 25% — loose enough to be flake-free, tight enough
+    to catch a broken sketch)."""
+    from pyspark.sql import functions as F
+    from flink_1_19_source_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = li.agg(F.approx_count_distinct("l_partkey", 0.05).alias("e")).collect()[0]["e"]
+    exact = li.agg(F.countDistinct("l_partkey").alias("d")).collect()[0]["d"]
+    assert abs(est - exact) / exact <= 0.25, (est, exact)

@@ -341,3 +341,22 @@ def test_streaming_cep_matches_batch_spans(spark, sf_dir, work_dir):
     got = _rows(out.withColumnRenamed("key", "key"), cols)
     want = _rows(batch, cols)
     assert got == want
+
+
+def test_print_and_blackhole_sinks(spark, sf_dir, work_dir):
+    """S10: Flink's print / blackhole debug sinks → Spark's console / noop
+    writers. Batch noop write and a streaming console drain both run to
+    completion (sink contract is config, not code — this pins the config)."""
+    part = load_table(spark, sf_dir, "part")
+    part.write.format("noop").mode("overwrite").save()
+
+    sdf = replay.replay_table(spark, sf_dir, "events", work_dir, chunks=2)
+    q = (
+        sdf.limit(5)
+        .writeStream.format("console")
+        .option("numRows", 1)
+        .option("checkpointLocation", f"{work_dir}/ckpt_console")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
