@@ -9,6 +9,8 @@ dimension table — at 100 TB that removes the fact-table shuffle entirely.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,6 +44,59 @@ def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j_bucketed_colocated",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    survey="J1 J9 §4-bucketing",
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketing (§4 partitioning row;
+    Flink: pre-partitioned inputs / DataStream partitionCustom). Both
+    tables are written bucketed+sorted by the join key into the warehouse;
+    the sort-merge join then reads bucket-for-bucket with ZERO exchanges
+    and zero sorts — the strategy that makes a 100 TB fact⋈fact join
+    feasible (shuffling either side would move the whole table). The MERGE
+    hint keeps Catalyst from broadcasting the (test-scale-small) orders
+    side so the bucketed path is what runs — and what
+    tests/test_plans.py asserts shuffle-free."""
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"b_lineitem_{sfx}", f"b_orders_{sfx}"
+    if not spark.catalog.tableExists(lt) or not spark.catalog.tableExists(ot):
+        # the in-memory catalog forgets tables between sessions but their
+        # warehouse directories persist — clear them or saveAsTable throws
+        # LOCATION_ALREADY_EXISTS
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (lt, ot):
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(lt)
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(ot)
+    li, od = spark.table(lt), spark.table(ot).hint("merge")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("total"),
         )
     )
 

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # keep the UI off in tests/bench: faster session startup, no port contention
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # bucketed-table home (co-located joins); /tmp keeps the repo clean
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sgraft_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if streaming:

@@ -76,3 +76,14 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     df = REGISTRY["n3_cosine_topk"].fn(spark, sf_dir)
     txt = audit.plan_text(df, "simple")
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+
+
+def test_bucketed_join_shuffles_neither_fact_table(spark, sf_dir):
+    """Fact⋈fact co-location: the bucketed sort-merge join must read
+    bucket-for-bucket — the only Exchange allowed is the final group-by's
+    (the join itself moves zero rows)."""
+    df = REGISTRY["j_bucketed_colocated"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "SortMergeJoin" in txt, txt
+    assert "Bucketed: true" in txt, txt
+    assert audit.shuffle_count(df) == 1, audit.plan_text(df, "simple")
