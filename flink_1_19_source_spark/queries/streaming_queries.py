@@ -427,6 +427,32 @@ def s_sessionize_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_over_agg_stream",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_sum,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+    FROM events
+    """,
+    survey="O4-S X2",
+    tags=("streaming",),
+)
+def s_over_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER agg (O4): per-row emit of the per-user running
+    SUM/COUNT, O(1) keyed state (streaming/over_agg.py) — Flink's
+    `SUM(x) OVER (PARTITION BY k ORDER BY ts ROWS UNBOUNDED PRECEDING)`
+    on an ordered stream."""
+    from ..streaming import over_agg
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_over")
+    return _drain_to_memory(
+        spark, over_agg.streaming_over_sum(sdf), "s_over_q", "append", wd
+    )
+
+
+@register(
     "s_match_recognize_stream",
     oracle="""
     WITH sym AS (
