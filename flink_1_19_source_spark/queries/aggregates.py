@@ -188,15 +188,43 @@ def a8_collect_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a9_approx_count_distinct", survey="A9", tags=("no-oracle",))
+@register(
+    "a9_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_parts_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="A9",
+)
 def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROX_COUNT_DISTINCT (HLL++). No SQL oracle: estimates are
-    implementation-defined; tests/test_operators.py bounds the relative
-    error vs exact instead."""
+    """APPROX_COUNT_DISTINCT (HLL++). The raw estimate is implementation-
+    defined so it can never hash-match another engine; instead the hashed
+    projection carries the *exact* distinct counts (oracle-comparable) plus
+    booleans asserting the HLL estimate landed within 5% of exact — the
+    oracle's side is a constant TRUE, so any estimator drift beyond the
+    bound fails the driver hash. tests/test_properties.py additionally
+    bounds the relative error tighter (rsd-scaled)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("_ao", "exact_orders").alias("approx_orders_ok"),
+        within("_ap", "exact_parts").alias("approx_parts_ok"),
     )
 
 

@@ -365,8 +365,14 @@ def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["user_id", "ts", "event_id"],
     )
-    cap = ops.LateDataCapture("ts", delay_seconds=300)
-    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    run_id = uuid.uuid4().hex[:8]
+    cap = ops.LateDataCapture(
+        "ts",
+        delay_seconds=300,
+        order_by=["user_id", "ts", "event_id"],
+        state_dir=os.path.join(wd, f"wm-{run_id}"),
+    )
+    ckpt = os.path.join(wd, f"ckpt-{run_id}")
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, cap, checkpoint_dir=ckpt)
     rows = [(r["event_id"], r["ts"]) for r in cap.late]

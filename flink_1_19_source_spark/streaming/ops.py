@@ -124,30 +124,117 @@ def interval_join(
     return l.join(r, cond)
 
 
+class _MemoryRowWriter:
+    """Test-only sink: accumulates each side's rows on the driver (the
+    memory-sink stand-in the tests read back). Production callers pass
+    writer callables that append the DataFrame to parquet/Delta instead —
+    nothing in the split mechanism itself touches the driver."""
+
+    def __init__(self):
+        self.rows: list = []
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.rows.extend(df.collect())
+
+
 class LateDataCapture:
     """Late-data side output (W8): Flink routes rows older than the
     watermark to a side output; Spark silently drops them. This foreachBatch
-    splitter reproduces the side output: it tracks the running max event
-    time and diverts rows older than (max_ts - delay) to `late`, passing
-    the rest to `on_time`. Use *upstream* of the watermark operator.
+    splitter reproduces the side output with pure DataFrame ops:
+
+    - within each micro-batch, the running max event time over arrival
+      order (``order_by``) is a window aggregate — executed on the cluster;
+    - the watermark carried across batches is ONE scalar (per-batch
+      ``agg(max(ts))``), the only value that ever reaches the driver;
+    - rows with ``running_max - ts > delay`` are tagged late; each side is
+      handed to a writer callback *as a DataFrame* (two filtered writes —
+      no per-row driver iteration anywhere).
+
+    The single-partition window mirrors the replay harness's single ordered
+    source partition (Flink's per-partition watermark, one partition). For a
+    multi-partition source, partition the window by the source-partition
+    column and take the min across partitions — same mechanism, same O(batch)
+    cost, no global sort.
+
+    Watermark state survives restarts when ``state_dir`` is given: the
+    carried max is persisted per batch-id (idempotent overwrite on replay)
+    and re-read on construction — unlike a plain in-memory attribute, a
+    recovered query resumes with the correct watermark.
     """
 
-    def __init__(self, ts_col: str, delay_seconds: float):
+    def __init__(
+        self,
+        ts_col: str,
+        delay_seconds: float,
+        order_by: list[str] | None = None,
+        late_writer=None,
+        on_time_writer=None,
+        state_dir: str | None = None,
+    ):
         self.ts_col = ts_col
         self.delay = delay_seconds
-        self.max_ts = None
-        self.on_time: list = []
-        self.late: list = []
+        self.order_by = order_by or [ts_col]
+        self._late_writer = late_writer or _MemoryRowWriter()
+        self._on_time_writer = on_time_writer or _MemoryRowWriter()
+        self.state_dir = state_dir
+        self.max_ts = self._recover_watermark() if state_dir else None
+
+    # -- test-harness accessors (memory writers only) --------------------
+    @property
+    def late(self) -> list:
+        return self._late_writer.rows
+
+    @property
+    def on_time(self) -> list:
+        return self._on_time_writer.rows
+
+    def _recover_watermark(self):
+        import datetime as _dt
+        import glob
+        import os
+
+        vals = []
+        for p in glob.glob(os.path.join(self.state_dir, "wm-*.txt")):
+            with open(p) as f:
+                vals.append(_dt.datetime.fromisoformat(f.read().strip()))
+        return max(vals) if vals else None
+
+    def _persist_watermark(self, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = os.path.join(self.state_dir, f"wm-{batch_id}.txt.tmp")
+        with open(tmp, "w") as f:
+            f.write(self.max_ts.isoformat())
+        os.replace(tmp, os.path.join(self.state_dir, f"wm-{batch_id}.txt"))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()
-        for row in rows:
-            ts = row[self.ts_col]
-            if self.max_ts is not None and (
-                (self.max_ts - ts).total_seconds() > self.delay
-            ):
-                self.late.append(row)
-            else:
-                self.on_time.append(row)
-            if self.max_ts is None or ts > self.max_ts:
-                self.max_ts = ts
+        from pyspark.sql.window import Window
+
+        ts = F.col(self.ts_col)
+        w = (
+            Window.orderBy(*self.order_by)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        run_max = F.max(ts).over(w)
+        if self.max_ts is not None:
+            run_max = F.greatest(run_max, F.lit(self.max_ts))
+        # late iff the watermark (max ts over PRIOR arrivals) exceeds ts by
+        # more than the allowed delay; first-ever row has no prior → on time
+        is_late = F.when(
+            run_max.isNotNull(),
+            (run_max.cast("double") - ts.cast("double")) > F.lit(self.delay),
+        ).otherwise(F.lit(False))
+        tagged = batch_df.withColumn("_late", is_late).persist()
+        try:
+            self._late_writer(tagged.filter(F.col("_late")).drop("_late"), batch_id)
+            self._on_time_writer(
+                tagged.filter(~F.col("_late")).drop("_late"), batch_id
+            )
+            mx = batch_df.agg(F.max(ts).alias("m")).first()["m"]
+        finally:
+            tagged.unpersist()
+        if mx is not None and (self.max_ts is None or mx > self.max_ts):
+            self.max_ts = mx
+            if self.state_dir:
+                self._persist_watermark(batch_id)

@@ -14,6 +14,7 @@ watermarks).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyarrow as pa
@@ -129,9 +130,13 @@ def replay_table(
     """One-call helper: split `sf_dir/name.parquet` into chunks under
     `work_dir` and return the streaming DataFrame reading them."""
     src = os.path.join(sf_dir, f"{name}.parquet")
-    # chunk count in the dir name: a cached 8-chunk split must never be
-    # picked up by a 4-chunk replay (the reuse guard only checks non-empty)
-    chunk_dir = os.path.join(work_dir, f"{name}_chunks{chunks}")
+    # chunk count AND arrival order in the dir name: a cached 8-chunk
+    # event-time-ordered split must never be picked up by a 4-chunk replay
+    # or by one requesting a different order_by (the reuse guard only
+    # checks non-empty)
+    order_key = "-".join(order_by) if order_by else ts_col
+    order_tag = hashlib.sha1(order_key.encode()).hexdigest()[:8]
+    chunk_dir = os.path.join(work_dir, f"{name}_chunks{chunks}_{order_tag}")
     if not os.path.isdir(chunk_dir) or not os.listdir(chunk_dir):
         split_into_chunks(src, chunk_dir, ts_col, chunks, order_by=order_by)
     # schema from a batch read of the chunks (ts already µs there)

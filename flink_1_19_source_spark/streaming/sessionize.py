@@ -16,6 +16,7 @@ timeout — or never, if the stream ends first (same as Flink).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from datetime import timezone as _tz
 
 import pandas as pd
 
@@ -87,8 +88,12 @@ def _sessionize_factory(gap_seconds: int):
                 cur[3] += val
         if cur is not None:
             state.update((cur[0], cur[1], int(cur[2]), float(cur[3])))
-            # registerEventTimeTimer(last + gap): fires when wm passes it
-            state.setTimeoutTimestamp(int(cur[1].timestamp() * 1000) + gap_ms)
+            # registerEventTimeTimer(last + gap): fires when wm passes it.
+            # cur[1] is a UTC-naive timestamp; naive .timestamp() would
+            # apply the process-local timezone and offset every timer on a
+            # non-UTC host — pin tzinfo=UTC before converting to epoch ms.
+            last_utc = cur[1].replace(tzinfo=_tz.utc)
+            state.setTimeoutTimestamp(int(last_utc.timestamp() * 1000) + gap_ms)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_OUTPUT.fields])
 
     return fn
