@@ -86,20 +86,40 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    stop_shingle_df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted shingle index.
 
     |A ∩ B| by counting shared shingles; |A ∪ B| = |A|+|B|−|∩|. Output:
     (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
-    Scale note: the self-join key is the shingle; document frequency of a
-    shingle bounds the fan-out. For web-scale corpora drop stop-shingles
-    (df > cap) first — here corpora are synthetic and bounded.
+    Scale note: the self-join key is the shingle, so each shingle with
+    document frequency d contributes O(d²) candidate pairs — one hot
+    boilerplate sentence makes the join quadratic in its df. Pass
+    ``stop_shingle_df_cap`` to drop shingles with df > cap *before* the
+    self-join (one extra agg + a semi-join on the same shuffle key): the
+    fan-out is then bounded by corpus_shingles × cap. Jaccard is computed
+    over the capped shingle universe (sizes exclude dropped shingles too) —
+    on a corpus where no shingle exceeds the cap the result is identical to
+    the uncapped run; when the cap binds it is the standard stop-shingle
+    approximation (hot shingles carry no near-dup signal anyway).
+    Default off: test corpora are synthetic and bounded; at 100 TB set a
+    cap around 10⁴.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    if stop_shingle_df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= stop_shingle_df_cap)
+            .select("shingle")
+        )
+        # semi-join keyed on shingle — same shuffle key the self-join needs,
+        # so the extra pass adds no new partitioning
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -100,6 +100,58 @@ def n2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
 
 
+@register(
+    "n2_ngram_jaccard_capped",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh
+    ), dfc AS (
+      SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s
+    ), ex AS (
+      -- stop-shingle cap: shingles seen in more than 10 docs are dropped
+      -- BEFORE the self-join (same rule as the Spark operator)
+      SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfc ON ex0.s = dfc.s
+      WHERE dfc.df <= 10
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+    """,
+    survey="N2",
+)
+def n2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-capped exact Jaccard pairs — the 100 TB-safe variant of
+    n2_ngram_jaccard_pairs: shingles with document frequency > 10 are
+    dropped before the inverted-index self-join, bounding each shingle's
+    pair fan-out at df² ≤ 100 (see operators/dedup.ngram_jaccard_pairs).
+    Oracle applies the identical cap rule, proving the capped semantics."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, stop_shingle_df_cap=10
+    )
+
+
 @register("n2_minhash_lsh_pairs", survey="N2", tags=("approx",))
 def n2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH candidate pairs — the 100 TB-scale near-dup

@@ -220,6 +220,70 @@ def f_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_comparison_family",
+    oracle="""
+    SELECT p_partkey,
+           NULLIF(p_brand, 'Brand#13') IS NOT DISTINCT FROM 'Brand#42' AS eq_ns,
+           NULLIF(p_brand, 'Brand#13') IS DISTINCT FROM p_brand AS dist_from,
+           (NULLIF(p_brand, 'Brand#13') = 'Brand#42') IS NULL AS cmp_unknown,
+           p_size BETWEEN 10 AND 20 AS betw,
+           p_size NOT BETWEEN 10 AND 20 AS not_betw,
+           -- BETWEEN SYMMETRIC (Flink) emulated portably via LEAST/GREATEST
+           p_size BETWEEN LEAST(30, 15) AND GREATEST(30, 15) AS betw_sym,
+           p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AS in_set,
+           p_type NOT IN ('zzz', 'yyy') AS not_in_set,
+           p_name LIKE '%ros%' AS like_pct,
+           p_type LIKE 'STANDARD_%' AS like_us,
+           p_name ILIKE '%ROS%' AS ilike_pct,
+           -- SIMILAR TO → regex (see dialect note in the Spark twin)
+           regexp_matches(p_name, '^[a-z]+ [a-z]+') AS sim_to,
+           (p_size > 25 AND p_retailprice > 1500.0)
+             OR NOT (p_brand = 'Brand#11') AS logic3
+    FROM part WHERE p_partkey <= 80
+    """,
+    survey="2.8-comparison",
+)
+def f_comparison_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison/logic predicate family (§2.8 row 1 — the most-used SQL
+    surface): IS [NOT] DISTINCT FROM via ``eqNullSafe``, three-valued
+    comparison (NULL = x IS NULL), [NOT] BETWEEN, BETWEEN SYMMETRIC
+    (emulated with least/greatest — identical rewrite both engines), [NOT]
+    IN, LIKE with both wildcards, ILIKE, and SIMILAR TO.
+
+    SIMILAR TO dialect note (SURVEY §2.8): Flink's SIMILAR TO takes SQL
+    regex anchored over the whole string; Spark's ``rlike`` is Java regex
+    with substring search. The translation anchors explicitly (``^...``)
+    and sticks to the POSIX-compatible subset so Java regex (Spark) and RE2
+    (DuckDB oracle) agree; ``.rlike`` is the documented Spark carrier for
+    the SIMILAR TO surface.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 80)
+    nb = F.nullif(F.col("p_brand"), F.lit("Brand#13"))
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        nb.eqNullSafe(F.lit("Brand#42")).alias("eq_ns"),
+        (~nb.eqNullSafe(F.col("p_brand"))).alias("dist_from"),
+        (nb == "Brand#42").isNull().alias("cmp_unknown"),
+        sz.between(10, 20).alias("betw"),
+        (~sz.between(10, 20)).alias("not_betw"),
+        sz.between(F.least(F.lit(30), F.lit(15)), F.greatest(F.lit(30), F.lit(15))).alias(
+            "betw_sym"
+        ),
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33").alias("in_set"),
+        (~F.col("p_type").isin("zzz", "yyy")).alias("not_in_set"),
+        F.col("p_name").like("%ros%").alias("like_pct"),
+        F.col("p_type").like("STANDARD_%").alias("like_us"),
+        F.col("p_name").ilike("%ROS%").alias("ilike_pct"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+").alias("sim_to"),
+        (
+            ((sz > 25) & (F.col("p_retailprice") > 1500.0))
+            | ~(F.col("p_brand") == "Brand#11")
+        ).alias("logic3"),
+    )
+
+
+@register(
     "f_json_family",
     oracle="""
     SELECT event_id,

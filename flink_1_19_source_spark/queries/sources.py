@@ -124,6 +124,98 @@ def src_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_jdbc_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
+    "WHERE n_regionkey <= 2",
+    survey="S8",
+)
+def src_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC bounded scan (S8) against the embedded-Derby backend that ships
+    in Spark's jars: 4 range-partitioned remote reads on n_nationkey
+    (Flink scan.partition.*), filter pushed into the remote SQL
+    (PushedFilters on the JDBCRelation scan node). The oracle reads the
+    original parquet — a match certifies the JDBC round-trip."""
+    from ..sources import jdbc
+
+    db = os.path.join(formats.scratch(sf_dir, "derby"), "db")
+    src = jdbc.seed_from_parquet(
+        spark, sf_dir, "nation", db, table="NATION",
+        partition_column="n_nationkey", num_partitions=4,
+    )
+    return (
+        src.scan(spark)
+        .filter(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "src_jdbc_lookup",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    survey="S8 J7",
+)
+def src_jdbc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC lookup join (S8 + J7): supplier facts enriched against the
+    Derby-backed NATION dim with lookup.cache=ALL semantics — the dim is
+    scanned once and broadcast; no per-row remote queries."""
+    from ..sources import jdbc
+
+    db = os.path.join(formats.scratch(sf_dir, "derby"), "db")
+    src = jdbc.seed_from_parquet(spark, sf_dir, "nation", db, table="NATION")
+    s = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_nationkey", "n_nationkey"
+    )
+    return (
+        src.lookup_join(s, ["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "src_jdbc_upsert",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey < 2 THEN n_name || '!' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name || '?', n_regionkey
+    FROM nation WHERE n_regionkey = 0
+    """,
+    survey="S8 X6",
+)
+def src_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC upsert sink (S8; Flink's keyed JDBC sink): base table seeded
+    from parquet, then one upsert batch carrying updates (names suffixed
+    for regions 0-1) and inserts (shifted keys for region 0), applied as
+    staging + a single set-based MERGE — O(1) statements per batch. The
+    scan-back must equal the oracle's replay of the same changes."""
+    from ..sources import jdbc
+
+    db = os.path.join(formats.scratch(sf_dir, "derby"), "db")
+    src = jdbc.seed_from_parquet(spark, sf_dir, "nation", db, table="NATION_UPS")
+    n = load_table(spark, sf_dir, "nation")
+    updates = n.filter(F.col("n_regionkey") < 2).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("!"))
+    )
+    inserts = n.filter(F.col("n_regionkey") == 0).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("?")).alias("n_name"),
+        "n_regionkey",
+    )
+    src.upsert(updates.unionByName(inserts), pk_cols=["n_nationkey"])
+    return src.scan(spark).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
     "sql_flink_dialect",
     oracle="""
     SELECT p_partkey,

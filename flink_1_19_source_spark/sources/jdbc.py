@@ -1,0 +1,177 @@
+"""JDBC table source / lookup / upsert sink (SURVEY §2.1 S8, §2.4 J7).
+
+Flink 1.19's JDBC connector surface (flink-connector-jdbc docs):
+
+- **bounded scan** with ``scan.partition.column/num/lower/upper-bound``
+  → Spark's JDBC data source with ``partitionColumn/numPartitions/
+  lowerBound/upperBound`` — same parallel-read contract, and Spark
+  additionally pushes filters into the remote SQL (``PushedFilters`` shows
+  in the scan node);
+- **lookup join** (``FOR SYSTEM_TIME AS OF proc_time``) with
+  ``lookup.cache`` → scan the dim once per (re)fresh and broadcast it into
+  the probe side — Flink's cache=ALL mode, the only shape that scales past
+  per-row remote RPCs;
+- **upsert sink** keyed on the primary key → set-based staging + ``MERGE``:
+  each batch is written to a staging table through the JDBC writer, then a
+  single MERGE statement applies it to the target — never row-at-a-time
+  driver JDBC.
+
+Backend: any JDBC URL Spark's data source can reach. The test/default
+backend is the **Apache Derby embedded engine that ships in Spark's own
+jars** (derby-10.16 — present for the Hive metastore), so the whole
+surface runs with zero external services; swap ``url``/``driver`` for
+Postgres/MySQL in production — nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _quiet_derby(spark: SparkSession) -> None:
+    """Keep Derby from dropping derby.log into the CWD."""
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+
+
+class JdbcTableSource:
+    """One JDBC table behind Flink's S8 contract (scan / lookup / upsert)."""
+
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        driver: str = DERBY_DRIVER,
+        partition_column: str | None = None,
+        num_partitions: int | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+    ):
+        self.url = url
+        self.table = table
+        self.driver = driver
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+
+    @property
+    def _props(self) -> dict:
+        return {"driver": self.driver}
+
+    # -- scan ------------------------------------------------------------
+    def scan(self, spark: SparkSession) -> DataFrame:
+        """Bounded scan. With a partition column configured this issues
+        ``num_partitions`` range-bounded remote queries in parallel (the
+        scale path — a single unpartitioned JDBC read is one task no matter
+        the cluster size). Filters/projections applied on the returned
+        DataFrame push into the remote SQL (Catalyst JDBC pushdown)."""
+        _quiet_derby(spark)
+        r = spark.read.format("jdbc").option("url", self.url).option(
+            "dbtable", self.table
+        ).option("driver", self.driver)
+        if self.partition_column is not None:
+            r = (
+                r.option("partitionColumn", self.partition_column)
+                .option("numPartitions", self.num_partitions or 4)
+                .option("lowerBound", self.lower_bound or 0)
+                .option("upperBound", self.upper_bound or 1)
+            )
+        return r.load()
+
+    # -- lookup join (J7 over JDBC) --------------------------------------
+    def lookup_join(
+        self, fact: DataFrame, on: list[str] | str, how: str = "inner"
+    ) -> DataFrame:
+        """Flink lookup join with lookup.cache=ALL: the dimension is read
+        once and broadcast to every probe task — no per-row remote query.
+        Re-invoke per micro-batch for the refresh-on-interval behavior
+        (stream-static join re-executes the static plan each batch)."""
+        spark = fact.sparkSession
+        return fact.join(F.broadcast(self.scan(spark)), on, how)
+
+    # -- write / upsert ---------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Plain JDBC write (append/overwrite) — table auto-created."""
+        _quiet_derby(df.sparkSession)
+        df.write.jdbc(self.url, self.table, mode=mode, properties=self._props)
+
+    def upsert(self, df: DataFrame, pk_cols: list[str]) -> None:
+        """Set-based upsert: stage the batch via the parallel JDBC writer,
+        then ONE ``MERGE`` statement applies it to the target keyed on the
+        primary key. This is the Flink JDBC upsert-sink semantic done the
+        warehouse way — O(1) statements per batch, not O(rows) — and the
+        same staging+MERGE shape works on any MERGE-capable backend
+        (Derby ≥ 10.11, Postgres 15+, …)."""
+        spark = df.sparkSession
+        staging = f"{self.table}_STAGE"
+        _quiet_derby(spark)
+        df.write.jdbc(self.url, staging, mode="overwrite", properties=self._props)
+
+        cols = df.columns
+        non_pk = [c for c in cols if c not in pk_cols]
+        on = " AND ".join(f't."{c}" = s."{c}"' for c in pk_cols)
+        set_clause = ", ".join(f't."{c}" = s."{c}"' for c in non_pk)
+        ins_cols = ", ".join(f'"{c}"' for c in cols)
+        ins_vals = ", ".join(f's."{c}"' for c in cols)
+        merge = (
+            f'MERGE INTO {self.table} t USING {staging} s ON {on} '
+            f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        self._execute(spark, merge)
+        self._execute(spark, f"DROP TABLE {staging}")
+
+    def _execute(self, spark: SparkSession, sql: str) -> None:
+        """Run one DDL/DML statement on the backend through the driver-side
+        JDBC connection (py4j → java.sql) — control statements only, never
+        row data."""
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+
+def derby_url(db_dir: str) -> str:
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def seed_from_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    db_dir: str,
+    table: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+) -> JdbcTableSource:
+    """Load ``sf_dir/name.parquet`` into the embedded-Derby table (idempotent
+    overwrite) and return its JdbcTableSource — the test stand-in for a DBA-
+    managed production table."""
+    from ..tables import load_table
+
+    src = JdbcTableSource(
+        derby_url(db_dir),
+        (table or name).upper(),
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+    )
+    df = load_table(spark, sf_dir, name)
+    if partition_column is not None:
+        bounds = df.agg(
+            F.min(partition_column).alias("lo"), F.max(partition_column).alias("hi")
+        ).first()
+        src.lower_bound = int(bounds["lo"])
+        src.upper_bound = int(bounds["hi"]) + 1
+    src.write(df, mode="overwrite")
+    return src
