@@ -1,0 +1,48 @@
+"""Replay-granularity invariance (VERDICT r1 item #9).
+
+The streaming oracle strategy rests on one claim (streaming_queries.py
+``_CHUNKS`` comment): every watermark/timer/state query here converges to
+the same answer no matter how the ordered replay is sliced into
+micro-batches — append windows close on the FINAL watermark, keyed
+snapshots depend only on per-key event order, and the late-data rule is a
+per-row running max independent of batch boundaries. This test replays the
+stateful queries with 3 and with 8 micro-batches and asserts bit-identical
+converged answers, guarding that claim directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import flink_1_19_source_spark.queries.streaming_queries as sq
+from flink_1_19_source_spark.registry import REGISTRY, queries
+
+from .oracle import canon_rows
+
+queries()  # populate REGISTRY
+
+# One per stateful mechanism: windowed agg + watermark, session timers
+# (applyInPandasWithState + TTL), keyed Top-N state, late-data capture,
+# stream-stream interval join, keep-last upsert snapshot.
+INVARIANT_QUERIES = [
+    "s_tumble_stream",
+    "s_sessionize_timers",
+    "s_topn_stream",
+    "s_late_data_capture",
+    "s_keep_last_stream",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_chunk_count_invariance(spark, sf_dir, name, monkeypatch):
+    fn = REGISTRY[name].fn
+
+    monkeypatch.setattr(sq, "_CHUNKS", 3)
+    got3 = canon_rows(fn(spark, sf_dir).toPandas())
+
+    monkeypatch.setattr(sq, "_CHUNKS", 8)
+    got8 = canon_rows(fn(spark, sf_dir).toPandas())
+
+    assert len(got3) == len(got8), f"{name}: rowcount 3-chunk={len(got3)} 8-chunk={len(got8)}"
+    for i, (a, b) in enumerate(zip(got3, got8)):
+        assert a == b, f"{name}: row {i} differs between 3- and 8-chunk replay\n  3: {a}\n  8: {b}"
