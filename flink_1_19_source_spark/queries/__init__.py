@@ -13,3 +13,4 @@ from . import sources  # noqa: F401
 from . import cep  # noqa: F401
 from . import relational2  # noqa: F401
 from . import udtf_queries  # noqa: F401
+from . import tpch  # noqa: F401
