@@ -150,6 +150,47 @@ def s_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_cumulate_stream",
+    oracle="""
+    WITH wm AS (
+        SELECT time_bucket(INTERVAL '2 hours', MAX(ts)) - INTERVAL 10 MINUTE AS w
+        FROM events
+    )
+    SELECT event_type, window_start, window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+    FROM (
+        SELECT event_type, value,
+               time_bucket(INTERVAL '2 hours', ts) AS window_start,
+               time_bucket(INTERVAL '2 hours', ts)
+                 + INTERVAL '30 minutes' * k AS window_end
+        FROM events,
+             (SELECT UNNEST(generate_series(1, 4)) AS k)
+        WHERE ts < time_bucket(INTERVAL '2 hours', ts) + INTERVAL '30 minutes' * k
+    )
+    WHERE window_end <= (SELECT w FROM wm)
+    GROUP BY event_type, window_start, window_end
+    """,
+    survey="W3-S X1 X4",
+    tags=("streaming",),
+)
+def s_cumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUMULATE(step=30 min, max=2 h), append mode — the W3
+    batch twin run through a real replayed stream. Closure rule mirrored by
+    the oracle: windows ending at or before max-window-start(max ts) − 10
+    min are emitted (see ops.cumulate_agg watermark compensation)."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_cumulate")
+    return _drain_to_memory(
+        spark,
+        ops.cumulate_agg(
+            sdf, "ts", step="30 minutes", max_size="2 hours", keys=["event_type"]
+        ),
+        "s_cumulate_q",
+        "append",
+        wd,
+    )
+
+
+@register(
     "s_dedup_within_watermark_stream",
     oracle="""
     SELECT event_type, hour, event_id, ts

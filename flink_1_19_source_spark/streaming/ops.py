@@ -89,6 +89,57 @@ def session_agg(
     )
 
 
+def cumulate_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    step: str,
+    max_size: str,
+    keys: list[str],
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming CUMULATE (W3-S): Flink's CUMULATE(step, max) TVF on a
+    stream, append mode, via the stateless explode operator + a synthetic
+    end-key tumble.
+
+    Mechanism: each row explodes to its covering cumulate windows
+    (operators/cumulate — pure Catalyst, no state). A cumulate window is
+    then uniquely keyed by its END e: the synthetic event time e − 1µs
+    falls in exactly the step-sized tumble [e − step, e), so grouping on
+    ``window(synthetic, step)`` gives watermark-driven append closure per
+    cumulate window.
+
+    Watermark compensation: the synthetic time of a row can sit up to
+    ``max_size`` BEFORE the synthetic time of an earlier row (a late-step
+    window end for a fresh max-window), so the synthetic column's
+    out-of-orderness bound is the data's bound plus ``max_size`` — the
+    watermark delay below adds them. Consequence: a cumulate window is
+    emitted once the watermark passes max-window-start(max ts) − delay,
+    which the oracle mirrors as
+    ``window_end <= time_bucket(max, MAX(ts)) − delay``.
+    """
+    from ..operators.cumulate import cumulate, interval_seconds
+
+    total_delay = f"{interval_seconds(delay) + interval_seconds(max_size)} seconds"
+    ex = cumulate(sdf, ts_col, step, max_size)
+    ex = ex.withColumn(
+        "__wkey", F.timestamp_micros(F.unix_micros(F.col("window_end")) - 1)
+    ).withWatermark("__wkey", total_delay)
+    return (
+        ex.groupBy(*keys, F.col("window_start"), F.window("__wkey", step).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value")), 6).alias("total"),
+        )
+        .select(
+            *keys,
+            "window_start",
+            F.col("__w.end").alias("window_end"),
+            "n",
+            "total",
+        )
+    )
+
+
 def dedup_keep_first(
     sdf: DataFrame, keys: list[str], ts_col: str, delay: str = "10 minutes"
 ) -> DataFrame:

@@ -30,6 +30,7 @@ INVARIANT_QUERIES = [
     "s_topn_stream",
     "s_late_data_capture",
     "s_keep_last_stream",
+    "s_cumulate_stream",
 ]
 
 
