@@ -15,6 +15,56 @@ from ..operators import text_analysis as ta
 from ..registry import register
 from ..tables import load_table
 
+# NOTE: n4_tfidf is registered FIRST in this module on purpose: the driver
+# certifies the first 50 registry entries (insertion order), and round 3's
+# rotation places it at window position 50 — see STATUS.md "driver window".
+
+
+@register(
+    "n4_tfidf",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents WHERE doc_id < 100
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY tok
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex)
+    SELECT tf.doc_id, tf.tok,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    WHERE tf.tf >= 3 AND df.df < 95
+    """,
+    survey="N4 A1 J1",
+)
+def n4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf without MLlib: explode → tf agg, df agg, broadcast-join the
+    (small) document-frequency table back. At corpus scale the df table is
+    the only broadcast; tf stays partitioned by doc."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ex = d.select("doc_id", F.explode(ta.tokens(F.col("text"))).alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = ex.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+            "tf",
+            "df",
+        )
+        .filter((F.col("tf") >= 3) & (F.col("df") < 95))
+        .select("doc_id", "tok", "tfidf")
+    )
+
 
 @register(
     "q3_shipping_priority",
@@ -181,52 +231,6 @@ def f_string2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").like("Brand%").alias("is_brand"),
         F.col("p_name").rlike("^[a-z ]+$").alias("lower_only"),
         F.concat_ws("/", "p_brand", "p_type").alias("joined"),
-    )
-
-
-@register(
-    "n4_tfidf",
-    oracle="""
-    WITH ex AS (
-        SELECT doc_id,
-               UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
-                                  t -> t <> '')) AS tok
-        FROM documents WHERE doc_id < 100
-    ), tf AS (
-        SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok
-    ), df AS (
-        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY tok
-    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM ex)
-    SELECT tf.doc_id, tf.tok,
-           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
-    FROM tf JOIN df USING (tok) CROSS JOIN n
-    WHERE tf.tf >= 3 AND df.df < 95
-    """,
-    survey="N4 A1 J1",
-)
-def n4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tf-idf without MLlib: explode → tf agg, df agg, broadcast-join the
-    (small) document-frequency table back. At corpus scale the df table is
-    the only broadcast; tf stays partitioned by doc."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    ex = d.select("doc_id", F.explode(ta.tokens(F.col("text"))).alias("tok"))
-    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = ex.select(F.countDistinct("doc_id").alias("n_docs"))
-    return (
-        tf.join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "tok",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
-            ).alias("tfidf"),
-            "tf",
-            "df",
-        )
-        .filter((F.col("tf") >= 3) & (F.col("df") < 95))
-        .select("doc_id", "tok", "tfidf")
     )
 
 
