@@ -229,6 +229,24 @@ def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9b_approx_distinct_only",
+    survey="A9",
+)
+def a9b_approx_distinct_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A9 path users actually run: a single partial+final HLL++ agg —
+    no exact-count scaffolding (that stays in a9_approx_count_distinct for
+    oracle certification, where it forces a 4× Expand). rows-only: the raw
+    estimates are implementation-defined. bench.py times THIS query and
+    excludes a9 so the profile measures the real operator, not the oracle
+    harness."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@register(
     "a11_udaf_median",
     oracle="""
     SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty,

@@ -48,27 +48,10 @@ def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "j_bucketed_colocated",
-    oracle=f"""
-    SELECT o_orderpriority,
-           COUNT(*) AS n_items,
-           {sql_dsum('l_extendedprice')} AS total
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-    survey="J1 J9 §4-bucketing",
-)
-def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-located fact⋈fact join via bucketing (§4 partitioning row;
-    Flink: pre-partitioned inputs / DataStream partitionCustom). Both
-    tables are written bucketed+sorted by the join key into the warehouse;
-    the sort-merge join then reads bucket-for-bucket with ZERO exchanges
-    and zero sorts — the strategy that makes a 100 TB fact⋈fact join
-    feasible (shuffling either side would move the whole table). The MERGE
-    hint keeps Catalyst from broadcasting the (test-scale-small) orders
-    side so the bucketed path is what runs — and what
-    tests/test_plans.py asserts shuffle-free."""
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """One-time build of the co-bucketed lineitem/orders tables (idempotent
+    per session). Split out of the query so bench/CI can pre-build during
+    warm-up — the table build is ETL, not the join being measured."""
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     lt, ot = f"b_lineitem_{sfx}", f"b_orders_{sfx}"
     if not spark.catalog.tableExists(lt) or not spark.catalog.tableExists(ot):
@@ -90,6 +73,32 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
             "overwrite"
         ).saveAsTable(ot)
+    return lt, ot
+
+
+
+@register(
+    "j_bucketed_colocated",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    survey="J1 J9 §4-bucketing",
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketing (§4 partitioning row;
+    Flink: pre-partitioned inputs / DataStream partitionCustom). Both
+    tables are written bucketed+sorted by the join key into the warehouse;
+    the sort-merge join then reads bucket-for-bucket with ZERO exchanges
+    and zero sorts — the strategy that makes a 100 TB fact⋈fact join
+    feasible (shuffling either side would move the whole table). The MERGE
+    hint keeps Catalyst from broadcasting the (test-scale-small) orders
+    side so the bucketed path is what runs — and what
+    tests/test_plans.py asserts shuffle-free."""
+    lt, ot = ensure_bucketed_tables(spark, sf_dir)
     li, od = spark.table(lt), spark.table(ot).hint("merge")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)

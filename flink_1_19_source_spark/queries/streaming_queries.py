@@ -111,7 +111,7 @@ def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ops.tumble_agg(sdf, "ts", "1 hour", ["event_type"]),
         "s_tumble_q",
-        "append",
+        sinks.plan_sink("windowed_agg").output_mode,
         wd,
     )
     return out
@@ -144,7 +144,7 @@ def s_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ops.hop_agg(sdf, "ts", "2 hours", "1 hour", ["event_type"]),
         "s_hop_q",
-        "append",
+        sinks.plan_sink("windowed_agg").output_mode,
         wd,
     )
 
@@ -185,7 +185,7 @@ def s_cumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             sdf, "ts", step="30 minutes", max_size="2 hours", keys=["event_type"]
         ),
         "s_cumulate_q",
-        "append",
+        sinks.plan_sink("windowed_agg").output_mode,
         wd,
     )
 
@@ -218,7 +218,7 @@ def s_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFra
         ops.dedup_keep_first(keyed, ["event_type", "hour"], "ts", delay="2 hours")
         .select("event_type", "hour", "event_id", "ts"),
         "s_dedup_q",
-        "append",
+        sinks.plan_sink("dedup_keep_first").output_mode,
         wd,
     )
     return out
@@ -240,25 +240,46 @@ def s_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def s_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Top-3 per event_type via applyInPandasWithState (keyed
-    state + update mode — Flink's retractable rank operator). The final
-    snapshot per key is materialized through the keyed upsert sink and
-    equals the batch row_number()<=3 answer."""
-    sdf, wd = _events_stream(spark, sf_dir, "s_topn")
-    sink = sinks.UpsertSink(pk_cols=["event_type", "rank"])
+    state + update mode — Flink's retractable rank operator), materialized
+    through the PRODUCTION sink path: each micro-batch's refreshed
+    snapshot rows are applied to a JDBC (embedded Derby) table with one
+    staging+MERGE keyed on (event_type, rank) — zero driver-side row
+    collection anywhere. The final table equals the batch
+    row_number()<=3 answer."""
+    import shutil
     import uuid
 
+    from ..sources import jdbc as jdbc_mod
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_topn")
+    tgt = jdbc_mod.JdbcTableSource(
+        jdbc_mod.derby_url(os.path.join(wd, "derby")),
+        "TOPN_STATE",
+        # Derby cannot compare CLOB (Spark's default StringType mapping) in
+        # a MERGE ON clause — the key column must be VARCHAR
+        column_types={"event_type": "VARCHAR(64)"},
+    )
+    tgt.ensure_table(
+        spark.createDataFrame(
+            [], "event_type string, event_id long, value double, rank long"
+        ),
+        overwrite=True,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tgt.upsert(batch_df, pk_cols=["event_type", "rank"])
+
+    plan = sinks.plan_sink("topn")  # update + keyed_merge (§7.4)
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(
-            topn.streaming_topn(sdf, n=3), sink, checkpoint_dir=ckpt, output_mode="update"
+            topn.streaming_topn(sdf, n=3),
+            merge_batch,
+            checkpoint_dir=ckpt,
+            output_mode=plan.output_mode,
         )
-    rows = [
-        (d["event_type"], d["event_id"], d["value"], d["rank"])
-        for d in sink.snapshot()
-    ]
-    return spark.createDataFrame(
-        rows, "event_type string, event_id long, value double, rank long"
-    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return tgt.scan(spark).select("event_type", "event_id", "value", "rank")
 
 
 @register(
@@ -285,7 +306,8 @@ def s_keep_last_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(
-            topn.streaming_keep_last(sdf), sink, checkpoint_dir=ckpt, output_mode="update"
+            topn.streaming_keep_last(sdf), sink, checkpoint_dir=ckpt,
+            output_mode=sinks.plan_sink("dedup_keep_last").output_mode,
         )
     rows = [(d["user_id"], d["event_id"]) for d in sink.snapshot()]
     return spark.createDataFrame(rows, "user_id long, event_id long")
@@ -320,7 +342,9 @@ def s_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
         lower="0 seconds", upper="30 minutes",
     ).select("l_id", "r_id")
-    return _drain_to_memory(spark, joined, "s_ijoin_q", "append", wd)
+    return _drain_to_memory(
+        spark, joined, "s_ijoin_q", sinks.plan_sink("stream_stream_join").output_mode, wd
+    )
 
 
 @register(
@@ -367,7 +391,8 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         with _stream_shuffle_partitions(spark):
             replay.run_foreach_batch(
-                joined, sink, checkpoint_dir=ckpt, output_mode="update"
+                joined, sink, checkpoint_dir=ckpt,
+                output_mode=sinks.plan_sink("global_agg").output_mode,
             )
     finally:
         dim.unpersist()
@@ -415,7 +440,10 @@ def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = os.path.join(wd, f"ckpt-{run_id}")
     with _stream_shuffle_partitions(spark):
-        replay.run_foreach_batch(sdf, cap, checkpoint_dir=ckpt)
+        replay.run_foreach_batch(
+            sdf, cap, checkpoint_dir=ckpt,
+            output_mode=sinks.plan_sink("late_side_output").output_mode,
+        )
     rows = [(r["event_id"], r["ts"]) for r in cap.late]
     return spark.createDataFrame(rows or [], "event_id long, ts timestamp")
 
@@ -461,7 +489,7 @@ def s_sessionize_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sessionize.sessionize_with_timers(sdf, gap="30 minutes"),
         "s_sessionize_q",
-        "append",
+        sinks.plan_sink("session_timers").output_mode,
         wd,
     )
     return out.select(
@@ -495,7 +523,11 @@ def s_over_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf, wd = _events_stream(spark, sf_dir, "s_over")
     return _drain_to_memory(
-        spark, over_agg.streaming_over_sum(sdf), "s_over_q", "append", wd
+        spark,
+        over_agg.streaming_over_sum(sdf),
+        "s_over_q",
+        sinks.plan_sink("over_agg").output_mode,
+        wd,
     )
 
 
@@ -542,7 +574,9 @@ def s_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="AB+C",
         start_chars="A",
     )
-    out = _drain_to_memory(spark, matches, "s_cep_q", "append", wd)
+    out = _drain_to_memory(
+        spark, matches, "s_cep_q", sinks.plan_sink("cep_match").output_mode, wd
+    )
     return out.groupBy(F.col("key").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.max("n_rows").alias("longest_match"),
@@ -567,20 +601,65 @@ def s_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, value
     FROM latest WHERE rn = 1 AND op <> 'd'
     """,
-    survey="X6",
+    survey="X6 X4",
     tags=("streaming",),
 )
 def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC ingestion (X6): synthesize a debezium-ish op column from
-    event_type (signup→c, error→d, else u), map ops to RowKind, fold the
-    changelog to final state — deletes drop the key's row."""
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "op",
-        F.when(F.col("event_type") == "signup", "c")
-        .when(F.col("event_type") == "error", "d")
-        .otherwise("u"),
+    """CDC ingestion (X6) as a REAL checkpointed stream: events are
+    replayed in (ts, event_id) arrival order; every micro-batch synthesizes
+    a debezium-ish op column (signup→c, error→d, else u), maps ops to
+    RowKind (interpret_cdc), folds the batch changelog to latest-op-per-key
+    (fold_changelog_batch), and applies it to the JDBC (embedded Derby)
+    target with one staging+MERGE — '+I/+U' upsert, '-D' DELETEs the key.
+
+    Cross-batch convergence: the replay arrival order equals the oracle's
+    (ts, event_id) tiebreak, so last-MERGE-wins across micro-batches equals
+    the single batch fold; availableNow retries of a batch re-MERGE the
+    same fold (idempotent), giving the exactly-once effect (X4)."""
+    import shutil
+    import uuid
+
+    from ..sources import jdbc as jdbc_mod
+
+    wd = _work_dir(sf_dir, "s_cdc")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
     )
-    out = sinks.apply_changelog(
-        sinks.interpret_cdc(e), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    changelog = sinks.interpret_cdc(
+        sdf.withColumn(
+            "op",
+            F.when(F.col("event_type") == "signup", "c")
+            .when(F.col("event_type") == "error", "d")
+            .otherwise("u"),
+        )
+    ).select("user_id", "event_id", "ts", "value", "_rowkind")
+
+    tgt = jdbc_mod.JdbcTableSource(
+        jdbc_mod.derby_url(os.path.join(wd, "derby")),
+        "CDC_STATE",
+        column_types={"_rowkind": "VARCHAR(8)"},
     )
-    return out.select("user_id", "event_id", "value")
+    tgt.ensure_table(
+        spark.createDataFrame([], "user_id long, event_id long, value double"),
+        overwrite=True,
+    )
+
+    def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        folded = sinks.fold_changelog_batch(
+            batch_df, ["user_id"], "ts", tiebreak_cols=["event_id"]
+        )
+        tgt.upsert(
+            folded.select("user_id", "event_id", "value", "_rowkind"),
+            pk_cols=["user_id"],
+            op_col="_rowkind",
+        )
+
+    plan = sinks.plan_sink("cdc_apply")  # update + keyed_merge (§7.4)
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            changelog, apply_cdc, checkpoint_dir=ckpt, output_mode=plan.output_mode
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return tgt.scan(spark).select("user_id", "event_id", "value")

@@ -20,7 +20,9 @@ Backend: any JDBC URL Spark's data source can reach. The test/default
 backend is the **Apache Derby embedded engine that ships in Spark's own
 jars** (derby-10.16 — present for the Hive metastore), so the whole
 surface runs with zero external services; swap ``url``/``driver`` for
-Postgres/MySQL in production — nothing else changes.
+Postgres/MySQL in production and pass credentials via ``properties``
+(user/password reach both Spark's reader/writer and the driver-side
+control connection).
 """
 
 from __future__ import annotations
@@ -49,6 +51,8 @@ class JdbcTableSource:
         num_partitions: int | None = None,
         lower_bound: int | None = None,
         upper_bound: int | None = None,
+        properties: dict[str, str] | None = None,
+        column_types: dict[str, str] | None = None,
     ):
         self.url = url
         self.table = table
@@ -57,10 +61,27 @@ class JdbcTableSource:
         self.num_partitions = num_partitions
         self.lower_bound = lower_bound
         self.upper_bound = upper_bound
+        #: extra JDBC connection properties (user/password for authed
+        #: backends) — forwarded to Spark reads/writes AND _execute
+        self.properties = dict(properties or {})
+        #: column → SQL type overrides for CREATE TABLE (Spark's Derby
+        #: dialect maps StringType→CLOB, which Derby cannot compare in a
+        #: MERGE ON/WHEN clause — force VARCHAR for any string key column)
+        self.column_types = dict(column_types or {})
 
     @property
     def _props(self) -> dict:
-        return {"driver": self.driver}
+        return {"driver": self.driver, **self.properties}
+
+    def _writer(self, df: DataFrame):
+        w = df.write
+        types = {c: t for c, t in self.column_types.items() if c in df.columns}
+        if types:
+            w = w.option(
+                "createTableColumnTypes",
+                ", ".join(f"{c} {t}" for c, t in types.items()),
+            )
+        return w
 
     # -- scan ------------------------------------------------------------
     def scan(self, spark: SparkSession) -> DataFrame:
@@ -97,41 +118,76 @@ class JdbcTableSource:
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Plain JDBC write (append/overwrite) — table auto-created."""
         _quiet_derby(df.sparkSession)
-        df.write.jdbc(self.url, self.table, mode=mode, properties=self._props)
+        self._writer(df).jdbc(self.url, self.table, mode=mode, properties=self._props)
 
-    def upsert(self, df: DataFrame, pk_cols: list[str]) -> None:
+    def ensure_table(self, schema_df: DataFrame, overwrite: bool = False) -> None:
+        """Create the target table from ``schema_df``'s schema, writing zero
+        rows. ``overwrite=False`` leaves an existing table untouched (JDBC
+        mode=ignore); ``overwrite=True`` drops and recreates — the clean-
+        slate a MERGE-sink streaming query wants at start-of-run."""
+        _quiet_derby(schema_df.sparkSession)
+        self._writer(schema_df.limit(0)).jdbc(
+            self.url,
+            self.table,
+            mode="overwrite" if overwrite else "ignore",
+            properties=self._props,
+        )
+
+    def upsert(
+        self, df: DataFrame, pk_cols: list[str], op_col: str | None = None,
+        delete_kind: str = "-D",
+    ) -> None:
         """Set-based upsert: stage the batch via the parallel JDBC writer,
         then ONE ``MERGE`` statement applies it to the target keyed on the
         primary key. This is the Flink JDBC upsert-sink semantic done the
         warehouse way — O(1) statements per batch, not O(rows) — and the
         same staging+MERGE shape works on any MERGE-capable backend
-        (Derby ≥ 10.11, Postgres 15+, …)."""
+        (Derby ≥ 10.11, Postgres 15+, …).
+
+        With ``op_col`` set the MERGE consumes a changelog (X6): staged rows
+        whose op equals ``delete_kind`` DELETE the matched target row;
+        everything else upserts. The op column itself is never written to
+        the target."""
         spark = df.sparkSession
         staging = f"{self.table}_STAGE"
         _quiet_derby(spark)
-        df.write.jdbc(self.url, staging, mode="overwrite", properties=self._props)
+        self._writer(df).jdbc(
+            self.url, staging, mode="overwrite", properties=self._props
+        )
 
-        cols = df.columns
+        cols = [c for c in df.columns if c != op_col]
         non_pk = [c for c in cols if c not in pk_cols]
         on = " AND ".join(f't."{c}" = s."{c}"' for c in pk_cols)
         set_clause = ", ".join(f't."{c}" = s."{c}"' for c in non_pk)
         ins_cols = ", ".join(f'"{c}"' for c in cols)
         ins_vals = ", ".join(f's."{c}"' for c in cols)
-        merge = (
-            f'MERGE INTO {self.table} t USING {staging} s ON {on} '
-            f"WHEN MATCHED THEN UPDATE SET {set_clause} "
-            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-        )
+        if op_col is None:
+            merge = (
+                f'MERGE INTO {self.table} t USING {staging} s ON {on} '
+                f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+            )
+        else:
+            merge = (
+                f'MERGE INTO {self.table} t USING {staging} s ON {on} '
+                f"WHEN MATCHED AND s.\"{op_col}\" = '{delete_kind}' THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+                f"WHEN NOT MATCHED AND s.\"{op_col}\" <> '{delete_kind}' "
+                f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+            )
         self._execute(spark, merge)
         self._execute(spark, f"DROP TABLE {staging}")
 
     def _execute(self, spark: SparkSession, sql: str) -> None:
         """Run one DDL/DML statement on the backend through the driver-side
         JDBC connection (py4j → java.sql) — control statements only, never
-        row data."""
+        row data. Connection properties (user/password) are forwarded."""
         jvm = spark.sparkContext._jvm
         jvm.java.lang.Class.forName(self.driver)
-        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        jprops = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, jprops)
         try:
             st = conn.createStatement()
             try:

@@ -116,6 +116,16 @@ def cumulate_agg(
     emitted once the watermark passes max-window-start(max ts) − delay,
     which the oracle mirrors as
     ``window_end <= time_bucket(max, MAX(ts)) − delay``.
+
+    Exact boundary: because the synthetic key is window_end − 1µs, the
+    true emission condition is the STRICT
+    ``window_end < time_bucket(max, MAX(ts)) − delay + 1µs``. The oracle's
+    ``<=`` form is equivalent unless ``delay`` is an exact multiple of
+    ``step`` AND a window ends exactly at the compensated watermark — then
+    the 1µs gap keeps that single window open one batch longer than the
+    ``<=`` rule suggests. The shipped step=30 min / delay=10 min config
+    can never hit this; pick delay not a multiple of step (or add 1µs to
+    the compensation) if you need the inclusive rule exactly.
     """
     from ..operators.cumulate import cumulate, interval_seconds
 
@@ -250,7 +260,14 @@ class LateDataCapture:
                 vals.append(_dt.datetime.fromisoformat(f.read().strip()))
         return max(vals) if vals else None
 
+    #: watermark files kept after each persist — recovery needs only the
+    #: latest value; a couple of predecessors are kept so a crash between
+    #: replace() and prune can never leave zero files. Bounds state-dir
+    #: size and restart cost for long-running streams.
+    _KEEP_WM_FILES = 2
+
     def _persist_watermark(self, batch_id: int) -> None:
+        import glob
         import os
 
         os.makedirs(self.state_dir, exist_ok=True)
@@ -258,6 +275,14 @@ class LateDataCapture:
         with open(tmp, "w") as f:
             f.write(self.max_ts.isoformat())
         os.replace(tmp, os.path.join(self.state_dir, f"wm-{batch_id}.txt"))
+        # prune all but the newest _KEEP_WM_FILES (numeric batch-id order;
+        # max_ts is monotone so newer files always carry >= watermarks)
+        files = sorted(
+            glob.glob(os.path.join(self.state_dir, "wm-*.txt")),
+            key=lambda p: int(os.path.basename(p)[3:-4]),
+        )
+        for p in files[: -self._KEEP_WM_FILES]:
+            os.remove(p)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window

@@ -16,23 +16,54 @@ retraction streams; the engine's equivalent is this module:
 from __future__ import annotations
 
 import threading
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: §7.4 output-mode planning table: query shape → Spark sink mode
-OUTPUT_MODE: dict[str, str] = {
-    "stateless": "append",            # select/filter/explode
-    "windowed_agg": "append",         # emit on window close (watermark)
-    "global_agg": "update",           # unwindowed GROUP BY → upsert stream
-    "topn": "update",                 # retract stream → latest snapshot
-    "dedup_keep_first": "append",
-    "stream_stream_join": "append",
+
+@dataclass(frozen=True)
+class SinkPlan:
+    """One row of the §7.4 output-mode planning table.
+
+    - ``output_mode``: what ``writeStream.outputMode`` gets — Flink's
+      changelog kind collapsed onto Spark's three modes (insert-only →
+      append; upsert/retract → update).
+    - ``sink``: "direct" = the rows ARE the result (append them / show the
+      update stream); "keyed_merge" = the rows are an upsert changelog that
+      only a keyed MERGE sink (foreachBatch → UpsertSink / JDBC
+      staging+MERGE / Delta MERGE) can materialize correctly.
+    """
+
+    output_mode: str  # append | update | complete
+    sink: str         # direct | keyed_merge
+
+
+#: §7.4 planning table: streaming query shape → sink plan. Shapes mirror
+#: Flink's changelog-kind inference (insert-only vs upsert vs retract).
+SINK_PLANS: dict[str, SinkPlan] = {
+    "stateless": SinkPlan("append", "direct"),           # select/filter/explode
+    "windowed_agg": SinkPlan("append", "direct"),        # emit on window close
+    "global_agg": SinkPlan("update", "keyed_merge"),     # unwindowed GROUP BY
+    "topn": SinkPlan("update", "keyed_merge"),           # retract → snapshot
+    "dedup_keep_first": SinkPlan("append", "direct"),    # first arrival final
+    "dedup_keep_last": SinkPlan("update", "keyed_merge"),  # later rows retract
+    "stream_stream_join": SinkPlan("append", "direct"),  # insert-only inputs
+    "over_agg": SinkPlan("append", "direct"),            # per-row emit, no retract
+    "session_timers": SinkPlan("append", "direct"),      # emit on timer fire
+    "cep_match": SinkPlan("append", "direct"),           # matches are final
+    "cdc_apply": SinkPlan("update", "keyed_merge"),      # +I/+U/-D changelog
+    "late_side_output": SinkPlan("append", "direct"),    # two insert-only sides
 }
 
 
+def plan_sink(shape: str) -> SinkPlan:
+    """Pick the Spark sink plan for a streaming query shape (§7.4)."""
+    return SINK_PLANS[shape]
+
+
 def output_mode_for(shape: str) -> str:
-    return OUTPUT_MODE[shape]
+    return SINK_PLANS[shape].output_mode
 
 
 class UpsertSink:
@@ -82,6 +113,29 @@ def interpret_cdc(df: DataFrame, op_col: str = "op") -> DataFrame:
     return df.withColumn("_rowkind", m[F.col(op_col)])
 
 
+def fold_changelog_batch(
+    df: DataFrame,
+    pk_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reduce a changelog to the latest op per key (ts desc, then
+    `tiebreak_cols` desc for determinism), KEEPING '-D' rows as delete
+    markers — the per-micro-batch reduction a keyed MERGE sink applies
+    before its single MERGE statement."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*pk_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def apply_changelog(
     df: DataFrame,
     pk_cols: list[str],
@@ -89,18 +143,7 @@ def apply_changelog(
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batch-fold a changelog into its final table state: last op per key
-    wins (by ts desc, then `tiebreak_cols` desc for determinism); '-D'
-    rows drop the key. This is the materialization a retraction-consuming
-    sink would build."""
-    from pyspark.sql.window import Window
-
-    order = [F.col(ts_col).desc()] + [
-        F.col(c).desc() for c in (tiebreak_cols or [])
-    ]
-    w = Window.partitionBy(*pk_cols).orderBy(*order)
-    latest = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    wins; '-D' rows drop the key. This is the materialization a
+    retraction-consuming sink would build."""
+    latest = fold_changelog_batch(df, pk_cols, ts_col, tiebreak_cols)
     return latest.filter(F.col("_rowkind") != "-D")

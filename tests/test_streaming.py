@@ -360,3 +360,65 @@ def test_print_and_blackhole_sinks(spark, sf_dir, work_dir):
         .start()
     )
     q.awaitTermination()
+
+
+# -- §7.4 output-mode planner ------------------------------------------------
+
+#: expected plan per SURVEY §7.4 table row: shape → (output_mode, sink kind)
+_EXPECTED_PLANS = {
+    "stateless": ("append", "direct"),
+    "windowed_agg": ("append", "direct"),
+    "global_agg": ("update", "keyed_merge"),
+    "topn": ("update", "keyed_merge"),
+    "dedup_keep_first": ("append", "direct"),
+    "dedup_keep_last": ("update", "keyed_merge"),
+    "stream_stream_join": ("append", "direct"),
+    "over_agg": ("append", "direct"),
+    "session_timers": ("append", "direct"),
+    "cep_match": ("append", "direct"),
+    "cdc_apply": ("update", "keyed_merge"),
+    "late_side_output": ("append", "direct"),
+}
+
+
+def test_output_mode_planner_covers_every_shape():
+    """§7.4 planning table as code: every query shape resolves to a valid
+    (Spark output mode, sink kind) pair; one assertion per table row."""
+    assert set(sinks.SINK_PLANS) == set(_EXPECTED_PLANS)
+    for shape, (mode, kind) in _EXPECTED_PLANS.items():
+        plan = sinks.plan_sink(shape)
+        assert plan.output_mode == mode, shape
+        assert plan.sink == kind, shape
+        assert plan.output_mode in ("append", "update", "complete")
+        assert sinks.output_mode_for(shape) == mode
+
+
+def test_jdbc_upsert_applies_changelog_deletes(spark, work_dir):
+    """X6 sink half on the REAL path: staging+MERGE with an op column —
+    '+I/+U' upsert, '-D' deletes the key — against embedded Derby."""
+    from flink_1_19_source_spark.sources import jdbc as jdbc_mod
+
+    tgt = jdbc_mod.JdbcTableSource(
+        jdbc_mod.derby_url(f"{work_dir}/derby_cdc_test"),
+        "CDC_T",
+        column_types={"_rowkind": "VARCHAR(8)"},
+    )
+    tgt.ensure_table(spark.createDataFrame([], "id long, val double"), overwrite=True)
+
+    b1 = spark.createDataFrame(
+        [(1, 1.0, "+I"), (2, 2.0, "+I"), (3, 3.0, "+I")],
+        "id long, val double, _rowkind string",
+    )
+    tgt.upsert(b1, ["id"], op_col="_rowkind")
+    # batch 2: update 1, delete 2, delete-then-nothing for absent 9 (no-op)
+    b2 = spark.createDataFrame(
+        [(1, 10.0, "+U"), (2, None, "-D"), (9, None, "-D")],
+        "id long, val double, _rowkind string",
+    )
+    tgt.upsert(b2, ["id"], op_col="_rowkind")
+
+    got = {r.id: r.val for r in tgt.scan(spark).collect()}
+    assert got == {1: 10.0, 3: 3.0}
+    # idempotent replay of batch 2 (availableNow retry semantics)
+    tgt.upsert(b2, ["id"], op_col="_rowkind")
+    assert {r.id: r.val for r in tgt.scan(spark).collect()} == {1: 10.0, 3: 3.0}
