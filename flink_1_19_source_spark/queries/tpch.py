@@ -463,3 +463,235 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN nation = 'NATION_5'
+                           THEN CAST(volume AS DECIMAL(27,6)) ELSE 0 END)
+               AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'
+          AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    survey="J1 J9 A1 2.8-conditional",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the 8-way join benchmark. Every
+    dimension (part, supplier, customer, nation×2, region) broadcasts;
+    lineitem⋈orders on orderkey is the ONLY shuffle, then one 2-group agg.
+    The conditional-sum ratio uses exact decimal sums (order-independent)
+    with a single final double division. (Original market nation BRAZIL /
+    type 'ECONOMY ANODIZED STEEL' → NATION_5 / 'ECONOMY' on this schema.)
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_vol = F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), vol.alias("v"),
+                 share_vol.alias("sv"))
+        .groupBy("o_year")
+        .agg(F.round((dsum(F.col("sv")) / dsum(F.col("v"))), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_7','NATION_8','NATION_9','NATION_10','NATION_11')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    survey="J3 J1 A1 T3",
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who kept multi-supplier orders waiting — the
+    EXISTS + NOT-EXISTS decorrelation benchmark. The oracle states it as
+    correlated subqueries; the Spark plan is the decorrelated form: one
+    lineitem⋈orders shuffle on orderkey, per-order flags (supplier count,
+    LATE-supplier count) computed as a second agg on the SAME shuffle key,
+    then a semi-join of late rows against qualifying orders — a row
+    qualifies iff the order has ≥2 suppliers and exactly ONE late supplier
+    (itself). No correlated re-scan of lineitem ever runs. ('Late' is
+    l_shipdate > o_orderdate + 90 days: schema lacks commit/receipt dates;
+    original nation filter widened to a 5-nation IN-list for test-scale
+    selectivity.)"""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    flags = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qualifying = flags.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    late_rows = lo.filter(is_late).select("l_orderkey", "l_suppkey")
+    cand = late_rows.join(qualifying, "l_orderkey", "left_semi")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9", "NATION_10", "NATION_11")
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey="J2 A1 T1",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join with
+    an ON-clause residual predicate (NOT a WHERE: zero-order customers must
+    survive), then a two-level aggregation. First agg shuffles on
+    c_custkey; the histogram agg is tiny. (Original filters o_comment NOT
+    LIKE '%special%requests%'; this schema has no comment column —
+    o_orderpriority <> '1-URGENT' keeps the ON-residual shape.)"""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0,
+             6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 25
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                        / COUNT(l_quantity))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    survey="J1 A5 A1",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — the correlated SCALAR
+    subquery benchmark (per-part average threshold). The oracle states the
+    correlated form; the Spark plan is the decorrelated one: per-part
+    exact-decimal AVG as a separate agg on l_partkey, joined back to the
+    (brand-filtered, broadcast) part side — the per-part threshold table is
+    keyed on the same key as the probe join, so at scale it rides the same
+    partitioning; no per-row re-scan. AVG uses the exact-decimal helper so
+    the 0.2·avg threshold is bit-identical under any partitioning (a
+    float-boundary flip would change the row set, not just low bits).
+    (Original Brand#23 + container predicate → p_brand/p_size here; /7.0
+    retained from the original's avg_yearly definition.)"""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 25)
+    ).select("p_partkey")
+    # broadcast-filter FIRST: the threshold agg and the threshold join then
+    # shuffle only the ~2% brand subset, never the full fact table (all
+    # lineitem rows of a surviving partkey survive — the filter is on part
+    # attributes — so the per-part average is unchanged)
+    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = lp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (davg(F.col("l_quantity")) * 0.2).alias("qty_cap")
+    )
+    return (
+        lp.join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )

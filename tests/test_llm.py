@@ -112,3 +112,54 @@ def test_multimodal_payload_roundtrip(spark, sf_dir):
     feats = {r.doc_id: r.n_bytes for r in multimodal.extract_features(media).collect()}
     for r in d.select("doc_id", "text").collect():
         assert feats[r.doc_id] == len(r.text.encode("utf-8"))
+
+
+def _true_jaccard(ta: str, tb: str, n: int = 3) -> float:
+    """Driver-side exact word-n-gram Jaccard, mirroring word_shingles."""
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    a, b = sh(ta), sh(tb)
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_minhash_precision_vs_true_jaccard(spark, sf_dir):
+    """Precision side of LSH (recall is tested above): pairs REPORTED at
+    est_jaccard ≥ 0.5 must be genuinely similar. est_jaccard of a pair
+    with true Jaccard s is Binomial(32, s)/32, so
+    P(est ≥ 0.5 | s ≤ 0.2) ≤ 3e-6 per pair — at corpus scale the
+    expected count of such false positives is << 1; allow at most 1."""
+    d = load_table(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    lsh = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    reported = [(r.id_a, r.id_b) for r in lsh.filter(F.col("est_jaccard") >= 0.5).collect()]
+    badly_wrong = [
+        (a, b)
+        for a, b in reported
+        if _true_jaccard(texts[a], texts[b]) <= 0.2
+    ]
+    assert len(badly_wrong) <= 1, f"false positives at est>=0.5: {badly_wrong[:5]}"
+
+
+def test_minhash_fp_rate_on_dissimilar_corpus(spark):
+    """Banding-theory FP bound on a synthetic all-dissimilar corpus: 80
+    docs of disjoint-ish random vocab (true pairwise Jaccard ≈ 0). Band
+    match probability at s≈0.05 is 1-(1-s^4)^8 ≈ 5e-5, so among 3160
+    pairs the expected candidate count is ≈ 0.16 — and a candidate must
+    further show est ≥ 0.5 (probability ~1e-9). Allow ≤ 1 candidate,
+    0 reported pairs."""
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(10**9)}" for _ in range(30)))
+        for i in range(80)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    lsh = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    cands = lsh.collect()
+    assert len(cands) <= 1, f"candidate FP rate too high: {len(cands)}/3160"
+    assert not [r for r in cands if r.est_jaccard >= 0.5]
