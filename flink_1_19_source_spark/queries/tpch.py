@@ -564,15 +564,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who kept multi-supplier orders waiting — the
     EXISTS + NOT-EXISTS decorrelation benchmark. The oracle states it as
-    correlated subqueries; the Spark plan is the decorrelated form: one
-    lineitem⋈orders shuffle on orderkey, per-order flags (supplier count,
-    LATE-supplier count) computed as a second agg on the SAME shuffle key,
-    then a semi-join of late rows against qualifying orders — a row
-    qualifies iff the order has ≥2 suppliers and exactly ONE late supplier
-    (itself). No correlated re-scan of lineitem ever runs. ('Late' is
-    l_shipdate > o_orderdate + 90 days: schema lacks commit/receipt dates;
-    original nation filter widened to a 5-nation IN-list for test-scale
+    correlated subqueries; the Spark plan is the decorrelated form in ONE
+    pass over the fact: after the lineitem⋈orders join on orderkey, the
+    per-order flags (distinct-supplier count, distinct-LATE-supplier
+    count) are whole-partition window aggregates over the SAME orderkey
+    partitioning — no second scan, no join-back, no correlated re-scan. A
+    row qualifies iff its order has ≥2 suppliers and exactly ONE late
+    supplier (itself). Per-order groups are tiny (≤7 lineitems), so the
+    window state is O(1) per key at any scale. ('Late' is l_shipdate >
+    o_orderdate + 90 days: schema lacks commit/receipt dates; original
+    nation filter widened to a 5-nation IN-list for test-scale
     selectivity.)"""
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -581,15 +585,16 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    flags = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(is_late, F.col("l_suppkey"))).over(w)),
     )
-    qualifying = flags.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
-    late_rows = lo.filter(is_late).select("l_orderkey", "l_suppkey")
-    cand = late_rows.join(qualifying, "l_orderkey", "left_semi")
+    cand = flagged.filter(
+        is_late & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", "l_suppkey")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9", "NATION_10", "NATION_11")
