@@ -113,3 +113,49 @@ def lang_id(text: Column) -> Column:
     max_hits = F.array_max(F.transform(pairs, lambda p: p["hits"]))
     argmax = F.filter(pairs, lambda p: p["hits"] == max_hits)
     return F.array_min(F.transform(argmax, lambda p: p["code"]))
+
+
+def winnow_fingerprints(
+    df, id_col: str, text_col: str, k: int = 8, w: int = 16
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS local fingerprinting algorithm): hash every k-char-gram, then keep
+    the minimum hash of each sliding window of w consecutive k-grams; the
+    distinct window-minima are the document's fingerprints. Guarantees any
+    shared substring of length ≥ w+k-1 yields a shared fingerprint —
+    position-robust near-dup/overlap detection that MinHash (whole-doc
+    similarity) cannot give.
+
+    Engine-portable hash: first 8 hex chars of md5, so the DuckDB oracle
+    can reproduce values bit-for-bit (`CAST(concat('0x', substr(md5(g),
+    1, 8)) AS BIGINT)`). All per-char work is Catalyst (sequence/explode/
+    substring/md5/conv + one window min) — no Python in the path; cost is
+    O(len) rows per doc, the algorithm's inherent footprint, partitioned
+    by document.
+
+    Returns (id, pos, fp) — one row per FULL window position; aggregate
+    distinct fps per doc downstream.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("t"),
+        n_grams.alias("n"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    )
+    h = pos.select(
+        "id",
+        "pos",
+        "n",
+        F.conv(F.substring(F.md5(F.substring(F.col("t"), F.col("pos"), k)), 1, 8),
+               16, 10).cast("long").alias("h"),
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        h.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n") - F.lit(w - 1))
+        .select("id", "pos", "fp")
+    )

@@ -348,3 +348,47 @@ def f_json2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rebuilt"),
         F.col("props").rlike("^\\s*\\{").alias("ok"),
     )
+
+
+@register(
+    "n4_winnow_fingerprints",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, LOWER(text) AS t,
+               GREATEST(LEN(LOWER(text)) - 7, 1) AS n,
+               UNNEST(generate_series(1, GREATEST(LEN(LOWER(text)) - 7, 1)))
+                 AS i
+        FROM documents WHERE doc_id < 100
+    ), h AS (
+        SELECT doc_id, i, n,
+               CAST(concat('0x', substr(md5(substr(t, CAST(i AS INTEGER), 8)),
+                                        1, 8)) AS BIGINT) AS hv
+        FROM pos
+    ), wm AS (
+        SELECT doc_id, i, n,
+               MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        FROM h
+    )
+    SELECT doc_id, COUNT(DISTINCT fp) AS n_fps, MIN(fp) AS min_fp,
+           MAX(fp) AS max_fp
+    FROM wm WHERE i <= n - 15
+    GROUP BY doc_id
+    """,
+    survey="N4 N2 R4",
+)
+def n4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + sliding-window minima) document
+    fingerprints — operators/text_analysis.winnow_fingerprints; the oracle
+    replays the identical md5-prefix hash and window rule in SQL. Output:
+    per-doc fingerprint count + extrema (compact, hash-comparable)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fps = ta.winnow_fingerprints(d, "doc_id", "text", k=8, w=16)
+    return (
+        fps.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.countDistinct("fp").alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
