@@ -23,3 +23,5 @@ from . import over_windows  # noqa: F401
 from . import sort_set  # noqa: F401
 from . import scalar_funcs  # noqa: F401
 from . import udtf_queries  # noqa: F401
+from . import pipeline  # noqa: F401  (N6 + end-to-end N2/N4 pipelines)
+from . import feedback  # noqa: F401  (X8 iterate, W7 count windows)

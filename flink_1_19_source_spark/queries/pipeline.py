@@ -1,0 +1,230 @@
+"""End-to-end training-data-pipeline queries (SURVEY §2.11 N2/N4/N6).
+
+The composed shapes a 100 TB pretraining-data run actually executes —
+not single operators but the pipelines built from them:
+
+* deterministic stratified sampling and train/val/test assignment
+  (N6, operators/sampling.py) — hash-gated, engine-reproducible;
+* near-dup *removal* — pair mining → connected components → canonical
+  keep → filtered corpus, the full N2 path joined up;
+* quality filtering — keep/drop with a reason code per document (N4).
+
+Everything here is pure Catalyst expressions plus the already-proven
+operators; every query is DuckDB-oracled, including the recursive-CTE
+replication of connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, sampling, text_analysis as ta
+from ..registry import register
+from ..tables import load_table
+
+
+# --------------------------------------------------------------------------
+# N6 — deterministic sampling / splits
+# --------------------------------------------------------------------------
+#: per-language sampling rates for the stratified-sample query; hex
+#: thresholds are sampling.threshold_hex(rate) and are inlined in the
+#: oracle so both engines apply the identical hash gate.
+_RATES = {"en": 0.25, "fr": 0.5, "es": 0.75, "zh": 0.125, "de": 1.0}
+
+
+@register(
+    "n6_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('r3:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '4000' WHEN 'fr' THEN '8000'
+                    WHEN 'es' THEN 'c000' WHEN 'zh' THEN '2000'
+                    WHEN 'de' THEN 'g' ELSE '0000' END
+    """,
+    survey="N6",
+)
+def n6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling with a deterministic hash gate — the
+    reproducible replacement for ``df.sampleBy`` (same row set on every
+    run, every engine, any partitioning). en 25%, fr 50%, es 75%,
+    zh 12.5%, de 100%."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, "doc_id", "lang", _RATES, salt="r3"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "n6_train_val_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                  THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey="N6",
+)
+def n6_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment by document
+    id hash — the same document lands in the same split across pipeline
+    re-runs and engines (leak-free eval sets)."""
+    d = load_table(spark, sf_dir, "documents")
+    split = sampling.assign_split(
+        F.col("doc_id"), "split", {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    return d.select("doc_id", "lang", split)
+
+
+# --------------------------------------------------------------------------
+# N2 — end-to-end near-dup removal
+# --------------------------------------------------------------------------
+@register(
+    "n2_dedup_end_to_end",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex0 AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh
+    ), dfc AS (
+      SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s
+    ), ex AS (
+      SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfc ON ex0.s = dfc.s
+      WHERE dfc.df <= 10
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+    ), und AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      WITH RECURSIVE r AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id < 200
+      AND d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """,
+    survey="N2 N1",
+)
+def n2_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup *removal* pipeline, joined up: stop-shingle-
+    capped exact-Jaccard pair mining → connected components → keep the
+    min-id canonical per cluster → anti-join the rest out of the
+    corpus. This is the query a data pipeline runs nightly; the
+    per-stage operators are certified individually by
+    n2_ngram_jaccard_capped / n2_dedup_clusters, and the oracle here
+    replays the whole chain (recursive CTE for the components).
+
+    Scale: the pair miner is df-capped (fan-out ≤ cap² per shingle),
+    components is O(diameter) rounds of one key shuffle each, and the
+    final anti-join broadcasts only the drop-list (near-dup clusters
+    are a small fraction of the corpus)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, stop_shingle_df_cap=10
+    )
+    comp = dedup.connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# N4 — quality filtering with reason codes
+# --------------------------------------------------------------------------
+@register(
+    "n4_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                             t -> t <> '')) AS n_tokens,
+             ROUND(CAST(len(list_distinct(
+                     list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                 t -> t <> ''))) AS DOUBLE)
+                   / len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     t -> t <> '')), 9) AS uniq_ratio,
+             ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     t -> t <> '')), 9) AS avg_token_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, uniq_ratio, avg_token_len,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 90 THEN 'too_long'
+                WHEN uniq_ratio < 0.35 THEN 'too_repetitive'
+                WHEN avg_token_len < 4.0 OR avg_token_len > 5.0
+                  THEN 'weird_token_len'
+                ELSE 'ok' END AS reason,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 90 THEN 'too_long'
+                WHEN uniq_ratio < 0.35 THEN 'too_repetitive'
+                WHEN avg_token_len < 4.0 OR avg_token_len > 5.0
+                  THEN 'weird_token_len'
+                ELSE 'ok' END = 'ok' AS keep
+    FROM s
+    """,
+    survey="N4",
+)
+def n4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality gate: token count, token-uniqueness ratio
+    (repetition detector) and average token length, folded into a
+    keep/drop decision with the first failing rule as the reason code —
+    the filter stage of a pretraining-data pipeline. One scan, pure
+    expressions, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ta.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    uniq_ratio = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n_tokens, 9
+    )
+    avg_token_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_tokens, 9
+    )
+    reason = (
+        F.when(n_tokens < 20, "too_short")
+        .when(n_tokens > 90, "too_long")
+        .when(uniq_ratio < 0.35, "too_repetitive")
+        .when((avg_token_len < 4.0) | (avg_token_len > 5.0), "weird_token_len")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -52,6 +52,7 @@ SINK_PLANS: dict[str, SinkPlan] = {
     "over_agg": SinkPlan("append", "direct"),            # per-row emit, no retract
     "session_timers": SinkPlan("append", "direct"),      # emit on timer fire
     "cep_match": SinkPlan("append", "direct"),           # matches are final
+    "count_window": SinkPlan("append", "direct"),        # count-trigger fires are final
     "cdc_apply": SinkPlan("update", "keyed_merge"),      # +I/+U/-D changelog
     "late_side_output": SinkPlan("append", "direct"),    # two insert-only sides
 }

@@ -31,6 +31,10 @@ INVARIANT_QUERIES = [
     "s_late_data_capture",
     "s_keep_last_stream",
     "s_cumulate_stream",
+    # count windows: content depends only on per-key arrival order, so
+    # fire points must not move with the chunking
+    "s_count_tumble_stream",
+    "s_count_evictor_stream",
 ]
 
 

@@ -376,6 +376,7 @@ _EXPECTED_PLANS = {
     "over_agg": ("append", "direct"),
     "session_timers": ("append", "direct"),
     "cep_match": ("append", "direct"),
+    "count_window": ("append", "direct"),
     "cdc_apply": ("update", "keyed_merge"),
     "late_side_output": ("append", "direct"),
 }
