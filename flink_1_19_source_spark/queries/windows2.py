@@ -1,0 +1,164 @@
+"""Window Top-N, Window Deduplication, cascading window aggregation
+(SURVEY §2.5 W1/W6, §2.6 O6/O7 — the Flink 1.13+ window-TVF-derived
+SQL patterns, plus the chained-stateful streaming shape).
+
+Flink documents "Window Top-N" and "Window Deduplication" as first-class
+SQL patterns: a window TVF feeding ROW_NUMBER() OVER (PARTITION BY
+window_start, window_end ...) with a rank/rn predicate [Flink docs:
+queries/window-topn, queries/window-deduplication]. In Spark both are a
+window() groupBy/aggregate (or window assignment) followed by an
+ordinary window function partitioned by the window struct — Catalyst
+collapses the two into one shuffle when the partitioning matches.
+
+``s_cascading_window_stream`` is the multi-stateful-operator shape
+Flink calls cascading window aggregation (hourly pre-agg → daily
+rollup). Spark 3.4+ supports chained streaming window aggregations
+natively — ``window(window_col, ...)`` re-windows an upstream window
+struct with watermark propagation — so the whole pipeline stays in one
+Structured Streaming query with two stateful stages and append output.
+This is the append-mode half of the "stateful operator consuming
+another stateful operator's output" gap documented in SURVEY §1.3 (the
+retract-stream half remains a declared non-goal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import register
+from ..streaming import sinks
+from ..tables import load_table
+from .streaming_queries import _drain_to_memory, _events_stream
+
+
+@register(
+    "w7_window_topn",
+    oracle=f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+             COUNT(*) AS n, {sql_dsum('value')} AS total
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                                   ORDER BY total DESC, user_id) AS rn
+      FROM agg
+    )
+    SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           user_id, n, total, rn
+    FROM r WHERE rn <= 3
+    """,
+    survey="O6 W1 W6",
+)
+def w7_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N (Flink window-topn): top-3 users by exact-decimal
+    total value inside each 1 h tumbling window. Plan shape: one shuffle
+    for the (window, user) agg, one for the window-partitioned rank —
+    and Spark inserts WindowGroupLimit *before* the rank exchange, so
+    the second shuffle carries at most 3 rows per window per map
+    partition (rank-pushdown, the same optimization Flink's
+    RankOperator applies)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+    )
+    w = Window.partitionBy("w").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+            "total",
+            "rn",
+        )
+    )
+
+
+@register(
+    "w8_window_dedup",
+    oracle="""
+    WITH r AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                                             user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT ws AS window_start, user_id, event_id, ts
+    FROM r WHERE rn = 1
+    """,
+    survey="O7 W1",
+)
+def w8_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Deduplication (Flink window-deduplication): first event
+    per (user, 1 h window) in event-time order — window-scoped
+    keep-first, one shuffle on (window, user)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        F.window("ts", "1 hour"), F.col("user_id")
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "user_id",
+            "event_id",
+            "ts",
+        )
+    )
+
+
+@register(
+    "s_cascading_window_stream",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_start, event_type,
+           COUNT(*) AS n, ROUND({sql_dsum('value')}, 6) AS total
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY
+             <= (SELECT w FROM wm)
+    """,
+    survey="W1-S X1 X2",
+    tags=("streaming",),
+)
+def s_cascading_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading window aggregation: hourly pre-agg → daily rollup as
+    TWO chained stateful operators in one streaming query (Spark 3.4+
+    multi-stateful support; Flink's cascading window pattern). The
+    hourly stage shrinks state and shuffle for the daily stage — the
+    100 TB shape for coarse rollups over high-rate streams. Append
+    output: a day emits once its last hour is watermark-closed; the
+    daily totals stay exact-decimal until the final cast."""
+    from ..streaming import ops
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_cascade")
+    hourly = (
+        ops.with_bounded_out_of_orderness(sdf, "ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("total"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").cast("double").alias("total"))
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n",
+            F.round(F.col("total"), 6).alias("total"),
+        )
+    )
+    return _drain_to_memory(
+        spark, daily, "s_cascade_q",
+        sinks.plan_sink("windowed_agg").output_mode, wd,
+    )

@@ -142,3 +142,81 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     est = li.agg(F.approx_count_distinct("l_partkey", 0.05).alias("e")).collect()[0]["e"]
     exact = li.agg(F.countDistinct("l_partkey").alias("d")).collect()[0]["d"]
     assert abs(est - exact) / exact <= 0.25, (est, exact)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0, max_size=30,
+    ),
+    seeds=st.sets(st.integers(0, 12), min_size=1, max_size=4),
+    hops=st.sampled_from([1, 2, 3]),
+)
+@_settings
+def test_bfs_distances_matches_python_bfs(spark, edges, seeds, hops):
+    """X8 frontier BFS vs a driver-side reference BFS on random digraphs."""
+    from flink_1_19_source_spark.operators.iterate import bfs_distances
+
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    ).limit(len(edges))
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {(r.node, r.dist) for r in bfs_distances(edf, sdf, hops).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, hops + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in dist
+        }
+        for v in frontier:
+            dist[v] = d
+    assert got == set(dist.items())
+
+
+def test_stratified_sample_deterministic_and_in_rate_bounds(spark):
+    """N6: the hash gate keeps ≈rate of each stratum, identically across
+    runs and repartitionings (the property rand()-sampling lacks)."""
+    from flink_1_19_source_spark.operators import sampling
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 == 0).cast("string").alias("stratum"),
+    )
+    rates = {"true": 0.3, "false": 0.7}
+    kept1 = sampling.stratified_sample(df, "k", "stratum", rates, salt="t")
+    kept2 = sampling.stratified_sample(
+        df.repartition(13), "k", "stratum", rates, salt="t"
+    )
+    rows1 = {(r.k, r.stratum) for r in kept1.collect()}
+    rows2 = {(r.k, r.stratum) for r in kept2.collect()}
+    assert rows1 == rows2  # partitioning-independent
+    for val, rate in rates.items():
+        frac = sum(1 for _, s in rows1 if s == val) / (n / 2)
+        assert abs(frac - rate) < 0.05, (val, frac, rate)
+    # independent draw under a different salt
+    rows3 = {(r.k, r.stratum)
+             for r in sampling.stratified_sample(df, "k", "stratum", rates,
+                                                 salt="u").collect()}
+    assert rows3 != rows1
+
+
+def test_assign_split_partitions_every_key(spark):
+    """N6: split labels are disjoint, exhaustive, and ≈ the fractions."""
+    from flink_1_19_source_spark.operators import sampling
+
+    n = 4000
+    df = spark.range(n)
+    fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+    out = df.select("id", sampling.assign_split(F.col("id"), "s", fr)).collect()
+    assert len(out) == n  # one label per key
+    counts: dict[str, int] = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == set(fr)
+    for label, frac in fr.items():
+        assert abs(counts[label] / n - frac) < 0.04, (label, counts[label])
