@@ -78,6 +78,13 @@ def bfs_distances(
     Oracle-equivalent: a recursive CTE ``reach(node, d)`` expanded to
     depth < max_hops, then MIN(d) per node.
     """
+    # materialize the edge list once — every round joins against it, and
+    # without this the edges' upstream plan (often a join+distinct) would
+    # re-execute per round
+    edges = edges.select(
+        F.col(src_col).alias(src_col), F.col(dst_col).alias(dst_col)
+    ).localCheckpoint(eager=True)
+
     init = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("long")
     )
