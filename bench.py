@@ -49,6 +49,10 @@ HEADLINE = [
     "s_tumble_stream",
     "s_sessionize_timers",
     "s_interval_join_stream",
+    "x8_iterate_bfs",
+    "w7_window_topn",
+    "s_count_tumble_stream",
+    "n2_dedup_end_to_end",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

@@ -14,6 +14,7 @@ metastore service and stays a documented environment gap (README
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -77,4 +78,40 @@ def src_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN cat_nation_src n ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
         """
+    )
+
+
+@register(
+    "src_compacted_write",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'fr')
+    """,
+    survey="S1 S2",
+)
+def src_compacted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted partitioned sink (S1/S2): repartition-on-key before a
+    partitionBy write, so each lang directory holds one file instead of
+    tasks×partitions slivers (the 100 TB small-file failure mode), then
+    a partition-pruned read-back of two languages. The file-count bound
+    is asserted, not assumed."""
+    import glob
+    import os as _os
+
+    from ..sources import formats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _os.path.join(formats.scratch(sf_dir, "compact_docs"), "documents")
+    formats.compacted_partitioned_write(d, path, ["lang"])
+
+    for part_dir in glob.glob(_os.path.join(path, "lang=*")):
+        files = [f for f in _os.listdir(part_dir) if f.endswith(".parquet")]
+        if len(files) > 2:
+            raise AssertionError(
+                f"compaction failed: {part_dir} has {len(files)} files"
+            )
+
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang").isin("en", "fr"))
+        .select("doc_id", "lang", "n_chars")
     )

@@ -23,6 +23,8 @@ retract-stream half remains a declared non-goal).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -162,3 +164,79 @@ def s_cascading_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, daily, "s_cascade_q",
         sinks.plan_sink("windowed_agg").output_mode, wd,
     )
+
+
+@register(
+    "s_window_topn_stream",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+             COUNT(*) AS n, ROUND({sql_dsum('value')}, 6) AS total
+      FROM events
+      GROUP BY 1, 2
+      HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+               <= (SELECT w FROM wm)
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                                   ORDER BY total DESC, user_id) AS rn
+      FROM agg
+    )
+    SELECT ws AS window_start, user_id, n, total, rn
+    FROM r WHERE rn <= 3
+    """,
+    survey="O6-S W1-S X1",
+    tags=("streaming",),
+)
+def s_window_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Window Top-N (Flink window-topn): hourly (window, user)
+    agg emits on watermark close; every row of a closed window lands in
+    the SAME micro-batch, so the per-window rank is computed per batch
+    in foreachBatch and the top-3 appended to a parquet sink — all
+    distributed, no driver-side rows. This is §7.4's planning insight
+    applied: windowed-agg → append, rank over an append batch stays
+    append (no retraction needed), unlike the global Top-N which needs
+    the update/MERGE path (s_topn_stream)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window as W
+
+    from ..streaming import ops, replay
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_window_topn")
+    hourly = (
+        ops.with_bounded_out_of_orderness(sdf, "ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tdec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n",
+            F.round(F.col("tdec").cast("double"), 6).alias("total"),
+        )
+    )
+
+    out_dir = os.path.join(wd, f"out-{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("total"), F.asc("user_id")
+        )
+        (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    replay.run_foreach_batch(
+        hourly, rank_batch, checkpoint_dir=ckpt,
+        output_mode=sinks.plan_sink("windowed_agg").output_mode,
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)

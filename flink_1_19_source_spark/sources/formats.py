@@ -72,3 +72,25 @@ def datagen(
     for name, expr in seed_cols.items():
         df = df.selectExpr("*", f"({expr}) AS {name}")
     return df
+
+
+def compacted_partitioned_write(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Partitioned write with small-file compaction: shuffle rows onto
+    their partition key before ``partitionBy``, so each partition
+    directory is written by (at most) the tasks that own its key —
+    one-ish file per partition instead of tasks×partitions slivers.
+
+    The small-file problem is a first-order 100 TB failure mode: a
+    1000-task write into 20 partitions without this yields 20 000 tiny
+    files whose open/footer cost dominates every later scan. The
+    repartition is one extra shuffle at write time, paid once; real
+    deployments tune the file count per partition by repartitioning on
+    (key, bucket(n)) instead of the bare key.
+    """
+    from pyspark.sql import functions as F
+
+    df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+        "overwrite"
+    ).format(fmt).partitionBy(*partition_cols).save(path)

@@ -87,3 +87,32 @@ def test_bucketed_join_shuffles_neither_fact_table(spark, sf_dir):
     assert "SortMergeJoin" in txt, txt
     assert "Bucketed: true" in txt, txt
     assert audit.shuffle_count(df) == 1, audit.plan_text(df, "simple")
+
+
+def test_stratified_sample_zero_shuffle_pruned_scan(spark, sf_dir):
+    """N6: the hash gate must stay scan-side — no shuffle, and the scan
+    reads only the three projected columns (a sampling pass over 100 TB
+    that shuffles or reads full rows is wrong)."""
+    df = REGISTRY["n6_stratified_sample"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 0, audit.plan_text(df, "simple")
+    cols = audit.read_schema_columns(df)
+    assert cols and all(c <= {"doc_id", "lang", "source"} for c in cols), cols
+
+
+def test_window_topn_prunes_rank_map_side(spark, sf_dir):
+    """O6 window top-n: Spark must insert WindowGroupLimit before the
+    rank exchange (map-side top-k cut) and use exactly two shuffles
+    (agg on (window,user), rank on window)."""
+    df = REGISTRY["w7_window_topn"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "WindowGroupLimit" in txt, txt
+    assert audit.shuffle_count(df) == 2, audit.plan_text(df, "simple")
+
+
+def test_bfs_final_plan_is_checkpoint_bounded(spark, sf_dir):
+    """X8: after the iterate loop the returned plan must hang off the
+    localCheckpoint (O(1) depth), not replay every round's join chain."""
+    df = REGISTRY["x8_iterate_bfs"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "Scan ExistingRDD" in txt, txt  # checkpointed state, not lineage
+    assert "SortMergeJoin" not in txt and "parquet" not in txt.lower(), txt
