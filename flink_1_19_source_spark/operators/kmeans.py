@@ -1,0 +1,141 @@
+"""K-means over an embedding column — iterative ML as engine queries
+(SURVEY §2.9 X8 pattern + §2.11 N3).
+
+Lloyd's algorithm with a fixed round count and deterministic, engine-
+portable arithmetic, so the whole fit is *oracle-able*: a DuckDB SQL
+unrolling of the same rounds produces bit-identical centroids. The
+determinism recipe (the same one functions/exact.py uses for money):
+
+* inputs quantized once: each coordinate ROUND(x, 6) at load;
+* squared-distance terms ROUND(·, 6) then summed as DECIMAL(27,6) —
+  associative/commutative, so any partitioning gives the same total;
+* argmin by ROW_NUMBER ordered (dist, cluster) — ties break by id;
+* centroid update = exact decimal sum / count, ROUND(·, 9).
+
+Layout: the *long* relational form (vec_id, dim, x) rather than arrays.
+That is deliberate for this operator: it keeps every step a plain
+join/groupBy both engines execute identically. At 100 TB the assignment
+step would instead broadcast the K×D centroid matrix into an
+Arrow-batched ``mapInPandas`` (one BLAS matmul per batch, no explode —
+the operators/similarity.py IVF path already does exactly this); the
+update step stays the same groupBy. The long form here is the
+*verifier* for that production path, the same exact-vs-approximate
+pairing the dedup suite uses.
+
+Scale shape per round: one broadcast join (centroids are K×D rows),
+one (vec, cluster) shuffle for distances, one (cluster, dim) shuffle
+for the update; ``localCheckpoint`` after each round keeps the plan
+O(1) deep (the iterative-Spark lineage trap, as operators/iterate.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(27,6)"
+
+
+def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: quantized-exact squared L2, ties to
+    the lower cluster id."""
+    sq = F.round(
+        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 6
+    ).cast(_DEC)
+    dist = (
+        corpus.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(sq).cast("double").alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+
+
+def _update(corpus: DataFrame, asg: DataFrame) -> DataFrame:
+    """New centroid = exact decimal mean per (cluster, dim), round 9."""
+    return (
+        asg.join(corpus, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("c")
+        )
+    )
+
+
+def kmeans_long(corpus_long: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fit k-means on (vec_id, dim, x) long-form vectors; returns one row
+    per (cluster, dim): centroid coordinate + final cluster size.
+
+    Init = the first ``k`` vec_ids as centroids (deterministic seed).
+    A cluster that loses all members simply drops out (both engines
+    apply the same rule).
+    """
+    corpus = corpus_long.localCheckpoint(eager=True)
+    # centroids are K×D rows — keep them on one partition so the
+    # per-round checkpoint + broadcast don't pay 32-task overhead
+    cent = (
+        corpus.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cluster"), "dim", F.col("x").alias("c"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    asg = None
+    for _ in range(rounds):
+        asg = _assign(corpus, cent).localCheckpoint(eager=True)
+        cent = _update(corpus, asg).coalesce(1).localCheckpoint(eager=True)
+    sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cent.join(sizes, "cluster").select(
+        "cluster", "dim", F.col("c").alias("centroid"), "cluster_size"
+    )
+
+
+def kmeans_oracle_sql(k: int, rounds: int, dims: int = 64) -> str:
+    """The DuckDB unrolling of the identical computation — generated, so
+    the round structure cannot drift from the engine's."""
+    parts = [
+        f"""
+    WITH corpus AS (
+      SELECT vec_id, i AS dim,
+             ROUND(CAST(embedding[i + 1] AS DOUBLE), 6) AS x
+      FROM embeddings, range({dims}) t(i)
+    ), cent0 AS (
+      SELECT vec_id AS cluster, dim, x AS c FROM corpus WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , dist{r} AS (
+      SELECT corpus.vec_id, cent{r - 1}.cluster,
+             CAST(SUM(CAST(ROUND((corpus.x - cent{r - 1}.c)
+                                 * (corpus.x - cent{r - 1}.c), 6)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS dist
+      FROM corpus JOIN cent{r - 1} ON corpus.dim = cent{r - 1}.dim
+      GROUP BY 1, 2
+    ), asg{r} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM dist{r}
+      ) WHERE rn = 1
+    ), cent{r} AS (
+      SELECT a.cluster, corpus.dim,
+             ROUND(CAST(SUM(CAST(corpus.x AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*), 9) AS c
+      FROM asg{r} a JOIN corpus ON corpus.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )""")
+    parts.append(f"""
+    SELECT c.cluster, c.dim, c.c AS centroid, sz.cluster_size
+    FROM cent{rounds} c
+    JOIN (SELECT cluster, COUNT(*) AS cluster_size
+          FROM asg{rounds} GROUP BY 1) sz ON sz.cluster = c.cluster
+    """)
+    return "".join(parts)

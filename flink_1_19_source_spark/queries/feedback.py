@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import iterate as it
+from ..operators import kmeans as km
 from ..registry import register
 from ..streaming import count_window, sinks
 from ..tables import load_table
@@ -141,3 +142,25 @@ def s_count_evictor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sinks.plan_sink("count_window").output_mode,
         wd,
     )
+
+
+@register(
+    "x8_kmeans_embeddings",
+    oracle=km.kmeans_oracle_sql(k=4, rounds=3),
+    survey="X8 N3",
+)
+def x8_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, 3 Lloyd rounds) over the 64-d embeddings — the
+    iterative-ML instance of the X8 feedback loop, bit-exact against a
+    generated DuckDB unrolling of the same rounds (quantized-exact
+    arithmetic throughout; see operators/kmeans.py for the determinism
+    recipe and the 100 TB BLAS-assignment variant this verifies)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("xf").cast("double"), 6).alias("x"),
+    )
+    return km.kmeans_long(corpus, k=4, rounds=3)
