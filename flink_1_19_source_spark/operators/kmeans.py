@@ -139,3 +139,40 @@ def kmeans_oracle_sql(k: int, rounds: int, dims: int = 64) -> str:
           FROM asg{rounds} GROUP BY 1) sz ON sz.cluster = c.cluster
     """)
     return "".join(parts)
+
+
+def assign_blas(vectors: DataFrame, centroids: list[list[float]],
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """The 100 TB assignment step: nearest centroid per vector with the
+    K×D centroid matrix closed over into an Arrow-batched ``mapInPandas``
+    — one BLAS distance matrix per batch, no explode, no shuffle (the
+    corpus never moves; only (vec_id, cluster) comes out).
+
+    This is the production twin of ``_assign``; tests assert the two
+    agree on the same centroids (modulo exact ties, which the quantized
+    path breaks by cluster id and BLAS by argmin order — identical here
+    because numpy argmin also takes the lowest index)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)          # K×D
+    c_sq = (C * C).sum(axis=1)                           # K
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("cluster", LongType())]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy())       # B×D
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row,
+            # so argmin needs only the last two terms
+            d = c_sq[None, :] - 2.0 * (X @ C.T)          # B×K
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "cluster": d.argmin(axis=1).astype("int64")}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(part, out_schema)

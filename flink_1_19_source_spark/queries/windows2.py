@@ -240,3 +240,124 @@ def s_window_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "s_union_stream",
+    oracle="""
+    WITH closed AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE user_id % 2 = 0),
+               (SELECT MAX(ts) FROM events WHERE user_id % 2 = 1)
+             ) - INTERVAL 10 MINUTE AS wm
+    )
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             <= (SELECT wm FROM closed)
+    """,
+    survey="T4-S X1",
+    tags=("streaming",),
+)
+def s_union_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source streaming UNION (Flink multi-input DataStream.union):
+    two replayed sources — one carrying even user_ids, one odd — each
+    with its own watermark generator over ITS OWN arrivals, unioned and
+    windowed in one query. The global watermark is the MIN of the branch
+    watermarks (Flink's min-propagation rule, PAPERS.md:7) — observable
+    in the oracle: windows close against LEAST(max even ts, max odd ts)
+    − delay, i.e. the slowest source gates closure. (Catalyst pushes the
+    branch predicate below the watermark node, so each branch's
+    event-time stats really are per-subset — the same behavior as two
+    physical topics.)"""
+    from ..streaming import ops
+
+    a, wd = _events_stream(spark, sf_dir, "s_union_a")
+    b, _ = _events_stream(spark, sf_dir, "s_union_b")
+    ua = ops.with_bounded_out_of_orderness(a, "ts", "10 minutes").filter(
+        F.col("user_id") % 2 == 0
+    )
+    ub = ops.with_bounded_out_of_orderness(b, "ts", "10 minutes").filter(
+        F.col("user_id") % 2 == 1
+    )
+    unioned = (
+        ua.unionByName(ub)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tdec"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.round(F.col("tdec").cast("double"), 6).alias("total"),
+        )
+    )
+    return _drain_to_memory(
+        spark, unioned, "s_union_q",
+        sinks.plan_sink("windowed_agg").output_mode, wd,
+    )
+
+
+@register(
+    "s_session_native_stream",
+    oracle="""
+    WITH closed AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT wm FROM closed)
+    """,
+    survey="W4-S X1",
+    tags=("streaming",),
+)
+def s_session_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION windows: Spark's built-in
+    ``session_window`` state merging (vs the timer-based
+    s_sessionize_timers, which exercises the custom X2/X3 path this
+    built-in replaces). Append mode: a session emits once the final
+    watermark passes its end (= last event + gap) — Flink SESSION TVF
+    emit-on-watermark."""
+    from ..streaming import ops
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_sess_native")
+    sess = (
+        ops.with_bounded_out_of_orderness(sdf, "ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tdec"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            F.round(F.col("tdec").cast("double"), 6).alias("total"),
+        )
+    )
+    return _drain_to_memory(
+        spark, sess, "s_sess_native_q",
+        sinks.plan_sink("windowed_agg").output_mode, wd,
+    )

@@ -35,6 +35,10 @@ INVARIANT_QUERIES = [
     # fire points must not move with the chunking
     "s_count_tumble_stream",
     "s_count_evictor_stream",
+    # chained stateful stages and multi-source min-watermark: closure
+    # rules depend only on full-data maxima, never on batch boundaries
+    "s_cascading_window_stream",
+    "s_union_stream",
 ]
 
 

@@ -163,3 +163,47 @@ def test_minhash_fp_rate_on_dissimilar_corpus(spark):
     cands = lsh.collect()
     assert len(cands) <= 1, f"candidate FP rate too high: {len(cands)}/3160"
     assert not [r for r in cands if r.est_jaccard >= 0.5]
+
+
+def test_kmeans_blas_assignment_agrees_with_exact(spark, sf_dir):
+    """The production BLAS assignment (mapInPandas, no explode) must
+    reproduce the oracled long-form assignment on the same centroids —
+    the exact/approximate pairing that certifies the 100 TB path."""
+    from pyspark.sql import functions as F
+
+    from flink_1_19_source_spark.operators import kmeans as km
+    from flink_1_19_source_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("xf").cast("double"), 6).alias("x"),
+    )
+    k = 4
+    cent = (
+        corpus.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cluster"), "dim", F.col("x").alias("c"))
+    )
+    exact = {
+        r.vec_id: r.cluster for r in km._assign(corpus, cent).collect()
+    }
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in cent.collect():
+        by_cluster.setdefault(r.cluster, {})[r.dim] = r.c
+    cmat = [
+        [dims[d] for d in sorted(dims)]
+        for _, dims in sorted(by_cluster.items())
+    ]
+    ev = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda v: F.round(v.cast("double"), 6)).alias("embedding"),
+    )
+    blas = {r.vec_id: r.cluster for r in km.assign_blas(ev, cmat).collect()}
+    assert set(blas) == set(exact)
+    diffs = {v for v in exact if exact[v] != blas[v]}
+    # quantized-exact vs float64-BLAS may differ only on near-ties
+    assert len(diffs) <= max(2, len(exact) // 200), sorted(diffs)[:5]
