@@ -27,3 +27,4 @@ from . import pipeline  # noqa: F401  (N6 + end-to-end N2/N4 pipelines)
 from . import feedback  # noqa: F401  (X8 iterate, W7 count windows)
 from . import windows2  # noqa: F401  (window top-n/dedup, cascading agg)
 from . import sources2  # noqa: F401  (S11 session-catalog surface)
+from . import streaming2  # noqa: F401  (retract-stream chained aggregation)

@@ -1,0 +1,115 @@
+"""Second wave of streaming coverage: retract-stream chaining (§1.3/§7.4).
+
+Flink's update/retract changelog lets stateful operators stack — SURVEY
+§1.3 and §7.4 declare "a second stateful operator consuming a retract
+stream" the engine's biggest semantic gap vs Flink. The queries here close
+it with the machinery in ``streaming/retract.py``: Spark's native
+update-mode streaming aggregate produces the level-1 upsert stream; a
+keyed mirror turns it into a true ``-U/+U`` retract stream
+(ChangelogNormalize); and the level-2 aggregate folds those retractions
+into a MERGE-backed state table — all set-based inside ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import jdbc as jdbc_mod
+from ..streaming import replay, retract, sinks
+from .streaming_queries import _events_stream, _stream_shuffle_partitions
+
+
+@register(
+    "s_chained_agg_retract",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT cnt, COUNT(*) AS n_users
+    FROM per_user
+    GROUP BY cnt
+    """,
+    survey="§7.4-retract X2 X4",
+    tags=("streaming",),
+)
+def s_chained_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming aggregation over a RETRACT stream — Flink's
+
+        SELECT cnt, COUNT(*) AS n_users
+        FROM (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+        GROUP BY cnt
+
+    where every level-1 update retracts its user from the old cnt bucket
+    (−1) and adds it to the new one (+1). Level 1 is Spark's NATIVE
+    update-mode streaming aggregate over the replayed event stream (real
+    checkpointed state, per-batch changed-key output). foreachBatch then:
+
+    1. joins the batch against a keyed mirror of previously emitted
+       (user_id, cnt) rows to synthesize the full ``-U/+U`` changelog
+       (ChangelogNormalize — ``retract.synthesize_retractions``);
+    2. folds the changelog into net per-cnt deltas and MERGEs them into
+       the level-2 state table, deleting buckets that reach zero
+       (``retract.DeltaAggState``);
+    3. MERGEs the batch into the mirror (last writer wins per user);
+    4. records the batch id in a ledger so failure-replays of a batch are
+       no-ops — delta folding is not idempotent, so the ledger, not the
+       MERGE, carries the exactly-once effect (X4).
+
+    Convergence is chunk-count-invariant: each micro-batch applies exact
+    ±1 deltas, so after the availableNow drain the level-2 table equals
+    the batch two-level aggregate for ANY replay chunking — which is the
+    DuckDB oracle above. Everything is set-based (two small joins + one
+    agg + one MERGE per batch, sized by batch churn, never history)."""
+    sdf, wd = _events_stream(spark, sf_dir, "s_chained_agg")
+    level1 = sdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    url = jdbc_mod.derby_url(os.path.join(wd, "derby"))
+    mirror = jdbc_mod.JdbcTableSource(url, "L1_MIRROR")
+    l2 = retract.DeltaAggState(
+        # VARCHAR pin: Spark's Derby dialect maps StringType → CLOB, which
+        # MERGE cannot compare against a literal
+        jdbc_mod.JdbcTableSource(
+            url, "L2_CNT_HIST", column_types={"_rowkind": "VARCHAR(8)"}
+        ),
+        "cnt",
+        "n_users",
+    )
+    ledger = retract.BatchLedger(jdbc_mod.JdbcTableSource(url, "L2_LEDGER"))
+    mirror.ensure_table(
+        spark.createDataFrame([], "user_id long, cnt long"), overwrite=True
+    )
+    l2.init(spark)
+    ledger.init(spark)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(spark, batch_id):
+            return  # failure-replayed batch: deltas already folded
+        batch_df = batch_df.persist()
+        try:
+            changelog = retract.synthesize_retractions(
+                batch_df, mirror.scan(spark), ["user_id"], ["cnt"]
+            )
+            l2.apply(changelog)
+            mirror.upsert(batch_df.select("user_id", "cnt"), pk_cols=["user_id"])
+            ledger.mark(spark, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    plan = sinks.plan_sink("chained_agg")  # update + keyed_merge (§7.4)
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            level1, fold, checkpoint_dir=ckpt, output_mode=plan.output_mode
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        l2.snapshot(spark)
+        .where(F.col("n_users") > 0)
+        .select("cnt", "n_users")
+    )

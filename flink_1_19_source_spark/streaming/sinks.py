@@ -54,6 +54,7 @@ SINK_PLANS: dict[str, SinkPlan] = {
     "cep_match": SinkPlan("append", "direct"),           # matches are final
     "count_window": SinkPlan("append", "direct"),        # count-trigger fires are final
     "cdc_apply": SinkPlan("update", "keyed_merge"),      # +I/+U/-D changelog
+    "chained_agg": SinkPlan("update", "keyed_merge"),    # agg over retract stream
     "late_side_output": SinkPlan("append", "direct"),    # two insert-only sides
 }
 

@@ -39,6 +39,9 @@ INVARIANT_QUERIES = [
     # rules depend only on full-data maxima, never on batch boundaries
     "s_cascading_window_stream",
     "s_union_stream",
+    # retract-stream chaining: ±1 delta folding must telescope to the
+    # same level-2 histogram for any micro-batch slicing
+    "s_chained_agg_retract",
 ]
 
 
