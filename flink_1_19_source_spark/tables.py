@@ -67,26 +67,60 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_ts_kind(path: str) -> str:
+    """Inspect the parquet footer (pyarrow metadata-only read — no data IO)
+    and classify the physical type of ``ts``. Testdata has shipped both
+    ``timestamp[ns]`` and ``timestamp[us]`` across rounds; branching on the
+    *actual* stored type instead of assuming one keeps every events query
+    alive when the generator changes (the round-3 suite-wide regression)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_int64(t):
+        return "int64_ns"
+    if pa.types.is_timestamp(t):
+        if t.tz is not None:
+            return "ts_tz"
+        return "ts_ns" if t.unit == "ns" else "ts_ntz"
+    return "other"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` so Catalyst keeps full
     pushdown freedom (column pruning, predicate pushdown, partition pruning
     on real partitioned layouts).
 
-    Nanosecond-precision parquet timestamps (events.ts) predate Spark's
-    supported types: read as int64 ns (legacy conf, runtime-settable) and
-    truncate to µs with *integer* division — ns epochs (~1.7e18) exceed
-    double's 2^53 exact range, so float division would corrupt timestamps.
-    DuckDB performs the same ns→µs truncation, keeping the oracle aligned.
+    ``events.ts`` is normalized to µs-precision ``TimestampType`` (UTC
+    session tz) whatever the file stores:
+
+    - ``timestamp[us/ms]`` (no tz) loads as TIMESTAMP_NTZ → plain cast
+      (session tz is UTC, so the instant is unchanged);
+    - ``timestamp[ns]`` / raw int64-ns → read as int64 via the legacy conf
+      and truncate with *integer* division — ns epochs (~1.7e18) exceed
+      double's 2^53 exact range, so float division would corrupt values.
+      DuckDB truncates ns→µs the same way, keeping the oracle aligned;
+    - tz-aware timestamps already load as TimestampType → no-op.
     """
     if name not in SPECS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = table_path(sf_dir, name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        kind = _events_ts_kind(path)
+        if kind in ("int64_ns", "ts_ns"):
+            # only this branch needs the legacy conf (runtime-settable)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        df = spark.read.parquet(path)
+        if kind == "ts_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
