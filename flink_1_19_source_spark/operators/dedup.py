@@ -49,10 +49,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_hashes(text: str, n: int) -> "np.ndarray":
-    """Distinct word n-gram shingles of one document, hashed to uint64 via
-    blake2b (deterministic across processes/executors). Mirrors
+    """Distinct word n-gram shingles of one document, hashed to a positive
+    63-bit int (deterministic across processes/executors). Mirrors
     `word_shingles` semantics: lowercase \\s+ tokens, n-grams joined by a
-    space, whole doc if fewer than n tokens."""
+    space, whole doc if fewer than n tokens.
+
+    The hash is the low 8 md5 digest bytes, little-endian, shifted right
+    one bit — bit-for-bit ``md5_number_lower(s) >> 1`` in DuckDB, which is
+    what lets the MinHash/SimHash queries carry full value-hash oracles
+    instead of rows-only checks."""
     import hashlib
 
     toks = text.lower().split()
@@ -62,13 +67,24 @@ def _shingle_hashes(text: str, n: int) -> "np.ndarray":
         shingles = {" ".join(toks)}
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            >> 1  # keep positive in signed int64
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little") >> 1
             for s in shingles
         ),
         dtype=np.int64,
         count=len(shingles),
     )
+
+
+def minhash_perms(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """The seeded affine-permutation coefficients (a, b) used by
+    `minhash_signatures`. Exposed so oracle generators can embed the same
+    constants as SQL literals."""
+    import random
+
+    rng = random.Random(seed)
+    pa = [rng.randrange(1, _MERSENNE) for _ in range(num_hashes)]
+    pb = [rng.randrange(0, _MERSENNE) for _ in range(num_hashes)]
+    return pa, pb
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -160,14 +176,12 @@ def minhash_signatures(
     higher-order functions. Permutation coefficients are seeded driver-side
     constants, identical on every executor. One narrow pass, no shuffle.
     """
-    import random
-
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    rng = random.Random(seed)
-    pa = np.array([rng.randrange(1, _MERSENNE) for _ in range(num_hashes)], dtype=np.int64)
-    pb = np.array([rng.randrange(0, _MERSENNE) for _ in range(num_hashes)], dtype=np.int64)
+    pa_l, pb_l = minhash_perms(num_hashes, seed)
+    pa = np.array(pa_l, dtype=np.int64)
+    pb = np.array(pb_l, dtype=np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def minsig(texts: pd.Series) -> pd.Series:

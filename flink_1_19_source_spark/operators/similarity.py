@@ -76,6 +76,18 @@ def cosine_topk(
     )
 
 
+def hyperplane_planes(dim: int, num_planes: int, seed: int) -> "np.ndarray":
+    """The seeded gaussian hyperplanes (P×D) used by
+    `hyperplane_signature_udf`. Exposed so oracle generators can embed the
+    identical coefficients as SQL literals."""
+    import random
+
+    rng = random.Random(seed)
+    return np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    )
+
+
 def hyperplane_signature_udf(dim: int, num_planes: int = 16, seed: int = 7):
     """Random-hyperplane LSH signature: bit i = sign(vec · r_i), packed
     into a long. Arrow-vectorized pandas UDF — the projection is one BLAS
@@ -83,15 +95,10 @@ def hyperplane_signature_udf(dim: int, num_planes: int = 16, seed: int = 7):
     equivalent interpreted higher-order-function expression (Catalyst does
     not codegen lambda expressions). Plane coefficients are seeded
     driver-side constants, identical on every executor."""
-    import random
-
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    rng = random.Random(seed)
-    planes = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-    )  # P×D
+    planes = hyperplane_planes(dim, num_planes, seed)  # P×D
     weights = np.left_shift(np.int64(1), np.arange(num_planes, dtype=np.int64))
 
     @pandas_udf(LongType())
@@ -119,7 +126,10 @@ def _centroid_assign_udf(centroids: "np.ndarray", nprobe: int):
         vn = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(vn == 0, 1.0, vn)
         sims = mat @ unit_centroids.T  # N×K
-        top = np.argsort(-sims, axis=1)[:, :nprobe]  # N×nprobe
+        # stable sort: exact similarity ties break toward the lower
+        # centroid id — the rule the DuckDB oracle encodes as ORDER BY
+        # sim DESC, cid ASC
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32") for row in top])
 
     return assign

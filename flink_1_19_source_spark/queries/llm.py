@@ -152,18 +152,106 @@ def n2_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("n2_minhash_lsh_pairs", survey="N2", tags=("approx",))
+# Shared oracle prefix: shingle → 63-bit hash, bit-exact with the pandas
+# UDF path (`operators/dedup._shingle_hashes`): DuckDB's
+# md5_number_lower(s) = little-endian low 8 md5 bytes, >> 1 keeps the
+# value positive in a signed long on both engines.
+_SHINGLE_HASH_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), hv AS (
+      SELECT doc_id,
+             CAST(md5_number_lower(unnest(shingles)) >> 1 AS BIGINT) AS h
+      FROM sh
+    )
+"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """Full MinHash+LSH recomputation in DuckDB: the seeded permutation
+    coefficients are embedded as literals (same generator as the Spark
+    side — `dedup.minhash_perms`), band buckets keyed on the raw slice
+    string (Spark compresses it through xxhash64; equal slices ⇒ equal
+    keys either way, so the candidate sets agree)."""
+    pa, pb = dedup.minhash_perms(num_hashes, seed)
+    rpb = num_hashes // bands
+    perms = ", ".join(
+        f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb))
+    )
+    return f"""
+    WITH {_SHINGLE_HASH_CTES},
+    perms(k, a, b) AS (VALUES {perms}),
+    sig AS (
+      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
+      FROM hv CROSS JOIN perms GROUP BY doc_id, k
+    ), bandkey AS (
+      SELECT doc_id, k // {rpb} AS band,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
+      FROM sig GROUP BY doc_id, k // {rpb}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS DOUBLE)
+             / {num_hashes} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+    GROUP BY c.id_a, c.id_b
+    """
+
+
+@register(
+    "n2_minhash_lsh_pairs",
+    oracle=_minhash_lsh_oracle(),
+    survey="N2",
+    tags=("approx",),
+)
 def n2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH candidate pairs — the 100 TB-scale near-dup
-    path (xxhash64 signatures are not reproducible in DuckDB → rows-only
-    here; recall vs n2_ngram_jaccard_pairs is asserted in tests)."""
+    path. Fully oracled: the md5-derived shingle hash and seeded affine
+    permutations are recomputed verbatim in DuckDB, so the driver
+    value-hash-checks signatures, banding AND the Jaccard estimate."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
 
 
-@register("n2_simhash_fingerprints", survey="N2", tags=("approx",))
+_SIMHASH_ORACLE = f"""
+    WITH {_SHINGLE_HASH_CTES},
+    bits AS (
+      SELECT doc_id, t.b, SUM((h >> t.b) & 1) AS ones, COUNT(*) AS n
+      FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS b FROM range(63)) t
+      GROUP BY doc_id, t.b
+    )
+    SELECT doc_id AS id,
+           CAST(SUM(CASE WHEN 2 * ones > n
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@register(
+    "n2_simhash_fingerprints",
+    oracle=_SIMHASH_ORACLE,
+    survey="N2",
+    tags=("approx",),
+)
 def n2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64-seeded)."""
+    """64-bit SimHash per document. Fully oracled: DuckDB recomputes the
+    per-bit majority votes over the identical md5-derived shingle hashes
+    (bit 63 left clear on both sides, so the long stays positive)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash(d, "doc_id", "text", n=3)
 
@@ -290,14 +378,54 @@ def n3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, q, k=5)
 
 
-@register("n3_ivf_topk", survey="N3", tags=("approx",))
+_IVF_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+      FROM v WHERE vec_id < 16
+    ), assign AS (
+      SELECT vn.vec_id, cn.cid,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM vn CROSS JOIN cn
+    ), corpus_list AS (
+      SELECT vec_id AS neighbor_id, cid AS list_id FROM assign WHERE rk = 1
+    ), q_list AS (
+      SELECT vec_id AS query_id, cid AS list_id
+      FROM assign WHERE vec_id < 8 AND rk <= 3
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM q_list q JOIN corpus_list c ON q.list_id = c.list_id
+      WHERE q.query_id <> c.neighbor_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9) AS cosine_sim
+      FROM cand
+      JOIN vn a ON a.vec_id = cand.query_id
+      JOIN vn b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("n3_ivf_topk", oracle=_IVF_ORACLE, survey="N3", tags=("approx",))
 def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-5: corpus partitioned into 16 inverted lists
     by nearest coarse centroid, queries probe their 3 nearest lists, exact
-    cosine re-rank inside (rows-only: numpy codebook math isn't
-    reproducible in DuckDB; recall vs n3_cosine_topk in tests). The
-    codebook is the first 16 corpus vectors — deterministic; production
-    trains one offline."""
+    cosine re-rank inside. The codebook is the first 16 corpus vectors
+    (deterministic — production trains one offline), which lets the DuckDB
+    oracle rebuild the identical codebook from the data and replay the
+    whole assign→probe→re-rank pipeline (similarity ties break toward the
+    lower centroid id on both engines: stable argsort ↔ ORDER BY cid)."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -309,10 +437,56 @@ def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, centroids, k=5, nprobe=3)
 
 
-@register("n3_lsh_topk", survey="N3", tags=("approx",))
+def _lsh_topk_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4,
+                     seed: int = 7) -> str:
+    """Hyperplane-LSH recomputation in DuckDB: the seeded gaussian planes
+    (identical generator as `similarity.hyperplane_planes`) are embedded
+    as full-precision literals; band keys are rebuilt from the sign bits
+    exactly as the packed-long bit math does on the Spark side."""
+    import numpy as np  # noqa: F401  (planes come back as ndarray)
+
+    planes = similarity.hyperplane_planes(dim, num_planes, seed)
+    bpb = num_planes // bands
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(x) for x in row))
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), planes(p, w) AS (VALUES {rows}),
+    bandkey AS (
+      SELECT vec_id, p // {bpb} AS band,
+             CAST(SUM(CASE WHEN list_dot_product(v.e, planes.w) >= 0
+                           THEN (1 << (p % {bpb})) ELSE 0 END) AS BIGINT) AS key
+      FROM v CROSS JOIN planes GROUP BY vec_id, p // {bpb}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bandkey q JOIN bandkey c ON q.band = c.band AND q.key = c.key
+      WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9) AS cosine_sim
+      FROM cand
+      JOIN vn a ON a.vec_id = cand.query_id
+      JOIN vn b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("n3_lsh_topk", oracle=_lsh_topk_oracle(), survey="N3", tags=("approx",))
 def n3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-5 (rows-only: seeded gaussian
-    hyperplanes are plan constants; recall vs n3_cosine_topk in tests)."""
+    """Hyperplane-LSH bucketed ANN top-5. Fully oracled: the seeded
+    hyperplanes are plan constants on both engines, so DuckDB replays
+    signature → banding → candidate join → exact re-rank end to end."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.lsh_topk(e, q, dim=64, k=5, num_planes=16, bands=4)
