@@ -1,0 +1,302 @@
+"""Kafka-shaped source/sink coverage (SURVEY §2.1 S6, §2.9 X1-idleness).
+
+The broker-less S6 gap closed the honest way: `sources/kafka_like.FileTopic`
+implements the Kafka *contract* (keyed partitioning, per-partition monotone
+offsets, the exact wire schema, offset-range bounded reads, segment-ordered
+streaming consumption) on files, and these queries drive it end to end —
+produce → consume → decode → aggregate — with full DuckDB oracles.
+
+The oracle trick: queries pass an SQL-expressible partitioner
+(``user_id % 4`` — documented stand-in for the default hash partitioner)
+and a total within-partition order (ts, event_id), so partition assignment,
+offset sequences AND the JSON payload round-trip are all value-hash-checked.
+
+``s_kafka_idle_partition`` is the X1 idleness showcase: one partition stops
+producing halfway through the stream; the per-partition min-combine
+watermark (streaming/partition_watermark.py) would freeze at that
+partition's last event — the event-time idleness gap expels it from the
+min, letting every window close. The oracle encodes the active-set rule
+directly in SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from ..sources.kafka_like import FileTopic, decode_json_value
+from ..streaming.partition_watermark import PartitionWatermarkTracker
+from ..tables import load_table
+from .streaming_queries import _work_dir, _stream_shuffle_partitions
+
+_PAYLOAD = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_P = 4  # topic partitions
+
+
+def _events_topic(
+    spark: SparkSession, sf_dir: str, name: str, epochs: int = 1,
+    exclude=None,
+) -> FileTopic:
+    """Idempotently produce the events table into a file topic (partition =
+    user_id % 4, within-partition order (ts, event_id)); ``epochs`` time-
+    slices the produce into that many segment generations so a streaming
+    consume replays multiple micro-batches."""
+    wd = _work_dir(sf_dir, name)
+    t = FileTopic(wd, "events_topic", num_partitions=_P)
+    if os.path.isdir(t.dir) and os.listdir(t.dir):
+        return t  # produced on a previous run — offsets must not re-append
+    e = load_table(spark, sf_dir, "events")
+    if exclude is not None:
+        e = e.filter(~exclude(e))
+    part = F.pmod(F.col("user_id"), F.lit(_P)).cast("int")
+    if epochs == 1:
+        t.produce(e, "user_id", ["event_id", "event_type", "value"], "ts",
+                  epoch=0, partition_expr=part, order_cols=["ts", "event_id"])
+        return t
+    # time-sliced epochs: ntile over the same total order that fixes
+    # offsets, so offsets stay monotone with epoch generation
+    from pyspark.sql.window import Window
+
+    sliced = e.withColumn(
+        "__epoch", F.ntile(epochs).over(Window.orderBy("ts", "event_id"))
+    )
+    for ep in range(1, epochs + 1):
+        t.produce(
+            sliced.filter(F.col("__epoch") == ep).drop("__epoch"),
+            "user_id", ["event_id", "event_type", "value"], "ts",
+            epoch=ep - 1, partition_expr=part, order_cols=["ts", "event_id"],
+        )
+    return t
+
+
+_ROUNDTRIP_DECODE = """
+      SELECT CAST(user_id % 4 AS INTEGER) AS partition,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4
+                                ORDER BY ts, event_id) - 1 AS "offset",
+             user_id, event_id, event_type, value, ts
+      FROM events
+"""
+
+
+@register(
+    "src_kafka_roundtrip",
+    oracle=f"""
+    WITH log AS ({_ROUNDTRIP_DECODE})
+    SELECT partition, "offset", user_id, event_id, event_type, value, ts
+    FROM log
+    """,
+    survey="S6",
+)
+def src_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Produce→consume round-trip through the file topic: the oracle
+    recomputes partition assignment (user_id % 4), the per-partition
+    offset sequence and the JSON payload — so the whole produce path
+    (keyed partitioning, monotone offsets, value encoding) is
+    value-hash-certified, not just row-counted."""
+    t = _events_topic(spark, sf_dir, "src_kafka_roundtrip")
+    raw = t.read_batch(spark)
+    return decode_json_value(raw, _PAYLOAD).select(
+        "partition",
+        "offset",
+        F.col("key").cast("long").alias("user_id"),
+        "event_id",
+        "event_type",
+        "value",
+        F.col("timestamp").alias("ts"),
+    )
+
+
+@register(
+    "src_kafka_offset_scan",
+    oracle=f"""
+    WITH log AS ({_ROUNDTRIP_DECODE})
+    SELECT partition, "offset", event_id, event_type, value
+    FROM log WHERE "offset" >= 10 AND "offset" < 60
+    """,
+    survey="S6",
+)
+def src_kafka_offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded consume with per-partition offset ranges (Kafka's
+    startingOffsets/endingOffsets): offsets [10, 60) of every partition.
+    The range predicates are plain (partition, offset) comparisons that
+    push into the parquet scan — row-group pruning standing in for the
+    broker's offset index."""
+    t = _events_topic(spark, sf_dir, "src_kafka_roundtrip")
+    raw = t.read_batch(
+        spark,
+        starting_offsets={k: 10 for k in range(_P)},
+        ending_offsets={k: 60 for k in range(_P)},
+    )
+    return decode_json_value(raw, _PAYLOAD).select(
+        "partition", "offset", "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "s_kafka_tumble_stream",
+    oracle="""
+    WITH closed AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             <= (SELECT wm FROM closed)
+    """,
+    survey="S6 W1-S X1",
+    tags=("streaming",),
+)
+def s_kafka_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consume from the file topic (4 segment epochs, 2 per
+    trigger), JSON-decode, tumbling 1 h aggregation in append mode — the
+    standard Kafka→window pipeline, emitting exactly the windows the
+    final watermark closed."""
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+
+    t = _events_topic(spark, sf_dir, "s_kafka_tumble", epochs=4)
+    raw = t.read_stream(spark, files_per_trigger=2 * _P)  # 2 epochs/trigger
+    decoded = decode_json_value(raw, _PAYLOAD)
+    agg = (
+        decoded.withWatermark("timestamp", "10 minutes")
+        .groupBy(F.window("timestamp", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tdec"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.round(F.col("tdec").cast("double"), 6).alias("total"),
+        )
+    )
+    wd = _work_dir(sf_dir, "s_kafka_tumble")
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_available_now(agg, "s_kafka_tumble_q", "append", ckpt)
+    out = spark.table("s_kafka_tumble_q")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@register(
+    "s_kafka_idle_partition",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(ts) AS lo,
+             CAST(FLOOR(date_diff('second', MIN(ts), MAX(ts)) / 2) AS BIGINT)
+               AS half_s,
+             CAST(FLOOR(date_diff('second', MIN(ts), MAX(ts)) / 4) AS BIGINT)
+               AS gap_s
+      FROM events
+    ), src AS (
+      SELECT e.* , CAST(user_id % 4 AS INTEGER) AS partition
+      FROM events e, bounds b
+      WHERE NOT (user_id % 4 = 3 AND ts >= b.lo + to_seconds(b.half_s))
+    ), pm AS (
+      SELECT partition, MAX(ts) AS pmax FROM src GROUP BY partition
+    ), wm AS (
+      SELECT MIN(pmax) - INTERVAL 10 MINUTE AS w
+      FROM pm, (SELECT MAX(pmax) AS gmax FROM pm) g, bounds b
+      WHERE date_diff('second', pmax, gmax) <= b.gap_s
+    )
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM src
+    GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             <= (SELECT w FROM wm)
+    """,
+    survey="S6 X1",
+    tags=("streaming",),
+)
+def s_kafka_idle_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 idleness, observable end to end: partition 3 stops producing at
+    the stream's halfway point. The per-partition min-combine watermark
+    (Flink's propagation rule) would freeze at partition 3's last event
+    and close only the first half's windows; the event-time idleness gap
+    (range/4 — the deterministic analogue of Flink's wall-clock
+    withIdleness) expels the stalled partition from the min, so the
+    combined watermark advances with the live partitions and every
+    closable window emits. The oracle recomputes the active-set rule in
+    SQL; a unit test asserts the no-idleness tracker really would have
+    frozen (the two configurations provably differ)."""
+    import datetime as dt
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+
+    # deterministic halfway cutoff / idleness gap in whole seconds
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .first()
+    )
+    half = dt.timedelta(seconds=int((hi - lo).total_seconds() // 2))
+    gap = dt.timedelta(seconds=int((hi - lo).total_seconds() // 4))
+    cutoff = lo + half
+
+    t = _events_topic(
+        spark, sf_dir, "s_kafka_idle", epochs=4,
+        exclude=lambda e: (F.pmod(F.col("user_id"), F.lit(_P)) == 3)
+        & (F.col("ts") >= F.lit(cutoff)),
+    )
+    raw = t.read_stream(spark, files_per_trigger=2 * _P)
+    tracker = PartitionWatermarkTracker(
+        delay=dt.timedelta(minutes=10), idle_gap=gap
+    )
+    wd = _work_dir(sf_dir, "s_kafka_idle")
+    out_dir = os.path.join(wd, f"out-{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tracker.observe(batch_df)  # P-row aggregate; rows stay distributed
+        batch_df.write.mode("append").parquet(out_dir)
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(raw, sink, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    wm = tracker.combined()
+    consumed = decode_json_value(spark.read.parquet(out_dir), _PAYLOAD)
+    return (
+        consumed.groupBy(
+            F.window("timestamp", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("tdec"),
+        )
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.round(F.col("tdec").cast("double"), 6).alias("total"),
+        )
+    )

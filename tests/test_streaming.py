@@ -379,6 +379,7 @@ _EXPECTED_PLANS = {
     "count_window": ("append", "direct"),
     "cdc_apply": ("update", "keyed_merge"),
     "late_side_output": ("append", "direct"),
+    "chained_agg": ("update", "keyed_merge"),
 }
 
 

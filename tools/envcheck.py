@@ -67,6 +67,15 @@ def check_env(spark=None, sf_dirs: list[str] | None = None) -> list[str]:
     if tz != "UTC":
         problems.append(f"session timeZone is {tz!r}, expected UTC")
 
+    # with SPARK_HOME set, the JVM (and worker-side python files) come from
+    # that install, not pip — a version skew between the two is the kind of
+    # silent split that costs a round
+    if spark.version != pyspark.__version__:
+        problems.append(
+            f"JVM spark {spark.version} != driver pyspark "
+            f"{pyspark.__version__} (SPARK_HOME={os.environ.get('SPARK_HOME')})"
+        )
+
     if own_session:
         spark.stop()
     return problems
