@@ -75,13 +75,55 @@ def register_shims(spark: SparkSession) -> None:
     spark.conf.set(f"spark.{_REGISTERED_FLAG}", "yes")
 
 
-def translate(query: str) -> str:
-    """Rewrite aliased Flink function names to their Spark names."""
+#: session conf key the streaming layer publishes its combined watermark
+#: under (streaming/partition_watermark.PartitionWatermarkTracker.publish)
+WATERMARK_CONF = "spark.sg.currentWatermark"
+
+_SIMILAR_RE = re.compile(
+    r"(\bNOT\s+)?\bSIMILAR\s+TO\s+'([^']*)'", flags=re.IGNORECASE
+)
+
+_CURRENT_WM_RE = re.compile(r"\bCURRENT_WATERMARK\s*\([^)]*\)", flags=re.IGNORECASE)
+
+
+def _rewrite_similar_to(query: str) -> str:
+    """``x [NOT] SIMILAR TO '<literal>'`` → ``x [NOT] RLIKE '^(?:rx)$'``
+    with the SQL:2016→regex translation from functions/similar_to.py.
+    Literal patterns only (the documented dialect subset); RLIKE keeps the
+    preceding operand expression untouched, so no operand parsing needed."""
+    from .similar_to import similar_to_regex
+
+    def sub(m: re.Match) -> str:
+        neg = "NOT " if m.group(1) else ""
+        rx = similar_to_regex(m.group(2)).replace("\\", "\\\\").replace("'", "''")
+        return f"{neg}RLIKE '^(?:{rx})$'"
+
+    return _SIMILAR_RE.sub(sub, query)
+
+
+def _rewrite_current_watermark(query: str, spark: SparkSession | None) -> str:
+    """``CURRENT_WATERMARK(rowtime)`` → the session's published combined
+    watermark as a timestamp literal (NULL before any watermark exists —
+    Flink's contract for a fresh pipeline). Statement-time evaluation: the
+    right granularity for the micro-batch surface, where the watermark is
+    constant within a batch."""
+    if spark is None or not _CURRENT_WM_RE.search(query):
+        return query
+    wm = spark.conf.get(WATERMARK_CONF, None)
+    lit = f"TIMESTAMP'{wm}'" if wm else "CAST(NULL AS TIMESTAMP)"
+    return _CURRENT_WM_RE.sub(lit, query)
+
+
+def translate(query: str, spark: SparkSession | None = None) -> str:
+    """Rewrite the Flink dialect onto Spark SQL: name aliases, SIMILAR TO,
+    CURRENT_WATERMARK."""
     out = query
     for flink_name, spark_name in NAME_ALIASES.items():
         out = re.sub(
             rf"\b{flink_name}\s*\(", f"{spark_name}(", out, flags=re.IGNORECASE
         )
+    out = _rewrite_similar_to(out)
+    out = _rewrite_current_watermark(out, spark)
     return out
 
 
@@ -89,4 +131,4 @@ def flink_sql(spark: SparkSession, query: str) -> DataFrame:
     """Execute Flink-flavored SQL: alias-translate, ensure shims, run.
     Tables must already be registered as views (tables.register_views)."""
     register_shims(spark)
-    return spark.sql(translate(query))
+    return spark.sql(translate(query, spark))

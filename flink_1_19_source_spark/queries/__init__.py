@@ -33,6 +33,7 @@ from . import windows2  # noqa: F401  (window top-n/dedup, cascading agg)
 from . import sources2  # noqa: F401  (S11 session-catalog surface)
 from . import streaming2  # noqa: F401  (retract-stream chained aggregation)
 from . import kafka_queries  # noqa: F401  (S6 file-topic contract, X1 idleness)
+from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 
 from ..registry import REGISTRY
 

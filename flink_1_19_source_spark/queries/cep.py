@@ -43,24 +43,21 @@ _SYMBOLS = {"signup": "A", "click": "B", "view": "B", "purchase": "C"}
     survey="X5",
 )
 def x5_match_recognize_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MATCH_RECOGNIZE-lite: count of A B+ C matches per user + longest
-    match length (pattern engine: operators/cep.py NFA scan)."""
+    """MATCH_RECOGNIZE, aggregate form: count of A B+ C matches per user +
+    longest match length — the Catalyst fast path (JVM regex over the
+    sorted per-key symbol string; operators/cep.match_counts). The
+    span-returning NFA engine (match_recognize_lite) stays the general
+    operator; its agreement with this path is pinned by
+    tests/test_oracle.py + test_properties.py."""
     e = load_table(spark, sf_dir, "events")
-    matches = cep.match_recognize_lite(
+    return cep.match_counts(
         e,
         key_col="user_id",
         ts_col="ts",
         id_col="event_id",
         symbol=cep.classify(_SYMBOLS)(F.col("event_type")),
         pattern="AB+C",
-    )
-    return (
-        matches.groupBy(F.col("key").alias("user_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.max("n_rows").alias("longest_match"),
-        )
-    )
+    ).withColumnRenamed("key", "user_id")
 
 
 @register(

@@ -1,0 +1,177 @@
+"""Dialect closure queries (SURVEY §1.2 / §2.8 small documented gaps):
+SQL:2016 SIMILAR TO, the TIME type, CURRENT_WATERMARK().
+
+Each was listed in SURVEY §7.3 as a "small, documented gap" — closed here
+with full oracles:
+
+- **SIMILAR TO**: one translator (functions/similar_to.py) feeds BOTH
+  engines — Spark rlike with the anchored translation, DuckDB
+  regexp_full_match with the identical generated regex — so the oracle
+  certifies the translation itself.
+- **TIME**: Spark 4.1 ships a native TimeType behind
+  ``spark.sql.timeType.enabled`` (runtime-settable); Flink's TIME(p)
+  maps onto it directly. DuckDB has native TIME.
+- **CURRENT_WATERMARK(rowtime)**: the per-partition min-combine tracker
+  publishes its combined watermark to the session; the Flink-SQL layer
+  substitutes it at statement time (constant within a micro-batch — the
+  same granularity Flink guarantees within a firing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similar_to import similar_to_regex
+from ..registry import register
+from ..tables import load_table
+
+# one literal pattern table shared by the Spark query and the generated
+# oracle — the translation is computed ONCE and embedded on both sides
+_PATTERNS = {
+    "is_green": "%green%",
+    "econ_or_std": "(ECONOMY|STANDARD)%",
+    "brand_digit": "Brand#[0-9]{2}",
+    "word_pair": "% [a-m]%y %",
+    "anchored_dot": "%.%",  # SQL dialect: '.' is a LITERAL dot
+}
+
+
+def _similar_oracle() -> str:
+    cols = ",\n           ".join(
+        f"regexp_full_match(p_name, '{similar_to_regex(p)}') AS {alias}"
+        if alias != "econ_or_std" and alias != "brand_digit"
+        else (
+            f"regexp_full_match(p_type, '{similar_to_regex(p)}') AS {alias}"
+            if alias == "econ_or_std"
+            else f"regexp_full_match(p_brand, '{similar_to_regex(p)}') AS {alias}"
+        )
+        for alias, p in _PATTERNS.items()
+    )
+    return f"""
+    SELECT p_partkey,
+           {cols}
+    FROM part WHERE p_partkey <= 200
+    """
+
+
+@register(
+    "f_similar_to_family",
+    oracle=_similar_oracle(),
+    survey="2.8-comparison S12",
+)
+def f_similar_to_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 SIMILAR TO via the Flink-SQL dialect layer: the query text
+    uses literal SIMILAR TO syntax; functions/flink_sql.py rewrites it to
+    anchored RLIKE with the shared translation. The oracle runs DuckDB's
+    regexp_full_match over the SAME generated regexes, so wildcard
+    semantics (%/_ wildcards, regex |*+{} passthrough, '.' as literal)
+    are value-hash-certified."""
+    from ..functions.flink_sql import flink_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    sel = ",\n               ".join(
+        f"p_name SIMILAR TO '{p}' AS {alias}"
+        if alias not in ("econ_or_std", "brand_digit")
+        else (
+            f"p_type SIMILAR TO '{p}' AS {alias}"
+            if alias == "econ_or_std"
+            else f"p_brand SIMILAR TO '{p}' AS {alias}"
+        )
+        for alias, p in _PATTERNS.items()
+    )
+    return flink_sql(
+        spark,
+        f"""
+        SELECT p_partkey,
+               {sel}
+        FROM part WHERE p_partkey <= 200
+        """,
+    )
+
+
+@register(
+    "f_time_family",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ts AS TIME) AS VARCHAR) AS t_str,
+           EXTRACT(hour FROM CAST(ts AS TIME)) AS t_hour,
+           EXTRACT(minute FROM CAST(ts AS TIME)) AS t_min,
+           CAST(ts AS TIME) >= TIME '12:00:00' AS after_noon,
+           CAST(GREATEST(CAST(ts AS TIME), TIME '06:30:00') AS VARCHAR)
+             AS clamped
+    FROM events WHERE event_id < 500
+    """,
+    survey="2.8-temporal S12",
+)
+def f_time_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink TIME(p) on Spark 4.1's native TimeType (runtime-enabled):
+    time-of-day extraction from the event timestamp (Spark casts
+    STRING→TIME; the direct TIMESTAMP→TIME cast is not in 4.1, so the
+    formatted-string hop is the documented bridge), EXTRACT, comparison
+    against a TIME literal, GREATEST over times. Both engines trim
+    trailing fractional zeros the same way, so string output is
+    engine-neutral at full µs precision."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT event_id,
+                 CAST(date_format(ts, 'HH:mm:ss.SSSSSS') AS TIME(6)) AS tod
+          FROM events WHERE event_id < 500
+        )
+        SELECT event_id,
+               CAST(tod AS STRING) AS t_str,
+               EXTRACT(HOUR FROM tod) AS t_hour,
+               EXTRACT(MINUTE FROM tod) AS t_min,
+               tod >= TIME'12:00:00' AS after_noon,
+               CAST(GREATEST(tod, TIME'06:30:00') AS STRING) AS clamped
+        FROM t
+        """
+    )
+
+
+@register(
+    "sql_current_watermark",
+    oracle="""
+    WITH pm AS (
+      SELECT user_id % 4 AS p, MAX(ts) AS pmax FROM events GROUP BY 1
+    ), wm AS (SELECT MIN(pmax) - INTERVAL 10 MINUTE AS w FROM pm)
+    SELECT event_type, COUNT(*) AS n_on_time
+    FROM events WHERE ts <= (SELECT w FROM wm)
+    GROUP BY event_type
+    """,
+    survey="2.8-hash X1",
+)
+def sql_current_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENT_WATERMARK() surface (§2.8 hash/misc row — previously 'no
+    equivalent'): the per-partition tracker folds the events table (as 4
+    key-partitions), publishes min-combine − delay to the session, and the
+    Flink-SQL layer substitutes it where the query says
+    CURRENT_WATERMARK(ts). The oracle recomputes the same min-of-partition
+    maxima rule in SQL."""
+    import datetime as dt
+
+    from ..functions.flink_sql import flink_sql
+    from ..streaming.partition_watermark import PartitionWatermarkTracker
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "partition", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    tracker = PartitionWatermarkTracker(
+        delay=dt.timedelta(minutes=10), ts_col="ts"
+    )
+    tracker.observe(e)
+    tracker.publish(spark)
+    return flink_sql(
+        spark,
+        """
+        SELECT event_type, COUNT(*) AS n_on_time
+        FROM events WHERE ts <= CURRENT_WATERMARK(ts)
+        GROUP BY event_type
+        """,
+    )

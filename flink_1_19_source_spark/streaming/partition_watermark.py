@@ -71,6 +71,16 @@ class PartitionWatermarkTracker:
         ]
         return min(active) - self.delay
 
+    def publish(self, spark) -> None:
+        """Expose the combined watermark to SQL as ``CURRENT_WATERMARK()``
+        (functions/flink_sql.py reads this conf at translate time) — the
+        batch-boundary analogue of Flink's watermark-aware function."""
+        from ..functions.flink_sql import WATERMARK_CONF
+
+        wm = self.combined()
+        if wm is not None:
+            spark.conf.set(WATERMARK_CONF, wm.isoformat(sep=" "))
+
     # -- checkpointing ----------------------------------------------------
     def snapshot(self) -> dict[int, str]:
         return {p: v.isoformat() for p, v in self.part_max.items()}

@@ -1,0 +1,70 @@
+"""SIMILAR TO translation + CURRENT_WATERMARK surface tests."""
+
+import datetime as dt
+import re
+
+import pytest
+
+from flink_1_19_source_spark.functions.flink_sql import (
+    WATERMARK_CONF,
+    translate,
+)
+from flink_1_19_source_spark.functions.similar_to import similar_to_regex
+
+from .conftest import *  # noqa: F401,F403  (spark fixture)
+
+
+@pytest.mark.parametrize(
+    "pattern,text,matches",
+    [
+        ("%green%", "dark green metal", True),
+        ("%green%", "dark metal", False),
+        ("a_c", "abc", True),
+        ("a_c", "ac", False),
+        ("(ECONOMY|STANDARD)%", "STANDARD BRUSHED", True),
+        ("(ECONOMY|STANDARD)%", "PROMO BRUSHED", False),
+        ("Brand#[0-9]{2}", "Brand#13", True),
+        ("Brand#[0-9]{2}", "Brand#1", False),
+        # SQL dialect: '.' '^' '$' are literals, not regex specials
+        ("%.%", "end.", True),
+        ("%.%", "no dot", False),
+        ("^x$", "^x$", True),
+        ("^x$", "x", False),
+    ],
+)
+def test_similar_to_sql_semantics(pattern, text, matches):
+    rx = similar_to_regex(pattern)
+    assert bool(re.fullmatch(rx, text)) is matches
+
+
+def test_similar_to_unterminated_class_raises():
+    with pytest.raises(ValueError):
+        similar_to_regex("ab[cd")
+
+
+def test_translate_rewrites_similar_to():
+    out = translate("SELECT a SIMILAR TO '%x%' AS m, b NOT SIMILAR TO 'a_' AS n FROM t")
+    assert "SIMILAR" not in out.upper().replace("RLIKE", "")
+    assert "RLIKE '^(?:.*x.*)$'" in out
+    assert "NOT RLIKE '^(?:a.)$'" in out
+
+
+def test_translate_escapes_backslashes_for_sql_literal():
+    # '.' is a literal dot in SQL SIMILAR TO → regex \. → SQL text \\.
+    out = translate("SELECT a SIMILAR TO 'a.b' FROM t")
+    assert "RLIKE '^(?:a\\\\.b)$'" in out
+
+
+def test_current_watermark_substitution(spark):
+    spark.conf.set(WATERMARK_CONF, "2024-01-01 12:00:00")
+    out = translate("SELECT * FROM t WHERE ts <= CURRENT_WATERMARK(ts)", spark)
+    assert "TIMESTAMP'2024-01-01 12:00:00'" in out
+    assert spark.sql(
+        "SELECT " + translate("CURRENT_WATERMARK(ts)", spark) + " AS wm"
+    ).first().wm == dt.datetime(2024, 1, 1, 12)
+
+
+def test_current_watermark_null_when_unpublished(spark):
+    spark.conf.unset(WATERMARK_CONF)
+    out = translate("SELECT CURRENT_WATERMARK(ts) AS wm", spark)
+    assert "CAST(NULL AS TIMESTAMP)" in out

@@ -220,3 +220,36 @@ def test_assign_split_partitions_every_key(spark):
     assert set(counts) == set(fr)
     for label, frac in fr.items():
         assert abs(counts[label] / n - frac) < 0.04, (label, counts[label])
+
+
+def test_cep_fast_path_agrees_with_nfa_engine(spark, sf_dir):
+    """X5: the Catalyst aggregate fast path (match_counts — JVM regex over
+    the sorted symbol string) must agree with the span-returning NFA
+    engine (match_recognize_lite) on every key: same match counts, same
+    longest-match lengths."""
+    from pyspark.sql import functions as F
+
+    from flink_1_19_source_spark.operators import cep
+    from flink_1_19_source_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    sym = cep.classify(
+        {"signup": "A", "click": "B", "view": "B", "purchase": "C"}
+    )(F.col("event_type"))
+    fast = {
+        r.key: (r.n_matches, r.longest_match)
+        for r in cep.match_counts(
+            e, key_col="user_id", ts_col="ts", id_col="event_id",
+            symbol=sym, pattern="AB+C",
+        ).collect()
+    }
+    nfa = (
+        cep.match_recognize_lite(
+            e, key_col="user_id", ts_col="ts", id_col="event_id",
+            symbol=sym, pattern="AB+C",
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_rows").alias("longest"))
+    )
+    slow = {r.key: (r.n, r.longest) for r in nfa.collect()}
+    assert fast == slow and len(fast) > 0
