@@ -53,6 +53,9 @@ HEADLINE = [
     "w7_window_topn",
     "s_count_tumble_stream",
     "n2_dedup_end_to_end",
+    "src_kafka_roundtrip",
+    "s_kafka_idle_partition",
+    "f_similar_to_family",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

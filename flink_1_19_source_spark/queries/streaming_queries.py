@@ -301,19 +301,25 @@ def s_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_keep_last_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup keep-LAST per user_id via applyInPandasWithState
     (ValueState holding the latest row — not expressible with
-    dropDuplicates, which keeps first)."""
-    sdf, wd = _events_stream(spark, sf_dir, "s_keeplast")
-    sink = sinks.UpsertSink(pk_cols=["user_id"])
+    dropDuplicates, which keeps first). Materialized through the
+    distributed CoW MERGE sink (ParquetMergeSink) — no row ever touches
+    the driver."""
+    import shutil
     import uuid
 
+    sdf, wd = _events_stream(spark, sf_dir, "s_keeplast")
+    state = os.path.join(wd, f"merge-{uuid.uuid4().hex[:8]}")
+    sink = sinks.ParquetMergeSink(spark, state, pk_cols=["user_id"])
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(
             topn.streaming_keep_last(sdf), sink, checkpoint_dir=ckpt,
             output_mode=sinks.plan_sink("dedup_keep_last").output_mode,
         )
-    rows = [(d["user_id"], d["event_id"]) for d in sink.snapshot()]
-    return spark.createDataFrame(rows, "user_id long, event_id long")
+    out = sink.snapshot_df().select("user_id", "event_id").localCheckpoint()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
 
 
 @register(
@@ -387,9 +393,11 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "segment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sink = sinks.UpsertSink(pk_cols=["event_type", "segment"])
+    import shutil
     import uuid
 
+    state = os.path.join(wd, f"merge-{uuid.uuid4().hex[:8]}")
+    sink = sinks.ParquetMergeSink(spark, state, pk_cols=["event_type", "segment"])
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
     try:
         with _stream_shuffle_partitions(spark):
@@ -399,8 +407,10 @@ def s_broadcast_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         dim.unpersist()
-    rows = [(d["event_type"], d["segment"], d["n"]) for d in sink.snapshot()]
-    return spark.createDataFrame(rows, "event_type string, segment long, n long")
+    out = sink.snapshot_df().select("event_type", "segment", "n").localCheckpoint()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
 
 
 @register(

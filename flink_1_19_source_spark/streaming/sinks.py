@@ -69,13 +69,12 @@ def output_mode_for(shape: str) -> str:
 
 
 class UpsertSink:
-    """Driver-side keyed MERGE sink for tests/local runs.
-
-    Real deployments swap `_merge` for a transactional MERGE INTO (Delta/
-    Iceberg/JDBC); the contract is identical: per micro-batch, group by
-    primary key, last writer wins, '-D' deletes. foreachBatch gives the
-    (batch_df, batch_id) pair; replays of the same batch_id are no-ops,
-    which is what makes the sink effectively exactly-once."""
+    """Driver-side keyed MERGE sink for unit tests ONLY — collects each
+    batch, so it is a driver bottleneck by construction. Query code uses
+    the distributed siblings: ParquetMergeSink (CoW file merge, below) or
+    JDBC staging+MERGE (sources/jdbc.py). Contract is identical across
+    all three: per micro-batch, group by primary key, last writer wins,
+    '-D' deletes; replays of a batch_id are no-ops (exactly-once)."""
 
     def __init__(self, pk_cols: list[str], op_col: str | None = None):
         self.pk_cols = pk_cols
@@ -100,6 +99,97 @@ class UpsertSink:
     def snapshot(self) -> list[dict]:
         with self._lock:
             return list(self.rows.values())
+
+
+class ParquetMergeSink:
+    """Distributed keyed-MERGE sink: materializes an update/changelog
+    stream into a parquet-backed table with copy-on-write versions — the
+    Delta/Iceberg MERGE shape without the table format, and the
+    no-driver-rows replacement for the test-local UpsertSink.
+
+    Per micro-batch (all DataFrame ops, nothing collected):
+
+    1. anti-join the current version on the primary key (drop replaced
+       keys), 2. union the batch's surviving upserts ('-D' rows delete by
+       simply not being re-inserted), 3. write version ``v{batch_id}``,
+       4. flip the atomic pointer file.
+
+    Exactly-once: a replayed batch rebuilds ``v{batch_id}`` from the same
+    predecessor (the pointer names the base version, so the rewrite is
+    deterministic) and re-flips the pointer to the same value — idempotent.
+    At 100 TB the rewrite-everything CoW is the naive tier; swap step 3
+    for a real MERGE INTO (Delta/Iceberg file pruning, JDBC staging+MERGE
+    — sources/jdbc.py) and steps 1-2-4 disappear into it. The sink's
+    *interface* (foreachBatch + pk + op col) is already that contract.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        pk_cols: list[str],
+        op_col: str | None = None,
+    ):
+        import os
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.pk_cols = pk_cols
+        self.op_col = op_col
+        os.makedirs(state_dir, exist_ok=True)
+        self._ptr = os.path.join(state_dir, "_CURRENT")
+
+    def _current_path(self) -> str | None:
+        import os
+
+        if not os.path.exists(self._ptr):
+            return None
+        with open(self._ptr) as f:
+            p = f.read().strip()
+        return p or None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        cur_path = self._current_path()
+        # replay guard: pointer already at or past this batch → no-op
+        if cur_path and int(os.path.basename(cur_path)[1:]) >= batch_id:
+            return
+        batch = batch_df
+        if self.op_col is not None:
+            upserts = batch.filter(F.col(self.op_col) != "-D").drop(self.op_col)
+            deletes = batch.filter(F.col(self.op_col) == "-D").select(*self.pk_cols)
+        else:
+            upserts, deletes = batch, None
+        if cur_path:
+            cur = self.spark.read.parquet(os.path.join(self.state_dir, cur_path))
+            keys = batch.select(*self.pk_cols).dropDuplicates()
+            merged = cur.join(keys, self.pk_cols, "left_anti").unionByName(upserts)
+        else:
+            merged = upserts
+        if deletes is not None:
+            merged = merged.join(deletes, self.pk_cols, "left_anti")
+        vname = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.state_dir, vname))
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vname)
+        os.replace(tmp, self._ptr)
+        # retain current + predecessor (crash between write and flip can
+        # never orphan the committed base); prune older versions
+        import shutil
+
+        for d in os.listdir(self.state_dir):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id - 1:
+                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+
+    def snapshot_df(self) -> DataFrame:
+        cur = self._current_path()
+        if cur is None:
+            raise ValueError("ParquetMergeSink: no committed version yet")
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.state_dir, cur))
 
 
 #: debezium-ish op → Flink RowKind

@@ -116,3 +116,17 @@ def test_bfs_final_plan_is_checkpoint_bounded(spark, sf_dir):
     txt = audit.plan_text(df, "simple")
     assert "Scan ExistingRDD" in txt, txt  # checkpointed state, not lineage
     assert "SortMergeJoin" not in txt and "parquet" not in txt.lower(), txt
+
+
+def test_kafka_offset_scan_pushes_partition_offset_filters(spark, sf_dir):
+    """S6: the offset-range bounded consume must reach the parquet scan as
+    pushed filters on (partition, offset) — row-group pruning playing the
+    broker's offset index — and scan zero extra columns beyond the wire
+    schema."""
+    df = REGISTRY["src_kafka_offset_scan"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "PushedFilters" in txt, txt
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt).group(1)
+    assert "offset" in pushed and "partition" in pushed, pushed

@@ -424,3 +424,31 @@ def test_jdbc_upsert_applies_changelog_deletes(spark, work_dir):
     # idempotent replay of batch 2 (availableNow retry semantics)
     tgt.upsert(b2, ["id"], op_col="_rowkind")
     assert {r.id: r.val for r in tgt.scan(spark).collect()} == {1: 10.0, 3: 3.0}
+
+
+def test_parquet_merge_sink_upsert_delete_replay(spark, work_dir):
+    """Distributed CoW MERGE sink: upserts replace by pk, '-D' deletes,
+    and replaying a committed batch_id is a no-op (exactly-once)."""
+    import os
+
+    from flink_1_19_source_spark.streaming import sinks as sk
+
+    state = os.path.join(work_dir, "pms")
+    sink = sk.ParquetMergeSink(spark, state, pk_cols=["k"], op_col="op")
+    b0 = spark.createDataFrame(
+        [(1, "a", "+I"), (2, "b", "+I")], "k long, v string, op string"
+    )
+    sink(b0, 0)
+    assert {(r.k, r.v) for r in sink.snapshot_df().collect()} == {(1, "a"), (2, "b")}
+    b1 = spark.createDataFrame(
+        [(1, "a2", "+U"), (2, None, "-D"), (3, "c", "+I")],
+        "k long, v string, op string",
+    )
+    sink(b1, 1)
+    assert {(r.k, r.v) for r in sink.snapshot_df().collect()} == {(1, "a2"), (3, "c")}
+    # replay of batch 1 (e.g. post-crash availableNow restart): no-op
+    sink(b1, 1)
+    assert {(r.k, r.v) for r in sink.snapshot_df().collect()} == {(1, "a2"), (3, "c")}
+    # old versions pruned, current + predecessor retained
+    vs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert vs == ["v0", "v1"]
