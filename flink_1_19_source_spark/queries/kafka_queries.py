@@ -37,7 +37,11 @@ from ..registry import register
 from ..sources.kafka_like import FileTopic, decode_json_value
 from ..streaming.partition_watermark import PartitionWatermarkTracker
 from ..tables import load_table
-from .streaming_queries import _work_dir, _stream_shuffle_partitions
+from .streaming_queries import (
+    _events_stream,
+    _stream_shuffle_partitions,
+    _work_dir,
+)
 
 _PAYLOAD = StructType(
     [
@@ -198,6 +202,68 @@ def s_kafka_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay.run_available_now(agg, "s_kafka_tumble_q", "append", ckpt)
     out = spark.table("s_kafka_tumble_q")
     shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@register(
+    "s_upsert_kafka_compacted",
+    oracle="""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_id % 7 <> 0
+    """,
+    survey="S7 O7-S X6",
+    tags=("streaming",),
+)
+def s_upsert_kafka_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upsert-kafka (S7), both halves: the keyed keep-last update stream is
+    PRODUCED into a compacted file topic per micro-batch — keys whose
+    latest event_id is divisible by 7 emit a NULL-value tombstone (the
+    deterministic stand-in for a business delete) — and the topic is then
+    CONSUMED through log compaction: latest offset per key wins,
+    tombstones drop the key. This is Flink's upsert-kafka contract end to
+    end: changelog → keyed topic → compacted materialized view."""
+    import shutil
+    import uuid
+
+    from ..streaming import replay, topn
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_upsert_kafka")
+    run_root = os.path.join(wd, f"topic-{uuid.uuid4().hex[:8]}")
+    t = FileTopic(run_root, "user_latest", num_partitions=_P)
+
+    def produce_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t.produce(
+            batch_df,
+            "user_id",
+            ["event_id", "value"],
+            "ts",
+            epoch=batch_id,
+            partition_expr=F.pmod(F.col("user_id"), F.lit(_P)).cast("int"),
+            order_cols=["ts", "event_id"],
+            tombstone=F.col("event_id") % 7 == 0,
+        )
+
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            topn.streaming_keep_last(sdf), produce_batch,
+            checkpoint_dir=ckpt, output_mode="update",
+        )
+    from ..sources.kafka_like import decode_json_value as _dec
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    out = (
+        _dec(t.read_compacted(spark),
+             _ST([_SF("event_id", LongType()), _SF("value", DoubleType())]))
+        .select(F.col("key").cast("long").alias("user_id"), "event_id")
+        .localCheckpoint()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(run_root, ignore_errors=True)
     return out
 
 

@@ -89,12 +89,15 @@ class FileTopic:
         epoch: int = 0,
         partition_expr: Column | None = None,
         order_cols: list[str] | None = None,
+        tombstone: Column | None = None,
     ) -> None:
         """Append one segment generation. ``value`` is the JSON encoding of
         ``value_cols`` (the schema-on-read norm for Kafka payloads); offsets
         continue from each partition's current log-end offset; ``order_cols``
         fixes the within-partition append order (default: event time then
-        key — deterministic for replays/oracles).
+        key — deterministic for replays/oracles). Rows where ``tombstone``
+        is true are produced with a NULL value — Kafka's delete marker for
+        compacted topics (S7 upsert-kafka).
 
         Distributed end to end: the only driver work is the P-row log-end
         offset read and segment-file renames (metadata ops — the same work
@@ -110,6 +113,9 @@ class FileTopic:
             *[x for k in range(self.num_partitions) for x in (F.lit(k), F.lit(base.get(k, 0)))]
         )
         w = Window.partitionBy("partition").orderBy(*order_cols)
+        val = F.to_json(F.struct(*value_cols))
+        if tombstone is not None:
+            val = F.when(tombstone, F.lit(None).cast("string")).otherwise(val)
         out = (
             df.withColumn("partition", part)
             .withColumn(
@@ -118,7 +124,7 @@ class FileTopic:
             )
             .select(
                 F.col(key_col).cast("string").cast("binary").alias("key"),
-                F.to_json(F.struct(*value_cols)).cast("binary").alias("value"),
+                val.cast("binary").alias("value"),
                 F.lit(self.topic).alias("topic"),
                 F.col("partition"),
                 F.col("offset"),
@@ -191,6 +197,23 @@ class FileTopic:
                 cond = c if cond is None else cond | c
             df = df.filter(cond)
         return df
+
+    def read_compacted(self, spark: SparkSession) -> DataFrame:
+        """Log-compacted view (S7 upsert-kafka read side): the latest
+        record per key wins — per-key order is the per-partition offset
+        (keys live in exactly one partition, so offsets totally order each
+        key's history) — and NULL-value tombstones delete the key. One
+        shuffle on key; the same plan a compacted-topic consumer builds."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy(F.desc("offset"))
+        return (
+            spark.read.parquet(self.dir)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .filter(F.col("value").isNotNull())
+        )
 
     def read_stream(self, spark: SparkSession, files_per_trigger: int = 1) -> DataFrame:
         """Streaming consume: segment files arrive in epoch order (mtime-

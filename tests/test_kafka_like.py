@@ -116,3 +116,25 @@ def test_reproduce_epoch_is_idempotent(spark, tmp_path):
         os.remove(os.path.join(t.dir, f))
     t.produce(df, "k", ["x"], "ts", epoch=0, partition_expr=F.lit(0))
     assert t.read_batch(spark).count() == first
+
+
+def test_compacted_read_latest_wins_and_tombstone_deletes(spark, tmp_path):
+    """S7: log compaction — latest offset per key wins; a NULL-value
+    tombstone removes the key entirely."""
+    t = FileTopic(str(tmp_path), "t", num_partitions=2)
+    part = F.pmod(F.col("k"), F.lit(2)).cast("int")
+    t.produce(_mk_df(spark, [(1, "old", 0), (2, "keep", 1)]), "k", ["x"], "ts",
+              epoch=0, partition_expr=part)
+    t.produce(_mk_df(spark, [(1, "new", 2), (3, "dead", 3)]), "k", ["x"], "ts",
+              epoch=1, partition_expr=part,
+              tombstone=F.col("x") == "dead")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    got = {
+        r.key: r.x
+        for r in decode_json_value(
+            t.read_compacted(spark),
+            StructType([StructField("x", StringType())]),
+        ).collect()
+    }
+    assert got == {"1": "new", "2": "keep"}
