@@ -37,9 +37,10 @@ from pyspark.sql.window import Window
 _DEC = "decimal(27,6)"
 
 
-def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: quantized-exact squared L2, ties to
-    the lower cluster id."""
+def assign_topn(corpus: DataFrame, cent: DataFrame, n: int) -> DataFrame:
+    """The ``n`` nearest centroids per vector (quantized-exact squared L2,
+    ties to the lower cluster id): n=1 is Lloyd assignment, n>1 is the
+    IVF probe set. Returns (vec_id, cluster, rn)."""
     sq = F.round(
         (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 6
     ).cast(_DEC)
@@ -51,9 +52,14 @@ def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
     return (
         dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster")
+        .filter(F.col("rn") <= n)
+        .select("vec_id", "cluster", "rn")
     )
+
+
+def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (Lloyd assignment step)."""
+    return assign_topn(corpus, cent, 1).select("vec_id", "cluster")
 
 
 def _update(corpus: DataFrame, asg: DataFrame) -> DataFrame:
@@ -96,9 +102,10 @@ def kmeans_long(corpus_long: DataFrame, k: int, rounds: int) -> DataFrame:
     )
 
 
-def kmeans_oracle_sql(k: int, rounds: int, dims: int = 64) -> str:
-    """The DuckDB unrolling of the identical computation — generated, so
-    the round structure cannot drift from the engine's."""
+def kmeans_cte_sql(k: int, rounds: int, dims: int = 64) -> str:
+    """The DuckDB CTE chain unrolling the fit (``WITH corpus …,
+    cent{rounds} …``) — exposed so composed oracles (e.g. the trained-
+    codebook IVF) can build on the identical centroids."""
     parts = [
         f"""
     WITH corpus AS (
@@ -132,13 +139,18 @@ def kmeans_oracle_sql(k: int, rounds: int, dims: int = 64) -> str:
       FROM asg{r} a JOIN corpus ON corpus.vec_id = a.vec_id
       GROUP BY 1, 2
     )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def kmeans_oracle_sql(k: int, rounds: int, dims: int = 64) -> str:
+    """The DuckDB unrolling of the identical computation — generated, so
+    the round structure cannot drift from the engine's."""
+    return kmeans_cte_sql(k, rounds, dims) + f"""
     SELECT c.cluster, c.dim, c.c AS centroid, sz.cluster_size
     FROM cent{rounds} c
     JOIN (SELECT cluster, COUNT(*) AS cluster_size
           FROM asg{rounds} GROUP BY 1) sz ON sz.cluster = c.cluster
-    """)
-    return "".join(parts)
+    """
 
 
 def assign_blas(vectors: DataFrame, centroids: list[list[float]],

@@ -437,6 +437,122 @@ def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, centroids, k=5, nprobe=3)
 
 
+def _ivf_trained_oracle(k: int = 8, rounds: int = 2, nprobe: int = 2,
+                        topk: int = 5) -> str:
+    """Composed oracle: the generated k-means unrolling (bit-exact
+    quantized arithmetic) trains the codebook IN SQL, then the IVF
+    assign→probe→re-rank replays on top of it. Bucket formation uses the
+    same decimal-exact distance as the fit (no float ties), re-ranking
+    uses round-9 cosine like the other N3 oracles."""
+    from ..operators import kmeans as km
+
+    prefix = km.kmeans_cte_sql(k, rounds)
+    return f"""
+    {prefix}
+    , qdist AS (
+      SELECT corpus.vec_id, cent{rounds}.cluster,
+             CAST(SUM(CAST(ROUND((corpus.x - cent{rounds}.c)
+                                 * (corpus.x - cent{rounds}.c), 6)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS dist
+      FROM corpus JOIN cent{rounds} ON corpus.dim = cent{rounds}.dim
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM qdist
+    ), corpus_list AS (
+      SELECT vec_id AS neighbor_id, cluster AS list_id FROM ranked WHERE rn = 1
+    ), q_list AS (
+      SELECT vec_id AS query_id, cluster AS list_id
+      FROM ranked WHERE vec_id < 8 AND rn <= {nprobe}
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM q_list q JOIN corpus_list c ON q.list_id = c.list_id
+      WHERE q.query_id <> c.neighbor_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9) AS cosine_sim
+      FROM cand
+      JOIN vn a ON a.vec_id = cand.query_id
+      JOIN vn b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+
+
+@register(
+    "n3_ivf_trained_topk",
+    oracle=_ivf_trained_oracle(),
+    survey="N3 X8",
+    tags=("approx",),
+)
+def n3_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED codebook — the production answer to 'the
+    fixed-codebook IVF is a fixture': k-means (k=8, 2 Lloyd rounds,
+    operators/kmeans.py quantized-exact arithmetic) fits the coarse
+    centroids in-engine; corpus vectors land in their nearest trained
+    list; queries probe their 2 nearest lists; exact round-9 cosine
+    re-ranks inside. Fully oracled end to end — DuckDB re-trains the
+    identical codebook via the generated Lloyd unrolling and replays the
+    probe. At 100 TB the fit runs offline on a sample, assignment
+    becomes the BLAS ``assign_blas`` path, and list_id becomes the
+    table's partition key (scan pruning does the probing)."""
+    from ..operators import kmeans as km
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("xf").cast("double"), 6).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fit = km.kmeans_long(corpus, k=8, rounds=2)
+    cent = (
+        fit.select("cluster", "dim", F.col("centroid").alias("c"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    corpus_list = km.assign_topn(corpus, cent, 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("list_id")
+    )
+    q_list = (
+        km.assign_topn(corpus.filter(F.col("vec_id") < 8), cent, 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("cluster").alias("list_id"))
+    )
+    cand = (
+        corpus_list.join(F.broadcast(q_list), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    v = e.select("vec_id", similarity.as_double(F.col("embedding")).alias("ev"))
+    scored = (
+        cand.join(v.withColumnRenamed("vec_id", "query_id").withColumnRenamed("ev", "qv"), "query_id")
+        .join(v.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("ev", "nv"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(similarity.cosine(F.col("qv"), F.col("nv")), 9).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
 def _lsh_topk_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4,
                      seed: int = 7) -> str:
     """Hyperplane-LSH recomputation in DuckDB: the seeded gaussian planes
