@@ -1,0 +1,118 @@
+"""Engine-portable HyperLogLog (SURVEY §2.2 A9) — a distinct-count sketch
+whose every intermediate is integer-exact and identical across engines,
+so the estimate itself is value-hash oracle-able (unlike the built-in
+``approx_count_distinct``, whose HLL++ register layout is
+implementation-private).
+
+Construction (classic Flajolet HLL, b-bit bucketing):
+
+- 60-bit hash: first 15 hex chars of md5 — the same expression runs in
+  Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+  (``CAST('0x' || SUBSTRING(md5(x),1,15) AS BIGINT)``);
+- register index = low ``b`` bits; rho = leftmost-1 position of the
+  remaining ``F = 60 − b`` bit field, computed EXACTLY via the binary-
+  string length (``length(bin(w))`` — no float log2 boundary hazard);
+- the harmonic sum is kept as a scaled INTEGER: Σ 2^(F+1−M_j) with
+  empty registers contributing 2^(F+1); ≤ m·2^(F+1) ≤ 2^61 fits a
+  BIGINT, addition is associative, so any partitioning/order gives the
+  same total on both engines;
+- the only float ops are one multiply and one divide by exact values
+  (identical IEEE results), plus the small-range linear-counting branch
+  (m·ln(m/V) — ln may differ in the last ulp across libms, so the
+  estimate is rounded to 4 decimals).
+
+Scale shape: one narrow pass + a groupBy on the register index (≤ m rows
+cross the shuffle); sketches for different partitions/days merge by
+register max — the mergeable-rollup property that makes HLL the 100 TB
+distinct-count workhorse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: HLL bias-correction constant for m ≥ 128 registers, embedded as the
+#: SAME Python-repr literal in both engines' SQL.
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """One-row DataFrame: (m, v_empty, estimate) for the approximate
+    distinct count of ``col``. rsd ≈ 1.04/√m (b=8 → m=256 → ~6.5%)."""
+    m = 1 << b
+    fbits = 60 - b
+    scale = 1 << (fbits + 1)
+    h = f"CAST(conv(substring(md5(CAST({col} AS STRING)),1,15),16,10) AS BIGINT)"
+    pre = df.select(
+        F.expr(f"{h} & {m - 1}").alias("idx"),
+        F.expr(f"shiftright({h}, {b})").alias("w"),
+    ).select(
+        "idx",
+        F.when(F.col("w") == 0, F.lit(fbits + 1))
+        .otherwise(F.lit(fbits) + 1 - F.length(F.expr("bin(w)")))
+        .alias("rho"),
+    )
+    regs = pre.groupBy("idx").agg(F.max("rho").alias("mj"))
+    agg = regs.agg(
+        F.sum(F.expr(f"CAST(shiftleft(1L, {fbits} + 1 - mj) AS DECIMAL(38,0))")).alias(
+            "sum_present"
+        ),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_empty"),
+    )
+    total = (
+        F.col("sum_present").cast("double")
+        + F.col("v_empty").cast("double") * F.lit(float(scale))
+    )
+    e_raw = F.lit(_alpha(m) * m * m * scale) / total
+    estimate = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("v_empty").cast("long").alias("v_empty"),
+        F.round(estimate, 4).alias("estimate"),
+    )
+
+
+def hll_oracle_sql(table: str, col: str, b: int = 8) -> str:
+    """The DuckDB mirror — generated from the same constants so the two
+    engines cannot drift."""
+    m = 1 << b
+    fbits = 60 - b
+    scale = 1 << (fbits + 1)
+    alpha_num = _alpha(m) * m * m * scale
+    return f"""
+    WITH pre AS (
+      SELECT h & {m - 1} AS idx, h >> {b} AS w FROM (
+        SELECT CAST(CONCAT('0x', SUBSTRING(md5(CAST({col} AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM {table}
+      )
+    ), rho AS (
+      SELECT idx,
+             CASE WHEN w = 0 THEN {fbits + 1}
+                  ELSE {fbits} + 1 - LENGTH(bin(w)) END AS rho
+      FROM pre
+    ), regs AS (
+      SELECT idx, MAX(rho) AS mj FROM rho GROUP BY idx
+    ), agg AS (
+      SELECT SUM(CAST((1::BIGINT << ({fbits} + 1 - mj)) AS DECIMAL(38,0)))
+               AS sum_present,
+             {m} - COUNT(*) AS v_empty
+      FROM regs
+    )
+    SELECT {m} AS m,
+           CAST(v_empty AS BIGINT) AS v_empty,
+           ROUND(CASE WHEN ({alpha_num!r} / (CAST(sum_present AS DOUBLE)
+                             + CAST(v_empty AS DOUBLE) * {float(scale)!r}))
+                           <= {2.5 * m!r}
+                      AND v_empty > 0
+                      THEN {float(m)!r} * LN({float(m)!r} / v_empty)
+                      ELSE {alpha_num!r} / (CAST(sum_present AS DOUBLE)
+                             + CAST(v_empty AS DOUBLE) * {float(scale)!r})
+                 END, 4) AS estimate
+    FROM agg
+    """

@@ -246,6 +246,31 @@ def a9b_approx_distinct_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a9c_oracle() -> str:
+    from ..operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("lineitem", "l_orderkey", b=8)
+
+
+@register(
+    "a9c_hll_portable",
+    oracle=_a9c_oracle(),
+    survey="A9",
+)
+def a9c_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketches.py): unlike the
+    built-in HLL++ (whose estimate is implementation-private), every
+    register and the scaled harmonic sum are integer-exact and identical
+    across engines, so the ESTIMATE ITSELF is value-hash-certified —
+    DuckDB rebuilds the same 256 registers from the same md5-derived
+    hashes and lands on the same 4-decimal estimate. Mergeable by
+    register max — the 100 TB rollup property."""
+    from ..operators.sketches import hll_distinct
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct(l, "l_orderkey", b=8)
+
+
 @register(
     "a11_udaf_median",
     oracle="""

@@ -253,3 +253,26 @@ def test_cep_fast_path_agrees_with_nfa_engine(spark, sf_dir):
     )
     slow = {r.key: (r.n, r.longest) for r in nfa.collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_portable_hll_accuracy_and_merge(spark, sf_dir):
+    """A9 portable HLL: estimate within ~3·rsd of exact, and the sketch
+    is mergeable — union of two halves' registers gives the same estimate
+    as sketching the union (the rollup property)."""
+    from flink_1_19_source_spark.operators.sketches import hll_distinct
+    from flink_1_19_source_spark.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    est = hll_distinct(l, "l_orderkey", b=8).first().estimate
+    exact = l.select("l_orderkey").distinct().count()
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+    # mergeability: same estimate from the union of the halves' registers
+    whole = hll_distinct(l, "l_orderkey", b=8).first().estimate
+    both = hll_distinct(
+        l.filter(F.col("l_orderkey") % 2 == 0).unionByName(
+            l.filter(F.col("l_orderkey") % 2 != 0)
+        ),
+        "l_orderkey",
+        b=8,
+    ).first().estimate
+    assert whole == both
