@@ -437,18 +437,30 @@ def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     side output against a deterministic out-of-order replay (arrival order
     user_id,ts — so ts regresses at user boundaries). Returns the captured
     LATE rows; the oracle replays the same running-max rule in SQL."""
+    import shutil
     import uuid
 
     wd = _work_dir(sf_dir, "s_late")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["user_id", "ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     run_id = uuid.uuid4().hex[:8]
+    late_dir = os.path.join(wd, f"late-{run_id}")
+
+    # production writer shape: both sides stay DataFrames — the late side
+    # appends to its own sink, the on-time side would feed the main query
+    # (dropped here: this query RETURNS the side output)
+    def late_writer(df: DataFrame, batch_id: int) -> None:
+        df.select("event_id", "ts").write.mode("append").parquet(late_dir)
+
     cap = ops.LateDataCapture(
         "ts",
         delay_seconds=300,
         order_by=["user_id", "ts", "event_id"],
+        late_writer=late_writer,
+        on_time_writer=lambda df, batch_id: None,
         state_dir=os.path.join(wd, f"wm-{run_id}"),
     )
     ckpt = os.path.join(wd, f"ckpt-{run_id}")
@@ -457,8 +469,10 @@ def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
             sdf, cap, checkpoint_dir=ckpt,
             output_mode=sinks.plan_sink("late_side_output").output_mode,
         )
-    rows = [(r["event_id"], r["ts"]) for r in cap.late]
-    return spark.createDataFrame(rows or [], "event_id long, ts timestamp")
+    out = spark.read.parquet(late_dir).localCheckpoint()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(late_dir, ignore_errors=True)
+    return out
 
 
 @register(
