@@ -1,16 +1,16 @@
 """Importing this package registers every coverage query (SURVEY.md §2).
 
 WINDOW ORDER IS LOAD-BEARING: the driver certifies only the FIRST 50
-registry entries.  Import order seeds the registry, then ``_R04_WINDOW``
+registry entries.  Import order seeds the registry, then ``_R05_WINDOW``
 below reorders it explicitly so the certification window is an exact,
-named set rather than a module-prefix accident.  Round-4 window =
-43 never-certified queries (TPC-H classics, f_*2 families, UDTF/pandas
-UDF, N6 sampling, X8 iterate/k-means, W7 count windows, window
-top-n/dedup + new streams, catalog/compacted sources, retract chain)
-+ the 15 rows red in CORRECTNESS_r03 (w1-w6/sql_*/x5_*/X7 events-bug
-reds, now fixed; the four newly-oracled n2/n3 approximate ops), minus
-overflow parked for the r05 window.  See STATUS.md "driver
-certification window" for the per-round ledger.
+named set rather than a module-prefix accident.  Round-5 window =
+17 queries with no driver evidence yet (the 7 TPC-H classics parked
+out of the r04 window; the round-4 kafka file-topic, upsert-kafka and
+dialect-closure additions; the trained-codebook IVF; the portable HLL)
++ 33 re-certifications of the oldest-green r01-r02 rows (relational,
+aggregate, join, over-window blocks — last driver evidence two rounds
+old).  See STATUS.md "driver certification window" for the per-round
+ledger.
 """
 
 from . import windows  # noqa: F401
@@ -37,48 +37,45 @@ from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 
 from ..registry import REGISTRY
 
-# The exact round-4 certification window (first 50 registry entries).
-_R04_WINDOW = [
-    # never-certified: TPC-H classics (8 of 15; rest parked for r05)
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q13_customer_distribution", "q16_parts_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q21_waiting_orders",
-    # never-certified: relational2 (n4_tfidf already green r3 — excluded)
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "f_temporal2_family", "f_string2_family", "f_json2_family",
-    "skew_salted_agg", "o4b_range_frames", "n4_winnow_fingerprints",
-    # never-certified: UDTF / pandas-UDF surface (2.10)
-    "udtf_tokenize_lateral", "udf_scalar_pandas",
-    # never-certified: N6 sampling + end-to-end pipelines
-    "n6_stratified_sample", "n6_train_val_test_split",
-    "n2_dedup_end_to_end", "n4_quality_filter",
-    # never-certified: X8 iterate/k-means + W7 count windows
-    "x8_iterate_bfs", "x8_kmeans_embeddings",
-    "s_count_tumble_stream", "s_count_evictor_stream",
-    # never-certified: window top-n/dedup + r3 streams
-    "w7_window_topn", "w8_window_dedup", "s_cascading_window_stream",
-    "s_window_topn_stream", "s_union_stream", "s_session_native_stream",
-    # never-certified: S11 catalog + compacted write, §7.4 retract chain
-    "src_catalog_surface", "src_compacted_write", "s_chained_agg_retract",
-    # red in r03 (events ts bug, now fixed): W1-W6, S12, X5, X7
-    "w1_tumble", "w2_hop", "w3_cumulate", "w4_session",
-    "w5_tumble_offset", "w6_window_time",
-    "sql_flink_dialect", "sql_ddl_surface",
-    "x5_match_recognize_abc", "x5_adjacent_pair",
-    "s_broadcast_state_join",
-    # red in r03 (no_oracle, now oracled): MinHash/SimHash/IVF/LSH
-    "n2_minhash_lsh_pairs", "n2_simhash_fingerprints",
-    "n3_ivf_topk", "n3_lsh_topk",
+# The exact round-5 certification window (first 50 registry entries).
+_R05_WINDOW = [
+    # first driver evidence: TPC-H classics parked out of the r04 window
+    "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
+    "q14_promo_revenue", "q15_top_supplier", "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    # first driver evidence: S6/S7 kafka file-topic contract + X1 idleness
+    "src_kafka_roundtrip", "src_kafka_offset_scan",
+    "s_kafka_tumble_stream", "s_kafka_idle_partition",
+    "s_upsert_kafka_compacted",
+    # first driver evidence: S12 dialect closures (SIMILAR TO / TIME /
+    # CURRENT_WATERMARK)
+    "f_similar_to_family", "f_time_family", "sql_current_watermark",
+    # first driver evidence: trained-codebook IVF, portable HLL estimate
+    "n3_ivf_trained_topk", "a9c_hll_portable",
+    # re-certification: oldest-green r01-r02 rows (relational block)
+    "q1_pricing_summary", "r1_projection", "r2_filter_three_valued",
+    "r3_flatmap_tokens", "r4_unnest_posexplode", "r5_values_literal",
+    "r6_side_output_split", "r7_async_enrich",
+    # re-certification: oldest-green r01-r02 rows (aggregate block)
+    "a3_distinct_agg", "a4_grouping_sets", "a5_std_aggregates",
+    "a6_first_last_value", "a7_listagg", "a8_collect_multiset",
+    "a9_approx_count_distinct", "a11_udaf_median", "a12_udtaf_top2",
+    # re-certification: oldest-green r01-r02 rows (join block)
+    "j1_inner_equi", "j2_outer_joins", "j3_semi_join", "j3_anti_join",
+    "j4_theta_join", "j5_interval_join", "j6_asof_join",
+    "j7_lookup_broadcast", "j8_window_join", "j_bucketed_colocated",
+    # re-certification: oldest-green r01-r02 rows (over-window block)
+    "o1_rank_functions", "o2_lead_lag", "o3_first_last_over",
+    "o4_agg_over_frames", "o5_distribution_functions", "o6_topn_pattern",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R04_WINDOW) == 50, len(_R04_WINDOW)
-    missing = [n for n in _R04_WINDOW if n not in REGISTRY]
+    assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
+    missing = [n for n in _R05_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R04_WINDOW)}
-    ordered = {k: REGISTRY[k] for k in _R04_WINDOW}
+    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R05_WINDOW)}
+    ordered = {k: REGISTRY[k] for k in _R05_WINDOW}
     ordered.update(rest)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -108,7 +108,11 @@ class FileTopic:
             F.col(key_col)
         )
         order_cols = order_cols or [ts_col, key_col]
-        base = self.end_offsets(df.sparkSession)
+        # Replay safety: a re-produce of this epoch must not see the old
+        # generation's own rows in the log-end read (offsets would shift,
+        # breaking the dense-and-idempotent contract), so exclude them here
+        # and sweep any stale files for the epoch after the rename loop.
+        base = self.end_offsets(df.sparkSession, exclude_epoch=epoch)
         base_map = F.create_map(
             *[x for k in range(self.num_partitions) for x in (F.lit(k), F.lit(base.get(k, 0)))]
         )
@@ -150,18 +154,46 @@ class FileTopic:
             os.replace(os.path.join(tmp, fn), dst)
             os.utime(dst, (seg_mtime, seg_mtime))
             i += 1
+        # Sweep stale files from a previous generation of this epoch: if the
+        # rewrite produced fewer part files, the old tail would otherwise
+        # survive the renames and duplicate rows on replay.
+        for fn in self._epoch_files(epoch):
+            idx = int(fn.rsplit("-", 1)[1].split(".")[0])
+            if idx >= i:
+                os.remove(os.path.join(self.dir, fn))
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def _epoch_files(self, epoch: int) -> list[str]:
+        """Existing segment files of one produce epoch (basename list)."""
+        if not os.path.isdir(self.dir):
+            return []
+        prefix = f"seg-{epoch:04d}-"
+        return sorted(f for f in os.listdir(self.dir) if f.startswith(prefix))
+
     # -- consumers --------------------------------------------------------
-    def end_offsets(self, spark: SparkSession) -> dict[int, int]:
+    def end_offsets(
+        self, spark: SparkSession, exclude_epoch: int | None = None
+    ) -> dict[int, int]:
         """Per-partition log-end offsets (next offset to write) — a P-row
-        metadata aggregate, the analogue of ``listOffsets``."""
-        if not os.path.isdir(self.dir) or not os.listdir(self.dir):
+        metadata aggregate, the analogue of ``listOffsets``.
+
+        ``exclude_epoch`` drops that epoch's own segment files from the
+        read so a replayed produce re-derives the same base offsets as the
+        original attempt."""
+        if not os.path.isdir(self.dir):
+            return {}
+        skip = set(self._epoch_files(exclude_epoch)) if exclude_epoch is not None else set()
+        files = [
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".parquet") and f not in skip
+        ]
+        if not files:
             return {}
         rows = (
-            spark.read.parquet(self.dir)
+            spark.read.parquet(*files)
             .groupBy("partition")
             .agg(F.max("offset").alias("mx"))
             .collect()

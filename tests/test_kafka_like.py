@@ -104,18 +104,40 @@ def test_tracker_snapshot_restore():
 
 def test_reproduce_epoch_is_idempotent(spark, tmp_path):
     """Exactly-once produce: re-writing the same epoch replaces its segment
-    instead of duplicating rows (checkpoint-replay safety)."""
+    instead of duplicating or offset-shifting rows (checkpoint-replay
+    safety) — with NO manual cleanup: produce() itself must exclude the
+    old generation from the log-end read and sweep its stale files."""
     t = FileTopic(str(tmp_path), "t", num_partitions=1)
-    df = _mk_df(spark, [(1, "a", 0), (1, "b", 1)])
-    t.produce(df, "k", ["x"], "ts", epoch=0, partition_expr=F.lit(0))
-    first = t.read_batch(spark).count()
-    # replay of the same epoch (e.g. after a sink failure before commit):
-    # clear the segment's rows from the log-end view by overwriting epoch 0
-    seg_files = [f for f in os.listdir(t.dir) if f.startswith("seg-0000")]
-    for f in seg_files:
-        os.remove(os.path.join(t.dir, f))
-    t.produce(df, "k", ["x"], "ts", epoch=0, partition_expr=F.lit(0))
-    assert t.read_batch(spark).count() == first
+    base = _mk_df(spark, [(1, "a", 0), (1, "b", 1)])
+    t.produce(base, "k", ["x"], "ts", epoch=0, partition_expr=F.lit(0))
+    t.produce(base, "k", ["x"], "ts", epoch=1, partition_expr=F.lit(0))
+    rows_before = sorted(
+        (r["offset"], bytes(r["value"]).decode())
+        for r in t.read_batch(spark).collect()
+    )
+    # crash-replay of the LAST epoch (a foreachBatch retry): same batch id,
+    # same data — offsets must come out identical, no duplicates
+    t.produce(base, "k", ["x"], "ts", epoch=1, partition_expr=F.lit(0))
+    rows_after = sorted(
+        (r["offset"], bytes(r["value"]).decode())
+        for r in t.read_batch(spark).collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_reproduce_epoch_sweeps_stale_part_files(spark, tmp_path):
+    """A replay that yields fewer part files than the original generation
+    must remove the stale tail, not leave it duplicating rows."""
+    t = FileTopic(str(tmp_path), "t", num_partitions=2)
+    part = F.pmod(F.col("k"), F.lit(2)).cast("int")
+    both = _mk_df(spark, [(0, "p0", 0), (1, "p1", 1)])  # 2 partitions → 2 files
+    t.produce(both, "k", ["x"], "ts", epoch=0, partition_expr=part)
+    assert len([f for f in os.listdir(t.dir) if f.startswith("seg-0000")]) == 2
+    # replay writes only partition 0 → 1 non-empty part file
+    one = _mk_df(spark, [(0, "p0", 0)])
+    t.produce(one, "k", ["x"], "ts", epoch=0, partition_expr=part)
+    vals = sorted(bytes(r["value"]).decode() for r in t.read_batch(spark).collect())
+    assert vals == ['{"x":"p0"}'], vals
 
 
 def test_compacted_read_latest_wins_and_tombstone_deletes(spark, tmp_path):
