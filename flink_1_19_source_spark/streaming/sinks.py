@@ -103,24 +103,37 @@ class UpsertSink:
 
 class ParquetMergeSink:
     """Distributed keyed-MERGE sink: materializes an update/changelog
-    stream into a parquet-backed table with copy-on-write versions — the
-    Delta/Iceberg MERGE shape without the table format, and the
-    no-driver-rows replacement for the test-local UpsertSink.
+    stream into a hash-bucketed, parquet-backed table with copy-on-write
+    versions — the Delta/Iceberg MERGE shape without the table format, and
+    the no-driver-rows replacement for the test-local UpsertSink.
 
-    Per micro-batch (all DataFrame ops, nothing collected):
+    Per micro-batch (all DataFrame ops; only B-row bucket metadata and the
+    manifest touch the driver):
 
-    1. anti-join the current version on the primary key (drop replaced
-       keys), 2. union the batch's surviving upserts ('-D' rows delete by
-       simply not being re-inserted), 3. write version ``v{batch_id}``,
-       4. flip the atomic pointer file.
+    1. fold the batch to ONE row per primary key — last writer wins by
+       ``order_cols`` (or stable within-batch arrival order), so a
+       delete-then-reinsert changelog batch lands as the reinsert, matching
+       UpsertSink exactly;
+    2. compute the batch's touched buckets (``pmod(xxhash64(pk), B)``) —
+       a ≤B-row metadata aggregate;
+    3. for touched buckets only: anti-join that slice of the current
+       version on pk and union the surviving upserts (a key whose final op
+       is '-D' deletes by simply not being re-inserted);
+    4. write ``v{batch_id}/__bucket=K/`` partitions in ONE job;
+    5. atomically flip the ``_CURRENT`` manifest, which maps each bucket
+       to the version that last rewrote it.
+
+    Untouched buckets are never read or rewritten — per-batch cost is
+    O(batch ∪ touched-bucket state), not O(table). At 100 TB, ``B`` grows
+    to thousands so a bucket is a few GB; the remaining gap to a real
+    MERGE INTO (Delta/Iceberg) is file-level instead of bucket-level
+    pruning. The sink's *interface* (foreachBatch + pk + op col) is
+    already that contract.
 
     Exactly-once: a replayed batch rebuilds ``v{batch_id}`` from the same
-    predecessor (the pointer names the base version, so the rewrite is
-    deterministic) and re-flips the pointer to the same value — idempotent.
-    At 100 TB the rewrite-everything CoW is the naive tier; swap step 3
-    for a real MERGE INTO (Delta/Iceberg file pruning, JDBC staging+MERGE
-    — sources/jdbc.py) and steps 1-2-4 disappear into it. The sink's
-    *interface* (foreachBatch + pk + op col) is already that contract.
+    predecessor state (the manifest is flipped only after the write, so a
+    crash-replay re-derives it deterministically) and re-flips the
+    manifest to the same value — idempotent.
     """
 
     def __init__(
@@ -129,6 +142,8 @@ class ParquetMergeSink:
         state_dir: str,
         pk_cols: list[str],
         op_col: str | None = None,
+        num_buckets: int = 16,
+        order_cols: list[str] | None = None,
     ):
         import os
 
@@ -136,60 +151,122 @@ class ParquetMergeSink:
         self.state_dir = state_dir
         self.pk_cols = pk_cols
         self.op_col = op_col
+        self.num_buckets = num_buckets
+        # within-batch tiebreak for multiple ops on one key; None falls
+        # back to stable arrival order (monotonically_increasing_id)
+        self.order_cols = order_cols
         os.makedirs(state_dir, exist_ok=True)
         self._ptr = os.path.join(state_dir, "_CURRENT")
 
-    def _current_path(self) -> str | None:
+    def _manifest(self) -> dict | None:
+        import json
         import os
 
         if not os.path.exists(self._ptr):
             return None
         with open(self._ptr) as f:
-            p = f.read().strip()
-        return p or None
+            return json.load(f)
+
+    def _bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.pk_cols]), F.lit(self.num_buckets)
+        ).cast("int")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json
         import os
+        import shutil
 
-        cur_path = self._current_path()
-        # replay guard: pointer already at or past this batch → no-op
-        if cur_path and int(os.path.basename(cur_path)[1:]) >= batch_id:
+        from pyspark.sql.window import Window
+
+        man = self._manifest()
+        # replay guard: manifest already at or past this batch → no-op
+        if man is not None and man["batch"] >= batch_id:
             return
-        batch = batch_df
+        # 1. fold to one row per pk (last writer wins, like UpsertSink)
+        batch = batch_df.withColumn("__ord", F.monotonically_increasing_id())
+        order = (
+            [F.col(c).desc() for c in self.order_cols]
+            if self.order_cols
+            else [F.col("__ord").desc()]
+        )
+        w = Window.partitionBy(*self.pk_cols).orderBy(*order)
+        last = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__ord")
+            .localCheckpoint(eager=True)  # one fold, reused 3×
+        )
         if self.op_col is not None:
-            upserts = batch.filter(F.col(self.op_col) != "-D").drop(self.op_col)
-            deletes = batch.filter(F.col(self.op_col) == "-D").select(*self.pk_cols)
+            upserts = last.filter(F.col(self.op_col) != "-D").drop(self.op_col)
         else:
-            upserts, deletes = batch, None
-        if cur_path:
-            cur = self.spark.read.parquet(os.path.join(self.state_dir, cur_path))
-            keys = batch.select(*self.pk_cols).dropDuplicates()
+            upserts = last
+        keys = last.select(*self.pk_cols)  # incl. deleted keys
+        # 2. touched buckets (≤B-row metadata collect)
+        touched = sorted(
+            r["__b"]
+            for r in keys.select(self._bucket_expr().alias("__b")).distinct().collect()
+        )
+        buckets = dict(man["buckets"]) if man else {}
+        cur_paths = [
+            os.path.join(self.state_dir, buckets[str(k)], f"__bucket={k}")
+            for k in touched
+            if str(k) in buckets
+        ]
+        # 3. merge only the touched slice of the current version
+        if cur_paths:
+            cur = self.spark.read.parquet(*cur_paths)
             merged = cur.join(keys, self.pk_cols, "left_anti").unionByName(upserts)
         else:
             merged = upserts
-        if deletes is not None:
-            merged = merged.join(deletes, self.pk_cols, "left_anti")
+        # 4. one job writes every touched bucket as a partition of v{batch}
         vname = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.state_dir, vname))
+        vdir = os.path.join(self.state_dir, vname)
+        merged.withColumn("__bucket", self._bucket_expr()).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(vdir)
+        # 5. re-point touched buckets (a bucket emptied by deletes writes no
+        # partition dir — drop it from the manifest), flip atomically
+        for k in touched:
+            if os.path.isdir(os.path.join(vdir, f"__bucket={k}")):
+                buckets[str(k)] = vname
+            else:
+                buckets.pop(str(k), None)
+        manifest = {
+            "batch": batch_id,
+            "buckets": buckets,
+            "schema": upserts.schema.json(),
+        }
         tmp = self._ptr + ".tmp"
         with open(tmp, "w") as f:
-            f.write(vname)
+            json.dump(manifest, f)
         os.replace(tmp, self._ptr)
-        # retain current + predecessor (crash between write and flip can
-        # never orphan the committed base); prune older versions
-        import shutil
-
+        # prune versions no longer referenced by the manifest we just wrote
+        # or its predecessor (crash between write and flip never orphans
+        # the committed base)
+        keep = set(buckets.values()) | {vname}
+        if man:
+            keep |= set(man["buckets"].values())
         for d in os.listdir(self.state_dir):
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id - 1:
+            if d.startswith("v") and d[1:].isdigit() and d not in keep:
                 shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
     def snapshot_df(self) -> DataFrame:
-        cur = self._current_path()
-        if cur is None:
-            raise ValueError("ParquetMergeSink: no committed version yet")
         import os
 
-        return self.spark.read.parquet(os.path.join(self.state_dir, cur))
+        from pyspark.sql.types import StructType
+
+        man = self._manifest()
+        if man is None:
+            raise ValueError("ParquetMergeSink: no committed version yet")
+        paths = [
+            os.path.join(self.state_dir, v, f"__bucket={k}")
+            for k, v in man["buckets"].items()
+        ]
+        if not paths:
+            schema = StructType.fromJson(__import__("json").loads(man["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
 
 
 #: debezium-ish op → Flink RowKind

@@ -452,3 +452,54 @@ def test_parquet_merge_sink_upsert_delete_replay(spark, work_dir):
     # old versions pruned, current + predecessor retained
     vs = sorted(d for d in os.listdir(state) if d.startswith("v"))
     assert vs == ["v0", "v1"]
+
+
+def test_parquet_merge_sink_folds_batch_to_one_row_per_key(spark, work_dir):
+    """A real changelog batch can carry several ops for one key. The sink
+    must reduce to the FINAL op per key first (UpsertSink's collect-order
+    contract, done distributed): delete-then-reinsert keeps the reinsert;
+    multiple upserts keep only the last; insert-then-delete deletes."""
+    import os
+
+    from flink_1_19_source_spark.streaming import sinks as sk
+
+    state = os.path.join(work_dir, "pms_fold")
+    sink = sk.ParquetMergeSink(
+        spark, state, pk_cols=["k"], op_col="op", order_cols=["seq"]
+    )
+    b0 = spark.createDataFrame(
+        [
+            (1, "old", 0, "+I"), (1, None, 1, "-D"), (1, "reborn", 2, "+I"),
+            (2, "v1", 0, "+I"), (2, "v2", 1, "+U"), (2, "v3", 2, "+U"),
+            (3, "doomed", 0, "+I"), (3, None, 1, "-D"),
+        ],
+        "k long, v string, seq long, op string",
+    )
+    sink(b0, 0)
+    got = {(r.k, r.v) for r in sink.snapshot_df().collect()}
+    assert got == {(1, "reborn"), (2, "v3")}, got
+
+
+def test_parquet_merge_sink_incremental_batch_rewrites_only_touched_buckets(
+    spark, work_dir
+):
+    """Scale contract: per-batch cost is O(touched buckets), not O(table).
+    A 1-key update batch must write a strict subset of the bucket dirs and
+    leave untouched buckets pointing at their old version files."""
+    import os
+
+    from flink_1_19_source_spark.streaming import sinks as sk
+
+    state = os.path.join(work_dir, "pms_buckets")
+    sink = sk.ParquetMergeSink(spark, state, pk_cols=["k"], num_buckets=8)
+    b0 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k long, v string"
+    )
+    sink(b0, 0)
+    v0_buckets = {d for d in os.listdir(os.path.join(state, "v0")) if d.startswith("__bucket=")}
+    assert len(v0_buckets) == 8  # 64 keys cover all 8 buckets
+    sink(spark.createDataFrame([(7, "updated")], "k long, v string"), 1)
+    v1_buckets = {d for d in os.listdir(os.path.join(state, "v1")) if d.startswith("__bucket=")}
+    assert len(v1_buckets) == 1, v1_buckets  # one key → one bucket rewritten
+    got = {r.k: r.v for r in sink.snapshot_df().collect()}
+    assert len(got) == 64 and got[7] == "updated" and got[8] == "v8"
