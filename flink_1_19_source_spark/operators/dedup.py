@@ -205,6 +205,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    band_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + MinHash-estimated Jaccard.
 
@@ -212,6 +213,15 @@ def minhash_lsh_pairs(
     matches exactly. Implemented as: band-key = hash(band slice), explode
     to (band, key), self-join on it — each shuffle key is a band bucket,
     so work is proportional to bucket sizes, not corpus².
+
+    Skew guard: a degenerate corpus (thousands of boilerplate-identical
+    docs) puts them all in ONE band bucket, and that bucket's self-join
+    goes quadratic. ``band_bucket_cap`` drops buckets with more than cap
+    members before the join (mirroring ``stop_shingle_df_cap``) — the
+    members of an over-cap bucket still pair through their other, more
+    selective bands, so recall degrades gracefully while the worst-case
+    candidate count is bounded by buckets × cap². Default off: test
+    corpora are bounded; at 100 TB set a cap around 10³-10⁴.
 
     Output: (id_a, id_b, est_jaccard) for candidates, id_a < id_b.
     """
@@ -241,6 +251,16 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = sigs.select("id", "signature", F.explode(band_keys).alias("bk"))
+    if band_bucket_cap is not None:
+        # semi-join keyed on bk — the same shuffle key the self-join uses,
+        # so the cap pass adds no new partitioning
+        ok = (
+            buckets.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= band_bucket_cap)
+            .select("bk")
+        )
+        buckets = buckets.join(ok, "bk", "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -195,13 +195,21 @@ def lsh_topk(
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 7,
+    band_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates must share at least one of `bands`
     hyperplane-sign bands with the query, then exact cosine re-rank.
 
     At corpus scale the band join replaces the full cross product with
     bucket-local work; recall is tunable via num_planes/bands (verified
-    against cosine_topk in tests)."""
+    against cosine_topk in tests).
+
+    Skew guard: ``band_bucket_cap`` drops corpus-side band buckets with
+    more than cap members before the join — a boilerplate-dense corpus
+    otherwise concentrates in one bucket and every query probing it pays
+    O(bucket) re-rank cost. Over-cap members remain reachable through
+    their other bands; worst-case per-query candidates become
+    bands × cap. Default off; set ~10³-10⁴ at 100 TB."""
     bits_per_band = num_planes // bands
     sig_udf = hyperplane_signature_udf(dim, num_planes, seed)
 
@@ -224,6 +232,14 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("nvec"),
     ).withColumn("bk", F.explode(band_keys(sig_udf(F.col("nvec")))))
+    if band_bucket_cap is not None:
+        ok = (
+            v.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= band_bucket_cap)
+            .select("bk")
+        )
+        v = v.join(ok, "bk", "left_semi")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qvec"),

@@ -44,6 +44,62 @@ def test_simhash_identical_docs_equal_fingerprint(spark, sf_dir):
         assert fps[r.doc_id] == fps[r.doc_id + 100000]
 
 
+def test_lsh_band_bucket_cap_bounds_adversarial_skew(spark, sf_dir):
+    """Adversarial skew: N near-identical boilerplate docs share every
+    band, so the uncapped self-join generates ~N²/2 candidate pairs. With
+    band_bucket_cap the candidate count must stay bounded by
+    buckets × cap² while a standard corpus is unaffected."""
+    n_dup = 60
+    rows = [(i, "the same boilerplate sentence repeated across the corpus "
+                f"with tiny suffix {i % 3}") for i in range(n_dup)]
+    skewed = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(
+        skewed, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).count()
+    capped = dedup.minhash_lsh_pairs(
+        skewed, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        band_bucket_cap=10,
+    ).count()
+    # 3 variants × 20 copies each: uncapped pairs ≥ 3 × C(20,2) = 570;
+    # capped: every bucket ≤ 10 members → ≤ 8 bands × 3 keys × C(10,2)
+    assert uncapped >= 3 * (20 * 19) // 2, uncapped
+    assert capped <= 8 * 3 * (10 * 9) // 2, capped
+
+    # cap does not change results when no bucket exceeds it
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    base = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8).collect()}
+    with_cap = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        band_bucket_cap=10_000).collect()}
+    assert base == with_cap
+
+
+def test_lsh_topk_band_bucket_cap_bounds_candidates(spark, sf_dir):
+    """Same skew guard on the ANN path: a corpus-side bucket over the cap
+    is dropped, bounding per-query candidates at bands × cap, while a
+    generous cap leaves results identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    base = {(r.query_id, r.neighbor_id, r.rank) for r in similarity.lsh_topk(
+        e, q, dim=64, k=5, num_planes=16, bands=4).collect()}
+    generous = {(r.query_id, r.neighbor_id, r.rank) for r in similarity.lsh_topk(
+        e, q, dim=64, k=5, num_planes=16, bands=4,
+        band_bucket_cap=1_000_000).collect()}
+    assert base == generous
+    # cap=1 drops every shared bucket (any bucket with a query match has
+    # ≥1 corpus member; duplicated corpus rows make them >1) — with a
+    # degenerate corpus of N copies of one vector, results must be empty
+    one = e.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    copies = one.crossJoin(spark.range(50).select(F.col("id").alias("cid"))) \
+        .select((F.col("vec_id") + F.col("cid")).alias("vec_id"), "embedding")
+    qq = copies.filter(F.col("vec_id") == 0)
+    capped = similarity.lsh_topk(
+        copies, qq, dim=64, k=5, num_planes=16, bands=4, band_bucket_cap=10
+    ).count()
+    assert capped == 0, capped
+
+
 def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     """ANN top-5 must recover a reasonable fraction of the exact top-5.
     Random 64-d embeddings are a worst case for LSH (no cluster structure);
