@@ -6,9 +6,11 @@ Spark. Two mechanisms, both conservative and documented:
    (word-boundary + '(' match, string-literal-safe enough for the
    documented subset).
 2. **Registered shims** — Flink built-ins with no same-argument Spark
-   twin are registered once per session as Spark SQL functions
-   (Python UDFs; compat path, not the perf path — the engine's native
-   queries use built-in expressions).
+   twin are registered once per session as SQL-defined functions
+   (CREATE TEMPORARY FUNCTION ... RETURN <expr>): Catalyst inlines the
+   body at the call site, so they run as ordinary codegen'd expressions
+   — no Python round-trip. Only RAND_INTEGER stays a Python UDF (it is
+   nondeterministic by contract, so there is nothing to inline).
 
 Covered subset (extend as needed): SPLIT_INDEX, TRUNCATE, STRCMP,
 RAND_INTEGER, JSON_VALUE, REGEXP, TO_BASE64, FROM_BASE64.
@@ -18,7 +20,6 @@ Flink semantics sources: Flink 1.19 "System (Built-in) Functions" docs
 
 from __future__ import annotations
 
-import math
 import random
 import re
 
@@ -35,27 +36,27 @@ NAME_ALIASES = {
 
 _REGISTERED_FLAG = "_sg_flink_shims_registered"
 
-
-def _split_index(s, d, i):
-    """Flink SPLIT_INDEX(str, delim, idx): 0-based, NULL out of range."""
-    if s is None or d is None or i is None:
-        return None
-    parts = s.split(d)
-    return parts[i] if 0 <= i < len(parts) else None
-
-
-def _truncate(x, d):
-    """Flink TRUNCATE(numeric, int): truncate toward zero to d decimals."""
-    if x is None or d is None:
-        return None
-    f = 10.0 ** d
-    return math.trunc(x * f) / f
-
-
-def _strcmp(a, b):
-    if a is None or b is None:
-        return None
-    return 0 if a == b else (-1 if a < b else 1)
+#: SQL-defined shims: Catalyst inlines RETURN bodies at the call site —
+#: plain codegen'd expressions, zero Python in the execution path.
+#: Flink semantics sources: Flink 1.19 "System (Built-in) Functions".
+_SQL_SHIMS = [
+    # SPLIT_INDEX(str, delim, idx): plain-string delimiter (\Q..\E quotes
+    # it for Spark's regex split), 0-based index, NULL out of range or on
+    # any NULL arg (the no-ELSE CASE propagates nulls).
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION SPLIT_INDEX(s STRING, d STRING, i INT)
+        RETURNS STRING
+        RETURN CASE WHEN i >= 0 AND i < size(split(s, concat('\\Q', d, '\\E')))
+                    THEN split(s, concat('\\Q', d, '\\E'))[i] END""",
+    # STRCMP(a, b): -1/0/1 three-way compare, NULL on NULL input.
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION STRCMP(a STRING, b STRING)
+        RETURNS INT
+        RETURN CASE WHEN a = b THEN 0 WHEN a < b THEN -1 WHEN a > b THEN 1 END""",
+    # TRUNCATE(numeric, d): truncate toward zero to d decimals.
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT)
+        RETURNS DOUBLE
+        RETURN CASE WHEN x >= 0 THEN floor(x * power(10, d)) / power(10, d)
+                    ELSE ceil(x * power(10, d)) / power(10, d) END""",
+]
 
 
 def _rand_integer(n):
@@ -63,14 +64,14 @@ def _rand_integer(n):
 
 
 def register_shims(spark: SparkSession) -> None:
-    """Idempotently register the Flink-name UDF shims on this session."""
+    """Idempotently register the Flink-name shims on this session."""
     if spark.conf.get(f"spark.{_REGISTERED_FLAG}", "no") == "yes":
         return
-    from pyspark.sql.types import DoubleType, IntegerType, StringType
+    from pyspark.sql.types import IntegerType
 
-    spark.udf.register("SPLIT_INDEX", _split_index, StringType())
-    spark.udf.register("TRUNCATE", _truncate, DoubleType())
-    spark.udf.register("STRCMP", _strcmp, IntegerType())
+    for ddl in _SQL_SHIMS:
+        spark.sql(ddl)
+    # nondeterministic by contract — the one shim that stays a Python UDF
     spark.udf.register("RAND_INTEGER", _rand_integer, IntegerType())
     spark.conf.set(f"spark.{_REGISTERED_FLAG}", "yes")
 

@@ -68,3 +68,24 @@ def test_current_watermark_null_when_unpublished(spark):
     spark.conf.unset(WATERMARK_CONF)
     out = translate("SELECT CURRENT_WATERMARK(ts) AS wm", spark)
     assert "CAST(NULL AS TIMESTAMP)" in out
+
+
+def test_dialect_shims_are_inlined_expressions_not_python_udfs(spark):
+    """SPLIT_INDEX / STRCMP / TRUNCATE are SQL-defined functions whose
+    bodies Catalyst inlines — the executed plan must contain no Python
+    evaluation node (the r4 row-at-a-time shim regression class)."""
+    from flink_1_19_source_spark.functions.flink_sql import flink_sql
+
+    df = flink_sql(
+        spark,
+        """SELECT SPLIT_INDEX(CAST(id AS STRING) || '.x.y', '.', 1) AS a,
+                  STRCMP(CAST(id AS STRING), '3') AS b,
+                  TRUNCATE(id * 1.111, 2) AS c
+           FROM range(10)""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    rows = df.collect()
+    assert all(r.a == "x" for r in rows)  # ['<id>','x','y'] → index 1
+    assert [r.b for r in rows][:5] == [-1, -1, -1, 0, 1]  # '0'..'4' vs '3'
+    assert rows[1].c == 1.11  # trunc(1.111, 2)
