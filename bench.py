@@ -60,13 +60,11 @@ HEADLINE = [
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,
 # not the operator users run — excluded from the timed set (the note lands in
-# BENCH_FULL.json). The operator itself is timed via the listed replacement.
-EXCLUDED = {
-    "a9_approx_count_distinct": (
-        "dual exact count-distinct oracle harness forces a 4x Expand; "
-        "the HLL path is timed as a9b_approx_distinct_only"
-    ),
-}
+# BENCH_FULL.json). Empty since r5: the rows-only a9b was retired (every
+# registered query is now oracled), so a9 carries the HLL timing — its 4x
+# Expand is the price of in-query certification, noted here for profile
+# readers.
+EXCLUDED: dict[str, str] = {}
 
 
 def main() -> None:

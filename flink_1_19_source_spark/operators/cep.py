@@ -124,7 +124,9 @@ def match_counts(
             ).alias("s")
         )
     )
-    m = F.expr(f"regexp_extract_all(s, '{pattern}', 0)")
+    # Column-API call (not string interpolation) so a pattern containing
+    # quotes/backslashes can't break out of — or silently change — the SQL
+    m = F.regexp_extract_all(F.col("s"), F.lit(pattern), F.lit(0))
     return (
         seq.select(
             "key",

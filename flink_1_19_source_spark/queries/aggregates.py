@@ -208,7 +208,9 @@ def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans asserting the HLL estimate landed within 5% of exact — the
     oracle's side is a constant TRUE, so any estimator drift beyond the
     bound fails the driver hash. tests/test_properties.py additionally
-    bounds the relative error tighter (rsd-scaled)."""
+    bounds the relative error tighter (rsd-scaled). The exact-count
+    scaffolding forces a 4× Expand; the scaffold-free estimate surface
+    is a9c_hll_portable, whose portable sketch is oracled directly."""
     l = load_table(spark, sf_dir, "lineitem")
     agg = l.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
@@ -225,24 +227,6 @@ def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_parts",
         within("_ao", "exact_orders").alias("approx_orders_ok"),
         within("_ap", "exact_parts").alias("approx_parts_ok"),
-    )
-
-
-@register(
-    "a9b_approx_distinct_only",
-    survey="A9",
-)
-def a9b_approx_distinct_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The A9 path users actually run: a single partial+final HLL++ agg —
-    no exact-count scaffolding (that stays in a9_approx_count_distinct for
-    oracle certification, where it forces a 4× Expand). rows-only: the raw
-    estimates are implementation-defined. bench.py times THIS query and
-    excludes a9 so the profile measures the real operator, not the oracle
-    harness."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
 
 

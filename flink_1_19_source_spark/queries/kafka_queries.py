@@ -350,7 +350,7 @@ def s_kafka_idle_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wm = tracker.combined()
     consumed = decode_json_value(spark.read.parquet(out_dir), _PAYLOAD)
-    return (
+    result = (
         consumed.groupBy(
             F.window("timestamp", "1 hour").alias("w"), "event_type"
         )
@@ -365,4 +365,9 @@ def s_kafka_idle_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round(F.col("tdec").cast("double"), 6).alias("total"),
         )
+        # materialize before deleting out_dir (each run writes a fresh
+        # uuid dir — leaving them would accumulate a stream copy per run)
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result

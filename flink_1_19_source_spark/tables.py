@@ -80,9 +80,12 @@ def _events_ts_kind(path: str) -> str:
     if pa.types.is_int64(t):
         return "int64_ns"
     if pa.types.is_timestamp(t):
-        if t.tz is not None:
-            return "ts_tz"
-        return "ts_ns" if t.unit == "ns" else "ts_ntz"
+        # unit check FIRST: a tz-aware timestamp[ns] still needs the
+        # int64-ns truncation route (Spark can't read ns directly) — tz
+        # only matters for the units Spark reads natively
+        if t.unit == "ns":
+            return "ts_ns"
+        return "ts_tz" if t.tz is not None else "ts_ntz"
     return "other"
 
 
