@@ -118,6 +118,29 @@ def test_bfs_final_plan_is_checkpoint_bounded(spark, sf_dir):
     assert "SortMergeJoin" not in txt and "parquet" not in txt.lower(), txt
 
 
+def test_q21_q8_join_strategies_hold_at_bench_scale(spark):
+    """AQE/broadcast thresholds can flip between SFs; pin the load-bearing
+    shapes at the BENCH scale factor (sf0.1), not just the test SF:
+    q21 must stay the single-pass window-flag plan (ONE lineitem scan, no
+    self-joins) with broadcast dims; q8's 8-way join must broadcast every
+    dim and shuffle the fact exactly once. Plan-only — nothing executes."""
+    import os
+
+    import pytest
+
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(bench_sf):
+        pytest.skip(f"bench SF dir {bench_sf} not present")
+    q21 = REGISTRY["q21_waiting_orders"].fn(spark, bench_sf)
+    txt = audit.plan_text(q21, "simple")
+    assert txt.lower().count("lineitem") == 1, txt  # no triple self-join
+    assert audit.has_broadcast_join(q21)
+    assert audit.shuffle_count(q21) <= 2, audit.plan_text(q21, "simple")
+    q8 = REGISTRY["q8_market_share"].fn(spark, bench_sf)
+    assert audit.has_broadcast_join(q8)
+    assert audit.shuffle_count(q8) == 1, audit.plan_text(q8, "simple")
+
+
 def test_kafka_offset_scan_pushes_partition_offset_filters(spark, sf_dir):
     """S6: the offset-range bounded consume must reach the parquet scan as
     pushed filters on (partition, offset) — row-group pruning playing the
