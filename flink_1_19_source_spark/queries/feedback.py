@@ -16,15 +16,23 @@ here as genuine equivalents:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import iterate as it
 from ..operators import kmeans as km
 from ..registry import register
-from ..streaming import count_window, sinks
+from ..streaming import count_window, replay, sinks
+from ..streaming.proc_time_trigger import ProcTimeFirePurge
 from ..tables import load_table
-from .streaming_queries import _drain_to_memory, _events_stream
+from .streaming_queries import (
+    _drain_to_memory,
+    _events_stream,
+    _stream_shuffle_partitions,
+    _work_dir,
+)
 
 #: suppliers share the bigint node space with customers via this offset
 #: (max custkey at sf1 is 150k, far below it)
@@ -142,6 +150,51 @@ def s_count_evictor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sinks.plan_sink("count_window").output_mode,
         wd,
     )
+
+
+@register(
+    "s_proc_time_trigger_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(rn // (2 * ((n + 3) // 4)) AS BIGINT) AS fire_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM ordered
+    GROUP BY 1, 2
+    """,
+    survey="W7 X2",
+    tags=("streaming",),
+)
+def s_proc_time_trigger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time trigger + purge (W7): Flink
+    ``ContinuousProcessingTimeTrigger`` with FIRE_AND_PURGE, run on the
+    micro-batch clock — each micro-batch is one processing-time tick, the
+    per-user count/sum state accumulates across ticks, fires every 2nd
+    tick, and purges on fire (streaming/proc_time_trigger.py). The replay
+    is (ts, event_id)-ordered into 4 single-file batches, so which rows
+    land in which tick is deterministic, and the oracle reproduces the
+    tick assignment arithmetically: row rank // (2 × chunk size) =
+    fire_seq. Unfired leftovers emit nothing, matching Flink."""
+    import shutil
+    import uuid
+
+    wd = _work_dir(sf_dir, "s_proctime")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=4, files_per_trigger=1, order_by=["ts", "event_id"],
+    )
+    trig = ProcTimeFirePurge(spark, wd, ["user_id"], "value", every=2)
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, trig, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return trig.fired_df()
 
 
 @register(

@@ -503,3 +503,25 @@ def test_parquet_merge_sink_incremental_batch_rewrites_only_touched_buckets(
     assert len(v1_buckets) == 1, v1_buckets  # one key → one bucket rewritten
     got = {r.k: r.v for r in sink.snapshot_df().collect()}
     assert len(got) == 64 and got[7] == "updated" and got[8] == "v8"
+
+
+def test_proc_time_fire_purge_leftovers_never_emit(spark, work_dir):
+    """W7 processing-time trigger: with 3 ticks and every=2, only tick 0-1
+    state fires (fire_seq 0); tick 2's partials stay pending and emit
+    nothing — Flink's unfired-processing-time-window contract. The fire
+    must also combine partials across ticks, and purge must reset state
+    so a later fire excludes already-fired rows."""
+    from flink_1_19_source_spark.streaming.proc_time_trigger import (
+        ProcTimeFirePurge,
+    )
+
+    trig = ProcTimeFirePurge(spark, work_dir, ["k"], "v", every=2)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")  # noqa: E731
+    trig(mk([(1, 1.0), (2, 5.0)]), 0)
+    trig(mk([(1, 2.0)]), 1)          # fire 0: k1=3.0 (2 rows), k2=5.0
+    trig(mk([(1, 100.0)]), 2)        # pending forever — never fires
+    got = {
+        (r.k, r.fire_seq): (r.n_events, r.sum_value)
+        for r in trig.fired_df().collect()
+    }
+    assert got == {(1, 0): (2, 3.0), (2, 0): (1, 5.0)}, got
