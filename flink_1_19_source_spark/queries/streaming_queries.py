@@ -476,6 +476,72 @@ def s_late_data_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_allowed_lateness_stream",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts, value,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+             MAX(ts) OVER (ORDER BY user_id, ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - INTERVAL 300 SECOND AS wm
+      FROM events
+    ), kept AS (
+      SELECT * FROM arr
+      WHERE wm IS NULL OR wm < window_end + INTERVAL 900 SECOND
+    )
+    SELECT event_type, window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM kept
+    WHERE window_end <= (SELECT MAX(ts) - INTERVAL 300 SECOND FROM events)
+    GROUP BY event_type, window_start
+    """,
+    survey="W8 X1 X2",
+    tags=("streaming",),
+)
+def s_allowed_lateness_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowed lateness with window re-fire (W8, full contract): tumbling
+    1 h count/sum per event_type over the deterministic out-of-order
+    replay (arrival order user_id,ts — ts regresses at user boundaries,
+    so most rows after the first user arrive late). A late row inside
+    ``end + 15 min`` of the watermark updates its window's materialized
+    aggregate (the re-fire, an upsert through the bucket-pruned merge
+    sink); beyond that, the row is dropped — Flink ``allowedLateness``
+    exactly (streaming/allowed_lateness.py documents the boundary
+    convention the oracle mirrors). Returns each fired window's FINAL
+    re-fired value."""
+    import shutil
+    import uuid
+
+    from ..streaming.allowed_lateness import AllowedLatenessTumble
+
+    wd = _work_dir(sf_dir, "s_allowed_lateness")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["user_id", "ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
+    )
+    run_dir = os.path.join(wd, f"run-{uuid.uuid4().hex[:8]}")
+    op = AllowedLatenessTumble(
+        spark, run_dir, key_col="event_type", ts_col="ts", value_col="value",
+        window="1 hour", delay_seconds=300, lateness_seconds=900,
+        order_by=["user_id", "ts", "event_id"],
+    )
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            sdf, op, checkpoint_dir=ckpt,
+            output_mode=sinks.plan_sink("windowed_agg").output_mode,
+        )
+    out = op.result_df().localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+@register(
     "s_sessionize_timers",
     oracle="""
     WITH flagged AS (

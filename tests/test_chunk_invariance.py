@@ -42,6 +42,10 @@ INVARIANT_QUERIES = [
     # retract-stream chaining: ±1 delta folding must telescope to the
     # same level-2 histogram for any micro-batch slicing
     "s_chained_agg_retract",
+    # allowed lateness: the keep/drop rule is the watermark at arrival —
+    # a pure function of global arrival order — and the re-fire upserts
+    # are additive, so the final window values can't move with chunking
+    "s_allowed_lateness_stream",
 ]
 
 
