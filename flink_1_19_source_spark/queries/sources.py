@@ -77,6 +77,27 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_avro_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_returnflag, l_shipdate FROM lineitem",
+    survey="S5",
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + source (S5) — real container files from the pure-Python
+    spec implementation (sources/avro_py.py: distributed per-partition
+    write, binaryFile + mapInPandas read), since the spark-avro module jar
+    is not deployable offline. The oracle compares every row/column of the
+    round-trip against the source table: any encode/decode infidelity
+    (zigzag, IEEE doubles, timestamp-micros) breaks the value hash."""
+    d = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate",
+    )
+    path = os.path.join(formats.scratch(sf_dir, "avro"), "lineitem")
+    return formats.write_read_roundtrip(d, "avro", path)
+
+
+@register(
     "src_partitioned_pruning",
     oracle="SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
     "WHERE o_orderstatus = 'F' AND o_orderkey <= 2000",

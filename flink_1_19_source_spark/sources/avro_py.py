@@ -1,0 +1,308 @@
+"""Avro object-container files without the spark-avro module (S5).
+
+The spark-avro datasource is an external jar this container cannot
+fetch, but the Avro Object Container File format itself is a small,
+public spec (Apache Avro 1.11.x specification, "Object Container
+Files" + "Binary Encoding"): magic ``Obj\\x01``, a metadata map
+carrying the writer schema JSON, a 16-byte sync marker, then blocks of
+``(row count, byte size, rows, sync)`` with zigzag-varint longs,
+little-endian IEEE floats/doubles and length-prefixed UTF-8 strings.
+This module implements that spec directly so S5 is a *real* format
+round-trip, not a stub:
+
+- **write_avro(df, path)**: distributed — each Spark partition writes
+  one ``part-NNNNN.avro`` container file via ``foreachPartition`` (the
+  legitimate per-partition-imperative-IO case); the driver only renders
+  the schema JSON.
+- **read_avro(spark, path, schema)**: distributed — the built-in
+  ``binaryFile`` datasource ships each container file to an executor,
+  where a ``mapInPandas`` decoder parses blocks into Arrow batches.
+
+Type coverage mirrors the engine's table schemas: long/int/double/
+float/string/boolean/bytes, nullable unions, timestamp-micros and date
+logical types. Python-side encode/decode is the slow path by design —
+this is the format-compatibility tier; the columnar performance tier is
+parquet/ORC. At 100 TB you deploy the spark-avro jar and swap
+``write_avro``/``read_avro`` for ``format("avro")`` — the file bytes
+this module produces are standard Avro, readable by any Avro tool.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+#: fixed sync marker: deterministic output (any 16 bytes are spec-legal)
+SYNC = bytes(range(16))
+
+_ROWS_PER_BLOCK = 4096
+
+
+# -- binary encoding (Avro spec: zigzag varint, LE floats, len-prefixed) --
+
+def _enc_long(n: int, out: bytearray) -> None:
+    n = (n << 1) ^ (n >> 63)  # zigzag
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _enc_bytes(b: bytes, out: bytearray) -> None:
+    _enc_long(len(b), out)
+    out.extend(b)
+
+
+def _dec_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos  # un-zigzag
+
+
+def _dec_bytes(buf: memoryview, pos: int) -> tuple[bytes, int]:
+    n, pos = _dec_long(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+# -- schema mapping (Spark <-> Avro) --------------------------------------
+
+_PRIMS: list[tuple[type, object]] = [
+    (T.LongType, "long"),
+    (T.IntegerType, "int"),
+    (T.DoubleType, "double"),
+    (T.FloatType, "float"),
+    (T.StringType, "string"),
+    (T.BooleanType, "boolean"),
+    (T.BinaryType, "bytes"),
+    (T.TimestampType, {"type": "long", "logicalType": "timestamp-micros"}),
+    (T.TimestampNTZType, {"type": "long", "logicalType": "local-timestamp-micros"}),
+    (T.DateType, {"type": "int", "logicalType": "date"}),
+]
+
+
+def _avro_type(dt: T.DataType):
+    for spark_t, avro_t in _PRIMS:
+        if isinstance(dt, spark_t):
+            return avro_t
+    raise TypeError(f"avro_py: unsupported Spark type {dt}")
+
+
+def avro_schema_json(schema: T.StructType, name: str = "row") -> str:
+    fields = []
+    for f in schema.fields:
+        at = _avro_type(f.dataType)
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return json.dumps({"type": "record", "name": name, "fields": fields})
+
+
+# -- per-value codecs ------------------------------------------------------
+
+def _encoder(dt: T.DataType):
+    import datetime as _dt
+
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return lambda v, out: _enc_long(int(v), out)
+    if isinstance(dt, T.DoubleType):
+        return lambda v, out: out.extend(struct.pack("<d", float(v)))
+    if isinstance(dt, T.FloatType):
+        return lambda v, out: out.extend(struct.pack("<f", float(v)))
+    if isinstance(dt, T.StringType):
+        return lambda v, out: _enc_bytes(str(v).encode("utf-8"), out)
+    if isinstance(dt, T.BooleanType):
+        return lambda v, out: out.append(1 if v else 0)
+    if isinstance(dt, T.BinaryType):
+        return lambda v, out: _enc_bytes(bytes(v), out)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        epoch = _dt.datetime(1970, 1, 1)
+        return lambda v, out: _enc_long(
+            round((v.replace(tzinfo=None) - epoch).total_seconds() * 1_000_000),
+            out,
+        )
+    if isinstance(dt, T.DateType):
+        epoch_d = _dt.date(1970, 1, 1)
+        return lambda v, out: _enc_long((v - epoch_d).days, out)
+    raise TypeError(f"avro_py: unsupported Spark type {dt}")
+
+
+def _decoder(dt: T.DataType):
+    import datetime as _dt
+
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return _dec_long
+    if isinstance(dt, T.DoubleType):
+        return lambda buf, pos: (struct.unpack_from("<d", buf, pos)[0], pos + 8)
+    if isinstance(dt, T.FloatType):
+        return lambda buf, pos: (struct.unpack_from("<f", buf, pos)[0], pos + 4)
+    if isinstance(dt, T.StringType):
+        def dec_s(buf, pos):
+            b, pos = _dec_bytes(buf, pos)
+            return b.decode("utf-8"), pos
+        return dec_s
+    if isinstance(dt, T.BooleanType):
+        return lambda buf, pos: (buf[pos] == 1, pos + 1)
+    if isinstance(dt, T.BinaryType):
+        return _dec_bytes
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        epoch = _dt.datetime(1970, 1, 1)
+        def dec_ts(buf, pos):
+            us, pos = _dec_long(buf, pos)
+            return epoch + _dt.timedelta(microseconds=us), pos
+        return dec_ts
+    if isinstance(dt, T.DateType):
+        epoch_d = _dt.date(1970, 1, 1)
+        def dec_d(buf, pos):
+            days, pos = _dec_long(buf, pos)
+            return epoch_d + _dt.timedelta(days=days), pos
+        return dec_d
+    raise TypeError(f"avro_py: unsupported Spark type {dt}")
+
+
+# -- container file writer/reader -----------------------------------------
+
+def _write_header(out: io.BufferedWriter, schema_json: str) -> None:
+    head = bytearray()
+    head.extend(MAGIC)
+    _enc_long(2, head)  # metadata map: 2 entries
+    _enc_bytes(b"avro.schema", head)
+    _enc_bytes(schema_json.encode("utf-8"), head)
+    _enc_bytes(b"avro.codec", head)
+    _enc_bytes(b"null", head)
+    _enc_long(0, head)  # end of map
+    head.extend(SYNC)
+    out.write(head)
+
+
+def _write_container(rows, path: str, schema: T.StructType, schema_json: str) -> None:
+    encs = [(_encoder(f.dataType), f.nullable) for f in schema.fields]
+    n_fields = len(schema.fields)
+    with open(path, "wb") as out:
+        _write_header(out, schema_json)
+        block = bytearray()
+        count = 0
+
+        def flush():
+            nonlocal block, count
+            if not count:
+                return
+            pre = bytearray()
+            _enc_long(count, pre)
+            _enc_long(len(block), pre)
+            out.write(pre)
+            out.write(block)
+            out.write(SYNC)
+            block = bytearray()
+            count = 0
+
+        for row in rows:
+            for i in range(n_fields):
+                enc, nullable = encs[i]
+                v = row[i]
+                if nullable:
+                    if v is None:
+                        _enc_long(0, block)  # union branch 0 = null
+                        continue
+                    _enc_long(1, block)  # union branch 1 = value
+                enc(v, block)
+            count += 1
+            if count >= _ROWS_PER_BLOCK:
+                flush()
+        flush()
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Distributed Avro write: one standard container file per Spark
+    partition (``foreachPartition`` — per-partition imperative IO)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+    schema_json = avro_schema_json(schema)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _write_container(
+            rows, os.path.join(path, f"part-{pid:05d}.avro"), schema, schema_json
+        )
+
+    df.foreachPartition(write_partition)
+
+
+def decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
+    """Parse one Avro container file into row tuples (executor-side)."""
+    buf = memoryview(data)
+    assert bytes(buf[:4]) == MAGIC, "not an Avro container file"
+    pos = 4
+    # metadata map (possibly multi-segment per spec)
+    while True:
+        n, pos = _dec_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative count is followed by a byte size (spec)
+            n = -n
+            _, pos = _dec_long(buf, pos)
+        for _ in range(n):
+            _, pos = _dec_bytes(buf, pos)  # key
+            _, pos = _dec_bytes(buf, pos)  # value
+    sync = bytes(buf[pos : pos + 16])
+    pos += 16
+    decs = [(_decoder(f.dataType), f.nullable) for f in schema.fields]
+    rows: list[tuple] = []
+    end = len(buf)
+    while pos < end:
+        count, pos = _dec_long(buf, pos)
+        size, pos = _dec_long(buf, pos)
+        for _ in range(count):
+            vals = []
+            for dec, nullable in decs:
+                if nullable:
+                    branch, pos = _dec_long(buf, pos)
+                    if branch == 0:
+                        vals.append(None)
+                        continue
+                v, pos = dec(buf, pos)
+                vals.append(v)
+            rows.append(tuple(vals))
+        assert bytes(buf[pos : pos + 16]) == sync, "sync marker mismatch"
+        pos += 16
+    return rows
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Distributed Avro read: ``binaryFile`` ships each container file to
+    an executor; a ``mapInPandas`` decoder parses it into Arrow batches."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.avro")
+    ).select("content")
+    names = [f.name for f in schema.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            for data in pdf["content"]:
+                rows = decode_container(bytes(data), schema)
+                yield pd.DataFrame(rows, columns=names)
+
+    return files.mapInPandas(decode, schema=schema)

@@ -6,9 +6,11 @@ DataSource V2 implementations; the engine's value-add is (a) round-trip
 fidelity guarantees per format and (b) the scale-relevant options set on
 every writer (partitioned layout, compression).
 
-Avro note: Spark treats avro as an external module jar; this container
-has no network to deploy it, so `avro` raises a clear error (S5 partial —
-ORC is covered; the avro call-path is identical modulo the format name).
+Avro note: Spark treats avro as an external module jar this container
+cannot fetch, so ``fmt="avro"`` routes through the pure-Python container
+implementation in avro_py.py (standard Avro bytes, distributed write and
+read) instead of ``format("avro")`` — the S5 round-trip is real either
+way; deploying the jar later only changes which codec runs.
 """
 
 from __future__ import annotations
@@ -39,10 +41,10 @@ def write_read_roundtrip(
     spark = df.sparkSession
     opts = options or {}
     if fmt == "avro":
-        raise NotImplementedError(
-            "spark-avro module jar is not deployed in this container "
-            "(external module since Spark 2.4; needs network to fetch)"
-        )
+        from . import avro_py
+
+        avro_py.write_avro(df, path)
+        return avro_py.read_avro(spark, path, df.schema)
     w = df.write.mode("overwrite").format(fmt)
     for k, v in opts.items():
         w = w.option(k, v)
