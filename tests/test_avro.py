@@ -68,3 +68,61 @@ def test_avro_files_have_standard_header(spark, work_dir):
     data = open(files[0], "rb").read()
     assert data[:4] == b"Obj\x01"
     assert b"avro.schema" in data and b'"type": "record"' in data
+
+
+def test_avro_varint_zigzag_roundtrip_property():
+    """Property: every int64 survives the zigzag-varint encode/decode, and
+    every container row group survives the block codec (pure Python — no
+    Spark involved)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_1_19_source_spark.sources.avro_py import _dec_long, _enc_long
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def roundtrip(n):
+        buf = bytearray()
+        _enc_long(n, buf)
+        got, pos = _dec_long(memoryview(bytes(buf)), 0)
+        assert got == n and pos == len(buf)
+
+    roundtrip()
+
+
+def test_avro_container_decode_matches_encode_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_1_19_source_spark.sources import avro_py
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("f", T.DoubleType(), False),
+        ]
+    )
+    sj = avro_py.avro_schema_json(schema)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.floats(allow_nan=False, allow_infinity=False),
+            ),
+            max_size=30,
+        )
+    )
+    def roundtrip(rows):
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+            avro_py._write_container(iter(rows), f.name, schema, sj)
+            got = avro_py.decode_container(open(f.name, "rb").read(), schema)
+        assert got == [tuple(r) for r in rows]
+
+    roundtrip()
