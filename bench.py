@@ -56,6 +56,9 @@ HEADLINE = [
     "src_kafka_roundtrip",
     "s_kafka_idle_partition",
     "f_similar_to_family",
+    "q9_product_type_profit",
+    "s_allowed_lateness_stream",
+    "src_avro_roundtrip",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

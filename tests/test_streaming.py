@@ -525,3 +525,28 @@ def test_proc_time_fire_purge_leftovers_never_emit(spark, work_dir):
         for r in trig.fired_df().collect()
     }
     assert got == {(1, 0): (2, 3.0), (2, 0): (1, 5.0)}, got
+
+
+def test_parquet_merge_sink_crash_replay_is_deterministic(spark, work_dir):
+    """Exactly-once under crash-replay: if the process dies AFTER writing
+    v{N} but BEFORE flipping the manifest, the retry must rebuild v{N}
+    from the same predecessor and converge to the identical table."""
+    import json
+    import os
+
+    from flink_1_19_source_spark.streaming import sinks as sk
+
+    state = os.path.join(work_dir, "pms_crash")
+    sink = sk.ParquetMergeSink(spark, state, pk_cols=["k"], num_buckets=4)
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    man0 = json.load(open(os.path.join(state, "_CURRENT")))
+    b1 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    sink(b1, 1)
+    want = {(r.k, r.v) for r in sink.snapshot_df().collect()}
+    # simulate the crash: rewind the manifest to the pre-batch-1 state
+    # (v1's files exist on disk but are uncommitted)
+    with open(os.path.join(state, "_CURRENT"), "w") as f:
+        json.dump(man0, f)
+    sink(b1, 1)  # the retry
+    got = {(r.k, r.v) for r in sink.snapshot_df().collect()}
+    assert got == want == {(1, "a2"), (2, "b"), (3, "c")}
