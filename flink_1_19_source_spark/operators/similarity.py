@@ -259,3 +259,46 @@ def lsh_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-bucketed embedding
+    near-dup removal. Each vector is assigned to its nearest coarse
+    centroid (cosine; the same fixture-codebook convention as ivf_topk);
+    pairwise cosine runs ONLY within a cluster; a vector is dropped when
+    a lower-id vector in its cluster is ≥ threshold similar (the greedy
+    keep-lowest-id rule — iteration-free, so it states cleanly in SQL
+    for the oracle). Returns the survivors (id, cluster).
+
+    Scale shape: the pair join is keyed on the cluster id, so the work
+    is Σ|cluster|², never corpus² — at 100 TB the cluster id becomes the
+    table's partition key (exactly the IVF layout) and each partition
+    dedups independently; K scales with corpus size to bound cluster
+    width, and the fit moves offline like any codebook."""
+    assign = _centroid_assign_udf(centroids, 1)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("e"),
+    ).withColumn("cluster", F.explode(assign(F.col("e"))))
+    a, b = v.alias("a"), v.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 9) >= F.lit(threshold)
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return v.join(dropped, "vid", "left_anti").select(
+        F.col("vid").alias(id_col), "cluster"
+    )

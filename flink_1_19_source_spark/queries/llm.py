@@ -293,6 +293,56 @@ def n2_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n2_semantic_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 600
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+      FROM v WHERE vec_id < 8
+    ), assign AS (
+      SELECT vn.vec_id, cn.cid,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM vn CROSS JOIN cn
+    ), mem AS (
+      SELECT vec_id, cid AS cluster FROM assign WHERE rk = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN vn va ON va.vec_id = a.vec_id
+      JOIN vn vb ON vb.vec_id = b.vec_id
+      WHERE ROUND(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 9) >= 0.3
+    )
+    SELECT m.vec_id, CAST(m.cluster AS INTEGER) AS cluster
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+    survey="N2 N3",
+)
+def n2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    embeddings bucketed by nearest fixture centroid (the IVF codebook
+    convention — first 8 corpus vectors, so the oracle rebuilds it from
+    the data), pairwise cosine ONLY within a cluster, drop any vector a
+    lower-id cluster-mate covers at ≥ 0.3 cosine. Iteration-free greedy
+    rule = clean SQL; pair work is Σ|cluster|², never corpus² — at
+    100 TB cluster id is the partition key and K grows with the corpus."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    return similarity.semantic_dedup(e, centroids, threshold=0.3)
+
+
+@register(
     "n2_dedup_clusters",
     oracle="""
     WITH toks AS (
