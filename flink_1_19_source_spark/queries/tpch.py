@@ -790,11 +790,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_supplycost").alias("m_cost")
     )
     return (
-        regional.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("m_partkey"))
-            & (F.col("ps_supplycost") == F.col("m_cost")),
-        )
+        # join on partkey ALONE (the min_cost groupBy's own key, so the
+        # partitioning is reusable) and filter the cost equality after —
+        # a composite (partkey, cost) join key would force a fresh
+        # shuffle of both sides on the wider key
+        regional.join(min_cost, F.col("ps_partkey") == F.col("m_partkey"))
+        .filter(F.col("ps_supplycost") == F.col("m_cost"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
