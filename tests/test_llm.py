@@ -263,3 +263,46 @@ def test_kmeans_blas_assignment_agrees_with_exact(spark, sf_dir):
     diffs = {v for v in exact if exact[v] != blas[v]}
     # quantized-exact vs float64-BLAS may differ only on near-ties
     assert len(diffs) <= max(2, len(exact) // 200), sorted(diffs)[:5]
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """The greedy keep-lowest-id rule's invariants: (1) every dropped
+    vector has SOME lower-id cluster-mate >= threshold (that is the only
+    way to be dropped); (2) an unreachable threshold drops nothing; (3)
+    the lowest id of every cluster always survives."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    cents = np.array(
+        [r.embedding for r in e.filter(F.col("vec_id") < 8)
+         .orderBy("vec_id").select("embedding").collect()], dtype=float)
+    kept = similarity.semantic_dedup(e, cents, threshold=0.3)
+    kept_rows = kept.collect()
+    kept_ids = {r.vec_id for r in kept_rows}
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    assert 0 < len(kept_ids) < len(all_ids)  # threshold 0.3 does drop some
+
+    # (2) cosine can never reach 2.0 → nothing drops, every vector kept
+    none_dropped = similarity.semantic_dedup(e, cents, threshold=2.0)
+    assert {r.vec_id for r in none_dropped.collect()} == all_ids
+
+    # (3) per-cluster minimum id has no lower-id mate → must survive
+    cluster_min = {}
+    for r in none_dropped.collect():
+        cluster_min[r.cluster] = min(cluster_min.get(r.cluster, 1 << 60), r.vec_id)
+    assert set(cluster_min.values()) <= kept_ids
+
+    # (1) dropped ⇒ covered by a lower-id cluster-mate at >= threshold
+    import numpy.linalg as la
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float)
+            for r in e.select("vec_id", "embedding").collect()}
+    cluster_of = {r.vec_id: r.cluster for r in none_dropped.collect()}
+    for d in sorted(all_ids - kept_ids)[:50]:
+        mates = [i for i in all_ids
+                 if i < d and cluster_of[i] == cluster_of[d]]
+        covered = any(
+            round(float(vecs[i] @ vecs[d] / (la.norm(vecs[i]) * la.norm(vecs[d]))), 9) >= 0.3
+            for i in mates
+        )
+        assert covered, f"vec {d} dropped without a covering mate"
