@@ -213,8 +213,23 @@ def s_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFra
     """Streaming keep-first dedup per (event_type, hour) via
     dropDuplicatesWithinWatermark. The 2 h state lifetime exceeds the 1 h
     key span, and the replay is ts-ordered, so the kept row per key equals
-    the batch ts-min row."""
-    sdf, wd = _events_stream(spark, sf_dir, "s_dedup")
+    the batch ts-min row.
+
+    keep-FIRST is the one streaming op whose answer depends on raw
+    ARRIVAL order (dropDuplicatesWithinWatermark keeps whichever row
+    reaches the state partition first), so this replay feeds ONE chunk
+    file per trigger: a single ordered source partition per micro-batch
+    makes cross-file arrival races impossible and the kept row provably
+    the ts-min one. With 2 files per trigger the two files' rows race
+    through the keyed shuffle and a key straddling the file boundary can
+    keep the later file's row (observed at sf0.01). keep-LAST and the
+    count windows are immune — they compare/sort by (ts, event_id)
+    explicitly in their state logic."""
+    wd = _work_dir(sf_dir, "s_dedup")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        files_per_trigger=1,
+    )
     keyed = sdf.withColumn("hour", F.date_trunc("hour", "ts"))
     out = _drain_to_memory(
         spark,
