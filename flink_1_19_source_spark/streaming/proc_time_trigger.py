@@ -17,9 +17,17 @@ State layout (all DataFrame ops, nothing collected):
 - each batch writes its per-key PARTIAL aggregates to
   ``state/batch={id}/`` — map-side combine across ticks; a replayed
   batch overwrites its own subdir (idempotent);
-- a fire reads the pending partials, combines per key (the final-agg
-  half), writes ``out/fire-{seq}/`` with ``mode=overwrite`` (idempotent
-  on replay), then purges the fired partials;
+- a fire for tick-range ``[seq*every, (seq+1)*every)`` reads EXACTLY
+  those batches' partial dirs (never "whatever is pending", so a
+  crash-replay can neither double-count nor under-count), combines per
+  key and writes ``out/fire-{seq}/`` with ``mode=overwrite``;
+- a ``_LAST`` marker (atomic rename) records the highest completed
+  batch; a replayed batch at or below it is a no-op, and a crash at any
+  point between the partial write and the marker replays to the
+  identical fire because the fire's input set is defined by the tick
+  range, not by what the purge has or hasn't removed yet;
+- the purge (after the marker) removes the fired range's partials —
+  pure cleanup, never a correctness input;
 - partials pending when the stream ends never fire — Flink's contract:
   an unfired processing-time window emits nothing.
 
@@ -61,7 +69,18 @@ class ProcTimeFirePurge:
         os.makedirs(self.state_dir, exist_ok=True)
         os.makedirs(self.out_dir, exist_ok=True)
 
+    def _last_completed(self) -> int:
+        p = os.path.join(self.state_dir, "_LAST")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(f.read().strip())
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard: a batch at or below the completion marker already
+        # ran to completion — its effects (partials, fire) are committed
+        if batch_id <= self._last_completed():
+            return
         partial = batch_df.groupBy(*self.key_cols).agg(
             F.count(F.lit(1)).alias("pn"),
             F.sum(F.col(self.value_col).cast("decimal(27,6)")).alias("pdec"),
@@ -70,13 +89,17 @@ class ProcTimeFirePurge:
         partial.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, f"batch={batch_id:04d}")
         )
+        fired_range: list[str] = []
         if (batch_id + 1) % self.every == 0:
             fire_seq = batch_id // self.every
+            # the fire's inputs are DEFINED by its tick range — immune to
+            # stale leftovers and to a purge that did or didn't happen
+            fired_range = [
+                os.path.join(self.state_dir, f"batch={b:04d}")
+                for b in range(fire_seq * self.every, batch_id + 1)
+            ]
             pending = self.spark.read.parquet(
-                *[
-                    os.path.join(self.state_dir, d)
-                    for d in sorted(os.listdir(self.state_dir))
-                ]
+                *[d for d in fired_range if os.path.isdir(d)]
             )
             fired = pending.groupBy(*self.key_cols).agg(
                 F.sum("pn").alias("n_events"),
@@ -90,9 +113,13 @@ class ProcTimeFirePurge:
             fired.write.mode("overwrite").parquet(
                 os.path.join(self.out_dir, f"fire-{fire_seq:04d}")
             )
-            # purge: the fired ticks' partials are gone (FIRE_AND_PURGE)
-            for d in os.listdir(self.state_dir):
-                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+        # commit the batch, then purge fired partials (cleanup only)
+        tmp = os.path.join(self.state_dir, "_LAST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.state_dir, "_LAST"))
+        for d in fired_range:
+            shutil.rmtree(d, ignore_errors=True)
 
     def fired_df(self) -> DataFrame:
         fires = sorted(

@@ -550,3 +550,27 @@ def test_parquet_merge_sink_crash_replay_is_deterministic(spark, work_dir):
     sink(b1, 1)  # the retry
     got = {(r.k, r.v) for r in sink.snapshot_df().collect()}
     assert got == want == {(1, "a2"), (2, "b"), (3, "c")}
+
+
+def test_proc_time_fire_purge_replayed_batch_is_idempotent(spark, work_dir):
+    """A crash-replayed micro-batch (same batch_id, same rows — the
+    foreachBatch retry contract) must overwrite its own partial-state
+    subdir, not double-count, and a re-fired tick must overwrite its
+    fire output to the same value."""
+    from flink_1_19_source_spark.streaming.proc_time_trigger import (
+        ProcTimeFirePurge,
+    )
+
+    trig = ProcTimeFirePurge(spark, work_dir + "/ptr", ["k"], "v", every=2)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")  # noqa: E731
+    b0 = mk([(1, 1.0), (2, 5.0)])
+    trig(b0, 0)
+    trig(b0, 0)  # crash-replay of tick 0 before the fire
+    b1 = mk([(1, 2.0)])
+    trig(b1, 1)  # fire 0
+    trig(b1, 1)  # crash-replay of the firing tick
+    got = {
+        (r.k, r.fire_seq): (r.n_events, r.sum_value)
+        for r in trig.fired_df().collect()
+    }
+    assert got == {(1, 0): (2, 3.0), (2, 0): (1, 5.0)}, got
