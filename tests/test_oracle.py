@@ -23,11 +23,13 @@ def test_oracle_match(spark, sf_dir, name):
     assert_query_matches(spark, sf_dir, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    df = REGISTRY[name].fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_oracled():
+    """Since r5 every registered query carries a full value-hash oracle;
+    a new rows-only registration would silently weaken the gate — fail
+    loudly instead and force the author to build an oracle (seeded
+    constants / md5 bridges / generated SQL all work — see memory of
+    prior rounds in operators/sketches.py, dedup.py, kmeans.py)."""
+    assert ROWS_ONLY == [], ROWS_ONLY
 
 
 def test_entry_smoke(spark):
