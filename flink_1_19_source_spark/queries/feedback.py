@@ -198,6 +198,50 @@ def s_proc_time_trigger_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_proc_time_accumulate_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ), fires(fire_seq) AS (VALUES (0), (1))
+    SELECT user_id, CAST(fire_seq AS BIGINT) AS fire_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM ordered CROSS JOIN fires
+    WHERE rn < 2 * ((n + 3) // 4) * (fire_seq + 1)
+    GROUP BY user_id, fire_seq
+    """,
+    survey="W7 X2",
+    tags=("streaming",),
+)
+def s_proc_time_accumulate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating processing-time trigger (W7): Flink's
+    ``ContinuousProcessingTimeTrigger`` WITHOUT a purging evictor — each
+    fire emits the running per-user totals over everything seen so far
+    (fires 0 and 1 here overlap; fire 1 covers all four ticks). Same
+    deterministic micro-batch clock and tick-range fire inputs as the
+    FIRE_AND_PURGE twin; the oracle states each fire as a prefix
+    aggregate of the (ts, event_id)-ordered arrival sequence."""
+    import shutil
+    import uuid
+
+    wd = _work_dir(sf_dir, "s_proctime_acc")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=4, files_per_trigger=1, order_by=["ts", "event_id"],
+    )
+    trig = ProcTimeFirePurge(spark, wd, ["user_id"], "value", every=2,
+                             purge=False)
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, trig, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return trig.fired_df()
+
+
+@register(
     "x8_kmeans_embeddings",
     oracle=km.kmeans_oracle_sql(k=4, rounds=3),
     survey="X8 N3",

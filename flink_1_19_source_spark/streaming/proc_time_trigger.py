@@ -57,11 +57,17 @@ class ProcTimeFirePurge:
         key_cols: list[str],
         value_col: str,
         every: int = 2,
+        purge: bool = True,
     ):
         self.spark = spark
         self.key_cols = key_cols
         self.value_col = value_col
         self.every = every
+        # purge=True  → FIRE_AND_PURGE (tumbling processing-time windows);
+        # purge=False → accumulating fires (ContinuousProcessingTimeTrigger
+        # without an evictor): each fire emits the running totals over
+        # every tick so far, and no partials are ever removed
+        self.purge = purge
         self.state_dir = os.path.join(work_dir, "state")
         self.out_dir = os.path.join(work_dir, "fired")
         shutil.rmtree(self.state_dir, ignore_errors=True)
@@ -93,10 +99,12 @@ class ProcTimeFirePurge:
         if (batch_id + 1) % self.every == 0:
             fire_seq = batch_id // self.every
             # the fire's inputs are DEFINED by its tick range — immune to
-            # stale leftovers and to a purge that did or didn't happen
+            # stale leftovers and to a purge that did or didn't happen;
+            # accumulating mode's range is every tick from the beginning
+            lo = fire_seq * self.every if self.purge else 0
             fired_range = [
                 os.path.join(self.state_dir, f"batch={b:04d}")
-                for b in range(fire_seq * self.every, batch_id + 1)
+                for b in range(lo, batch_id + 1)
             ]
             pending = self.spark.read.parquet(
                 *[d for d in fired_range if os.path.isdir(d)]
@@ -118,8 +126,9 @@ class ProcTimeFirePurge:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, os.path.join(self.state_dir, "_LAST"))
-        for d in fired_range:
-            shutil.rmtree(d, ignore_errors=True)
+        if self.purge:
+            for d in fired_range:
+                shutil.rmtree(d, ignore_errors=True)
 
     def fired_df(self) -> DataFrame:
         fires = sorted(
