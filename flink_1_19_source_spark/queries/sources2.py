@@ -115,3 +115,76 @@ def src_compacted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang").isin("en", "fr"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "s_datagen_rate_stream",
+    oracle="""
+    WITH gen AS (
+      SELECT v,
+             TIMESTAMP '2023-11-14 22:13:20'
+               + (v // 100) * INTERVAL 1 MINUTE AS ts
+      FROM range(300) t(v)
+    )
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM gen GROUP BY 1
+    """,
+    survey="S9 W1-S",
+)
+def s_datagen_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming datagen (S9's streaming half): Flink's rate-limited
+    datagen source maps to Spark's ``rate-micro-batch`` format, which is
+    FULLY deterministic — batch k carries values [k·R, (k+1)·R) at
+    timestamp start + k·advance, independent of wall clock. Three
+    sequential availableNow drains over one checkpoint advance exactly
+    three batches into a parquet sink; the windowed aggregate over the
+    generated event times then oracles against a generate_series
+    reconstruction. (Wall-clock pacing at deploy = the plain ``rate``
+    format — same schema, same query body.)"""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+
+    wd = os.path.join(
+        "/tmp/sgraft_streams", os.path.basename(sf_dir.rstrip("/")), "s_rate"
+    )
+    os.makedirs(wd, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    out_dir = os.path.join(wd, f"out-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    def one_batch_drain() -> None:
+        sdf = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 100)
+            .option("numPartitions", 2)
+            .option("startTimestamp", 1700000000000)
+            .option("advanceMillisPerBatch", 60000)
+            .load()
+        )
+        replay.run_foreach_batch(
+            sdf,
+            lambda df, bid: df.write.mode("append").parquet(out_dir),
+            checkpoint_dir=ckpt,
+        )
+
+    for _ in range(3):
+        one_batch_drain()
+
+    got = spark.read.parquet(out_dir)
+    result = (
+        got.groupBy(F.window("timestamp", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_v")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
