@@ -1,0 +1,222 @@
+"""Corpus-hygiene operators for pretraining-data pipelines (SURVEY §2.11
+N4/N6 extensions).
+
+The second tier of what a 100 TB training-data run needs beyond dedup:
+
+- ``pii_counts`` / ``pii_redact``: detect and mask emails / IPv4 / phone
+  numbers with Catalyst regexps — JVM-side, whole-stage codegen, one
+  narrow scan, no shuffle. The patterns are deliberately RE2-compatible
+  so the DuckDB oracle applies the byte-identical regex.
+- ``contamination``: benchmark n-gram overlap (the eval-set leakage
+  check): the benchmark side is tiny by construction (eval sets are KBs,
+  the corpus is TBs), so its distinct-shingle set is **broadcast** and
+  the 100 TB side never shuffles — each task filter-joins its partition
+  against the in-memory gram set.
+- ``repetition_signals``: Gopher-style repetitiousness metrics
+  (duplicate-token fraction, top-token share, top-bigram share) as pure
+  per-row array expressions — O(distinct·len) per document inside
+  codegen, zero shuffle; the alternative explode→groupBy→window shape
+  shuffles the whole token stream and is strictly worse at scale.
+- ``pack_sequences``: deterministic greedy sequence packing — documents
+  are packed in id order into fixed token budgets within each pack
+  group. Groups (here ``source``; at scale a hash bucket of bounded row
+  count) are the unit of parallelism: one ``applyInPandas`` task packs
+  one group sequentially, groups pack concurrently. The driver-side
+  oracle is a recursive CTE replaying the identical fold.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import bpe_ish_token_count
+from .dedup import tokenize, word_shingles
+
+# RE2-compatible PII patterns (no lookarounds, no \b needed — structure
+# anchors the match). Applied in order: email, phone, IPv4 — email first
+# so its local part can't be half-eaten by the number patterns.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII = (("<EMAIL>", EMAIL_RE), ("<PHONE>", PHONE_RE), ("<IP>", IPV4_RE))
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence counts per PII class (long columns)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long"),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long"),
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Mask every PII match with its class token. Idempotent: the mask
+    tokens contain no '@', '+digit' or dotted-quad shape, so a second
+    pass is a no-op (pinned by tests/test_corpus.py)."""
+    out = text
+    for token, pattern in _PII:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-overlap (contamination) score per corpus document: the
+    fraction of the document's distinct word ``n``-grams that appear in
+    ANY benchmark document.
+
+    Scale shape: the benchmark's distinct gram set is broadcast (eval
+    sets are tiny); the corpus side is explode → broadcast-hash left
+    join → per-doc agg — one shuffle on ``id_col`` for the agg, none
+    for the join.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            # count-of-non-null, not SUM: both engines yield a 64-bit int
+            # (DuckDB SUM over ints widens to HUGEINT → float in pandas)
+            F.count(F.col("hit")).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 9).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style repetitiousness metrics as pure array expressions.
+
+    - ``dup_token_frac``: 1 − distinct/total tokens.
+    - ``top_token_frac``: share of the most frequent token.
+    - ``top_bigram_frac``: share of the most frequent word bigram.
+
+    All ratios rounded to 9 places so they hash-compare across engines.
+    """
+    toks = tokenize(text)
+    n = F.size(toks)
+
+    def top_frac(arr: Column, total: Column) -> Column:
+        # Max element frequency as an O(n) fold: sort the array, then a
+        # single `aggregate` pass tracks the current and best run length.
+        # The obvious distinct×filter expression is O(distinct·len) with a
+        # fresh array allocation per distinct element — measured 265 s for
+        # the 50k-doc corpus vs ~4 s for this fold (same result, the
+        # DuckDB oracle keeps the quadratic spelling since it's fast there).
+        def step(acc: Column, x: Column) -> Column:
+            run = (
+                F.when(acc.prev.isNull() | (acc.prev != x), F.lit(1))
+                .otherwise(acc.run + 1)
+            )
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+            )
+
+        top = F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            step,
+            lambda acc: acc.best,
+        )
+        return F.round(
+            F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0)), 9
+        )
+
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_token_frac": F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct(toks)).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            9,
+        ),
+        "top_token_frac": top_frac(toks, n),
+        "top_bigram_frac": top_frac(bigrams, F.size(bigrams)),
+    }
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequential sequence packing: within each ``group_col``
+    partition, walk documents in ``order_col`` order and assign each to
+    the current pack until adding it would exceed ``budget`` tokens, then
+    open the next pack. A single document over budget gets a pack of its
+    own (training pipelines then truncate/split it downstream).
+
+    Deterministic: the fold depends only on (group, order, token count).
+    One shuffle (groupBy), then each group packs sequentially in one
+    Arrow-batched task; at 100 TB the group key is a bounded-size hash
+    bucket so no task sees unbounded rows.
+    """
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(group_col),
+        F.col(order_col),
+        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    schema = T.StructType(
+        [
+            base.schema[group_col],
+            base.schema[order_col],
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        run, pack_id, out = 0, 0, []
+        for t in pdf["n_tokens"]:
+            if run > 0 and run + t > budget:
+                pack_id += 1
+                run = int(t)
+            else:
+                run += int(t)
+            out.append(pack_id)
+        pdf["pack_id"] = out
+        return pdf[[group_col, order_col, "n_tokens", "pack_id"]]
+
+    return base.groupBy(group_col).applyInPandas(pack, schema)

@@ -34,6 +34,7 @@ from . import sources2  # noqa: F401  (S11 session-catalog surface)
 from . import streaming2  # noqa: F401  (retract-stream chained aggregation)
 from . import kafka_queries  # noqa: F401  (S6 file-topic contract, X1 idleness)
 from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
+from . import llm2  # noqa: F401  (PII, contamination, repetition, packing)
 
 from ..registry import REGISTRY
 

@@ -372,6 +372,42 @@ def s_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_window_join_stream",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id,
+           time_bucket(INTERVAL '1 hour', l.ts) AS window_start
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND time_bucket(INTERVAL '1 hour', l.ts)
+         = time_bucket(INTERVAL '1 hour', r.ts)
+    WHERE l.event_type = 'signup' AND r.event_type = 'error'
+    """,
+    survey="J8-S W1-S X1",
+    tags=("streaming",),
+)
+def s_window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming window join (J8-S): signups joined to same-user errors in
+    the SAME 1h tumble, both sides watermarked; window-column equality
+    bounds state to live windows (Flink window-TVF join semantics)."""
+    sdf1, wd = _events_stream(spark, sf_dir, "s_wjoin")
+    sdf2, _ = _events_stream(spark, sf_dir, "s_wjoin")
+    left = sdf1.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = sdf2.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    joined = ops.window_join(
+        left, right, keys=["user_id"], left_ts="l_ts", right_ts="r_ts",
+        size="1 hour",
+    ).select("l_id", "r_id", "window_start")
+    return _drain_to_memory(
+        spark, joined, "s_wjoin_q",
+        sinks.plan_sink("stream_stream_join").output_mode, wd,
+    )
+
+
+@register(
     "s_broadcast_state_join",
     oracle="""
     SELECT e.event_type,

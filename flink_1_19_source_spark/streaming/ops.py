@@ -185,6 +185,39 @@ def interval_join(
     return l.join(r, cond)
 
 
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    size: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming window join (J8): rows from both streams that fall into
+    the SAME tumbling window join on equal keys — Flink's window-TVF join
+    (windowed both sides, join on key + window_start/window_end).
+
+    Spark shape: assign ``F.window(ts, size)`` on each watermarked side
+    and equi-join on (keys, window). The window column carries event
+    time, so the state store evicts a window's rows once the watermark
+    passes its end — state is bounded by (keys x live windows), the same
+    bound as Flink's window-join keyed state. Output column ``window_start``
+    replaces the raw timestamps.
+    """
+    l = with_bounded_out_of_orderness(left, left_ts, delay).withColumn(
+        "__w", F.window(left_ts, size)
+    )
+    r = with_bounded_out_of_orderness(right, right_ts, delay).withColumn(
+        "__w", F.window(right_ts, size)
+    )
+    return (
+        l.join(r, [*keys, "__w"])
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w", left_ts, *([right_ts] if right_ts != left_ts else []))
+    )
+
+
 class _MemoryRowWriter:
     """Test-only sink: accumulates each side's rows on the driver (the
     memory-sink stand-in the tests read back). Production callers pass
