@@ -408,6 +408,37 @@ def s_window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_temporal_join_stream",
+    oracle="""
+    WITH build AS (
+      SELECT user_id, ts, max_by(value, event_id) AS bval
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), probe AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.ts, b.bval AS asof_value, b.ts AS asof_ts
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+    survey="J6-S X2",
+    tags=("streaming",),
+)
+def s_temporal_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal join (J6-S): purchases enriched with the view
+    version in effect at their event time — Flink `FOR SYSTEM_TIME AS OF`
+    on keyed O(1)-per-key state (streaming/temporal_join.py). Same probe/
+    build shape as the batch twin j6_asof_join; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from ..streaming.temporal_join import streaming_temporal_join
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_tjoin")
+    build = sdf.filter(F.col("event_type") == "view")
+    probe = sdf.filter(F.col("event_type") == "purchase")
+    joined = streaming_temporal_join(build, probe, key="user_id")
+    return _drain_to_memory(spark, joined, "s_tjoin_q", "append", wd)
+
+
+@register(
     "s_broadcast_state_join",
     oracle="""
     SELECT e.event_type,

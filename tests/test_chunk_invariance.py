@@ -46,6 +46,12 @@ INVARIANT_QUERIES = [
     # a pure function of global arrival order — and the re-fire upserts
     # are additive, so the final window values can't move with chunking
     "s_allowed_lateness_stream",
+    # window join: inner matches are a pure function of (key, window)
+    # membership; state eviction never drops a live window at any slicing
+    "s_window_join_stream",
+    # temporal join: the as-of version per probe depends only on per-key
+    # event order, which the ts-sorted replay preserves at any chunking
+    "s_temporal_join_stream",
 ]
 
 
