@@ -184,6 +184,47 @@ def n4_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# N4 — token-budget distribution (exact percentiles)
+# --------------------------------------------------------------------------
+@register(
+    "n4_token_percentiles",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(nt), 9) AS mean_tokens,
+           ROUND(quantile_cont(nt, 0.5), 9) AS p50,
+           ROUND(quantile_cont(nt, 0.9), 9) AS p90,
+           ROUND(quantile_cont(nt, 0.99), 9) AS p99,
+           MAX(nt) AS max_tokens
+    FROM (SELECT lang,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                   AS nt
+          FROM documents)
+    GROUP BY lang
+    """,
+    survey="N4 A5",
+)
+def n4_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget distribution per language: EXACT p50/p90/p99 of the
+    BPE-ish token count (Spark `percentile` vs DuckDB `quantile_cont`,
+    both R-7 linear interpolation — bit-identical, unlike approx
+    sketches). The shape a data-mixing run uses to size context budgets.
+    At 100 TB swap `percentile` for `approx_percentile` — the grouping
+    and scan shape stay identical."""
+    from ..operators.text_analysis import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select("lang", bpe_ish_token_count(F.col("text")).alias("nt"))
+    return nt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nt"), 9).alias("mean_tokens"),
+        F.round(F.expr("percentile(nt, 0.5D)"), 9).alias("p50"),
+        F.round(F.expr("percentile(nt, 0.9D)"), 9).alias("p90"),
+        F.round(F.expr("percentile(nt, 0.99D)"), 9).alias("p99"),
+        F.max("nt").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # N6 — greedy sequence packing
 # --------------------------------------------------------------------------
 _PACK_BUDGET = 256

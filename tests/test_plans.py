@@ -168,3 +168,27 @@ def test_r05_certification_window_is_pinned():
     assert all(n in oracles for n in window), [
         n for n in window if n not in oracles
     ]
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """The corpus side of the contamination check must never shuffle for
+    the join — the benchmark gram set broadcasts (eval sets are tiny; the
+    corpus is the 100 TB side)."""
+    df = REGISTRY["n4_contamination"].fn(spark, sf_dir)
+    assert audit.has_broadcast_join(df), audit.plan_text(df, "simple")
+    txt = audit.plan_text(df, "simple")
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """PII scrub is a pure per-row rewrite: zero shuffles at any scale."""
+    df = REGISTRY["n4_pii_redact"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 0, audit.plan_text(df, "simple")
+
+
+def test_repetition_signals_no_explode_shuffle(spark, sf_dir):
+    """Repetition metrics fold arrays per row; the only exchange allowed
+    is the local-fixture round-robin repartition, never a hash shuffle."""
+    df = REGISTRY["n4_repetition_signals"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 0, audit.plan_text(df, "simple")
+    assert "Generate" not in audit.plan_text(df, "simple")  # no explode
