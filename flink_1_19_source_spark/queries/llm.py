@@ -719,8 +719,11 @@ def n4_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stopword-overlap language id vs the labeled lang.
     (CASE..GREATEST in the oracle picks the first language in de<en<es<fr<zh
-    order on ties — same rule as the engine's argmax/min-code.)"""
-    d = load_table(spark, sf_dir, "documents")
+    order on ties — same rule as the engine's argmax/min-code.)
+
+    Repartition = local-fixture parallelism only (one-file corpus = one
+    input split); real corpora shard across files."""
+    d = load_table(spark, sf_dir, "documents").repartition(24)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
