@@ -428,6 +428,51 @@ def n3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, q, k=5)
 
 
+@register(
+    "n3_int8_topk",
+    oracle="""
+    WITH v0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vs AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127 AS s
+      FROM v0
+    ), v AS (
+      SELECT vec_id,
+             CASE WHEN s > 0
+                  THEN list_transform(e, x -> CAST(FLOOR(x / s + 0.5) AS DOUBLE))
+                  ELSE e END AS e
+      FROM vs
+    ), q AS (SELECT * FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, v.e)
+               / (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               9) AS cosine_sim
+      FROM v CROSS JOIN q WHERE q.vec_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+)
+def n3_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-5: per-vector symmetric quantization
+    (scales cancel in cosine, so scoring runs directly on the quantized
+    components — exact integer arithmetic in doubles, bit-identical
+    across engines). 4× smaller vectors on disk / in shuffles; recall
+    vs the fp32 exact path is pinned in tests/test_llm.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.quantize_int8(F.col("embedding")).alias("qe")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(e, q, vec_col="qe", k=5)
+
+
 _IVF_ORACLE = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
