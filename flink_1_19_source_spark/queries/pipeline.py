@@ -228,3 +228,97 @@ def n4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# N1 — dedup analytics: cross-source duplicate matrix
+# --------------------------------------------------------------------------
+@register(
+    "n1_cross_source_dup_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT LEAST(a.source, b.source) AS src_a,
+           GREATEST(a.source, b.source) AS src_b,
+           COUNT(*) AS n_dup_pairs
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    survey="N1 N4",
+)
+def n1_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *analytics*: which source pairs share duplicated documents —
+    the report a crawl-mixing decision reads before dropping a feed.
+    One self-join on the 32-byte normalized fingerprint (never the text),
+    so the 100 TB shuffle moves digests, not documents."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ta.fingerprint(F.col("text")).alias("fp")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.least(F.col("a.source"), F.col("b.source")).alias("src_a"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N6 — corpus mixing: data-derived rebalance gate
+# --------------------------------------------------------------------------
+@register(
+    "n6_mix_rebalance",
+    oracle="""
+    WITH stats AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM stats),
+    rates AS (
+      SELECT lang, n, LEAST(1.0, (0.2 * t) / n) AS rate FROM stats, tot
+    ),
+    gated AS (
+      SELECT d.doc_id, d.lang, r.rate
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT)
+            < CAST(FLOOR(r.rate * 4294967296) AS BIGINT)
+    )
+    SELECT lang, ROUND(ANY_VALUE(rate), 9) AS rate, COUNT(*) AS n_kept
+    FROM gated GROUP BY lang
+    """,
+    survey="N6",
+)
+def n6_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing toward a target distribution (uniform 20% per
+    language): per-stratum keep rates are DERIVED FROM THE DATA
+    (target/actual, capped at 1), then applied as a deterministic 32-bit
+    md5 gate — the same document survives on every engine and every
+    re-run. The rates join is a broadcast (one row per stratum); the gate
+    itself is map-only. This is n6_stratified_sample's production sibling:
+    rates as data, not constants."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = stats.agg(F.sum("n").cast("double").alias("t"))
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(F.lit(1.0), (F.lit(0.2) * F.col("t")) / F.col("n")).alias("rate"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    gated = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(h32 < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+    )
+    return gated.groupBy("lang").agg(
+        F.round(F.first("rate"), 9).alias("rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
