@@ -59,6 +59,9 @@ HEADLINE = [
     "q9_product_type_profit",
     "s_allowed_lateness_stream",
     "src_avro_roundtrip",
+    "n4_pii_redact",
+    "n6_sequence_packing",
+    "s_temporal_join_stream",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

@@ -88,6 +88,36 @@ HEADLINERS = {
         "SQL:2016 SIMILAR TO -> anchored rlike: whole-stage codegen "
         "expressions, zero shuffle"
     ),
+    "n4_pii_redact": (
+        "PII scrub: pure per-row regexp rewrite — zero shuffles, the 100 TB "
+        "corpus rewrites at scan speed"
+    ),
+    "n4_contamination": (
+        "benchmark-overlap check: benchmark gram set broadcast, corpus side "
+        "explode + broadcast-hash left join — no corpus shuffle for the join"
+    ),
+    "n4_repetition_signals": (
+        "Gopher repetition metrics: O(n) sorted-run-length folds per row, "
+        "no explode, no shuffle (the quadratic distinct-x-filter spelling "
+        "measured 26x slower and was rejected)"
+    ),
+    "n6_sequence_packing": (
+        "greedy token packing: one groupBy shuffle, per-group Arrow fold; "
+        "pack groups are bounded hash buckets at scale"
+    ),
+    "n3_int8_topk": (
+        "int8-quantized ANN: per-vector scales cancel in cosine, scoring "
+        "runs on 4x-smaller vectors with integer-exact arithmetic"
+    ),
+    "n1_cross_source_dup_matrix": (
+        "cross-source dup analytics: self-join on 32-byte fingerprints — "
+        "the shuffle moves digests, never documents"
+    ),
+    "n6_mix_rebalance": (
+        "data-derived mixing gate: per-stratum rates broadcast, md5 gate "
+        "map-only — rebalancing a 100 TB corpus costs one stats agg + one "
+        "scan"
+    ),
 }
 
 
