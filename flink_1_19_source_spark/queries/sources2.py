@@ -188,3 +188,80 @@ def s_datagen_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# S1/S2 — data-lake write semantics: schema evolution, partition overwrite
+# --------------------------------------------------------------------------
+@register(
+    "src_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey > 300 THEN o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey <= 600
+    """,
+    survey="S1 S2",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (S2): an old writer produced 2-column
+    files, a new writer adds `o_totalprice`; `mergeSchema` unions the
+    footers and back-fills NULL for pre-evolution rows — the append-only
+    data-lake upgrade path, no rewrite of old files. At 100 TB schema
+    merge happens on footers only (per-file metadata), never data."""
+    import os
+
+    from ..sources import formats
+
+    d = load_table(spark, sf_dir, "orders")
+    base = os.path.join(formats.scratch(sf_dir, "schema_evo"), "orders")
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    d.filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(v1)
+    d.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 600)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").parquet(v2)
+    return spark.read.option("mergeSchema", "true").parquet(v1, v2)
+
+
+@register(
+    "src_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F'
+                THEN ROUND(o_totalprice * 0.9, 2) ELSE o_totalprice
+           END AS o_totalprice
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    survey="S1 S2",
+)
+def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (S1): INSERT OVERWRITE must replace
+    ONLY the partitions present in the incoming data — a backfill of one
+    day/status must not clobber the rest of the table (static overwrite
+    truncates everything). Here: full load, then a corrected re-load of
+    just the 'F' partition; the other partitions must survive byte-for-
+    byte."""
+    import os
+
+    from ..sources import formats
+
+    d = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = d.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(formats.scratch(sf_dir, "dyn_overwrite"), "orders")
+    d.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fixed = d.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 0.9, 2)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    out = spark.read.parquet(path).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # partition column comes back as the directory value (string); restore
+    # the source dtype for the oracle compare
+    return out.withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
