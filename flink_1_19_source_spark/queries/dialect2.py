@@ -175,3 +175,51 @@ def sql_current_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT — semi-structured JSON as a first-class column type
+# --------------------------------------------------------------------------
+@register(
+    "f_variant_family",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"user":' || CAST(user_id AS VARCHAR)
+             || ',"tags":["' || event_type || '"],"meta":' || props || '}' AS doc
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           CAST(json_extract(doc, '$.user') AS BIGINT) AS v_user,
+           json_extract_string(doc, '$.tags[0]') AS v_tag,
+           CAST(json_extract(doc, '$.meta.k') AS BIGINT) AS v_k,
+           CAST(json_extract(doc, '$.missing') AS BIGINT) AS v_missing,
+           json_array_length(json_extract(doc, '$.tags')) AS v_n_tags
+    FROM j
+    """,
+    survey="2.8-json S12",
+)
+def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT (open-format semi-structured type): parse_json →
+    binary variant, typed path access with variant_get / try_variant_get.
+    Against a 100 TB JSON column VARIANT beats string re-parsing per
+    expression: one parse at ingest, then O(path) binary access with
+    shredding-friendly storage. The oracle replays the same paths with
+    DuckDB's JSON accessors — typed results must agree exactly."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    doc = F.concat(
+        F.lit('{"user":'), F.col("user_id").cast("string"),
+        F.lit(',"tags":["'), F.col("event_type"),
+        F.lit('"],"meta":'), F.col("props"), F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.user", "bigint").alias("v_user"),
+        F.try_variant_get(v, "$.tags[0]", "string").alias("v_tag"),
+        F.try_variant_get(v, "$.meta.k", "bigint").alias("v_k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("v_missing"),
+        F.array_size(F.variant_get(v, "$.tags", "array<string>"))
+        .cast("long")
+        .alias("v_n_tags"),
+    )
