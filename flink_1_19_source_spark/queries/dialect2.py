@@ -223,3 +223,64 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_n_tags"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2.8 string — third wave: URL parsing, overlay, base64, bin/hex
+# --------------------------------------------------------------------------
+@register(
+    "f_string3_family",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type,
+             'https://src' || CAST(user_id % 20 AS VARCHAR)
+             || '.example.com/path/' || event_type
+             || '?q=' || CAST(event_id AS VARCHAR) AS url
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           substr(event_type, 1, 1) || 'XX' || substr(event_type, 3) AS ov,
+           CAST(strpos(event_type, 'r') AS BIGINT) AS loc,
+           CAST(ascii(event_type) AS BIGINT) AS asc_code,
+           chr(65 + CAST(event_id % 26 AS INTEGER)) AS ch,
+           left(event_type, 3) AS l3, right(event_type, 3) AS r3,
+           to_base64(CAST(event_type AS BLOB)) AS b64,
+           CAST(from_base64(to_base64(CAST(event_type AS BLOB))) AS VARCHAR)
+             AS b64_rt,
+           bin(event_id) AS bn,
+           upper(hex(event_id)) AS hx
+    FROM u
+    """,
+    survey="2.8-string 2.8-hash",
+)
+def f_string3_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string-function wave (SURVEY §2.8): PARSE_URL (Flink's URL
+    accessor — the oracle replays it with regexes), OVERLAY, LOCATE,
+    ASCII/CHR, LEFT/RIGHT, TO/FROM_BASE64 round-trip, BIN/HEX. All
+    whole-stage-codegen expressions, zero shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    url = F.concat(
+        F.lit("https://src"), (F.col("user_id") % 20).cast("string"),
+        F.lit(".example.com/path/"), F.col("event_type"),
+        F.lit("?q="), F.col("event_id").cast("string"),
+    )
+    et = F.col("event_type")
+    return e.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.overlay(et, F.lit("XX"), F.lit(2), F.lit(1)).alias("ov"),
+        F.locate("r", "event_type").cast("long").alias("loc"),
+        F.ascii(et).cast("long").alias("asc_code"),
+        F.expr("char(65 + event_id % 26)").alias("ch"),
+        F.expr("left(event_type, 3)").alias("l3"),
+        F.expr("right(event_type, 3)").alias("r3"),
+        F.base64(et.cast("binary")).alias("b64"),
+        F.unbase64(F.base64(et.cast("binary"))).cast("string").alias("b64_rt"),
+        F.bin(F.col("event_id")).alias("bn"),
+        F.upper(F.hex(F.col("event_id"))).alias("hx"),
+    )
