@@ -116,3 +116,62 @@ def hll_oracle_sql(table: str, col: str, b: int = 8) -> str:
                  END, 4) AS estimate
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable Bloom filter — the membership-sketch sibling of the HLL
+# above. Same portability trick: every bit position is derived from md5 on
+# the key's string form, so Spark and DuckDB build the IDENTICAL bit set
+# and the membership verdicts (not just the counts) hash-match.
+#
+# Scale shape: the filter itself is the DISTINCT set of set-bit indices —
+# at most m rows cross the shuffle regardless of input size (partial agg
+# caps each map task at m values), and the probe side joins against a
+# broadcast of those ≤ m rows. Flink's runtime uses exactly this sketch
+# for runtime filters in batch joins (flink-runtime BloomFilter); here it
+# is also the 100 TB pre-filter for "have we seen this document/URL"
+# dedup passes, mergeable across days by bit-set union.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_spark(col: str, i: int, m: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}:', CAST({col} AS STRING))),1,8),"
+        f"16,10) AS BIGINT) % {m}"
+    )
+
+
+def _bloom_pos_duck(col: str, i: int, m: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{i}:', CAST({col} AS VARCHAR))),"
+        f"1, 8)) AS BIGINT) % {m}"
+    )
+
+
+def bloom_bits(df: DataFrame, col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """The filter: DISTINCT set-bit indices (≤ m rows) for ``col``."""
+    pos = F.array(*[F.expr(_bloom_pos_spark(col, i, m)) for i in range(k)])
+    return df.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_probe(
+    probe: DataFrame, col: str, bits: DataFrame, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """Per-probe-row membership verdict: ``member`` is true iff every one
+    of the key's k bit positions is set. No false negatives by
+    construction; false positives bounded by (n_set/m)^k."""
+    pos = F.array(*[F.expr(_bloom_pos_spark("key", i, m)) for i in range(k)])
+    ppos = (
+        probe.select(F.col(col).alias("key"))
+        .distinct()
+        .select("key", F.explode(F.array_distinct(pos)).alias("bit"))
+    )
+    hit = ppos.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+    return (
+        hit.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("_set").alias("n_hit"),
+        )
+        .select("key", (F.col("n_hit") == F.col("n_pos")).alias("member"))
+    )

@@ -35,6 +35,7 @@ from . import streaming2  # noqa: F401  (retract-stream chained aggregation)
 from . import kafka_queries  # noqa: F401  (S6 file-topic contract, X1 idleness)
 from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 from . import llm2  # noqa: F401  (PII, contamination, repetition, packing)
+from . import aggregates2  # noqa: F401  (JSON_OBJECTAGG family, portable Bloom)
 
 from ..registry import REGISTRY
 

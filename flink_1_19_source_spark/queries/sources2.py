@@ -229,7 +229,9 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderstatus,
            CASE WHEN o_orderstatus = 'F'
-                THEN ROUND(o_totalprice * 0.9, 2) ELSE o_totalprice
+                THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                                * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                ELSE o_totalprice
            END AS o_totalprice
     FROM orders WHERE o_orderkey <= 400
     """,
@@ -250,8 +252,16 @@ def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     d = d.select("o_orderkey", "o_orderstatus", "o_totalprice")
     path = os.path.join(formats.scratch(sf_dir, "dyn_overwrite"), "orders")
     d.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    # decimal-exact discount: double*0.9 lands on .xx5 boundaries whose
+    # float repr differs between engines' ROUND — decimal(18,2)×(2,1) is
+    # exact, rounds HALF_UP identically, then one cast back to double
     fixed = d.filter(F.col("o_orderstatus") == "F").withColumn(
-        "o_totalprice", F.round(F.col("o_totalprice") * 0.9, 2)
+        "o_totalprice",
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.9").cast("decimal(2,1)"),
+            2,
+        ).cast("double"),
     )
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
