@@ -275,3 +275,74 @@ def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     # partition column comes back as the directory value (string); restore
     # the source dtype for the oracle compare
     return out.withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
+
+
+def _stmt_set_oracle() -> str:
+    from ..functions.exact import sql_dsum
+
+    return f"""
+    WITH src AS (
+      SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 2000
+    )
+    SELECT 'by_flag' AS sink, l_returnflag AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice')} AS s
+    FROM src GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'big_items' AS sink, CAST(l_orderkey AS VARCHAR) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice')} AS s
+    FROM src WHERE l_quantity >= 45
+    GROUP BY l_orderkey
+    """
+
+
+@register("sql_statement_set", oracle=_stmt_set_oracle(), survey="S12 S1")
+def sql_statement_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE STATEMENT SET (plans/statement_set.py): two INSERTs fanned
+    out from ONE shared scan, executed as a single logical job — the
+    shared frame is persisted so the second sink reads the materialized
+    scan, not the parquet again (Flink's shared-source-vertex property;
+    the InMemoryTableScan shape is pinned in tests/test_plans.py). The
+    query re-reads both sinks tagged and unioned, so the driver hash
+    certifies the CONTENT both statements wrote."""
+    import os
+
+    from ..functions.exact import dsum
+    from ..plans.statement_set import StatementSet
+    from ..sources import formats
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    by_flag = src.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice")).alias("s")
+    )
+    big_items = (
+        src.filter(F.col("l_quantity") >= 45)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("s"),
+        )
+    )
+    base = formats.scratch(sf_dir, "stmt_set")
+    p1, p2 = os.path.join(base, "by_flag"), os.path.join(base, "big_items")
+    StatementSet(shared=src).add_insert(p1, by_flag).add_insert(p2, big_items).execute()
+
+    r1 = spark.read.parquet(p1).select(
+        F.lit("by_flag").alias("sink"),
+        F.col("l_returnflag").alias("k"),
+        F.col("n"),
+        F.col("s"),
+    )
+    r2 = spark.read.parquet(p2).select(
+        F.lit("big_items").alias("sink"),
+        F.col("l_orderkey").cast("string").alias("k"),
+        F.col("n"),
+        F.col("s"),
+    )
+    return r1.unionByName(r2)

@@ -192,3 +192,23 @@ def test_repetition_signals_no_explode_shuffle(spark, sf_dir):
     df = REGISTRY["n4_repetition_signals"].fn(spark, sf_dir)
     assert audit.shuffle_count(df) == 0, audit.plan_text(df, "simple")
     assert "Generate" not in audit.plan_text(df, "simple")  # no explode
+
+
+def test_statement_set_second_sink_reads_cached_scan(spark, sf_dir):
+    """S12 statement set: with the shared frame persisted, every sink
+    after the first plans an InMemoryTableScan instead of re-reading the
+    parquet — the Spark analog of Flink's shared source vertex in a
+    multi-INSERT job."""
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    )
+    src.persist()
+    try:
+        src.count()  # materialize, as the first INSERT's write does
+        agg = src.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        plan = audit.plan_text(agg)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    finally:
+        src.unpersist()

@@ -276,3 +276,27 @@ def test_portable_hll_accuracy_and_merge(spark, sf_dir):
         b=8,
     ).first().estimate
     assert whole == both
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """A14 portable Bloom: every inserted key must probe positive (the
+    Bloom guarantee), and the false-positive rate over a disjoint probe
+    set stays within ~3× the (n_set/m)^k bound."""
+    from flink_1_19_source_spark.operators.sketches import bloom_bits, bloom_probe
+    from flink_1_19_source_spark.tables import load_table
+
+    m, k = 4096, 3
+    o = load_table(spark, sf_dir, "orders")
+    bits = bloom_bits(o, "o_custkey", m=m, k=k)
+    n_set = bits.count()
+
+    members = o.select(F.col("o_custkey").alias("x")).distinct()
+    v_in = bloom_probe(members, "x", bits, m=m, k=k)
+    assert v_in.filter(~F.col("member")).count() == 0  # no false negatives
+
+    # disjoint probe keys (custkeys are small positives; offset far away)
+    probe = spark.range(1_000_000, 1_002_000).select(F.col("id").alias("x"))
+    v_out = bloom_probe(probe, "x", bits, m=m, k=k)
+    fp = v_out.filter(F.col("member")).count()
+    bound = (n_set / m) ** k
+    assert fp / 2000 <= 3 * bound + 0.01, (fp, n_set, bound)
