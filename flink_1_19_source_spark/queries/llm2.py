@@ -265,3 +265,82 @@ def n6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, group_col="source", order_col="doc_id", text_col="text",
         budget=_PACK_BUDGET,
     )
+
+
+# --------------------------------------------------------------------------
+# N1/N4 — corpus-level duplicate-chunk removal (CCNet-style)
+# --------------------------------------------------------------------------
+@register(
+    "n1_chunk_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk_text
+      FROM w, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) t(i)
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                   ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    ), kept AS (
+      SELECT doc_id, chunk_id, chunk_text FROM ranked WHERE rn = 1
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS kept_fp
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks, COALESCE(a.n_kept, 0) AS n_kept, a.kept_fp
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    survey="N1 N4",
+)
+def n1_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-chunk removal (the CCNet/C4 paragraph-dedup
+    pass, on 10-word chunks since the synthetic corpus has no newlines):
+    every distinct chunk keeps only its corpus-first occurrence
+    (doc_id, chunk_id order); documents are re-assembled from surviving
+    chunks. Chunking is map-only array expressions (no word-level
+    shuffle); the dedup is ONE shuffle keyed on the chunk (at 100 TB,
+    key the shuffle on md5(chunk) — 16 bytes instead of the text — and
+    keep first by (doc_id, chunk_id) min, same plan shape). Output:
+    per-doc chunk counts + fingerprint of the deduped text."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),"
+                " i -> array_join(slice(w, i*10+1, 10), ' '))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    )
+    kept = chunks.withColumn("rn", rn).filter(F.col("rn") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(chunk_id, chunk_text))),"
+                    " x -> x.chunk_text)"
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "kept_fp",
+    )

@@ -361,3 +361,75 @@ def s_session_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sess, "s_sess_native_q",
         sinks.plan_sink("windowed_agg").output_mode, wd,
     )
+
+
+@register(
+    "w4b_dynamic_gap_session",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE event_type WHEN 'click' THEN 120000
+                             WHEN 'view' THEN 180000
+                             ELSE 300000 END AS gap
+      FROM events
+    ), runs AS (
+      SELECT *, MAX(ms + gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), flags AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR ms >= prev_end
+                     THEN 1 ELSE 0 END AS is_new
+      FROM runs
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           MIN(ms) AS session_start_ms,
+           MAX(ms + gap) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey="W4 W7",
+)
+def w4b_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows — DataStream
+    ``EventTimeSessionWindows.withDynamicGap``: each element opens a
+    window [ts, ts + gap(element)) where the gap depends on the element
+    (here: per-event-type inactivity budgets), and overlapping windows
+    merge. Spark has session_window(ts, gap_expr) only for constant-ish
+    gaps per row WITHOUT the running-merge semantics Flink defines, so
+    the merge is expressed exactly: a row starts a new session iff its ts
+    is >= the running max of (ts+gap) over all earlier rows of the key —
+    one shuffle (the per-key sort window), then an ordinary agg.
+    100 TB: identical shape; the window sort is per-key and spills."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("event_type") == "click", F.lit(120000))
+        .when(F.col("event_type") == "view", F.lit(180000))
+        .otherwise(F.lit(300000))
+        .alias("gap"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    prev_end = F.max(F.col("ms") + F.col("gap")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn(
+        "is_new",
+        F.when(prev_end.isNull() | (F.col("ms") >= prev_end), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
+        F.min("ms").alias("session_start_ms"),
+        F.max(F.col("ms") + F.col("gap")).alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
