@@ -36,6 +36,7 @@ from . import kafka_queries  # noqa: F401  (S6 file-topic contract, X1 idleness)
 from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 from . import llm2  # noqa: F401  (PII, contamination, repetition, packing)
 from . import aggregates2  # noqa: F401  (JSON_OBJECTAGG family, portable Bloom)
+from . import dialect3  # noqa: F401  (ALTER/TRUNCATE/LIKE, SQL UDFs, ANALYZE)
 
 from ..registry import REGISTRY
 

@@ -1,0 +1,209 @@
+"""SQL-dialect closure, third wave (SURVEY §2.1 S11/S12, §2.10).
+
+Flink 1.19 statement surface beyond CREATE/INSERT/SHOW/DESCRIBE:
+
+- ``ALTER TABLE ADD COLUMNS`` / ``TRUNCATE TABLE`` (added 1.18) /
+  ``CREATE TABLE ... LIKE`` — the table-lifecycle statements
+  [docs: Flink SQL ALTER / TRUNCATE / CREATE ... LIKE];
+- ``CREATE [TEMPORARY] FUNCTION`` — catalog-registered UDFs
+  [docs: Flink SQL CREATE FUNCTION]; Spark 4's SQL-macro functions
+  (``CREATE FUNCTION ... RETURNS ... RETURN expr``) are the direct,
+  fully-codegen'd analog (the body inlines into the plan — no UDF
+  call overhead at all, strictly better than a Python shim);
+- ``ANALYZE TABLE`` (added 1.18, batch-only) — collects table/column
+  statistics into the catalog for the cost-based optimizer
+  [docs: Flink SQL ANALYZE TABLE]. Spark: ``ANALYZE TABLE ... COMPUTE
+  STATISTICS [FOR COLUMNS ...]`` feeding CBO/AQE join planning.
+
+Each query drives the statements end-to-end through the session
+catalog and returns re-readable CONTENT (or the collected stats), so
+the driver hash certifies statement effects, not just acceptance.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+
+def _reset_managed(spark: SparkSession, db: str, *tables: str) -> None:
+    """DROP + clear orphaned warehouse dirs (the in-memory catalog forgets
+    managed tables across sessions while their directories persist)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        if wh.startswith("file:"):
+            shutil.rmtree(
+                wh.removeprefix("file:") + f"/{db}.db/{t}", ignore_errors=True
+            )
+
+
+@register(
+    "sql_ddl_lifecycle",
+    oracle="""
+    WITH t1_final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 250
+    ), t2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey > 100 THEN o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey <= 200 AND o_orderstatus = 'O'
+    )
+    SELECT 't1' AS tag, * FROM t1_final
+    UNION ALL
+    SELECT 't2' AS tag, * FROM t2
+    """,
+    survey="S11 S12",
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-lifecycle statements end-to-end: CREATE → INSERT → ALTER
+    TABLE ADD COLUMNS (old rows read back NULL-padded) → INSERT with the
+    new column → CREATE TABLE LIKE (schema clone, no data) → INSERT
+    SELECT → TRUNCATE (data gone, schema kept) → re-INSERT. The final
+    union re-reads both tables through the catalog, so every statement's
+    effect lands in the hash. Flink: the same statement sequence against
+    HiveCatalog."""
+    db = "graft_ddl3"
+    _reset_managed(spark, db, "lc_t1", "lc_t2")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ddl3_orders")
+
+    spark.sql(
+        f"CREATE TABLE {db}.lc_t1 (o_orderkey BIGINT, o_orderstatus STRING)"
+        " USING PARQUET"
+    )
+    spark.sql(
+        f"INSERT INTO {db}.lc_t1 SELECT o_orderkey, o_orderstatus"
+        " FROM ddl3_orders WHERE o_orderkey <= 100"
+    )
+    spark.sql(f"ALTER TABLE {db}.lc_t1 ADD COLUMNS (o_totalprice DOUBLE)")
+    spark.sql(
+        f"INSERT INTO {db}.lc_t1 SELECT o_orderkey, o_orderstatus, o_totalprice"
+        " FROM ddl3_orders WHERE o_orderkey > 100 AND o_orderkey <= 200"
+    )
+    spark.sql(f"CREATE TABLE {db}.lc_t2 LIKE {db}.lc_t1")
+    spark.sql(
+        f"INSERT INTO {db}.lc_t2 SELECT * FROM {db}.lc_t1"
+        " WHERE o_orderstatus = 'O'"
+    )
+    spark.sql(f"TRUNCATE TABLE {db}.lc_t1")
+    if spark.table(f"{db}.lc_t1").count() != 0:
+        raise AssertionError("TRUNCATE left rows behind")
+    spark.sql(
+        f"INSERT INTO {db}.lc_t1 SELECT o_orderkey, o_orderstatus, o_totalprice"
+        " FROM ddl3_orders WHERE o_orderkey > 200 AND o_orderkey <= 250"
+    )
+    t1 = spark.table(f"{db}.lc_t1").select(F.lit("t1").alias("tag"), "*")
+    t2 = spark.table(f"{db}.lc_t2").select(F.lit("t2").alias("tag"), "*")
+    return t1.unionByName(t2)
+
+
+def _cf_oracle() -> str:
+    return """
+    SELECT l_orderkey,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.07 AS DECIMAL(3,2)), 2) AS DOUBLE) AS taxed,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 20 THEN 'mid' ELSE 'small' END AS bucket
+    FROM lineitem WHERE l_orderkey <= 500
+    """
+
+
+@register("sql_create_function", oracle=_cf_oracle(), survey="S12 2.10-ScalarFunction")
+def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION (Flink catalog UDFs) via Spark SQL macro
+    functions: the body is SQL, inlined by Catalyst into the calling
+    plan — whole-stage-codegen'd, zero call overhead (contrast a Python
+    ScalarFunction, which pays the serialization boundary). Two
+    functions registered and exercised through plain SQL; the tax macro
+    uses exact-decimal rounding so both engines agree on .xx5
+    boundaries."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION graft_tax(p DOUBLE) RETURNS DOUBLE"
+        " RETURN CAST(ROUND(CAST(p AS DECIMAL(18,2)) * CAST(1.07 AS DECIMAL(3,2)),"
+        " 2) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket(q DOUBLE) RETURNS STRING"
+        " RETURN CASE WHEN q >= 40 THEN 'bulk' WHEN q >= 20 THEN 'mid'"
+        " ELSE 'small' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, graft_tax(l_extendedprice) AS taxed,
+               graft_bucket(l_quantity) AS bucket
+        FROM cf_lineitem WHERE l_orderkey <= 500
+        """
+    )
+
+
+@register(
+    "sql_analyze_stats",
+    oracle="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey <= 1000)
+    SELECT col_name,
+           min_v, max_v, n_nulls,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS table_rows
+    FROM (
+      SELECT 'o_orderkey' AS col_name, MIN(o_orderkey) AS min_v,
+             MAX(o_orderkey) AS max_v,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls
+      FROM src
+      UNION ALL
+      SELECT 'o_custkey', MIN(o_custkey), MAX(o_custkey),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM src
+    )
+    """,
+    survey="S11 S12",
+)
+def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS (Flink 1.18+
+    batch statement): stats land in the catalog and feed the cost-based
+    optimizer (broadcast-vs-shuffle join choices — the decision that
+    matters most at 100 TB). The query reads the collected per-column
+    min/max/null-count and the table rowCount BACK out of the catalog
+    (DESCRIBE EXTENDED), returning them as data so the driver hash
+    certifies the statistics values themselves. distinct_count is
+    HLL-approximate in Spark's catalog, hence excluded from the oracled
+    projection."""
+    db = "graft_ddl3"
+    _reset_managed(spark, db, "stats_t")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ddl3_orders_s")
+    spark.sql(
+        f"CREATE TABLE {db}.stats_t USING PARQUET AS"
+        " SELECT * FROM ddl3_orders_s WHERE o_orderkey <= 1000"
+    )
+    spark.sql(
+        f"ANALYZE TABLE {db}.stats_t COMPUTE STATISTICS"
+        " FOR COLUMNS o_orderkey, o_custkey"
+    )
+    n_rows = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.stats_t").filter(
+        F.col("col_name") == "Statistics"
+    )
+    # "X bytes, N rows" — parse N; statement must have populated it
+    stat_line = n_rows.first()
+    if stat_line is None or "rows" not in stat_line.data_type:
+        raise AssertionError(f"ANALYZE did not record table stats: {stat_line}")
+    table_rows = int(stat_line.data_type.split(",")[1].strip().split(" ")[0])
+
+    rows = []
+    for col in ("o_orderkey", "o_custkey"):
+        kv = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {db}.stats_t {col}").collect()
+        }
+        rows.append(
+            (col, int(kv["min"]), int(kv["max"]), int(kv["num_nulls"]), table_rows)
+        )
+    return spark.createDataFrame(
+        rows, "col_name string, min_v bigint, max_v bigint, n_nulls bigint,"
+        " table_rows bigint"
+    )

@@ -433,3 +433,46 @@ def w4b_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+@register(
+    "w9_window_grouping_sets",
+    oracle=f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((window_start, event_type), (window_start))
+    """,
+    survey="W1 W6 A4",
+)
+def w9_window_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window TVF aggregation with GROUPING SETS (Flink 1.19 window aggs
+    accept GROUPING SETS/CUBE/ROLLUP over the window TVF [docs:
+    queries/window-agg]): per-window per-type rows plus a per-window
+    rollup in ONE pass — Catalyst's Expand duplicates each row per
+    grouping set before a single partial+final aggregate, so it stays
+    one shuffle (same as Flink's planner Expand)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.window("ts", "1 hour").start.alias("window_start"),
+        "event_type",
+        "value",
+    )
+    b.createOrReplaceTempView("w9_b")
+    return spark.sql(
+        """
+        SELECT window_start, event_type,
+               CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM w9_b
+        GROUP BY GROUPING SETS ((window_start, event_type), (window_start))
+        """
+    )
