@@ -476,3 +476,73 @@ def w9_window_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((window_start, event_type), (window_start))
         """
     )
+
+
+@register(
+    "s_dynamic_gap_session_stream",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, ts, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE event_type WHEN 'click' THEN 120000
+                             WHEN 'view' THEN 180000
+                             ELSE 300000 END AS gap
+      FROM events
+    ), runs AS (
+      SELECT *, MAX(ms + gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), flags AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR ms >= prev_end
+                     THEN 1 ELSE 0 END AS is_new
+      FROM runs
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags
+    ), agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ms + gap) AS session_end_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 6) AS total_value
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (
+      SELECT CAST(epoch_ms(MAX(ts) - INTERVAL 10 MINUTE) AS BIGINT) AS w
+      FROM events
+    )
+    SELECT user_id, session_start, session_end_ms, n_events, total_value
+    FROM agg, wm
+    WHERE session_end_ms <= w
+       OR sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    """,
+    survey="W4-S W7 X2",
+    tags=("streaming",),
+)
+def s_dynamic_gap_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dynamic-gap sessions (DataStream
+    EventTimeSessionWindows.withDynamicGap): per-event-type inactivity
+    budgets, sessions merge while events keep arriving before the
+    running max of (ts + gap); closed either by a breaching event or by
+    the event-time timer at the session end (watermark-clamped timers,
+    streaming/dynamic_session.py). Emitted set = every non-final session
+    per user + final sessions whose end the final watermark passed —
+    mirrored exactly by the oracle's emission filter."""
+    from ..streaming.dynamic_session import dynamic_sessionize
+    from .streaming_queries import _drain_to_memory, _events_stream
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_dyn_session")
+    withgap = sdf.withColumn(
+        "gap_ms",
+        F.when(F.col("event_type") == "click", F.lit(120000))
+        .when(F.col("event_type") == "view", F.lit(180000))
+        .otherwise(F.lit(300000)),
+    )
+    out = _drain_to_memory(
+        spark, dynamic_sessionize(withgap), "s_dyn_session_q", "append", wd
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end_ms",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )

@@ -52,6 +52,10 @@ INVARIANT_QUERIES = [
     # temporal join: the as-of version per probe depends only on per-key
     # event order, which the ts-sorted replay preserves at any chunking
     "s_temporal_join_stream",
+    # dynamic-gap sessions: the merge frontier (running max of ts+gap)
+    # is a pure function of per-key event order; watermark-clamped
+    # timers only defer fires, never change the emitted set
+    "s_dynamic_gap_session_stream",
 ]
 
 
