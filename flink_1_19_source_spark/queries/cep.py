@@ -93,3 +93,66 @@ def x5_adjacent_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_id").alias("purchase_id"),
         )
     )
+
+
+@register(
+    "x5_pattern_within",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS signup_event_id, ts AS signup_ts,
+           next_purchase_ts AS purchase_ts,
+           CAST(epoch_ms(next_purchase_ts) - epoch_ms(ts) AS BIGINT)
+             AS latency_ms
+    FROM nxt
+    WHERE event_type = 'signup'
+      AND next_purchase_ts <= ts + INTERVAL 30 MINUTE
+    """,
+    survey="X5 O2",
+)
+def x5_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP time-constrained pattern — Flink
+    ``Pattern.begin(signup).followedBy(purchase).within(30 min)``
+    (relaxed contiguity: interleaved events allowed; each signup matches
+    its FIRST subsequent purchase inside the window). Spark-first: no
+    range join at all — one per-key sort window computes the next
+    purchase timestamp for every row (min-over-following on the
+    time-ordered stream), then a filter keeps signups whose next
+    purchase lands within the bound. One shuffle, codegen'd; the same
+    shape Flink's NFA evaluates with its within-timer."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = e.withColumn(
+        "next_purchase_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    return (
+        nxt.filter(
+            (F.col("event_type") == "signup")
+            & (
+                F.col("next_purchase_ts")
+                <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("next_purchase_ts").alias("purchase_ts"),
+            (F.unix_millis("next_purchase_ts") - F.unix_millis("ts")).alias(
+                "latency_ms"
+            ),
+        )
+    )
