@@ -118,6 +118,34 @@ HEADLINERS = {
         "map-only — rebalancing a 100 TB corpus costs one stats agg + one "
         "scan"
     ),
+    "a13_jsonagg_family": (
+        "JSON_OBJECTAGG/ARRAYAGG: two-level agg — collect state bounded "
+        "by |priorities| per group, never raw rows"
+    ),
+    "a14_bloom_portable": (
+        "portable Bloom: build shuffles <=m distinct bit rows, probe side "
+        "joins a broadcast of the bit set — probes never shuffle"
+    ),
+    "sql_statement_set": (
+        "STATEMENT SET: shared scan persisted once; second sink plans an "
+        "InMemoryTableScan instead of re-reading parquet"
+    ),
+    "w4b_dynamic_gap_session": (
+        "dynamic-gap sessions: running-max merge frontier + session ids "
+        "on ONE per-key sort window, then an ordinary agg"
+    ),
+    "w9_window_grouping_sets": (
+        "window TVF agg with GROUPING SETS: Expand then one partial+final "
+        "agg — multi-granularity rollup in a single shuffle"
+    ),
+    "n1_chunk_dedup": (
+        "corpus duplicate-chunk removal: map-only array chunking, one "
+        "chunk-keyed shuffle for corpus-first ranking"
+    ),
+    "x5_pattern_within": (
+        "CEP within-window pattern: min-over-following on the per-key "
+        "sort — conversion matching with zero range joins"
+    ),
 }
 
 
