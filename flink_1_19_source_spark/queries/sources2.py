@@ -346,3 +346,52 @@ def sql_statement_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s"),
     )
     return r1.unionByName(r2)
+
+
+@register(
+    "src_sorted_write",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey <= 3000
+    """,
+    survey="S1 S2 T1",
+)
+def src_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted range-partitioned sink (Flink batch ORDER BY
+    output): range exchange + in-task sort → files with pairwise-disjoint
+    key ranges. The disjointness is ASSERTED from the parquet footers
+    (pyarrow column statistics), not assumed — that property is what
+    turns the file listing into a coarse index at 100 TB."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources import formats
+
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 3000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    path = os.path.join(formats.scratch(sf_dir, "sorted_write"), "lineitem")
+    formats.sorted_range_write(d, path, "l_orderkey", 8)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        if meta.num_rows == 0:
+            continue
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        if hi1 >= lo2:
+            raise AssertionError(f"overlapping file ranges: {ranges}")
+
+    return spark.read.parquet(path)

@@ -113,3 +113,76 @@ def s_chained_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_users") > 0)
         .select("cnt", "n_users")
     )
+
+
+@register(
+    "s_statement_set_stream",
+    oracle="""
+    SELECT 'purchases' AS sink, event_id, user_id, ROUND(value, 6) AS value
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'high_value' AS sink, event_id, user_id, ROUND(value, 6) AS value
+    FROM events WHERE value >= 150
+    """,
+    survey="S12 X4 R6",
+    tags=("streaming",),
+)
+def s_statement_set_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATEMENT SET: one source stream, two INSERTs, executed
+    as a single job — per micro-batch the shared batch frame is persisted
+    once and both sinks write from it (Flink's multi-INSERT statement set
+    over the same Kafka source). Exactly-once comes from the checkpointed
+    replay: a re-run of a batch overwrites its own epoch directories
+    (idempotent per-batch paths), never double-appends. The read-back is
+    tagged + unioned so the oracle certifies BOTH sinks' content."""
+    wd = os.path.join(
+        "/tmp/sgraft_streams",
+        os.path.basename(sf_dir.rstrip("/")),
+        "s_stmt_set",
+    )
+    os.makedirs(wd, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    p_purch = os.path.join(wd, f"purchases-{run}")
+    p_high = os.path.join(wd, f"high-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    sdf, _ = _events_stream(spark, sf_dir, "s_stmt_set_src")
+
+    def fan_out(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            # idempotent epoch paths: a crash-replayed batch rewrites its
+            # own directory instead of appending a duplicate
+            batch.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "value"
+            ).write.mode("overwrite").parquet(
+                os.path.join(p_purch, f"epoch={batch_id:05d}")
+            )
+            batch.filter(F.col("value") >= 150).select(
+                "event_id", "user_id", "value"
+            ).write.mode("overwrite").parquet(
+                os.path.join(p_high, f"epoch={batch_id:05d}")
+            )
+        finally:
+            batch.unpersist()
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fan_out, checkpoint_dir=ckpt)
+
+    r1 = spark.read.parquet(p_purch).select(
+        F.lit("purchases").alias("sink"),
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+    )
+    r2 = spark.read.parquet(p_high).select(
+        F.lit("high_value").alias("sink"),
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+    )
+    out = r1.unionByName(r2).localCheckpoint(eager=True)
+    shutil.rmtree(p_purch, ignore_errors=True)
+    shutil.rmtree(p_high, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

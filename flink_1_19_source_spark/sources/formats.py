@@ -96,3 +96,21 @@ def compacted_partitioned_write(
     df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
         "overwrite"
     ).format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def sorted_range_write(
+    df: DataFrame, path: str, col: str, n_files: int, fmt: str = "parquet"
+) -> None:
+    """Globally-sorted output: range-exchange on ``col`` (sampled range
+    boundaries, Spark's RangePartitioning — the same two-phase global
+    sort Flink's batch ORDER BY sink runs), then sort within each task.
+    Result: n_files files whose [min, max] key ranges are pairwise
+    disjoint, so every parquet footer becomes a coarse index — a reader
+    filtering on the key opens only the files whose range matches
+    (row-group min/max pruning at file granularity). The 100 TB pattern
+    for time- or key-ordered archival layouts."""
+    from pyspark.sql import functions as F
+
+    df.repartitionByRange(n_files, F.col(col)).sortWithinPartitions(
+        col
+    ).write.mode("overwrite").format(fmt).save(path)
