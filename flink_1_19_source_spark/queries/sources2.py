@@ -395,3 +395,176 @@ def src_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(f"overlapping file ranges: {ranges}")
 
     return spark.read.parquet(path)
+
+
+@register(
+    "src_cdc_debezium",
+    oracle="""
+    WITH oped AS (
+      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error' THEN 'd'
+                  ELSE 'u' END AS op
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ms DESC, event_id DESC) AS rn
+      FROM oped
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value
+    FROM latest WHERE rn = 1 AND op <> 'd'
+    """,
+    survey="X6 S4",
+)
+def src_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debezium-json CDC FORMAT (Flink flink-formats/flink-json debezium
+    decoder): events are first rendered as real Debezium envelopes —
+    ``{"before":..., "after":..., "op":"c|u|d", "ts_ms":...}`` strings —
+    then the operator under test parses the envelopes with a typed
+    from_json schema, derives the row image (after for c/u, before for
+    d), and applies the changelog (latest op per key wins, deletes drop
+    the key). The oracle computes the same final table relationally, so
+    a wrong parse (missed nulls, wrong image choice, dropped precision in
+    the JSON round-trip) diverges the hash. All expressions are
+    codegen'd JSON built-ins — no UDFs, map-only until the keyed fold."""
+    e = load_table(spark, sf_dir, "events")
+    row = F.struct(
+        F.col("user_id"), F.col("event_id"), F.col("value")
+    )
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    envelopes = e.select(
+        F.to_json(
+            F.struct(
+                F.when(op != "c", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            )
+        ).alias("env")
+    )
+
+    schema = (
+        "before struct<user_id: bigint, event_id: bigint, value: double>,"
+        " after struct<user_id: bigint, event_id: bigint, value: double>,"
+        " op string, ts_ms bigint"
+    )
+    parsed = envelopes.select(F.from_json("env", schema).alias("m")).select(
+        F.coalesce(F.col("m.after.user_id"), F.col("m.before.user_id")).alias(
+            "user_id"
+        ),
+        F.coalesce(F.col("m.after.event_id"), F.col("m.before.event_id")).alias(
+            "event_id"
+        ),
+        F.col("m.after.value").alias("value"),
+        F.col("m.op").alias("op"),
+        F.col("m.ts_ms").alias("ms"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ms").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        parsed.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+@register(
+    "s_rolling_file_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+    FROM events
+    """,
+    survey="S1 S2 X4",
+    tags=("streaming",),
+)
+def s_rolling_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FileSink with rolling policy + compaction (Flink
+    flink-connector-files: rolling policies cut part files at a size
+    bound; the 1.15+ sink compacts the resulting smalls before commit).
+    Micro-batch analog: each batch rolls into ceil(rows/roll_rows) part
+    files under an idempotent epoch dir (crash-replay rewrites, never
+    double-appends); after the drain a compaction pass rewrites the
+    accumulated smalls into row-bounded big files. Both halves are
+    ASSERTED on the filesystem: the staging layout really rolled (> the
+    compacted count), the compacted layout really bounds file count.
+    This is the small-file lifecycle that decides 100 TB scan cost."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from .streaming_queries import _stream_shuffle_partitions
+
+    wd = os.path.join(
+        "/tmp/sgraft_streams", os.path.basename(sf_dir.rstrip("/")), "s_rollsink"
+    )
+    os.makedirs(wd, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    staging = os.path.join(wd, f"staging-{run}")
+    final = os.path.join(wd, f"final-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    roll_rows, big_rows = 500, 5000
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4
+    )
+
+    def roll(batch: DataFrame, bid: int) -> None:
+        batch.persist()
+        try:
+            n = batch.count()
+            if n == 0:
+                return
+            parts = max(1, math.ceil(n / roll_rows))
+            batch.select("event_id", "user_id", "event_type", "value").repartition(
+                parts
+            ).write.mode("overwrite").parquet(
+                os.path.join(staging, f"epoch={bid:05d}")
+            )
+        finally:
+            batch.unpersist()
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, roll, checkpoint_dir=ckpt)
+
+    def parquet_files(root: str) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    staged = spark.read.parquet(staging)
+    total = staged.count()
+    n_staged_files = len(parquet_files(staging))
+    # compaction pass: bounded big files, content-preserving
+    staged.repartition(max(1, math.ceil(total / big_rows))).write.mode(
+        "overwrite"
+    ).parquet(final)
+    n_final_files = len(parquet_files(final))
+    if not (n_final_files < n_staged_files):
+        raise AssertionError(
+            f"compaction did not reduce files: {n_staged_files} -> {n_final_files}"
+        )
+    if n_final_files > math.ceil(total / big_rows):
+        raise AssertionError(f"compacted layout unbounded: {n_final_files}")
+
+    out = (
+        spark.read.parquet(final)
+        .select(
+            "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for p in (staging, final, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
