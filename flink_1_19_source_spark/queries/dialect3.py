@@ -207,3 +207,45 @@ def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "col_name string, min_v bigint, max_v bigint, n_nulls bigint,"
         " table_rows bigint"
     )
+
+
+@register(
+    "sql_join_hints",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    survey="S12 J9",
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy hints (Flink 1.17+ batch hints BROADCAST /
+    SHUFFLE_HASH / SHUFFLE_MERGE map 1:1 onto Spark's BROADCAST /
+    SHUFFLE_HASH / MERGE hints). The query runs the same join under a
+    BROADCAST hint and under a MERGE hint, ASSERTS each produced the
+    demanded physical strategy (the hint contract — not just acceptance),
+    asserts both agree, and returns the result. Hints are how a user
+    overrides the planner when statistics mislead it at 100 TB."""
+    from ..plans import audit
+
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"jh_{t}")
+    body = """
+        SELECT /*+ {hint} */ n_name, COUNT(*) AS n_orders
+        FROM jh_orders
+        JOIN jh_customer ON o_custkey = c_custkey
+        JOIN jh_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+    q_b = spark.sql(body.format(hint="BROADCAST(jh_customer), BROADCAST(jh_nation)"))
+    q_m = spark.sql(body.format(hint="MERGE(jh_customer), MERGE(jh_nation)"))
+    pb, pm = audit.plan_text(q_b), audit.plan_text(q_m)
+    if "BroadcastHashJoin" not in pb:
+        raise AssertionError(f"BROADCAST hint ignored:\n{pb}")
+    if "SortMergeJoin" not in pm:
+        raise AssertionError(f"MERGE hint ignored:\n{pm}")
+    if q_b.exceptAll(q_m).count() != 0 or q_m.exceptAll(q_b).count() != 0:
+        raise AssertionError("hinted plans disagree on results")
+    return q_b
