@@ -371,3 +371,52 @@ def s_kafka_idle_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "s_kafka_aligned_read",
+    oracle="""
+    WITH decoded AS (
+      SELECT event_type, ts, value FROM events
+    )
+    SELECT event_type,
+           time_bucket(INTERVAL '1 day', ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM decoded
+    GROUP BY event_type, time_bucket(INTERVAL '1 day', ts)
+    """,
+    survey="X1 S6",
+)
+def s_kafka_aligned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark ALIGNMENT (Flink 1.17+ FLIP-182/217, the X1 feature
+    beyond idleness): heterogeneous fetch sizes let partitions 0/1 race
+    ahead in event time; the aligned poll loop
+    (streaming/partition_watermark.aligned_consume) pauses any partition
+    whose watermark exceeds the slowest unfinished partition's by more
+    than 10 minutes. That pausing ENGAGED is asserted (paused_rounds >=
+    1), the no-read-beyond-bound rule is structural, and completeness is
+    the oracle: every produced record must still be consumed exactly
+    once, aligned or not — the windowed aggregate over the consumed log
+    hash-matches the batch answer."""
+    t = _events_topic(spark, sf_dir, "s_kafka_aligned")
+    end = t.end_offsets(spark)
+    # fast consumers on partitions 0/1 (big fetch), slow on 2/3
+    steps = {p: max(1, end[p] // (4 if p < 2 else 16)) for p in end}
+    from ..streaming.partition_watermark_aligned import aligned_consume
+
+    consumed, stats = aligned_consume(
+        spark, t, max_drift_ms=600_000, step_offsets=steps
+    )
+    if stats["paused_rounds"] < 1:
+        raise AssertionError(f"alignment never paused a partition: {stats}")
+    decoded = decode_json_value(consumed, _PAYLOAD)
+    return (
+        decoded.groupBy(
+            "event_type", F.window("timestamp", "1 day").start.alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+    )
