@@ -212,3 +212,30 @@ def test_statement_set_second_sink_reads_cached_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     finally:
         src.unpersist()
+
+
+def test_dynamic_gap_session_single_shuffle(spark, sf_dir):
+    """W4 dynamic gap: both window passes and the final (user_id, sid)
+    aggregate ride ONE user_id hash exchange — HashPartitioning(user_id)
+    satisfies the (user_id, sid) clustering, so no second shuffle."""
+    df = REGISTRY["w4b_dynamic_gap_session"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 1, audit.plan_text(df)
+
+
+def test_pattern_within_single_shuffle(spark, sf_dir):
+    """X5 within-pattern: the min-over-following window is the only
+    exchange — no range join, no second sort."""
+    df = REGISTRY["x5_pattern_within"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 1, audit.plan_text(df)
+
+
+def test_bloom_probe_broadcasts_bit_set(spark, sf_dir):
+    """A14 Bloom: the probe joins a BROADCAST of the <=m-row bit set —
+    the probe side itself must not shuffle for the membership join."""
+    from flink_1_19_source_spark.operators.sketches import bloom_bits, bloom_probe
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    bits = bloom_bits(o, "o_custkey")
+    probe = bloom_probe(c, "c_custkey", bits)
+    assert audit.has_broadcast_join(probe), audit.plan_text(probe)
