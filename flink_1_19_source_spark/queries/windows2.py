@@ -415,18 +415,9 @@ def w4b_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(300000))
         .alias("gap"),
     )
-    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    prev_end = F.max(F.col("ms") + F.col("gap")).over(
-        order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = e.withColumn(
-        "is_new",
-        F.when(prev_end.isNull() | (F.col("ms") >= prev_end), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sid",
-        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    from ..operators.sessions import assign_dynamic_sessions
+
+    sess = assign_dynamic_sessions(e, "user_id", "ms", "gap", "event_id")
     return sess.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
         F.min("ms").alias("session_start_ms"),
         F.max(F.col("ms") + F.col("gap")).alias("session_end_ms"),

@@ -300,3 +300,45 @@ def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
     fp = v_out.filter(F.col("member")).count()
     bound = (n_set / m) ** k
     assert fp / 2000 <= 3 * bound + 0.01, (fp, n_set, bound)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.integers(min_value=0, max_value=400),   # ms
+            st.integers(min_value=1, max_value=120),   # gap
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dynamic_sessions_match_reference(spark, rows):
+    """W4 dynamic gap vs a pure-Python running-max-merge reference —
+    random keys/timestamps/gaps, including ties and zero-length bursts."""
+    from flink_1_19_source_spark.operators.sessions import assign_dynamic_sessions
+
+    data = [(k, m, g, i) for i, (k, m, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key long, ms long, gap long, tb long")
+    got = {
+        (r.key, r.tb): r.sid
+        for r in assign_dynamic_sessions(df, "key", "ms", "gap", "tb").collect()
+    }
+
+    want: dict[tuple, int] = {}
+    bykey: dict[int, list] = {}
+    for k, m, g, i in data:
+        bykey.setdefault(k, []).append((m, i, g))
+    for k, seq in bykey.items():
+        seq.sort()
+        sid, frontier = 0, None
+        for m, i, g in seq:
+            if frontier is None or m >= frontier:
+                sid += 1
+                frontier = m + g
+            else:
+                frontier = max(frontier, m + g)
+            want[(k, i)] = sid
+    assert got == want
