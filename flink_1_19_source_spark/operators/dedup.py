@@ -225,32 +225,7 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, est_jaccard) for candidates, id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    # materialize signatures once: the band self-join otherwise evaluates
-    # the signature UDF on BOTH sides (python-UDF plans don't canonicalize
-    # equal, so ReusedExchange never fires). At warehouse scale you'd
-    # persist signatures as a table; localCheckpoint is the in-query form.
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).localCheckpoint(
-        eager=True
-    )
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[i * rows_per_band + j].cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = sigs.select("id", "signature", F.explode(band_keys).alias("bk"))
+    buckets = minhash_band_buckets(df, id_col, text_col, n, num_hashes, bands, seed)
     if band_bucket_cap is not None:
         # semi-join keyed on bk — the same shuffle key the self-join uses,
         # so the cap pass adds no new partitioning
@@ -368,3 +343,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("simhash"))
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The LSH bucket index: (id, signature, bk=struct(band, key)) rows.
+
+    Signatures are materialized once (localCheckpoint — python-UDF plans
+    don't canonicalize equal, so without it a self-join evaluates the
+    UDF on both sides; at warehouse scale persist them as a table). The
+    band key compresses the signature slice through xxhash64 — equal
+    slices ⇒ equal keys, so candidate sets match a raw-slice index.
+    This index is also the HISTORY side of incremental dedup: today's
+    batch probes yesterday's bucket keys without touching its rows.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[i * rows_per_band + j].cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sigs.select("id", "signature", F.explode(band_keys).alias("bk"))

@@ -344,3 +344,214 @@ def n1_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         "kept_fp",
     )
+
+
+# --------------------------------------------------------------------------
+# N4 — URL extraction + canonicalization (web-corpus hygiene)
+# --------------------------------------------------------------------------
+# Word-salad corpus has no URLs: the fixture injects synthetic ones
+# (mixed case, default ports, unsorted query params, fragments) keyed off
+# doc_id on BOTH engines; the operator under test is the canonicalizer.
+
+_URL_RE = r"https?://[^\s]+"
+
+
+@register(
+    "n4_url_canonicalize",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' see HTTPS://WWW.Example.COM:443/path/Page/?b=2&a=1#frag'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' http://Host' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.org:80/x/'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' https://cdn.example.com/a?z=1&y=2&x=3'
+                  ELSE '' END AS text
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '{_URL_RE}')) AS u
+      FROM injected
+    ), parts AS (
+      SELECT doc_id, u,
+             LOWER(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+             LOWER(regexp_extract(u, '^[A-Za-z]+://([^/?#:]+)', 1)) AS host,
+             regexp_extract(u, '^[A-Za-z]+://[^/?#]*:(\\d+)', 1) AS port,
+             regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(u, '\\?([^#]*)', 1) AS q
+      FROM urls
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host ||
+             CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                       OR (scheme = 'http' AND port = '80')
+                  THEN '' ELSE ':' || port END ||
+             CASE WHEN path = '' THEN '/'
+                  WHEN LEN(path) > 1 AND path LIKE '%/'
+                  THEN SUBSTRING(path, 1, LEN(path) - 1)
+                  ELSE path END ||
+             CASE WHEN q = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+             END AS cu
+      FROM parts
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           array_to_string(list_sort(array_agg(cu)), ',') AS canon_urls
+    FROM canon GROUP BY doc_id
+    """,
+    survey="N4 2.8-string",
+)
+def n4_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the web-corpus dedup-key normalizer:
+    lowercase scheme/host, strip default ports, drop fragments, sort
+    query params, trim trailing slashes) — pure codegen'd regex/string
+    expressions, map-only until the per-doc agg. Canonical URLs are THE
+    dedup/join key for crawl corpora; a 100 TB pass runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 5 == 0,
+                F.lit(" see HTTPS://WWW.Example.COM:443/path/Page/?b=2&a=1#frag"),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 7 == 0,
+                F.concat(
+                    F.lit(" http://Host"),
+                    (i % 20).cast("string"),
+                    F.lit(".org:80/x/"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 11 == 0, F.lit(" https://cdn.example.com/a?z=1&y=2&x=3")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = injected.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), F.lit(0))
+        ).alias("u"),
+    )
+    u = F.col("u")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#:]+)", 1))
+    port = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]*:(\d+)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    canon = urls.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(
+                (port == "")
+                | ((scheme == "https") & (port == "443"))
+                | ((scheme == "http") & (port == "80")),
+                F.lit(""),
+            ).otherwise(F.concat(F.lit(":"), port)),
+            F.when(path == "", F.lit("/"))
+            .when(
+                (F.length(path) > 1) & path.endswith("/"),
+                F.expr("substring(" + "regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+                       + ", 1, length(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)) - 1)"),
+            )
+            .otherwise(path),
+            F.when(q == "", F.lit("")).otherwise(
+                F.concat(
+                    F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&")
+                )
+            ),
+        ).alias("cu"),
+    )
+    return canon.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.array_join(F.array_sort(F.collect_list("cu")), ",").alias("canon_urls"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N1/N2 — incremental dedup: today's batch vs the historical corpus
+# --------------------------------------------------------------------------
+def _incr_dedup_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    from ..operators import dedup as dd
+    from .llm import _SHINGLE_HASH_CTES
+
+    pa, pb = dd.minhash_perms(num_hashes, seed)
+    rpb = num_hashes // bands
+    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb)))
+    return f"""
+    WITH {_SHINGLE_HASH_CTES},
+    perms(k, a, b) AS (VALUES {perms}),
+    sig AS (
+      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
+      FROM hv CROSS JOIN perms GROUP BY doc_id, k
+    ), bandkey AS (
+      SELECT doc_id, k // {rpb} AS band,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
+      FROM sig GROUP BY doc_id, k // {rpb}
+    ),
+    base_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),
+    new_docs AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 400),
+    base_bands AS (SELECT DISTINCT band, key FROM bandkey WHERE doc_id < 400),
+    near AS (
+      SELECT DISTINCT bk.doc_id
+      FROM bandkey bk JOIN base_bands bb ON bk.band = bb.band AND bk.key = bb.key
+      WHERE bk.doc_id >= 400
+    )
+    SELECT n.doc_id,
+           n.fp IN (SELECT fp FROM base_fp) AS exact_dup,
+           n.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+           NOT (n.fp IN (SELECT fp FROM base_fp)
+                OR n.doc_id IN (SELECT doc_id FROM near)) AS kept
+    FROM new_docs n
+    """
+
+
+@register("n1_incremental_dedup", oracle=_incr_dedup_oracle(), survey="N1 N2")
+def n1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production daily-increment pattern: the
+    NEW batch (doc_id >= 400) is checked against the HISTORICAL corpus
+    (doc_id < 400) without ever reshuffling history's rows: history is
+    reduced to (a) distinct content digests and (b) distinct LSH band
+    bucket keys (operators/dedup.minhash_band_buckets), both broadcast;
+    the new batch probes them map-side. exact_dup = content digest seen
+    before; near_dup = shares any MinHash band bucket with history; kept
+    = neither. At 100 TB the history digests/bucket keys live as compact
+    tables maintained across days — the batch never joins history's
+    documents, only its fingerprints."""
+    from ..operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    base, newd = d.filter(F.col("doc_id") < 400), d.filter(F.col("doc_id") >= 400)
+
+    base_fp = base.select(F.md5("text").alias("fp")).distinct().withColumn(
+        "_e", F.lit(1)
+    )
+    flags = newd.select("doc_id", F.md5("text").alias("fp")).join(
+        F.broadcast(base_fp), "fp", "left"
+    )
+
+    buckets = dd.minhash_band_buckets(d, "doc_id", "text")
+    base_keys = buckets.filter(F.col("id") < 400).select("bk").distinct()
+    near = (
+        buckets.filter(F.col("id") >= 400)
+        .join(F.broadcast(base_keys), "bk", "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return flags.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.col("_e").isNotNull().alias("exact_dup"),
+        F.col("_n").isNotNull().alias("near_dup"),
+        (F.col("_e").isNull() & F.col("_n").isNull()).alias("kept"),
+    )
