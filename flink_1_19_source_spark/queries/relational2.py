@@ -392,3 +392,44 @@ def n4_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
+
+
+@register(
+    "o4c_time_range_over",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum,
+           CAST(COUNT(*)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS half_hour_n
+    FROM events
+    """,
+    survey="O4 O4-S",
+)
+def o4c_time_range_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE OVER frames — THE canonical Flink streaming
+    OVER aggregation (`RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND
+    CURRENT ROW` [docs: queries/over-agg]): per-row rolling sums/counts
+    bounded by event time, not row count. One sort exchange per
+    partition spec; RANGE peers (equal timestamps) aggregate together on
+    both engines. The exact-decimal inner sum keeps the rolling total
+    partitioning-invariant."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("o4c_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                              AND CURRENT ROW) AS half_hour_n
+        FROM o4c_events
+        """
+    )

@@ -537,3 +537,38 @@ def s_dynamic_gap_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 6).alias("total_value"),
     )
+
+
+@register(
+    "s_window_distinct_stream",
+    oracle="""
+    WITH closed AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, closed
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm
+    GROUP BY time_bucket(INTERVAL '1 hour', ts)
+    """,
+    survey="W1-S A3 X2",
+    tags=("streaming",),
+)
+def s_window_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed COUNT(DISTINCT) — Flink's windowed distinct
+    aggregate. Spark's streaming aggregation has no exact DISTINCT, so
+    the Flink-parity plan is the planner's own split-distinct shape done
+    explicitly: dropDuplicates on (window, user) — keyed dedup state,
+    watermark-expired — feeding a windowed COUNT, two chained stateful
+    operators in one append-mode query (the Spark 3.4+ multi-stateful
+    pipeline). State is O(distinct pairs per open window), exactly
+    Flink's distinct-agg state."""
+    from .streaming_queries import _drain_to_memory, _events_stream
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_win_distinct")
+    dedup = (
+        sdf.withWatermark("ts", "10 minutes")
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = dedup.groupBy("w").agg(F.count(F.lit(1)).alias("n_users"))
+    out = _drain_to_memory(spark, agg, "s_win_distinct_q", "append", wd)
+    return out.select(F.col("w.start").alias("window_start"), "n_users")
