@@ -323,3 +323,40 @@ def j8_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = per_type("click", "n_clicks")
     errors = per_type("error", "n_errors")
     return clicks.join(errors, ["user_id", "window_start"])
+
+
+@register(
+    "j5b_interval_join_outer",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
+    """,
+    survey="J5 J2",
+)
+def j5b_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (Flink SQL interval joins support
+    LEFT/RIGHT/FULL [docs: queries/joins — interval joins]): signups with
+    their in-window purchases, null-padded when no purchase landed in
+    the 30-minute window — the unconverted-signup side that the inner
+    variant (j5_interval_join) drops. Same equi-key + time-range shape;
+    streaming twin = watermarked left stream-stream join (Spark supports
+    outer stream-stream joins with watermarks on both sides)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").alias("s")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    return s.join(
+        p,
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )

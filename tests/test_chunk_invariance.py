@@ -56,6 +56,9 @@ INVARIANT_QUERIES = [
     # is a pure function of per-key event order; watermark-clamped
     # timers only defer fires, never change the emitted set
     "s_dynamic_gap_session_stream",
+    # chained dedup → window agg: distinct pairs per window are a set,
+    # and window closure depends only on the final watermark
+    "s_window_distinct_stream",
 ]
 
 
