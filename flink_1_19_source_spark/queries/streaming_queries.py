@@ -838,3 +838,72 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     shutil.rmtree(ckpt, ignore_errors=True)
     return tgt.scan(spark).select("user_id", "event_id", "value")
+
+
+@register(
+    "s_interval_join_outer_stream",
+    oracle="""
+    -- the join watermark is the MIN of the two inputs' watermarks, and
+    -- each input is the FILTERED stream (signups / purchases), so its
+    -- watermark tracks that side's own max event time
+    WITH wm AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'signup'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 10 MINUTE AS w
+    ),
+    l AS (SELECT user_id, event_id AS l_id, ts AS l_ts FROM events
+          WHERE event_type = 'signup'),
+    matched AS (
+      SELECT l.l_id, r.event_id AS r_id
+      FROM l JOIN events r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.l_ts AND r.ts <= l.l_ts + INTERVAL 30 MINUTE
+       AND r.event_type = 'purchase'
+    )
+    SELECT l_id, r_id FROM matched
+    UNION ALL
+    SELECT l.l_id, NULL AS r_id
+    FROM l, wm
+    WHERE l.l_id NOT IN (SELECT l_id FROM matched)
+      AND l.l_ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    survey="J5-S J2 X1",
+    tags=("streaming",),
+)
+def s_interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (Flink LEFT interval join):
+    signups matched to in-window purchases; unmatched signups emit
+    null-padded ONLY once the watermark passes their match window (state
+    eviction = Flink's cleanup timer). The oracle mirrors both rules:
+    matches unconditionally (the availableNow drain sees both sides),
+    null rows gated on l_ts + upper < final watermark. The replay is
+    strictly ts-ordered: an out-of-order-beyond-delay signup would be
+    watermark-DROPPED (emitting neither match nor null — correct per the
+    late-data rule, but it would entangle this oracle with arrival
+    order; s_late_data_capture owns that rule)."""
+    wd = _work_dir(sf_dir, "s_ijoin_outer")
+    sdf1 = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    sdf2 = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    left = sdf1.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = sdf2.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    joined = ops.interval_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        lower="0 seconds", upper="30 minutes", how="leftOuter",
+    ).select("l_id", "r_id")
+    return _drain_to_memory(
+        spark, joined, "s_ijoin_outer_q",
+        sinks.plan_sink("stream_stream_join").output_mode, wd,
+    )

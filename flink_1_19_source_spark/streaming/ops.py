@@ -170,11 +170,17 @@ def interval_join(
     lower: str,
     upper: str,
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming interval join (J5): right.ts ∈ [left.ts - lower,
     left.ts + upper] on equal keys. Native stream-stream join in Spark —
     both sides watermark, state pruned by the time-range condition
-    (upstream: flink-table-runtime interval join keyed state)."""
+    (upstream: flink-table-runtime interval join keyed state).
+
+    ``how='leftOuter'`` = Flink's LEFT interval join: a left row with no
+    in-window match emits null-padded when the watermark passes its
+    match window (state eviction time), matching Flink's cleanup-timer
+    emission."""
     l = with_bounded_out_of_orderness(left, left_ts, delay).alias("l")
     r = with_bounded_out_of_orderness(right, right_ts, delay).alias("r")
     cond = (
@@ -182,7 +188,7 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def window_join(

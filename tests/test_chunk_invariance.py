@@ -59,6 +59,9 @@ INVARIANT_QUERIES = [
     # chained dedup → window agg: distinct pairs per window are a set,
     # and window closure depends only on the final watermark
     "s_window_distinct_stream",
+    # outer interval join: matches are data-driven; null emission depends
+    # only on the FINAL min-of-sides watermark, not batch boundaries
+    "s_interval_join_outer_stream",
 ]
 
 
