@@ -150,3 +150,42 @@ def a14_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_false_negative"),
     )
     return agg.crossJoin(n_set)
+
+
+@register(
+    "a15_agg_filter",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice < 50000)
+                AS BIGINT) AS n_cust_small
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey="A5 A3",
+)
+def a15_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause (Flink `agg FILTER (WHERE ...)` [docs:
+    queries/group-agg]): per-group conditional aggregates — including a
+    filtered DISTINCT — in ONE pass, the planner's alternative to N
+    self-joined subqueries. Same single partial+final agg shape; the
+    filter predicates evaluate map-side inside codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("a15_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                    FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice < 50000)
+                 AS n_cust_small
+        FROM a15_orders
+        GROUP BY o_orderstatus
+        """
+    )
