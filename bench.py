@@ -62,6 +62,13 @@ HEADLINE = [
     "n4_pii_redact",
     "n6_sequence_packing",
     "s_temporal_join_stream",
+    "w4b_dynamic_gap_session",
+    "s_dynamic_gap_session_stream",
+    "sql_statement_set",
+    "s_kafka_aligned_read",
+    "a14_bloom_portable",
+    "n1_chunk_dedup",
+    "n1_incremental_dedup",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

@@ -568,3 +568,35 @@ def s_rolling_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (staging, final, ckpt):
         shutil.rmtree(p, ignore_errors=True)
     return out
+
+
+@register(
+    "src_metadata_columns",
+    oracle="""
+    SELECT 'events.parquet' AS fname, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events
+    """,
+    survey="S12 S1",
+)
+def src_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector METADATA columns (Flink DDL `col TYPE METADATA [FROM
+    'key']` — e.g. the filesystem connector's `file.path`/`file.size`):
+    Spark's hidden ``_metadata`` struct on file sources is the same
+    surface. The query groups rows by source file (basename), proving
+    the metadata column resolves per-row and joins normal columns; the
+    size/mtime fields are asserted present and positive (their values
+    are environment-specific, so they stay out of the hashed
+    projection)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+        "event_id",
+    )
+    bad = e.filter(F.col("fsize") <= 0).count()
+    if bad:
+        raise AssertionError("metadata file_size not populated")
+    return e.groupBy("fname").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
