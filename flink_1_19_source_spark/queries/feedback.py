@@ -261,3 +261,91 @@ def x8_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("xf").cast("double"), 6).alias("x"),
     )
     return km.kmeans_long(corpus, k=4, rounds=3)
+
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point 1e12: all PageRank math integer
+
+
+def _pagerank_oracle(rounds: int = 2) -> str:
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + {_SUPP_OFFSET} AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL SELECT s AS src, c AS dst FROM e0
+    ), nodes AS (SELECT DISTINCT src AS v FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT v, {_PR_SCALE} // nn.n AS pr FROM nodes, nn)
+    """
+    body = ""
+    for i in range(1, rounds + 1):
+        prev = f"pr{i - 1}"
+        body += f""",
+    r{i} AS (
+      SELECT e.dst AS v, SUM(p.pr // o.d) AS incoming
+      FROM {prev} p
+      JOIN outdeg o ON o.src = p.v
+      JOIN edges e ON e.src = p.v
+      GROUP BY e.dst
+    ), pr{i} AS (
+      SELECT nd.v,
+             (150 * ({_PR_SCALE} // (SELECT n FROM nn))) // 1000
+             + (850 * COALESCE(r.incoming, 0)) // 1000 AS pr
+      FROM nodes nd LEFT JOIN r{i} r ON r.v = nd.v
+    )"""
+    return head + body + f"""
+    SELECT v AS node, CAST(pr AS BIGINT) AS pr FROM pr{rounds}
+    """
+
+
+@register("x8_pagerank", oracle=_pagerank_oracle(), survey="X8")
+def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (2 rounds, damping 0.85) over the
+    customer↔supplier trade graph — the second classic X8 feedback loop
+    beside BFS. Every quantity is scaled-integer (1e12 fixed point) with
+    floor division, so the iteration is BIT-EXACT across engines and
+    partitionings — no float summation order, no decimal division scale
+    rules — and the oracle unrolls the same recurrence in SQL. Per
+    round: one join-shuffle on src (shares) + one agg on dst; plan depth
+    stays O(1) via localCheckpoint."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("v")).distinct()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    base = (150 * (_PR_SCALE // n)) // 1000
+    pr = nodes.withColumn("pr", F.lit(_PR_SCALE // n))
+    outdeg = outdeg.select(F.col("src").alias("od_src"), "d")
+    e = edges.select(F.col("src").alias("e_src"), "dst")
+    for _ in range(2):
+        shares = (
+            pr.join(outdeg, pr["v"] == F.col("od_src"))
+            .join(e, pr["v"] == F.col("e_src"))
+            .select(F.col("dst").alias("v"), F.expr("pr DIV d").alias("share"))
+        )
+        incoming = shares.groupBy("v").agg(F.sum("share").alias("incoming"))
+        pr = (
+            nodes.join(incoming, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr("850 * coalesce(incoming, 0L) DIV 1000")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("v").alias("node"), F.col("pr").cast("long").alias("pr"))

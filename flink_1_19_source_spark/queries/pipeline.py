@@ -322,3 +322,49 @@ def n6_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("rate"), 9).alias("rate"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+@register(
+    "n6_curriculum_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS stratum_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY stratum_rank, lang, doc_id)
+                AS BIGINT) AS global_pos
+    FROM ranked
+    """,
+    survey="N6 O1 T1",
+)
+def n6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: rank documents within each
+    language stratum by a quality proxy (length), then interleave the
+    strata round-robin — rank-1 docs of every language first, then
+    rank-2, ... The output is a reproducible training manifest position
+    for every document. Two sorts: a per-stratum window (hash exchange
+    on lang) and the global interleave (range exchange) — the same
+    two-phase global sort any 100 TB manifest build needs."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .cast("long")
+        .alias("stratum_rank"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "stratum_rank",
+        F.row_number()
+        .over(Window.orderBy("stratum_rank", "lang", "doc_id"))
+        .cast("long")
+        .alias("global_pos"),
+    )
