@@ -600,3 +600,57 @@ def src_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
     )
+
+
+@register(
+    "j7b_lookup_partial_cache",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey <= 5000
+    """,
+    survey="J7 S8 R7",
+)
+def j7b_lookup_partial_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-cache lookup join (Flink 'lookup.cache' = PARTIAL — the
+    default JDBC lookup runtime; j7_lookup_broadcast is the FULL cache):
+    each task point-fetches only the dimension keys it actually probes,
+    once, through a process-local cache (sources/lookup_cache.py). The
+    probe side never shuffles; fetch volume ∝ distinct keys per task.
+    Cache effectiveness is accumulator-ASSERTED: fetched keys must be
+    strictly fewer than probed rows (orders repeat customers)."""
+    from pyspark.sql.types import StringType, StructField
+
+    from ..sources.lookup_cache import lookup_join_partial_cache
+    from ..tables import table_path
+
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_custkey")
+    )
+    sc = spark.sparkContext
+    fetched, probed = sc.accumulator(0), sc.accumulator(0)
+    from pyspark.sql.types import StructType
+
+    # fresh StructType: .add() on probe.schema would MUTATE the frame's
+    # cached schema and corrupt probe.columns
+    out_schema = StructType(
+        list(probe.schema.fields)
+        + [StructField("c_name", StringType()), StructField("c_mktsegment", StringType())]
+    )
+    enriched = lookup_join_partial_cache(
+        probe,
+        "o_custkey",
+        table_path(sf_dir, "customer"),
+        "c_custkey",
+        ["c_name", "c_mktsegment"],
+        out_schema,
+        fetched,
+        probed,
+    ).localCheckpoint(eager=True)
+    if not (0 < fetched.value < probed.value):
+        raise AssertionError(
+            f"partial cache ineffective: fetched={fetched.value} probed={probed.value}"
+        )
+    return enriched
