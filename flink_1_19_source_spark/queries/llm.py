@@ -873,3 +873,91 @@ def n5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = multimodal.attach_video(d, "doc_id", "text")
     return multimodal.sample_frames(media, every_ms=1000)
+
+
+def _lsh_recall_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    pa, pb = dedup.minhash_perms(num_hashes, seed)
+    rpb = num_hashes // bands
+    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.3
+    ), hv AS (
+      SELECT doc_id, CAST(md5_number_lower(unnest(shingles)) >> 1 AS BIGINT) AS h
+      FROM sh
+    ),
+    perms(k, a, b) AS (VALUES {perms}),
+    sig AS (
+      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
+      FROM hv CROSS JOIN perms GROUP BY doc_id, k
+    ), bandkey AS (
+      SELECT doc_id, k // {rpb} AS band,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
+      FROM sig GROUP BY doc_id, k // {rpb}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(FLOOR(e.j * 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(c.id_a) AS BIGINT) AS n_found,
+           ROUND(CAST(COUNT(c.id_a) AS DOUBLE) / COUNT(*), 9) AS recall
+    FROM exact e
+    LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    GROUP BY 1
+    """
+
+
+@register("n2_lsh_recall_report", oracle=_lsh_recall_oracle(), survey="N2 N3")
+def n2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation AS DATA: exact-Jaccard ground-truth pairs
+    (threshold 0.3) bucketed by similarity, each bucket reporting how
+    many pairs banded MinHash-LSH recovered — the recall-vs-similarity
+    curve every production near-dup deployment tunes (bands/rows
+    trade-off). Both the ground truth and the candidate set are computed
+    in-engine and the whole curve is value-hash-oracled."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    exact = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    cand = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+        .select("id_a", "id_b")
+        .withColumn("_f", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_f").alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_found").cast("double") / F.col("n_true"), 9),
+        )
+    )
