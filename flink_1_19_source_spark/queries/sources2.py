@@ -654,3 +654,51 @@ def j7b_lookup_partial_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"partial cache ineffective: fetched={fetched.value} probed={probed.value}"
         )
     return enriched
+
+
+@register(
+    "s_lookup_enrich_stream",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    survey="J7 R7 R3",
+    tags=("streaming",),
+)
+def s_lookup_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lookup enrichment (Flink's lookup join on a stream,
+    PARTIAL cache): the event stream is enriched per micro-batch through
+    the same per-task point-fetch cache as j7b — stateless, append-mode,
+    no watermark required, cache persists across batches inside each
+    task's Python worker. Misses (users with no customer row) pass
+    through null-padded, exercising the negative-cache path."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..sources.lookup_cache import lookup_join_partial_cache
+    from ..tables import table_path
+    from .streaming_queries import _drain_to_memory, _events_stream
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_lookup")
+    probe = sdf.select("event_id", "user_id")
+    sc = spark.sparkContext
+    fetched, probed = sc.accumulator(0), sc.accumulator(0)
+    out_schema = StructType(
+        list(probe.schema.fields)
+        + [StructField("c_name", StringType()), StructField("c_mktsegment", StringType())]
+    )
+    enriched = lookup_join_partial_cache(
+        probe,
+        "user_id",
+        table_path(sf_dir, "customer"),
+        "c_custkey",
+        ["c_name", "c_mktsegment"],
+        out_schema,
+        fetched,
+        probed,
+    )
+    out = _drain_to_memory(spark, enriched, "s_lookup_q", "append", wd)
+    if not (0 < fetched.value < probed.value):
+        raise AssertionError(
+            f"partial cache ineffective: fetched={fetched.value} probed={probed.value}"
+        )
+    return out
