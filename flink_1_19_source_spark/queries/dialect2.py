@@ -284,3 +284,53 @@ def f_string3_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bin(F.col("event_id")).alias("bn"),
         F.upper(F.hex(F.col("event_id"))).alias("hx"),
     )
+
+
+_IS_ALPHA_RE = "^[A-Za-z]+$"
+_IS_DIGIT_RE = "^[0-9]+$"
+_IS_DECIMAL_RE = r"^[-+]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"
+
+
+@register(
+    "f_string4_family",
+    oracle=f"""
+    SELECT event_id,
+           regexp_full_match(event_type, '{_IS_ALPHA_RE}') AS et_alpha,
+           regexp_full_match(CAST(event_id AS VARCHAR), '{_IS_DIGIT_RE}')
+             AS id_digit,
+           regexp_full_match(CAST(value AS VARCHAR), '{_IS_DECIMAL_RE}')
+             AS val_decimal,
+           CASE LOWER(typeof(event_id)) WHEN 'bigint' THEN 'bigint' END
+             AS t_id,
+           CASE LOWER(typeof(value)) WHEN 'double' THEN 'double' END AS t_val,
+           CASE LOWER(typeof(event_type)) WHEN 'varchar' THEN 'string' END
+             AS t_et,
+           timezone('Asia/Tokyo', timezone('UTC', ts)) AS ts_tokyo,
+           timezone('America/New_York', timezone('UTC', ts)) AS ts_ny
+    FROM events WHERE event_id < 300
+    """,
+    survey="2.8-string 2.8-cast 2.8-temporal",
+)
+def f_string4_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth scalar wave: IS_ALPHA / IS_DIGIT / IS_DECIMAL (Flink's
+    string-predicate built-ins — regex-expressed identically on both
+    engines), TYPEOF (type names normalized across dialects: varchar ≡
+    string), and CONVERT_TZ (Spark convert_timezone on NTZ ≡ DuckDB's
+    two-step timezone() reinterpret+render; America/New_York exercises a
+    DST-bearing zone, Tokyo a fixed offset). All codegen'd expressions,
+    zero shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    ntz = F.col("ts").cast("timestamp_ntz")
+    return e.select(
+        "event_id",
+        F.col("event_type").rlike(_IS_ALPHA_RE).alias("et_alpha"),
+        F.col("event_id").cast("string").rlike(_IS_DIGIT_RE).alias("id_digit"),
+        F.col("value").cast("string").rlike(_IS_DECIMAL_RE).alias("val_decimal"),
+        F.when(F.typeof(F.col("event_id")) == "bigint", "bigint").alias("t_id"),
+        F.when(F.typeof(F.col("value")) == "double", "double").alias("t_val"),
+        F.when(F.typeof(F.col("event_type")) == "string", "string").alias("t_et"),
+        F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), ntz).alias("ts_tokyo"),
+        F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), ntz).alias(
+            "ts_ny"
+        ),
+    )

@@ -146,6 +146,30 @@ HEADLINERS = {
         "CEP within-window pattern: min-over-following on the per-key "
         "sort — conversion matching with zero range joins"
     ),
+    "x8_pagerank": (
+        "integer fixed-point PageRank: per round one src join-shuffle + "
+        "one dst agg, localCheckpoint-bounded plan, bit-exact math"
+    ),
+    "j7b_lookup_partial_cache": (
+        "PARTIAL-cache lookup: probe side never shuffles; fetch volume "
+        "tracks distinct keys per task, accumulator-asserted"
+    ),
+    "n1_incremental_dedup": (
+        "incremental dedup: history reduced to broadcast digests + LSH "
+        "bucket keys; the new batch probes map-side"
+    ),
+    "n6_curriculum_order": (
+        "curriculum manifest: per-stratum window + global range-exchange "
+        "interleave — the two-phase global sort"
+    ),
+    "src_sorted_write": (
+        "range-partitioned sorted sink: disjoint per-file key ranges, "
+        "asserted from parquet footers"
+    ),
+    "o4c_time_range_over": (
+        "time-interval RANGE frames: one sort exchange per partition "
+        "spec, peers aggregate together"
+    ),
 }
 
 
