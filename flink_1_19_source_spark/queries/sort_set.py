@@ -151,3 +151,48 @@ def t5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pri"))
     b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("pri"))
     return a.intersectAll(b)
+
+
+@register(
+    "t6_null_ordering",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, v,
+           CAST(ROW_NUMBER() OVER (ORDER BY v ASC NULLS LAST, o_orderkey)
+                AS BIGINT) AS pos_asc_nl,
+           CAST(ROW_NUMBER() OVER (ORDER BY v DESC NULLS FIRST, o_orderkey)
+                AS BIGINT) AS pos_desc_nf
+    FROM src
+    """,
+    survey="T1 R2",
+)
+def t6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering (Flink ORDER BY ... NULLS
+    FIRST|LAST [docs: queries/orderby]; engine DEFAULTS differ — Spark
+    sorts nulls first ascending, Calcite-based engines last — so
+    portable SQL must pin it). Rank positions under both pinned
+    orderings are returned as data, making the null placement itself
+    value-hash-certified."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") != "P", F.col("o_totalprice")).alias("v"),
+    )
+    return src.select(
+        "o_orderkey",
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc_nulls_last(), F.col("o_orderkey")))
+        .cast("long")
+        .alias("pos_asc_nl"),
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc_nulls_first(), F.col("o_orderkey")))
+        .cast("long")
+        .alias("pos_desc_nf"),
+    )

@@ -572,3 +572,50 @@ def s_window_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = dedup.groupBy("w").agg(F.count(F.lit(1)).alias("n_users"))
     out = _drain_to_memory(spark, agg, "s_win_distinct_q", "append", wd)
     return out.select(F.col("w.start").alias("window_start"), "n_users")
+
+
+@register(
+    "w4c_global_session",
+    oracle="""
+    WITH o AS (
+      SELECT ts, value,
+             CASE WHEN ts - LAG(ts) OVER (ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT ts, value,
+             SUM(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT MIN(ts) AS session_start, MAX(ts) AS session_last,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(27,6))), 6) AS total
+    FROM s GROUP BY sid
+    """,
+    survey="W4",
+)
+def w4c_global_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL session windows — SESSION TVF without PARTITION BY (Flink
+    1.19's session TVF supports key-less sessionization [docs:
+    queries/window-tvf]): one stream-wide activity timeline, sessions
+    split on >5 min silences. Spark: ``session_window`` in a key-less
+    groupBy. The single-timeline merge is inherently one-task at the
+    merge step — fine for control-plane timelines; keyed sessions are
+    the data-scale path (w4_session)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 6)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            # session_window.end = last event + gap, exactly
+            (F.col("w.end") - F.expr("INTERVAL 5 MINUTES")).alias("session_last"),
+            "n_events",
+            "total",
+        )
+    )
