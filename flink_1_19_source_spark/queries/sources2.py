@@ -702,3 +702,75 @@ def s_lookup_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"partial cache ineffective: fetched={fetched.value} probed={probed.value}"
         )
     return out
+
+
+@register(
+    "src_cdc_canal",
+    oracle="""
+    WITH oped AS (
+      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END AS typ
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ms DESC, event_id DESC) AS rn
+      FROM oped
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value
+    FROM latest WHERE rn = 1 AND typ <> 'DELETE'
+    """,
+    survey="X6 S4",
+)
+def src_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canal-json CDC FORMAT (Flink flink-formats/flink-json canal
+    decoder): the Canal envelope batches row images in a ``data`` ARRAY
+    with a statement-level ``type`` — ``{"data":[{...}],"type":
+    "INSERT|UPDATE|DELETE","ts":...}``. The operator renders real
+    envelopes, then parses them with a typed schema, EXPLODES the data
+    array (one envelope can carry many rows), maps type→RowKind and
+    applies the changelog. Same final-state oracle discipline as the
+    debezium twin (src_cdc_debezium): a wrong parse diverges the hash."""
+    e = load_table(spark, sf_dir, "events")
+    typ = (
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+    )
+    env = e.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
+                ).alias("data"),
+                typ.alias("type"),
+                F.unix_millis("ts").alias("ts"),
+            )
+        ).alias("env")
+    )
+    schema = (
+        "data array<struct<user_id: bigint, event_id: bigint, value: double>>,"
+        " type string, ts bigint"
+    )
+    rows = (
+        env.select(F.from_json("env", schema).alias("m"))
+        .select(
+            F.explode("m.data").alias("r"),
+            F.col("m.type").alias("typ"),
+            F.col("m.ts").alias("ms"),
+        )
+        .select("r.user_id", "r.event_id", "r.value", "typ", "ms")
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ms").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        rows.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("typ") != "DELETE"))
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )

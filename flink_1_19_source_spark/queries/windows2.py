@@ -619,3 +619,36 @@ def w4c_global_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "w5b_hop_offset",
+    oracle=f"""
+    WITH g AS (
+      -- generous cover of the event span; empty windows drop in the join
+      SELECT UNNEST(range(0, 80)) AS k
+    ), wins AS (
+      SELECT TIMESTAMP '2023-12-31 06:00:00' + k * INTERVAL 12 HOUR AS ws,
+             TIMESTAMP '2023-12-31 06:00:00' + k * INTERVAL 12 HOUR
+               + INTERVAL 1 DAY AS we
+      FROM g
+    )
+    SELECT w.ws AS window_start,
+           CAST(COUNT(e.ts) AS BIGINT) AS n,
+           {sql_dsum('e.value')} AS total
+    FROM wins w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.ws
+    """,
+    survey="W2 W5",
+)
+def w5b_hop_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP window with offset (Flink HOP TVF offset alignment): 1-day
+    windows sliding every 12 h, aligned to 06:00 — each event lands in
+    size/slide = 2 windows. Spark: ``window(ts, size, slide, start)``;
+    the oracle reconstructs the aligned window set explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
