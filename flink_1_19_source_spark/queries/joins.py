@@ -360,3 +360,59 @@ def j5b_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.event_id").alias("purchase_id"),
         F.col("p.value").alias("purchase_value"),
     )
+
+
+@register(
+    "j4b_band_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           ROUND(ABS(a.value - b.value), 9) AS diff
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND ABS(a.value - b.value) < 1.0
+    WHERE a.event_id < 3000 AND b.event_id < 3000
+    """,
+    survey="J4 J1",
+)
+def j4b_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join — the scale rewrite for |a.v − b.v| < ε theta joins: a
+    naive non-equi join plans as a nested-loop (quadratic); bucketizing
+    v by ε and equi-joining on (key, bucket) with the left side expanded
+    to its 3 covering buckets turns it into an ordinary hash join whose
+    fan-out is bounded by per-bucket density. The exact predicate
+    re-filters candidates, so results equal the naive join (the oracle
+    IS the naive join). tests/test_plans.py pins that no
+    BroadcastNestedLoopJoin appears."""
+    eps = 1.0
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("v_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("value") / eps) - 1,
+                F.floor(F.col("value") / eps),
+                F.floor(F.col("value") / eps) + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("v_b"),
+        F.floor(F.col("value") / eps).alias("bucket"),
+    )
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("v_a") - F.col("v_b")) < eps)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.abs(F.col("v_a") - F.col("v_b")), 9).alias("diff"),
+        )
+    )

@@ -239,3 +239,15 @@ def test_bloom_probe_broadcasts_bit_set(spark, sf_dir):
     bits = bloom_bits(o, "o_custkey")
     probe = bloom_probe(c, "c_custkey", bits)
     assert audit.has_broadcast_join(probe), audit.plan_text(probe)
+
+
+def test_band_join_is_hash_not_nested_loop(spark, sf_dir):
+    """J4 band rewrite: the bucketized ε-join must plan as a hash/merge
+    equi-join — a BroadcastNestedLoopJoin would mean the rewrite fell
+    through to the quadratic path."""
+    df = REGISTRY["j4b_band_join"].fn(spark, sf_dir)
+    plan = audit.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
