@@ -774,3 +774,56 @@ def src_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("typ") != "DELETE"))
         .select("user_id", "event_id", F.round("value", 6).alias("value"))
     )
+
+
+@register(
+    "src_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events WHERE event_type LIKE 's%'
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    survey="S1 S2 J9",
+)
+def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (§4 optimizer row; Flink 1.19's batch
+    DPP via SupportsPartitionPushDown + the runtime filter): the fact is
+    laid out partitioned by event_type; the dim side's filter is only
+    known at runtime, so the fact scan must receive a DYNAMIC pruning
+    subquery — asserted in the plan text — and read only the matching
+    partition directories. The join result is the oracle."""
+    import os
+
+    from ..plans import audit
+    from ..sources import formats
+
+    e = load_table(spark, sf_dir, "events")
+    path = os.path.join(formats.scratch(sf_dir, "dpp"), "events_by_type")
+    if not os.path.isdir(path) or not os.listdir(path):
+        formats.compacted_partitioned_write(
+            e.select("event_id", "user_id", "value", "event_type"),
+            path,
+            ["event_type"],
+        )
+    fact = spark.read.parquet(path)
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .filter(F.col("event_type").startswith("s"))
+    )
+    joined = (
+        fact.join(dim.hint("broadcast"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    plan = audit.plan_text(joined)
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(f"no dynamic pruning subquery in plan:\n{plan}")
+    return joined
