@@ -433,3 +433,74 @@ def o4c_time_range_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM o4c_events
         """
     )
+
+
+@register(
+    "r8_table_api_columns",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS gross
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    survey="R1 R2",
+)
+def r8_table_api_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table API column DDL — Flink ``addColumns / renameColumns /
+    dropColumns`` [docs: tableapi — column operations]: the fluent
+    column-surgery surface maps to withColumn / withColumnRenamed /
+    drop; Catalyst collapses the chain into ONE projection (no
+    per-operation overhead — same as Flink's Calc fusion)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return (
+        o.withColumn(
+            "gross",
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(2,1)"),
+                2,
+            ).cast("double"),
+        )
+        .withColumnRenamed("o_orderkey", "order_id")
+        .drop("o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "r9_connect_comap",
+    oracle="""
+    SELECT 'order' AS src, CAST(o_orderkey AS VARCHAR) AS k,
+           o_totalprice AS v
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT 'event' AS src, CAST(event_id AS VARCHAR) AS k, value AS v
+    FROM events WHERE event_id < 500
+    """,
+    survey="R3 T4",
+)
+def r9_connect_comap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataStream ``connect`` + CoMap — two differently-typed streams
+    joined into one operator, each side transformed by its own map
+    function into a common type [docs: datastream — connect]. Spark:
+    per-side projections into the shared schema, then unionByName — the
+    tagged union IS the connected stream; keyed CoProcess state on top
+    is X7 (broadcast state join)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            F.lit("order").alias("src"),
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            F.lit("event").alias("src"),
+            F.col("event_id").cast("string").alias("k"),
+            F.col("value").alias("v"),
+        )
+    )
+    return o.unionByName(e)

@@ -340,3 +340,44 @@ def test_quantize_int8_components_are_integers_in_range(spark, sf_dir):
     ).collect()
     assert all(r.n_bad == 0 for r in bad)
     assert all(r.m == 127.0 for r in bad)
+
+
+def test_lookup_cache_no_refetch_on_repeat(spark, sf_dir):
+    """J7 partial cache: a second pass over the SAME keys inside one
+    task must not fetch again — the fetched-keys accumulator counts
+    distinct keys once, probed counts every row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from flink_1_19_source_spark.sources.lookup_cache import (
+        lookup_join_partial_cache,
+    )
+    from flink_1_19_source_spark.tables import load_table, table_path
+
+    probe = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .limit(200)
+        .coalesce(1)  # one task → one shared cache
+    )
+    doubled = probe.unionByName(probe).coalesce(1)
+    sc = spark.sparkContext
+    fetched, probed = sc.accumulator(0), sc.accumulator(0)
+    out_schema = StructType(
+        list(doubled.schema.fields) + [StructField("c_name", StringType())]
+    )
+    res = lookup_join_partial_cache(
+        doubled,
+        "o_custkey",
+        table_path(sf_dir, "customer"),
+        "c_custkey",
+        ["c_name"],
+        out_schema,
+        fetched,
+        probed,
+    )
+    n = res.count()
+    assert n == 400
+    assert probed.value == 400
+    distinct_keys = probe.distinct().count()
+    assert fetched.value == distinct_keys, (fetched.value, distinct_keys)
