@@ -62,6 +62,10 @@ INVARIANT_QUERIES = [
     # outer interval join: matches are data-driven; null emission depends
     # only on the FINAL min-of-sides watermark, not batch boundaries
     "s_interval_join_outer_stream",
+    # stateless enrichment and multi-sink fan-out: row-wise, so any
+    # slicing must produce identical content (file layout may differ)
+    "s_lookup_enrich_stream",
+    "s_statement_set_stream",
 ]
 
 
