@@ -368,3 +368,181 @@ def n6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("global_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# The flagship composite: full corpus pipeline in ONE oracled query
+# --------------------------------------------------------------------------
+def _corpus_e2e_oracle() -> str:
+    from ..operators.corpus import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, lang,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0
+                  THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{IPV4_RE}', '<IP>', 'g') AS text
+      FROM injected
+    ), tok AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM red
+    ), flag AS (
+      SELECT doc_id, lang, text, tk, len(tk) AS n_tokens,
+             NOT (len(tk) < 20 OR len(tk) > 90
+                  OR CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.35
+                  OR CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(tk) < 4.0
+                  OR CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(tk) > 5.0)
+               AS q_ok
+      FROM tok
+    ), bmark AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10 = 7
+    ), dedup AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+      FROM flag WHERE q_ok
+    ), gsets AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 5 THEN
+          list_transform(range(0, len(tk) - 4),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS grams
+      FROM flag
+    ), bgrams AS (
+      SELECT DISTINCT UNNEST(grams) AS g FROM gsets
+      WHERE doc_id IN (SELECT doc_id FROM bmark)
+    ), cgrams AS (
+      SELECT g.doc_id, UNNEST(g.grams) AS g
+      FROM gsets g JOIN dedup d ON d.doc_id = g.doc_id AND d.rn = 1
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM bmark)
+    ), contam AS (
+      SELECT c.doc_id,
+             ROUND(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 9) AS rate
+      FROM cgrams c LEFT JOIN bgrams b ON c.g = b.g
+      GROUP BY c.doc_id
+    ), assigned AS (
+      SELECT f.doc_id, f.lang, f.n_tokens,
+             CASE
+               WHEN f.doc_id IN (SELECT doc_id FROM bmark) THEN 'benchmark'
+               WHEN NOT f.q_ok THEN 'dropped_quality'
+               WHEN d.rn > 1 THEN 'dropped_dup'
+               WHEN c.rate > 0.2 THEN 'dropped_contaminated'
+               WHEN substr(md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 4)
+                      < 'c000' THEN 'train'
+               WHEN substr(md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 4)
+                      < 'e000' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM flag f
+      LEFT JOIN dedup d ON d.doc_id = f.doc_id
+      LEFT JOIN contam c ON c.doc_id = f.doc_id
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, lang
+    """
+
+
+@register("pipeline_corpus_end_to_end", oracle=_corpus_e2e_oracle(),
+          survey="N1 N4 N6")
+def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composite: a full pretraining-data pipeline in one oracled
+    query — PII redaction → quality gate → corpus-first exact dedup →
+    benchmark-contamination drop (>20% 5-gram overlap) → deterministic
+    train/val/test assignment — reported as per-(split, lang) doc/token
+    counts, with every dropped stage visible as a pseudo-split. Each
+    stage reuses the certified operator (corpus.pii_redact,
+    text_analysis.tokens, window keep-first, corpus.contamination,
+    md5-gate splits); the oracle chains the same stages in SQL, so the
+    hash certifies the whole pipeline's composition, not just its
+    parts."""
+    from pyspark.sql.window import Window
+
+    from ..operators import corpus as corp
+    from ..operators import text_analysis as ta
+    from .llm2 import _inject_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = _inject_pii(d).join(d.select("doc_id", "lang"), "doc_id")
+    red = injected.select(
+        "doc_id", "lang", corp.pii_redact(F.col("text")).alias("text")
+    )
+    toks = ta.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    uq = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    atl = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_tokens
+    flag = red.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            ~(
+                (n_tokens < 20)
+                | (n_tokens > 90)
+                | (uq < 0.35)
+                | (atl < 4.0)
+                | (atl > 5.0)
+            )
+        ).alias("q_ok"),
+    ).localCheckpoint(eager=True)
+
+    bmark = F.col("doc_id") % 10 == 7
+    dedup = (
+        flag.filter("q_ok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .select("doc_id", "rn")
+    )
+    survivors = (
+        flag.join(dedup, "doc_id", "left")
+        .filter(~bmark & F.col("q_ok") & (F.col("rn") == 1))
+        .select("doc_id", "text")
+    )
+    bench = flag.filter(bmark).select("doc_id", "text")
+    contam = corp.contamination(survivors, bench, "doc_id", "text", n=5).select(
+        "doc_id", F.col("contamination").alias("rate")
+    )
+
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4)
+    assigned = (
+        flag.join(dedup, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            F.when(bmark, "benchmark")
+            .when(~F.col("q_ok"), "dropped_quality")
+            .when(F.col("rn") > 1, "dropped_dup")
+            .when(F.col("rate") > 0.2, "dropped_contaminated")
+            .when(h < "c000", "train")
+            .when(h < "e000", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
