@@ -186,3 +186,98 @@ def s_statement_set_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(p_high, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "x7b_broadcast_rules_update_stream",
+    oracle="""
+    WITH mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+    h1 AS (SELECT * FROM events, mid WHERE event_id <= m),
+    h2 AS (SELECT * FROM events, mid WHERE event_id > m)
+    SELECT 1 AS rules_version, CAST(user_id % 5 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM h1 GROUP BY user_id % 5
+    UNION ALL
+    SELECT 2 AS rules_version, CAST((user_id + 2) % 5 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM h2 GROUP BY (user_id + 2) % 5
+    """,
+    survey="X7 X4",
+    tags=("streaming",),
+)
+def x7b_broadcast_rules_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast state UPDATED BY THE CONTROL STREAM mid-flight — the
+    full Flink X7 contract (s_broadcast_state_join covers the static
+    snapshot): the first half of the stream is processed under rules v1,
+    then the control side publishes rules v2 and the remaining events
+    are enriched under the NEW rules, all through ONE checkpointed query
+    resumed across the rule change. Spark shape: the stream-static
+    join's static side is re-read every micro-batch, so republishing the
+    rules table between drains IS the control-stream update; the output
+    carries the rules version that actually enriched each row, which the
+    oracle pins per half."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    wd = os.path.join(
+        "/tmp/sgraft_streams", os.path.basename(sf_dir.rstrip("/")), "x7b"
+    )
+    os.makedirs(wd, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(wd, f"src-{run}")
+    rules = os.path.join(wd, f"rules-{run}")
+    out = os.path.join(wd, f"out-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(src, exist_ok=True)
+
+    from ..tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    mid = e.agg(F.expr("max(event_id) div 2").alias("m")).first().m
+
+    def publish_rules(version: int, offset: int) -> None:
+        users = e.select("user_id").distinct()
+        users.select(
+            "user_id",
+            F.lit(version).alias("rules_version"),
+            ((F.col("user_id") + offset) % 5).alias("segment"),
+        ).write.mode("overwrite").parquet(rules)
+
+    def publish_events(half_df, name: str) -> None:
+        tmp = os.path.join(wd, f"stage-{run}-{name}")
+        half_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def drain() -> None:
+        sdf = spark.readStream.schema(e.schema).parquet(src)
+
+        def fn(batch, bid):
+            r = spark.read.parquet(rules)
+            (
+                batch.join(F.broadcast(r), "user_id")
+                .groupBy("rules_version", "segment")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"epoch={bid:05d}"))
+            )
+
+        with _stream_shuffle_partitions(spark):
+            replay.run_foreach_batch(sdf, fn, checkpoint_dir=ckpt)
+
+    publish_rules(1, 0)
+    publish_events(e.filter(F.col("event_id") <= mid), "h1")
+    drain()
+    publish_rules(2, 2)  # the control stream updates the broadcast state
+    publish_events(e.filter(F.col("event_id") > mid), "h2")
+    drain()
+
+    res = (
+        spark.read.parquet(out)
+        .groupBy("rules_version", F.col("segment").cast("long").alias("segment"))
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    for p in (src, rules, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    return res
