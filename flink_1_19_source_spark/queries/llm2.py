@@ -555,3 +555,74 @@ def n1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n").isNotNull().alias("near_dup"),
         (F.col("_e").isNull() & F.col("_n").isNull()).alias("kept"),
     )
+
+
+@register(
+    "n4_boilerplate_strip",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk_text
+      FROM w, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) t(i)
+    ), df AS (
+      SELECT chunk_text, COUNT(*) AS n FROM chunks GROUP BY chunk_text
+    ), kept AS (
+      SELECT c.doc_id, c.chunk_id, c.chunk_text
+      FROM chunks c JOIN df ON df.chunk_text = c.chunk_text
+      WHERE df.n < 3
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS kept_fp
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks, COALESCE(a.n_kept, 0) AS n_kept, a.kept_fp
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    survey="N4 N1",
+)
+def n4_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (the C4 rule: drop any line occurring ≥ 3
+    times corpus-wide — headers, footers, cookie banners; chunk = the
+    10-word unit, as n1_chunk_dedup): every occurrence of a frequent
+    chunk is dropped from every document (unlike dedup's keep-first).
+    Plan: map-only chunking, one chunk-keyed agg for document
+    frequencies, re-join on the same shuffle key — at 100 TB, key the
+    frequency table on md5(chunk) and broadcast only the over-threshold
+    survivors (boilerplate sets are small)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),"
+                " i -> array_join(slice(w, i*10+1, 10), ' '))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    dfreq = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("n"))
+    kept = chunks.join(dfreq.filter(F.col("n") < 3), "chunk_text")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(chunk_id, chunk_text))),"
+                    " x -> x.chunk_text)"
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "kept_fp",
+    )
