@@ -156,3 +156,63 @@ def x5_pattern_within(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "s_pattern_within_stream",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS signup_event_id, ts AS signup_ts,
+           next_purchase_ts AS purchase_ts,
+           CAST(epoch_ms(next_purchase_ts) - epoch_ms(ts) AS BIGINT)
+             AS latency_ms
+    FROM nxt
+    WHERE event_type = 'signup'
+      AND next_purchase_ts <= ts + INTERVAL 30 MINUTE
+    """,
+    survey="X5-S X2 X3",
+    tags=("streaming",),
+)
+def s_pattern_within_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP with a time constraint —
+    ``Pattern.begin(signup).followedBy(purchase).within(30 min)`` on
+    keyed state (streaming/cep_stream.pattern_within_stream): pending
+    signups wait in per-user state; the first subsequent purchase inside
+    the window closes them (append emission on the closing event);
+    expired pendings are purged, Flink's within-timer ≡ state TTL (X3).
+    Same answer as the batch twin x5_pattern_within — and the oracle IS
+    the batch twin's SQL."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import pattern_within_stream
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_pwithin")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    sym = (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("X")
+    )
+    out = pattern_within_stream(
+        sdf, "user_id", "ts", "event_id", sym, within_ms=30 * 60 * 1000
+    )
+    res = _drain_to_memory(spark, out, "s_pwithin_q", "append", wd)
+    return res.select(
+        F.col("key").alias("user_id") if "key" in res.columns else F.col("user_id"),
+        "signup_event_id",
+        "signup_ts",
+        "purchase_ts",
+        "latency_ms",
+    )

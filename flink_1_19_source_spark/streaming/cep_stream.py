@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -137,6 +138,101 @@ def streaming_match_recognize(
         _match_func_factory(pattern, start_chars, max_buffer),
         outputStructType=MATCH_OUTPUT,
         stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained pattern (Pattern.followedBy().within()) on keyed state
+# ---------------------------------------------------------------------------
+PW_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_event_id", LongType()),
+        StructField("signup_ts", TimestampType()),
+        StructField("purchase_ts", TimestampType()),
+        StructField("latency_ms", LongType()),
+    ]
+)
+
+# pending signups awaiting their first in-window purchase
+PW_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("tss", ArrayType(LongType())),  # epoch µs
+    ]
+)
+
+
+def _pw_factory(within_ms: int):
+    within_us = within_ms * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        ids, tss = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        out = []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            for r in pdf.itertuples(index=False):
+                rows.append((r.ts, int(r.id), r.sym))
+        for ts, rid, sym in rows:
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if sym == "S":
+                ids.append(rid)
+                tss.append(ts_us)
+                continue
+            # purchase: match every pending signup still inside its window
+            # (its FIRST subsequent purchase is this one), drop the rest
+            # that have expired
+            keep_ids, keep_tss = [], []
+            for sid, sts in zip(ids, tss):
+                if ts_us - sts <= within_us:
+                    out.append(
+                        (
+                            int(key[0]),
+                            sid,
+                            pd.to_datetime(sts, unit="us"),
+                            pd.to_datetime(ts_us, unit="us"),
+                            # per-timestamp ms floors, then subtract — the
+                            # same arithmetic as epoch_ms(p) - epoch_ms(s)
+                            ts_us // 1000 - sts // 1000,
+                        )
+                    )
+                elif sts + within_us >= ts_us:  # unreachable; keep symmetry
+                    keep_ids.append(sid)
+                    keep_tss.append(sts)
+                # expired pendings are dropped (Flink: within-timer purge)
+            ids, tss = keep_ids, keep_tss
+        state.update((ids, tss))
+        yield pd.DataFrame(out, columns=[f.name for f in PW_OUTPUT.fields])
+
+    return fn
+
+
+def pattern_within_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    within_ms: int,
+) -> DataFrame:
+    """Flink ``Pattern.begin(S).followedBy(P).within(t)`` on keyed state:
+    pending S-events wait for their first subsequent P inside the window;
+    a P closes every in-window pending (each S matches its first P), and
+    expired pendings are purged — Flink's within-timer. Append output:
+    one row per (S, first-in-window P)."""
+    prepared = sdf.select(
+        sdf[key_col].alias("key"),
+        sdf[ts_col].alias("ts"),
+        sdf[id_col].alias("id"),
+        symbol.alias("sym"),
+    ).filter(F.col("sym").isin("S", "P"))
+    return prepared.groupBy("key").applyInPandasWithState(
+        _pw_factory(within_ms),
+        outputStructType=PW_OUTPUT,
+        stateStructType=PW_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
