@@ -66,6 +66,9 @@ INVARIANT_QUERIES = [
     # slicing must produce identical content (file layout may differ)
     "s_lookup_enrich_stream",
     "s_statement_set_stream",
+    # CEP within: matches form from per-key event order alone; a purchase
+    # in a later batch still closes pendings carried in state
+    "s_pattern_within_stream",
 ]
 
 
