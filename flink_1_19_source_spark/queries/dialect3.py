@@ -249,3 +249,40 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q_b.exceptAll(q_m).count() != 0 or q_m.exceptAll(q_b).count() != 0:
         raise AssertionError("hinted plans disagree on results")
     return q_b
+
+
+@register(
+    "sql_computed_columns",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS order_month,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE) AS gross
+    FROM orders WHERE o_orderkey <= 1500
+    """,
+    survey="S12",
+)
+def sql_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL computed columns (Flink `CREATE TABLE (... , gross AS
+    price * 1.05, order_month AS TRUNC(dt))` [docs: create — computed
+    columns]): declared as SQL-string expressions in the table spec and
+    applied scan-side by the spec layer (tables.apply_computed) — the
+    same expansion Flink's planner performs, so every downstream query
+    sees them as ordinary columns. The rowtime/watermark declaration
+    rides the same spec (tables.TableSpec.event_time/watermark_delay,
+    used by every streaming query)."""
+    from ..tables import apply_computed
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500)
+    computed = {
+        "order_month": "CAST(CAST(date_trunc('month', o_orderdate) AS DATE)"
+        " AS STRING)",
+        "gross": (
+            "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))"
+            " * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE)"
+        ),
+    }
+    return apply_computed(o, computed).select(
+        "o_orderkey", "o_totalprice", "order_month", "gross"
+    )

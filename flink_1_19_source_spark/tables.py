@@ -141,3 +141,16 @@ def with_event_time(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spec.event_time and spec.watermark_delay:
         df = df.withWatermark(spec.event_time, spec.watermark_delay)
     return df
+
+
+def apply_computed(df: DataFrame, computed: dict[str, str]) -> DataFrame:
+    """DDL computed columns (Flink `col AS expr` in CREATE TABLE): the
+    spec layer applies them as scan-side projections — Catalyst folds
+    them into the read, which is exactly how Flink's planner expands
+    computed columns before optimization. SQL-string exprs so specs stay
+    declarative/serializable like the rest of the table spec."""
+    from pyspark.sql import functions as F
+
+    for name, expr in computed.items():
+        df = df.withColumn(name, F.expr(expr))
+    return df
