@@ -69,6 +69,9 @@ HEADLINE = [
     "a14_bloom_portable",
     "n1_chunk_dedup",
     "n1_incremental_dedup",
+    "pipeline_corpus_end_to_end",
+    "x8_pagerank",
+    "s_pattern_within_stream",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

@@ -504,3 +504,43 @@ def r9_connect_comap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(e)
+
+
+@register(
+    "f_temporal3_family",
+    oracle="""
+    SELECT event_id,
+           CAST(quarter(ts) AS BIGINT) AS q,
+           CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(ts AS DATE)
+                + CAST(CASE WHEN (8 - isodow(ts)) % 7 = 0 THEN 7
+                            ELSE (8 - isodow(ts)) % 7 END AS INTEGER)
+                AS VARCHAR) AS next_monday
+    FROM events WHERE event_id < 400
+    """,
+    survey="2.8-temporal",
+)
+def f_temporal3_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal wave 3: QUARTER / ISO week / ISO day-of-week / DAYOFYEAR
+    / LAST_DAY / NEXT_DAY (Flink temporal built-ins). Engine defaults
+    differ on day-of-week numbering (Spark dayofweek is 1=Sunday,
+    DuckDB dayofweek is 0=Sunday), so both sides pin the ISO numbering
+    (Mon=1..Sun=7): Spark's ``dayofweek`` is remapped, DuckDB uses
+    ``isodow`` — the normalization portable SQL needs. NEXT_DAY's DuckDB
+    mirror is date arithmetic off isodow (no built-in there)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    iso_dow = (F.dayofweek("ts") + 5) % 7 + 1  # 1=Sunday.. → ISO Mon=1..Sun=7
+    return e.select(
+        "event_id",
+        F.quarter("ts").cast("long").alias("q"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        iso_dow.cast("long").alias("iso_dow"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.last_day(F.col("ts").cast("date")).cast("string").alias("month_end"),
+        F.next_day(F.col("ts").cast("date"), "Mon").cast("string").alias(
+            "next_monday"
+        ),
+    )
