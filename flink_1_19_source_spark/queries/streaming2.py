@@ -281,3 +281,74 @@ def x7b_broadcast_rules_update_stream(spark: SparkSession, sf_dir: str) -> DataF
     for p in (src, rules, out, ckpt):
         shutil.rmtree(p, ignore_errors=True)
     return res
+
+
+@register(
+    "s_crash_resume_exactly_once",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events GROUP BY event_type
+    """,
+    survey="X4",
+    tags=("streaming",),
+)
+def s_crash_resume_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once under a REAL injected failure (X4): the
+    sink crashes mid-write on its second micro-batch, leaving a TORN
+    epoch directory (a partial, wrong prefix of the batch); the query is
+    restarted on the same checkpoint, Spark replays the failed batch,
+    the idempotent epoch sink overwrites the torn directory completely,
+    and the remaining batches drain. The final aggregate must equal the
+    batch answer exactly — no loss, no duplication, the torn write
+    invisible. This is the checkpoint/replay/idempotent-sink triangle
+    every exactly-once claim reduces to."""
+    wd = os.path.join(
+        "/tmp/sgraft_streams", os.path.basename(sf_dir.rstrip("/")), "s_xonce"
+    )
+    os.makedirs(wd, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(wd, f"out-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4,
+        files_per_trigger=1,
+    )
+    crashed = {"done": False}
+
+    def fn(batch, bid: int) -> None:
+        target = os.path.join(out, f"epoch={bid:05d}")
+        if bid == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # torn write: a partial prefix lands, then the "process" dies
+            batch.limit(50).select("event_id", "event_type", "value").write.mode(
+                "overwrite"
+            ).parquet(target)
+            raise RuntimeError("injected sink crash after partial write")
+        batch.select("event_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    with _stream_shuffle_partitions(spark):
+        try:
+            replay.run_foreach_batch(sdf, fn, checkpoint_dir=ckpt)
+            raise AssertionError("injected crash did not fire")
+        except Exception as e:
+            if "injected sink crash" not in str(e):
+                raise
+        # restart on the SAME checkpoint: batch 1 replays, torn dir healed
+        replay.run_foreach_batch(sdf, fn, checkpoint_dir=ckpt)
+
+    res = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res
