@@ -189,3 +189,122 @@ def a15_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+def _hll_rollup_oracle(b: int = 8) -> str:
+    m = 1 << b
+    fbits = 60 - b
+    scale = 1 << (fbits + 1)
+    from ..operators.sketches import _alpha
+
+    alpha_num = _alpha(m) * m * m * scale
+    est = (
+        f"ROUND(CASE WHEN ({alpha_num!r} / (CAST(sum_present AS DOUBLE)"
+        f" + CAST(v_empty AS DOUBLE) * {float(scale)!r})) <= {2.5 * m!r}"
+        f" AND v_empty > 0"
+        f" THEN {float(m)!r} * LN({float(m)!r} / v_empty)"
+        f" ELSE {alpha_num!r} / (CAST(sum_present AS DOUBLE)"
+        f" + CAST(v_empty AS DOUBLE) * {float(scale)!r}) END, 4)"
+    )
+    return f"""
+    WITH pre AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             h & {m - 1} AS idx, h >> {b} AS w
+      FROM (
+        SELECT ts, CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)
+                     || ':' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 AS h
+        FROM events
+      )
+    ), rho AS (
+      SELECT week, day, idx,
+             CASE WHEN w = 0 THEN {fbits + 1}
+                  ELSE {fbits} + 1 - LENGTH(bin(w)) END AS rho
+      FROM pre
+    ), daily_regs AS (
+      -- the stored per-day sketch tables: (day, idx, mj)
+      SELECT week, day, idx, MAX(rho) AS mj FROM rho GROUP BY week, day, idx
+    ), weekly_regs AS (
+      -- rollup = register-wise MAX merge of the daily sketches
+      SELECT week, idx, MAX(mj) AS mj FROM daily_regs GROUP BY week, idx
+    ), agg AS (
+      SELECT week,
+             SUM(CAST((1::BIGINT << ({fbits} + 1 - mj)) AS DECIMAL(38,0)))
+               AS sum_present,
+             {m} - COUNT(*) AS v_empty
+      FROM weekly_regs GROUP BY week
+    )
+    SELECT CAST(week AS VARCHAR) AS week,
+           CAST(v_empty AS BIGINT) AS v_empty,
+           {est} AS estimate,
+           (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM daily_regs d
+             WHERE d.week = agg.week) AS n_daily_sketches
+    FROM agg
+    """
+
+
+@register("a9d_hll_merge_rollup", oracle=_hll_rollup_oracle(), survey="A9 A1")
+def a9d_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-table rollup — THE 100 TB distinct-count architecture:
+    per-DAY portable-HLL register tables are materialized once (≤ m rows
+    each), then weekly distinct-user-event estimates come from merging
+    the daily sketches by register-wise MAX — the raw events are never
+    rescanned. Both the merge and the resulting ESTIMATES are
+    value-hash-oracled (DuckDB rebuilds the same daily registers and
+    merges them identically); a9c certifies the single-shot sketch, this
+    certifies the mergeability that makes it a rollup workhorse."""
+    b = 8
+    m = 1 << b
+    fbits = 60 - b
+    scale = 1 << (fbits + 1)
+    from ..operators.sketches import _alpha
+
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING) || ':' ||"
+        " CAST(event_id AS STRING)),1,15),16,10) AS BIGINT)"
+    )
+    pre = e.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.expr(f"{h} & {m - 1}").alias("idx"),
+        F.expr(f"shiftright({h}, {b})").alias("w"),
+    ).select(
+        "week",
+        "day",
+        "idx",
+        F.when(F.col("w") == 0, F.lit(fbits + 1))
+        .otherwise(F.lit(fbits) + 1 - F.length(F.expr("bin(w)")))
+        .alias("rho"),
+    )
+    daily = pre.groupBy("week", "day", "idx").agg(F.max("rho").alias("mj"))
+    daily = daily.localCheckpoint(eager=True)  # the stored sketch tables
+    weekly = daily.groupBy("week", "idx").agg(F.max("mj").alias("mj"))
+    agg = weekly.groupBy("week").agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {fbits} + 1 - mj) AS DECIMAL(38,0))")
+        ).alias("sum_present"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_empty"),
+    )
+    total = (
+        F.col("sum_present").cast("double")
+        + F.col("v_empty").cast("double") * F.lit(float(scale))
+    )
+    e_raw = F.lit(_alpha(m) * m * m * scale) / total
+    estimate = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")),
+    ).otherwise(e_raw)
+    n_daily = daily.select("week", "day").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_daily_sketches")
+    )
+    return (
+        agg.join(n_daily, "week")
+        .select(
+            F.col("week").cast("string").alias("week"),
+            F.col("v_empty").cast("long").alias("v_empty"),
+            F.round(estimate, 4).alias("estimate"),
+            "n_daily_sketches",
+        )
+    )
