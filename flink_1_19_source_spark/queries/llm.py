@@ -961,3 +961,86 @@ def n2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_found").cast("double") / F.col("n_true"), 9),
         )
     )
+
+
+_IVF_RECALL_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), q AS (SELECT * FROM vn WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, vn.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, vn.e) / (q.nrm * vn.nrm)
+                          DESC, vn.vec_id) AS rk
+        FROM vn CROSS JOIN q WHERE q.vec_id <> vn.vec_id
+      ) WHERE rk <= 5
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+      FROM v WHERE vec_id < 16
+    ), assign AS (
+      SELECT vn.vec_id, cn.cid,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM vn CROSS JOIN cn
+    ), corpus_list AS (
+      SELECT vec_id AS neighbor_id, cid AS list_id FROM assign WHERE rk = 1
+    ), q_list AS (
+      SELECT vec_id AS query_id, cid AS list_id
+      FROM assign WHERE vec_id < 8 AND rk <= 3
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM q_list q JOIN corpus_list c ON q.list_id = c.list_id
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(c.neighbor_id) AS BIGINT) AS n_recovered,
+           ROUND(CAST(COUNT(c.neighbor_id) AS DOUBLE) / COUNT(*), 9) AS recall
+    FROM exact e
+    LEFT JOIN cand c
+      ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("n3_ivf_recall_report", oracle=_IVF_RECALL_ORACLE, survey="N3")
+def n3_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality evaluation AS DATA (the ANN sibling of
+    n2_lsh_recall_report): per query, how many of the exact cosine top-5
+    appear in the IVF candidate set at nprobe=3 — the recall-vs-probe
+    curve every IVF deployment tunes. Both sides computed in-engine and
+    fully value-hash-oracled."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, q, k=5).select("query_id", "neighbor_id")
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    cand = (
+        similarity.ivf_candidates(e, q, centroids, nprobe=3)
+        if hasattr(similarity, "ivf_candidates")
+        else similarity.ivf_topk(e, q, centroids, k=10**9, nprobe=3).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    cand = cand.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
+    return (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_f").alias("n_recovered"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_recovered").cast("double") / F.col("n_exact"), 9),
+        )
+    )
