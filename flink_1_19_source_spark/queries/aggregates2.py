@@ -308,3 +308,112 @@ def a9d_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_daily_sketches",
         )
     )
+
+
+def _s_hll_oracle() -> str:
+    from ..operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("events", "event_id", b=8)
+
+
+@register(
+    "s_hll_stream_rollup",
+    oracle=_s_hll_oracle(),
+    survey="A9 X2 X4",
+    tags=("streaming",),
+)
+def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-count sketch: each micro-batch folds its rows
+    into per-register maxima and MAX-merges them into a tiny persistent
+    register table (≤ 256 rows) — the mergeable-HLL property applied
+    incrementally. Because register max-merge is commutative/idempotent,
+    any batch slicing or crash-replay converges to the register table of
+    the whole stream, so the final ESTIMATE hash-matches the one-shot
+    batch sketch (the oracle). This is the 100 TB continuous
+    distinct-users dashboard: O(m) state, O(batch) work, no raw-data
+    retention."""
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.sketches import hll_distinct
+    from ..streaming import replay
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    b = 8
+    m = 1 << b
+    fbits = 60 - b
+    wd = _work_dir(sf_dir, "s_hll")
+    run = uuid.uuid4().hex[:8]
+    regs_path = os.path.join(wd, f"regs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4
+    )
+    h = f"CAST(conv(substring(md5(CAST(event_id AS STRING)),1,15),16,10) AS BIGINT)"
+
+    def fold(batch, bid: int) -> None:
+        batch_regs = (
+            batch.select(
+                F.expr(f"{h} & {m - 1}").alias("idx"),
+                F.expr(f"shiftright({h}, {b})").alias("w"),
+            )
+            .select(
+                "idx",
+                F.when(F.col("w") == 0, F.lit(fbits + 1))
+                .otherwise(F.lit(fbits) + 1 - F.length(F.expr("bin(w)")))
+                .alias("mj"),
+            )
+            .groupBy("idx")
+            .agg(F.max("mj").alias("mj"))
+        )
+        try:
+            cur = spark.read.parquet(regs_path)
+            merged = (
+                cur.unionByName(batch_regs)
+                .groupBy("idx")
+                .agg(F.max("mj").alias("mj"))
+            )
+        except Exception:
+            merged = batch_regs
+        # tiny table (≤ m rows): versioned rewrite, replay-idempotent
+        # (max-merge of already-folded rows is a no-op)
+        tmp = regs_path + f".tmp{bid}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(regs_path, ignore_errors=True)
+        os.rename(tmp, regs_path)
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    # estimate from the register table, via the same estimator expression
+    # as the one-shot sketch: feed hll_distinct a reconstruction? simpler:
+    # compute directly from the registers (same formula as sketches.py)
+    from ..operators.sketches import _alpha
+
+    scale = 1 << (fbits + 1)
+    regs = spark.read.parquet(regs_path)
+    agg = regs.agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {fbits} + 1 - mj) AS DECIMAL(38,0))")
+        ).alias("sum_present"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_empty"),
+    )
+    total = (
+        F.col("sum_present").cast("double")
+        + F.col("v_empty").cast("double") * F.lit(float(scale))
+    )
+    e_raw = F.lit(_alpha(m) * m * m * scale) / total
+    estimate = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")),
+    ).otherwise(e_raw)
+    out = agg.select(
+        F.lit(m).alias("m"),
+        F.col("v_empty").cast("long").alias("v_empty"),
+        F.round(estimate, 4).alias("estimate"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(regs_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
