@@ -336,7 +336,6 @@ def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from ..operators.sketches import hll_distinct
     from ..streaming import replay
     from .streaming_queries import _stream_shuffle_partitions, _work_dir
 
