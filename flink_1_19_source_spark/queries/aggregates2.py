@@ -416,3 +416,88 @@ def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(regs_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+def _s_bloom_oracle() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    build = ", ".join(
+        sketches._bloom_pos_duck("x", i, m) for i in range(k)
+    )
+    return f"""
+    WITH src AS (SELECT DISTINCT user_id AS x FROM events),
+    bits AS (
+      SELECT DISTINCT bit FROM (SELECT UNNEST([{build}]) AS bit FROM src)
+    ),
+    probe AS (SELECT DISTINCT c_custkey AS x FROM customer WHERE c_custkey <= 400),
+    ppos AS (
+      SELECT DISTINCT x, bit
+      FROM (SELECT x, UNNEST([{build}]) AS bit FROM probe)
+    ),
+    memb AS (
+      SELECT p.x, COUNT(*) AS n_pos, COUNT(b.bit) AS n_hit
+      FROM ppos p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY p.x
+    )
+    SELECT x AS probe_key, n_hit = n_pos AS member FROM memb
+    """
+
+
+@register(
+    "s_bloom_stream_filter",
+    oracle=_s_bloom_oracle(),
+    survey="A9 N1-S X2",
+    tags=("streaming",),
+)
+def s_bloom_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom maintenance — the have-we-seen-this-key filter
+    kept fresh continuously: each micro-batch ORs its keys' bit
+    positions into a ≤ m-row persistent bit set (set union per batch —
+    commutative and idempotent, so any slicing or replay converges to
+    the whole-stream filter). The final per-key membership VERDICTS over
+    a probe set hash-match the one-shot filter (the oracle), false
+    positives included. 100 TB: the streaming dedup pre-filter that
+    never touches history."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    m, k = _BLOOM_M, _BLOOM_K
+    wd = _work_dir(sf_dir, "s_bloom")
+    run = uuid.uuid4().hex[:8]
+    bits_path = os.path.join(wd, f"bits-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4
+    )
+
+    def fold(batch, bid: int) -> None:
+        batch_bits = sketches.bloom_bits(batch, "user_id", m=m, k=k)
+        try:
+            cur = spark.read.parquet(bits_path)
+            merged = cur.unionByName(batch_bits).distinct()
+        except Exception:
+            merged = batch_bits
+        tmp = bits_path + f".tmp{bid}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(bits_path, ignore_errors=True)
+        os.rename(tmp, bits_path)
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    bits = spark.read.parquet(bits_path)
+    probe = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 400
+    )
+    verdicts = (
+        sketches.bloom_probe(probe, "c_custkey", bits, m=m, k=k)
+        .select(F.col("key").alias("probe_key"), "member")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(bits_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return verdicts
