@@ -196,3 +196,36 @@ def t6_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos_desc_nf"),
     )
+
+
+@register(
+    "t4c_union_type_coercion",
+    oracle="""
+    SELECT k, CAST(v AS DOUBLE) AS v FROM (
+      SELECT 'int' AS k, CAST(o_orderkey AS INTEGER) AS v
+      FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT 'big' AS k, o_custkey AS v FROM orders WHERE o_orderkey <= 100
+      UNION ALL
+      SELECT 'dbl' AS k, o_totalprice AS v FROM orders WHERE o_orderkey <= 100
+    )
+    """,
+    survey="T4 2.8-cast",
+)
+def t4c_union_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION implicit type coercion (Calcite/Flink widen the branch
+    types to a common type; so does Spark's SQL union): INT, BIGINT and
+    DOUBLE branches must all widen to DOUBLE — the coercion itself is
+    what's certified (a dropped widening surfaces as a dtype-strict hash
+    mismatch)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    o.createOrReplaceTempView("t4c_orders")
+    return spark.sql(
+        """
+        SELECT 'int' AS k, CAST(o_orderkey AS INT) AS v FROM t4c_orders
+        UNION ALL
+        SELECT 'big' AS k, o_custkey AS v FROM t4c_orders
+        UNION ALL
+        SELECT 'dbl' AS k, o_totalprice AS v FROM t4c_orders
+        """
+    )

@@ -827,3 +827,48 @@ def src_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     if "dynamicpruning" not in plan.lower():
         raise AssertionError(f"no dynamic pruning subquery in plan:\n{plan}")
     return joined
+
+
+@register(
+    "src_csv_malformed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 600 AND o_orderkey % 7 <> 0
+    """,
+    survey="S3 S1",
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling in the CSV format (Flink
+    ``csv.ignore-parse-errors`` = skip bad rows): rows with
+    o_orderkey % 7 == 0 are corrupted on write (the numeric price column
+    gets a non-numeric token), the read uses DROPMALFORMED, and exactly
+    the corrupted rows must vanish — the oracle is the well-formed
+    subset. PERMISSIVE + _corrupt_record (Spark's default) is the
+    capture-don't-drop alternative; both are schema-on-read behaviors
+    the 100 TB ingest layer depends on."""
+    import os
+
+    from ..sources import formats
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 600)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    corrupted = o.select(
+        F.col("o_orderkey").cast("string"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+    )
+    path = os.path.join(formats.scratch(sf_dir, "csv_malformed"), "orders_csv")
+    corrupted.write.mode("overwrite").option("header", "true").csv(path)
+    good = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+        .csv(path)
+    )
+    return good
