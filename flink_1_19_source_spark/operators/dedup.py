@@ -386,3 +386,52 @@ def minhash_band_buckets(
         ]
     )
     return sigs.select("id", "signature", F.explode(band_keys).alias("bk"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-ball near-dup candidates over 64-bit SimHash via 4-block
+    pigeonhole: two fingerprints within Hamming distance ≤ 3 differ in at
+    most 3 of their 4 16-bit blocks, so they MUST agree exactly on at
+    least one block — candidates join on (block_idx, block_value), never
+    all-pairs; the exact popcount(xor) re-check then filters. Join
+    fan-out ∝ per-block-bucket density. Output: (id_a, id_b, hamming)."""
+    fps = simhash(df, id_col, text_col, n)
+    blocks = fps.select(
+        "id",
+        F.col("simhash").alias("f"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.expr(f"(simhash >> {16 * i}) & 65535").alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.f").alias("fa"),
+            F.col("b.f").alias("fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    )

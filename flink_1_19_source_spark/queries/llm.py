@@ -1044,3 +1044,39 @@ def n3_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_recovered").cast("double") / F.col("n_exact"), 9),
         )
     )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_SHINGLE_HASH_CTES},
+    bits AS (
+      SELECT doc_id, t.b, SUM((h >> t.b) & 1) AS ones, COUNT(*) AS n
+      FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS b FROM range(63)) t
+      GROUP BY doc_id, t.b
+    ), fp AS (
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN 2 * ones > n
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+               AS f
+      FROM bits GROUP BY doc_id
+    ), blocks AS (
+      SELECT id, f, t.i AS b, (f >> (16 * t.i)) & 65535 AS bv
+      FROM fp, (SELECT UNNEST([0, 1, 2, 3]) AS i) t
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f AS fa, b.f AS fb
+      FROM blocks a JOIN blocks b
+        ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+@register("n2_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, survey="N2")
+def n2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball candidate pairs (operators/dedup.simhash_pairs):
+    the 4×16-bit-block pigeonhole join — two 64-bit fingerprints within
+    Hamming distance ≤ 3 must share an exact block — then the popcount
+    re-check. The whole pipeline (fingerprints, block buckets, XOR
+    popcounts) is value-hash-oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=3)
