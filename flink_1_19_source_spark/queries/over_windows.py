@@ -243,3 +243,32 @@ def o7_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "o2b_lead_lag_offsets",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value, 3, -1.0) OVER w AS lag3,
+           LEAD(value, 2, -1.0) OVER w AS lead2,
+           LAG(event_type, 1, 'none') OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey="O2",
+)
+def o2b_lead_lag_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG with explicit offsets and DEFAULT values (Flink
+    ``LAG(x, n, default)`` [docs: over-agg]): edge rows take the typed
+    default instead of NULL — the default-vs-null distinction is exactly
+    what the hash certifies (a dropped default shows as NULL-row
+    drift)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 3, -1.0).over(w).alias("lag3"),
+        F.lead("value", 2, -1.0).over(w).alias("lead2"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
