@@ -337,6 +337,7 @@ def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming import replay
+    from . import streaming_queries as _sq
     from .streaming_queries import _stream_shuffle_partitions, _work_dir
 
     b = 8
@@ -348,7 +349,7 @@ def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{run}")
 
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
     )
     h = f"CAST(conv(substring(md5(CAST(event_id AS STRING)),1,15),16,10) AS BIGINT)"
 
@@ -462,6 +463,7 @@ def s_bloom_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming import replay
+    from . import streaming_queries as _sq
     from .streaming_queries import _stream_shuffle_partitions, _work_dir
 
     m, k = _BLOOM_M, _BLOOM_K
@@ -471,7 +473,7 @@ def s_bloom_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{run}")
 
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
     )
 
     def fold(batch, bid: int) -> None:

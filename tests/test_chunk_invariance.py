@@ -69,6 +69,10 @@ INVARIANT_QUERIES = [
     # CEP within: matches form from per-key event order alone; a purchase
     # in a later batch still closes pendings carried in state
     "s_pattern_within_stream",
+    # sketch maintenance: register max-merge / bit-set union are
+    # commutative + idempotent, so any slicing converges identically
+    "s_hll_stream_rollup",
+    "s_bloom_stream_filter",
 ]
 
 
