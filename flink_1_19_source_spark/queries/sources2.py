@@ -872,3 +872,50 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return good
+
+
+@register(
+    "src_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+           MIN(o_totalprice) AS mn_price, MAX(o_totalprice) AS mx_price
+    FROM orders
+    """,
+    survey="S2 A1",
+)
+def src_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown into the parquet scan (§4: Flink's
+    SupportsAggregatePushDown ability interface): COUNT/MIN/MAX answered
+    from row-group STATISTICS — zero data pages read — when the V2
+    source path is active. The plan must show ``PushedAggregation``
+    (asserted); at 100 TB this is the difference between a footer read
+    and a full table scan for dashboard-style min/max/count probes."""
+    from ..plans import audit
+    from ..tables import table_path
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(table_path(sf_dir, "orders"))
+        agg = df.selectExpr(
+            "count(*) as n",
+            "min(o_orderkey) as mn_key",
+            "max(o_orderkey) as mx_key",
+            "min(o_totalprice) as mn_price",
+            "max(o_totalprice) as mx_price",
+        )
+        plan = audit.plan_text(agg)
+        if "PushedAggregation: [COUNT(*)" not in plan:
+            raise AssertionError(f"aggregate not pushed into scan:\n{plan}")
+        return agg.localCheckpoint(eager=True)
+    finally:
+        # restore: several write paths (dynamic partition overwrite) are
+        # v1-only, and other queries assume the session default
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
