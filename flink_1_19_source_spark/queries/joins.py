@@ -416,3 +416,47 @@ def j4b_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("v_a") - F.col("v_b")), 9).alias("diff"),
         )
     )
+
+
+@register(
+    "j8b_window_join_outer",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id,
+           time_bucket(INTERVAL '1 hour', l.ts) AS window_start
+    FROM (SELECT * FROM events WHERE event_type = 'signup') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND time_bucket(INTERVAL '1 hour', l.ts)
+         = time_bucket(INTERVAL '1 hour', r.ts)
+    """,
+    survey="J8 J2 W1",
+)
+def j8b_window_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER window join (Flink window-join supports all outer
+    variants [docs: queries/window-join]): signups joined to same-user
+    errors inside the SAME 1 h tumble, null-padded when the window holds
+    no error — the signup-without-incident side an inner window join
+    drops. Join key = (user, window struct): plain hash join, state/
+    fan-out bounded per window."""
+    e = load_table(spark, sf_dir, "events")
+    l = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_id").alias("l_id"),
+        )
+        .alias("l")
+    )
+    r = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.window("ts", "1 hour").alias("rw"),
+            F.col("event_id").alias("r_id"),
+        )
+        .alias("r")
+    )
+    return l.join(
+        r, (F.col("user_id") == F.col("r_user")) & (F.col("w") == F.col("rw")), "left"
+    ).select("l_id", "r_id", F.col("w.start").alias("window_start"))

@@ -199,10 +199,12 @@ def window_join(
     right_ts: str,
     size: str,
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming window join (J8): rows from both streams that fall into
     the SAME tumbling window join on equal keys — Flink's window-TVF join
-    (windowed both sides, join on key + window_start/window_end).
+    (windowed both sides, join on key + window_start/window_end; outer
+    variants emit null-padded rows once the watermark closes the window).
 
     Spark shape: assign ``F.window(ts, size)`` on each watermarked side
     and equi-join on (keys, window). The window column carries event
@@ -218,7 +220,7 @@ def window_join(
         "__w", F.window(right_ts, size)
     )
     return (
-        l.join(r, [*keys, "__w"])
+        l.join(r, [*keys, "__w"], how)
         .withColumn("window_start", F.col("__w.start"))
         .drop("__w", left_ts, *([right_ts] if right_ts != left_ts else []))
     )

@@ -73,6 +73,9 @@ INVARIANT_QUERIES = [
     # commutative + idempotent, so any slicing converges identically
     "s_hll_stream_rollup",
     "s_bloom_stream_filter",
+    # outer window join: null emission gated on the final min-of-sides
+    # watermark, matches data-driven — same invariance as interval outer
+    "s_window_join_outer_stream",
 ]
 
 
