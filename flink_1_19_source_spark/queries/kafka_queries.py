@@ -420,3 +420,114 @@ def s_kafka_aligned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total"),
         )
     )
+
+
+@register(
+    "s_cdc_debezium_stream",
+    oracle="""
+    WITH oped AS (
+      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error' THEN 'd'
+                  ELSE 'u' END AS op
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ms DESC, event_id DESC) AS rn
+      FROM oped
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value
+    FROM latest WHERE rn = 1 AND op <> 'd'
+    """,
+    survey="X6 S4 X4",
+    tags=("streaming",),
+)
+def s_cdc_debezium_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING debezium-json ingestion end-to-end: every micro-batch
+    renders real Debezium envelopes, parses them with the typed schema
+    (the S4 format decoder), folds the batch changelog to latest-op-per-
+    key and applies it through the bucket-pruned CoW merge sink — the
+    full Kafka→debezium→MERGE pipeline Flink users run. Cross-batch
+    last-writer-wins equals the batch fold because the ts-ordered replay
+    matches the oracle's (ms, event_id) tiebreak."""
+    import shutil
+    import uuid
+
+    from ..streaming import sinks as _sinks
+    from .streaming_queries import (
+        _stream_shuffle_partitions,
+        _work_dir,
+    )
+    from ..streaming import replay as _replay
+    from pyspark.sql.window import Window
+
+    wd = _work_dir(sf_dir, "s_cdc_dbz")
+    sdf = _replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4,
+        order_by=["ts", "event_id"],
+    )
+    row = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    envelopes = sdf.select(
+        F.to_json(
+            F.struct(
+                F.when(op != "c", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            )
+        ).alias("env")
+    )
+    schema = (
+        "before struct<user_id: bigint, event_id: bigint, value: double>,"
+        " after struct<user_id: bigint, event_id: bigint, value: double>,"
+        " op string, ts_ms bigint"
+    )
+    parsed = envelopes.select(F.from_json("env", schema).alias("m")).select(
+        F.coalesce(F.col("m.after.user_id"), F.col("m.before.user_id")).alias(
+            "user_id"
+        ),
+        F.coalesce(F.col("m.after.event_id"), F.col("m.before.event_id")).alias(
+            "event_id"
+        ),
+        F.col("m.after.value").alias("value"),
+        F.col("m.op").alias("op"),
+        F.col("m.ts_ms").alias("ms"),
+    )
+
+    state = os.path.join(wd, f"merge-{uuid.uuid4().hex[:8]}")
+    sink = _sinks.ParquetMergeSink(
+        spark,
+        state,
+        pk_cols=["user_id"],
+        op_col="_rowkind",
+        order_cols=["ms", "event_id"],
+    )
+
+    def apply(batch: DataFrame, bid: int) -> None:
+        rn = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ms").desc(), F.col("event_id").desc()
+            )
+        )
+        folded = batch.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+        changelog = folded.withColumn(
+            "_rowkind", F.when(F.col("op") == "d", "-D").otherwise("+U")
+        ).drop("op")
+        sink(changelog, bid)
+
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        _replay.run_foreach_batch(parsed, apply, checkpoint_dir=ckpt)
+    out = (
+        sink.snapshot_df()
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out
