@@ -397,3 +397,48 @@ def f_cast_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
         F.sha2(F.col("o_orderstatus"), 256).alias("status_sha"),
     )
+
+
+@register(
+    "f_collection2_family",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_slice(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                    x -> x <> ''), 1, 8) AS a
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(a, x -> x <> a[1]), ',') AS removed,
+           array_to_string(list_reverse(a), ',') AS rev,
+           array_to_string(a[2:4], ',') AS sliced,
+           array_to_string(list_sort(list_distinct(
+             list_concat(a, list_reverse(a[2:4])))), ',') AS union_sorted,
+           list_max(a) AS mx, list_min(a) AS mn
+    FROM t
+    """,
+    survey="2.8-collection",
+)
+def f_collection2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection wave 2: ARRAY_REMOVE / ARRAY_REVERSE / ARRAY_SLICE /
+    ARRAY_UNION / ARRAY_MAX / ARRAY_MIN (the 1.16–1.19 array-function
+    wave). ARRAY_UNION's first-occurrence ordering is engine-specific,
+    so the certified surface is the SORTED union (set semantics); the
+    others compare element-exact via joined strings."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    a = F.slice(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), 1, 8
+    )
+    t = d.select("doc_id", a.alias("a"))
+    sliced = F.slice("a", 2, 3)
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_remove("a", F.col("a")[0]), ",").alias("removed"),
+        F.array_join(F.reverse("a"), ",").alias("rev"),
+        F.array_join(sliced, ",").alias("sliced"),
+        F.array_join(
+            F.array_sort(F.array_union("a", F.reverse(sliced))), ","
+        ).alias("union_sorted"),
+        F.array_max("a").alias("mx"),
+        F.array_min("a").alias("mn"),
+    )
