@@ -342,3 +342,37 @@ def test_dynamic_sessions_match_reference(spark, rows):
                 frontier = max(frontier, m + g)
             want[(k, i)] = sid
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=40),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_pairs_complete_vs_brute_force(spark, docs):
+    """N2 Hamming-ball mining: the 4-block pigeonhole join must find
+    EXACTLY the pairs brute-force popcount finds at distance <= 3 —
+    pigeonhole guarantees no false negatives; the re-check kills false
+    positives. Random near-identical 'ab'-alphabet docs maximize low
+    Hamming distances."""
+    from flink_1_19_source_spark.operators.dedup import simhash, simhash_pairs
+
+    rows = [(i, t if t.strip() else "a a a") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, "doc_id", "text", n=3, max_hamming=3).collect()
+    }
+    fps = {r.id: r.simhash for r in simhash(df, "doc_id", "text", n=3).collect()}
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want
