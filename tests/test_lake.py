@@ -57,3 +57,41 @@ def test_dynamic_overwrite_touches_only_incoming_partitions(spark, sf_dir, tmp_p
     f_after = {k for k in after if "o_orderstatus=F" in k}
     assert f_after
     assert f_after.isdisjoint(f_before)
+
+
+def test_sorted_range_write_disjoint_ranges_random(spark, tmp_path):
+    """S1 sorted sink: heavy duplicates + skew must still produce
+    pairwise-disjoint per-file key ranges (equal keys land in one range
+    partition) with content preserved."""
+    import pyarrow.parquet as pq
+
+    from flink_1_19_source_spark.sources.formats import sorted_range_write
+
+    rows = [(i, i % 7) for i in range(500)] + [(1000 + i, 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    path = str(tmp_path / "sorted")
+    sorted_range_write(df, path, "k", 5)
+
+    import os
+
+    ranges = []
+    total = 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        if meta.num_rows == 0:
+            continue
+        total += meta.num_rows
+        idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index("k")
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert total == 800
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    assert spark.read.parquet(path).count() == 800
