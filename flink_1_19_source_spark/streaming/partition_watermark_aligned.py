@@ -65,6 +65,7 @@ def aligned_consume(spark, topic, max_drift_ms: int, step_offsets: dict[int, int
     fetch_idx = {p: 0 for p in end}
     wm: dict[int, int] = {}
     rounds = paused_rounds = 0
+    trace = []  # (pre-round watermarks, unfinished, read_set) per round
     while any(pos[p] < end[p] for p in end):
         rounds += 1
         unfinished = [p for p in end if pos[p] < end[p]]
@@ -79,6 +80,7 @@ def aligned_consume(spark, topic, max_drift_ms: int, step_offsets: dict[int, int
             read_set = unfinished
         if len(read_set) < len(unfinished):
             paused_rounds += 1
+        trace.append((dict(wm), list(unfinished), list(read_set)))
         for p in read_set:
             rep = report.get((p, fetch_idx[p]))
             if rep is not None:
@@ -91,4 +93,4 @@ def aligned_consume(spark, topic, max_drift_ms: int, step_offsets: dict[int, int
     consumed = topic.read_batch(
         spark, starting_offsets={p: 0 for p in end}, ending_offsets=end
     )
-    return consumed, {"rounds": rounds, "paused_rounds": paused_rounds}
+    return consumed, {"rounds": rounds, "paused_rounds": paused_rounds, "trace": trace}

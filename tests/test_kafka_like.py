@@ -160,3 +160,44 @@ def test_compacted_read_latest_wins_and_tombstone_deletes(spark, tmp_path):
         ).collect()
     }
     assert got == {"1": "new", "2": "keep"}
+
+
+def test_watermark_alignment_invariant_and_completeness(spark, sf_dir):
+    """X1 alignment: replay the scheduler's decision trace and assert the
+    FLIP-182 invariant directly — a partition is never fetched while its
+    watermark exceeds the slowest unfinished partition's by more than the
+    drift bound — plus pausing engagement and exactly-once completeness."""
+    from pyspark.sql import functions as F
+
+    from flink_1_19_source_spark.queries.kafka_queries import _events_topic
+    from flink_1_19_source_spark.streaming.partition_watermark_aligned import (
+        aligned_consume,
+    )
+    from flink_1_19_source_spark.tables import load_table
+
+    t = _events_topic(spark, sf_dir, "t_aligned_inv")
+    end = t.end_offsets(spark)
+    steps = {p: max(1, end[p] // (3 if p < 2 else 12)) for p in end}
+    drift = 600_000
+    consumed, stats = aligned_consume(spark, t, max_drift_ms=drift, step_offsets=steps)
+
+    assert stats["paused_rounds"] >= 1, stats
+    for wm, unfinished, read_set in stats["trace"]:
+        have = [wm[p] for p in unfinished if p in wm]
+        if not have or not any(p in wm for p in read_set):
+            continue
+        floor = min(have)
+        full_release = set(read_set) == set(unfinished) and not [
+            p for p in unfinished if p not in wm or wm[p] <= floor + drift
+        ]
+        if full_release:
+            continue  # floor partition finished: documented release rule
+        for p in read_set:
+            if p in wm:
+                assert wm[p] <= floor + drift, (p, wm, floor)
+
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert consumed.count() == n_total
+    assert consumed.groupBy("partition", "offset").count().filter(
+        F.col("count") > 1
+    ).count() == 0
