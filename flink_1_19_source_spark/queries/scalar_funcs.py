@@ -442,3 +442,57 @@ def f_collection2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("a").alias("mx"),
         F.array_min("a").alias("mn"),
     )
+
+
+@register(
+    "f_map_family2",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             MAP(['lang', 'src'], [lang, source]) AS m1,
+             MAP(['n'], [CAST(n_chars AS VARCHAR)]) AS m2
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(map_keys(map_concat(m1, m2))), ',') AS ks,
+           array_to_string(list_sort(map_values(m1)), ',') AS vs,
+           m1['lang'][1] AS lang_v,
+           CAST(cardinality(map_concat(m1, m2)) AS BIGINT) AS n_entries,
+           array_to_string(
+             list_sort(list_transform(map_entries(m1),
+                                      e -> e.key || '=' || e.value)), ',')
+             AS entries
+    FROM t
+    """,
+    survey="2.8-collection",
+)
+def f_map_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map wave 2: MAP_FROM_ARRAYS / map_concat (Flink MAP union via
+    concat) / MAP_VALUES / MAP_ENTRIES / CARDINALITY / map element
+    access — key/value/entry surfaces serialized sorted (map iteration
+    order is engine-private, sorting is the portable comparison)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    m1 = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("src")), F.array(F.col("lang"), F.col("source"))
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("n")), F.array(F.col("n_chars").cast("string"))
+    )
+    t = d.select("doc_id", m1.alias("m1"), m2.alias("m2"))
+    mc = F.map_concat("m1", "m2")
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.map_keys(mc)), ",").alias("ks"),
+        F.array_join(F.array_sort(F.map_values("m1")), ",").alias("vs"),
+        F.col("m1")["lang"].alias("lang_v"),
+        F.size(mc).cast("long").alias("n_entries"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("m1"),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        ).alias("entries"),
+    )
