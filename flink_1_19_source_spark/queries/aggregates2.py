@@ -503,3 +503,28 @@ def s_bloom_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(bits_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return verdicts
+
+
+@register(
+    "a7b_listagg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ', ' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey="A7 A3",
+)
+def a7b_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(DISTINCT x, sep) (Flink supports DISTINCT inside LISTAGG
+    [docs: group-agg]): distinct values joined in a pinned order —
+    collect_set + sort + concat_ws, the dedup happening in the agg
+    buffer (bounded by distinct count, not rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.concat_ws(", ", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_distinct"),
+    )
