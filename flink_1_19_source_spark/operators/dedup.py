@@ -205,7 +205,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
-    band_bucket_cap: int | None = None,
+    band_bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + MinHash-estimated Jaccard.
 
@@ -220,8 +220,10 @@ def minhash_lsh_pairs(
     members before the join (mirroring ``stop_shingle_df_cap``) — the
     members of an over-cap bucket still pair through their other, more
     selective bands, so recall degrades gracefully while the worst-case
-    candidate count is bounded by buckets × cap². Default off: test
-    corpora are bounded; at 100 TB set a cap around 10³-10⁴.
+    candidate count is bounded by buckets × cap². Defaults ON (10⁴) so
+    the entry point a user copies is scale-safe — a boilerplate-dense
+    100 TB corpus can't send one bucket quadratic; pass ``None`` to
+    disable. At test SFs the cap provably never binds.
 
     Output: (id_a, id_b, est_jaccard) for candidates, id_a < id_b.
     """

@@ -214,7 +214,7 @@ def lsh_topk(
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 7,
-    band_bucket_cap: int | None = None,
+    band_bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: candidates must share at least one of `bands`
     hyperplane-sign bands with the query, then exact cosine re-rank.
@@ -228,7 +228,9 @@ def lsh_topk(
     otherwise concentrates in one bucket and every query probing it pays
     O(bucket) re-rank cost. Over-cap members remain reachable through
     their other bands; worst-case per-query candidates become
-    bands × cap. Default off; set ~10³-10⁴ at 100 TB."""
+    bands × cap. Defaults ON (10⁴) so the copied entry point is
+    scale-safe; pass ``None`` to disable (the cap never binds at test
+    SFs)."""
     bits_per_band = num_planes // bands
     sig_udf = hyperplane_signature_udf(dim, num_planes, seed)
 

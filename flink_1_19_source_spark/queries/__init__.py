@@ -1,16 +1,15 @@
 """Importing this package registers every coverage query (SURVEY.md §2).
 
 WINDOW ORDER IS LOAD-BEARING: the driver certifies only the FIRST 50
-registry entries.  Import order seeds the registry, then ``_R05_WINDOW``
+registry entries.  Import order seeds the registry, then ``_R06_WINDOW``
 below reorders it explicitly so the certification window is an exact,
-named set rather than a module-prefix accident.  Round-5 window =
-17 queries with no driver evidence yet (the 7 TPC-H classics parked
-out of the r04 window; the round-4 kafka file-topic, upsert-kafka and
-dialect-closure additions; the trained-codebook IVF; the portable HLL)
-+ 33 re-certifications of the oldest-green r01-r02 rows (relational,
-aggregate, join, over-window blocks — last driver evidence two rounds
-old).  See STATUS.md "driver certification window" for the per-round
-ledger.
+named set rather than a module-prefix accident.  Round-6 window = the
+first 50 of the 85 registered queries that have NEVER carried a driver
+CORRECTNESS row (all r5 additions), in the exact order STATUS.md's r06
+ledger plans them: proc-time triggers, avro, the parked TPC-H quartet,
+semantic dedup, the late-r5 N/SQL/stream blocks.  The remaining 35
+never-certified queries are queued for r07.  See STATUS.md "driver
+certification window" for the per-round ledger.
 """
 
 from . import windows  # noqa: F401
@@ -40,45 +39,47 @@ from . import dialect3  # noqa: F401  (ALTER/TRUNCATE/LIKE, SQL UDFs, ANALYZE)
 
 from ..registry import REGISTRY
 
-# The exact round-5 certification window (first 50 registry entries).
-_R05_WINDOW = [
-    # first driver evidence: TPC-H classics parked out of the r04 window
-    "q6_forecast_revenue", "q10_returned_items", "q12_priority_shipping",
-    "q14_promo_revenue", "q15_top_supplier", "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    # first driver evidence: S6/S7 kafka file-topic contract + X1 idleness
-    "src_kafka_roundtrip", "src_kafka_offset_scan",
-    "s_kafka_tumble_stream", "s_kafka_idle_partition",
-    "s_upsert_kafka_compacted",
-    # first driver evidence: S12 dialect closures (SIMILAR TO / TIME /
-    # CURRENT_WATERMARK)
-    "f_similar_to_family", "f_time_family", "sql_current_watermark",
-    # first driver evidence: trained-codebook IVF, portable HLL estimate
-    "n3_ivf_trained_topk", "a9c_hll_portable",
-    # re-certification: oldest-green r01-r02 rows (relational block)
-    "q1_pricing_summary", "r1_projection", "r2_filter_three_valued",
-    "r3_flatmap_tokens", "r4_unnest_posexplode", "r5_values_literal",
-    "r6_side_output_split", "r7_async_enrich",
-    # re-certification: oldest-green r01-r02 rows (aggregate block)
-    "a3_distinct_agg", "a4_grouping_sets", "a5_std_aggregates",
-    "a6_first_last_value", "a7_listagg", "a8_collect_multiset",
-    "a9_approx_count_distinct", "a11_udaf_median", "a12_udtaf_top2",
-    # re-certification: oldest-green r01-r02 rows (join block)
-    "j1_inner_equi", "j2_outer_joins", "j3_semi_join", "j3_anti_join",
-    "j4_theta_join", "j5_interval_join", "j6_asof_join",
-    "j7_lookup_broadcast", "j8_window_join", "j_bucketed_colocated",
-    # re-certification: oldest-green r01-r02 rows (over-window block)
-    "o1_rank_functions", "o2_lead_lag", "o3_first_last_over",
-    "o4_agg_over_frames", "o5_distribution_functions", "o6_topn_pattern",
+# The exact round-6 certification window (first 50 registry entries):
+# all never-certified, in STATUS.md r06-ledger order.
+_R06_WINDOW = [
+    # W7 proc-time triggers + W8 allowed lateness + S5 avro + S9 rate
+    "s_proc_time_trigger_stream", "s_proc_time_accumulate_stream",
+    "s_allowed_lateness_stream", "src_avro_roundtrip",
+    # TPC-H classics never in a window
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q20_potential_promotion",
+    # N2 semantic dedup + datagen stream
+    "n2_semantic_dedup", "s_datagen_rate_stream",
+    # late-r5 N4/N6/N1/N3 block
+    "n4_pii_redact", "n4_contamination", "n4_repetition_signals",
+    "n4_token_percentiles", "n6_sequence_packing", "n6_mix_rebalance",
+    "n1_cross_source_dup_matrix", "n3_int8_topk",
+    # late-r5 streaming joins + source closures
+    "s_window_join_stream", "s_temporal_join_stream",
+    "src_schema_evolution", "src_dynamic_partition_overwrite",
+    "f_variant_family", "f_string3_family",
+    # final-r5 aggregate/dialect block
+    "a13_jsonagg_family", "a14_bloom_portable", "sql_statement_set",
+    "sql_ddl_lifecycle", "sql_create_function", "sql_analyze_stats",
+    # final-r5 window/dedup/CEP/source block
+    "w4b_dynamic_gap_session", "w9_window_grouping_sets",
+    "n1_chunk_dedup", "s_dynamic_gap_session_stream",
+    "x5_pattern_within", "src_sorted_write", "s_statement_set_stream",
+    "src_cdc_debezium", "s_rolling_file_sink", "sql_join_hints",
+    "s_kafka_aligned_read", "n4_url_canonicalize",
+    "n1_incremental_dedup", "o4c_time_range_over",
+    "s_window_distinct_stream", "j5b_interval_join_outer",
+    "s_interval_join_outer_stream", "a15_agg_filter",
+    "src_metadata_columns", "x8_pagerank",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
-    missing = [n for n in _R05_WINDOW if n not in REGISTRY]
+    assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
+    missing = [n for n in _R06_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R05_WINDOW)}
-    ordered = {k: REGISTRY[k] for k in _R05_WINDOW}
+    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R06_WINDOW)}
+    ordered = {k: REGISTRY[k] for k in _R06_WINDOW}
     ordered.update(rest)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -23,6 +23,53 @@ from ..registry import register
 from ..tables import load_table
 
 
+def _read_sketch_state(spark: SparkSession, path: str):
+    """Read the persistent sketch-state table, or None on first batch.
+
+    Only a genuinely-missing path means "first batch"; any other read
+    error (corrupt file, permission, OOM) must propagate — swallowing it
+    would silently discard accumulated sketch state and break the
+    crash-replay convergence the stream folds claim.  If the main path
+    is missing but a fully-written ``.tmp*`` survivor exists (a crash in
+    the swap window below), recover from the newest one.
+    """
+    import glob as _glob
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    def _try(p: str):
+        try:
+            return spark.read.parquet(p)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
+    cur = _try(path)
+    if cur is not None:
+        return cur
+    tmps = sorted(_glob.glob(path + ".tmp*"), key=os.path.getmtime)
+    return _try(tmps[-1]) if tmps else None
+
+
+def _swap_sketch_state(path: str, tmp: str, bid: int) -> None:
+    """Atomically install ``tmp`` as the new state dir: rename the
+    current dir aside, rename tmp in, then delete the old dir.  The
+    state is never deleted before its replacement is fully written, so
+    a crash at any point leaves either the old state at ``path`` or the
+    complete new state at ``tmp`` (recovered by _read_sketch_state)."""
+    import os
+    import shutil
+
+    old = path + f".old{bid}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 @register(
     "a13_jsonagg_family",
     oracle="""
@@ -368,21 +415,20 @@ def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("idx")
             .agg(F.max("mj").alias("mj"))
         )
-        try:
-            cur = spark.read.parquet(regs_path)
+        cur = _read_sketch_state(spark, regs_path)
+        if cur is not None:
             merged = (
                 cur.unionByName(batch_regs)
                 .groupBy("idx")
                 .agg(F.max("mj").alias("mj"))
             )
-        except Exception:
+        else:
             merged = batch_regs
         # tiny table (≤ m rows): versioned rewrite, replay-idempotent
         # (max-merge of already-folded rows is a no-op)
         tmp = regs_path + f".tmp{bid}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(regs_path, ignore_errors=True)
-        os.rename(tmp, regs_path)
+        _swap_sketch_state(regs_path, tmp, bid)
 
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
@@ -478,15 +524,14 @@ def s_bloom_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch, bid: int) -> None:
         batch_bits = sketches.bloom_bits(batch, "user_id", m=m, k=k)
-        try:
-            cur = spark.read.parquet(bits_path)
+        cur = _read_sketch_state(spark, bits_path)
+        if cur is not None:
             merged = cur.unionByName(batch_bits).distinct()
-        except Exception:
+        else:
             merged = batch_bits
         tmp = bits_path + f".tmp{bid}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(bits_path, ignore_errors=True)
-        os.rename(tmp, bits_path)
+        _swap_sketch_state(bits_path, tmp, bid)
 
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)

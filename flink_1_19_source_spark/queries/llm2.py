@@ -353,7 +353,9 @@ def n1_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (mixed case, default ports, unsorted query params, fragments) keyed off
 # doc_id on BOTH engines; the operator under test is the canonicalizer.
 
-_URL_RE = r"https?://[^\s]+"
+# (?i) so the injected uppercase-scheme URL (doc_id%5) actually matches —
+# identical inline-flag semantics in Java regex (Spark) and RE2 (DuckDB).
+_URL_RE = r"(?i)https?://[^\s]+"
 
 
 @register(

@@ -183,9 +183,10 @@ def _pw_factory(within_ms: int):
                 tss.append(ts_us)
                 continue
             # purchase: match every pending signup still inside its window
-            # (its FIRST subsequent purchase is this one), drop the rest
-            # that have expired
-            keep_ids, keep_tss = [], []
+            # (its FIRST subsequent purchase is this one).  Invariant: a
+            # purchase clears ALL pending signups — each pending is either
+            # matched (inside the window) or expired (Flink's within-timer
+            # purge); nothing can remain pending past a purchase.
             for sid, sts in zip(ids, tss):
                 if ts_us - sts <= within_us:
                     out.append(
@@ -199,11 +200,7 @@ def _pw_factory(within_ms: int):
                             ts_us // 1000 - sts // 1000,
                         )
                     )
-                elif sts + within_us >= ts_us:  # unreachable; keep symmetry
-                    keep_ids.append(sid)
-                    keep_tss.append(sts)
-                # expired pendings are dropped (Flink: within-timer purge)
-            ids, tss = keep_ids, keep_tss
+            ids, tss = [], []
         state.update((ids, tss))
         yield pd.DataFrame(out, columns=[f.name for f in PW_OUTPUT.fields])
 

@@ -66,18 +66,20 @@ def aligned_consume(spark, topic, max_drift_ms: int, step_offsets: dict[int, int
     wm: dict[int, int] = {}
     rounds = paused_rounds = 0
     trace = []  # (pre-round watermarks, unfinished, read_set) per round
+    fetched: dict[int, list[tuple[int, int]]] = {p: [] for p in end}
     while any(pos[p] < end[p] for p in end):
         rounds += 1
         unfinished = [p for p in end if pos[p] < end[p]]
         have = [wm[p] for p in unfinished if p in wm]
         floor_wm = min(have) if have else None
+        # NB: read_set is never empty — the floor partition itself always
+        # satisfies wm[p] == floor_wm <= floor_wm + drift, and a partition
+        # with no report yet is always admitted.
         read_set = [
             p
             for p in unfinished
             if p not in wm or floor_wm is None or wm[p] <= floor_wm + max_drift_ms
         ]
-        if not read_set:  # floor partition finished: release the rest
-            read_set = unfinished
         if len(read_set) < len(unfinished):
             paused_rounds += 1
         trace.append((dict(wm), list(unfinished), list(read_set)))
@@ -86,11 +88,31 @@ def aligned_consume(spark, topic, max_drift_ms: int, step_offsets: dict[int, int
             if rep is not None:
                 wm[p] = max(wm.get(p, rep), rep)
             fetch_idx[p] += 1
-            pos[p] = min(pos[p] + step_offsets.get(p, 1), end[p])
+            nxt = min(pos[p] + step_offsets.get(p, 1), end[p])
+            fetched[p].append((pos[p], nxt))
+            pos[p] = nxt
 
-    # every offset range [0, end) was consumed exactly once; materialize
-    # the consumed log with a single bounded read
-    consumed = topic.read_batch(
-        spark, starting_offsets={p: 0 for p in end}, ending_offsets=end
-    )
+    # Materialize exactly what the poll loop fetched: the union of the
+    # per-fetch offset ranges (adjacent ranges coalesced — a skip leaves a
+    # gap, a double-read leaves a duplicate range, so a scheduler bug shows
+    # up in the hash instead of being papered over by a fresh [0, end) scan).
+    ranges: list[tuple[int, int, int]] = []
+    for p, spans in fetched.items():
+        for start, stop in spans:
+            if ranges and ranges[-1][0] == p and ranges[-1][2] == start:
+                ranges[-1] = (p, ranges[-1][1], stop)
+            else:
+                ranges.append((p, start, stop))
+    parts = [
+        topic.read_batch(
+            spark,
+            starting_offsets={p: start},
+            # ending offset 0 excludes every other partition from this read
+            ending_offsets={q: (stop if q == p else 0) for q in end},
+        )
+        for p, start, stop in ranges
+    ]
+    consumed = parts[0]
+    for part in parts[1:]:
+        consumed = consumed.unionByName(part)
     return consumed, {"rounds": rounds, "paused_rounds": paused_rounds, "trace": trace}

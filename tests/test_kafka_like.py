@@ -187,11 +187,6 @@ def test_watermark_alignment_invariant_and_completeness(spark, sf_dir):
         if not have or not any(p in wm for p in read_set):
             continue
         floor = min(have)
-        full_release = set(read_set) == set(unfinished) and not [
-            p for p in unfinished if p not in wm or wm[p] <= floor + drift
-        ]
-        if full_release:
-            continue  # floor partition finished: documented release rule
         for p in read_set:
             if p in wm:
                 assert wm[p] <= floor + drift, (p, wm, floor)

@@ -354,12 +354,20 @@ def test_lookup_cache_no_refetch_on_repeat(spark, sf_dir):
     )
     from flink_1_19_source_spark.tables import load_table, table_path
 
-    probe = (
-        load_table(spark, sf_dir, "orders")
+    # collect the 200 keys ONCE — LIMIT without ORDER BY is not stable
+    # across actions, so both frames (and the distinct count below) must
+    # be built from the same materialized key list
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
         .select("o_custkey")
+        .orderBy("o_custkey")
         .limit(200)
-        .coalesce(1)  # one task → one shared cache
-    )
+        .collect()
+    ]
+    probe = spark.createDataFrame(
+        [(k,) for k in keys], "o_custkey bigint"
+    ).coalesce(1)  # one task → one shared cache
     doubled = probe.unionByName(probe).coalesce(1)
     sc = spark.sparkContext
     fetched, probed = sc.accumulator(0), sc.accumulator(0)
