@@ -69,12 +69,22 @@ def attach_media(df: DataFrame, id_col: str, payload_text_col: str) -> DataFrame
     )
 
 
-def decode_image(payload: bytes, fmt: str):  # pragma: no cover - stub
-    """Real codec hook. The container ships no imaging libraries, so this
-    is an explicit stub; swap in PIL/torchvision decode on a real cluster."""
+def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
+    """Real codec hook: returns (width, height, row-major RGB8 pixels).
+
+    PNG decode is REAL — the pure-stdlib codec in ``png_codec`` (zlib +
+    the public PNG spec: chunk CRCs, inflate, all five scanline filters).
+    JPEG/WebP/AVIF stay environment-gapped (no imaging library in this
+    container — PIL/cv2/imageio probed absent r6); swap in
+    PIL/torchvision behind this same signature on a real cluster."""
+    if fmt.lower() == "png":
+        from .png_codec import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode_features for deterministic testing"
+        f"{fmt} decoding requires an imaging library not present in this "
+        "environment; png decodes natively, use fake_decode_features for "
+        "other formats"
     )
 
 

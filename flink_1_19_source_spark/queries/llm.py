@@ -875,6 +875,92 @@ def n5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_ms=1000)
 
 
+@register(
+    "n5_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 5) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 10) % 256)
+                AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * ((doc_id*31 + (i // w)*17 + (i % w)*7) % 256))
+                AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (N5): per-doc synthetic RGB images are
+    PNG-ENCODED in one mapInPandas pass (pure-stdlib codec, filter type
+    cycling per scanline) and PNG-DECODED in a second — signature, chunk
+    CRCs, zlib inflate, and all five scanline unfilters all on the hot
+    path.  The oracle never sees a PNG byte: pixels are a closed form of
+    (doc_id, x, y), so DuckDB recomputes the per-channel sums and a
+    position-weighted checksum directly — any unfilter/stride/channel
+    bug breaks the hash.  Both passes are map-only (no shuffle until the
+    final per-doc agg, which the decode pass already folds per image)."""
+    import pandas as pd
+
+    from ..operators.png_codec import encode_png
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 7 + 3
+                px = bytearray()
+                for i in range(w * h):
+                    base = did * 31 + (i // w) * 17 + (i % w) * 7
+                    px += bytes(((base + c * 5) % 256) for c in range(3))
+                payloads.append(encode_png(bytes(px), w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = ["doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, pix = multimodal.decode_image(bytes(r.media_bytes), "png")
+                sr = sg = sb = ws = 0
+                for i in range(w * h):
+                    red = pix[3 * i]
+                    sr += red
+                    sg += pix[3 * i + 1]
+                    sb += pix[3 * i + 2]
+                    ws += (i + 1) * red
+                rows.append((int(r.doc_id), w, h, w * h, sr, sg, sb, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_r long, sum_g long, sum_b long, wsum long",
+    )
+
+
 def _lsh_recall_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
     pa, pb = dedup.minhash_perms(num_hashes, seed)
     rpb = num_hashes // bands

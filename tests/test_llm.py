@@ -153,11 +153,86 @@ def test_lsh_candidates_are_exactly_scored(spark, sf_dir):
         assert abs(exact[pair] - approx[pair]) < 1e-12
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_multimodal_decode_nonpng_formats_still_env_gapped(spark):
     import pytest
 
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG", "png")
+        multimodal.decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_png_roundtrip_every_filter_type():
+    """Each of the five PNG scanline filters must encode/decode losslessly.
+    The encoder cycles row % 5, so a >=5-row image exercises all of them;
+    additionally force single-filter images by height-1 slices."""
+    from flink_1_19_source_spark.operators import png_codec as pc
+
+    w, h = 9, 7
+    pixels = bytes(
+        ((x * 7 + y * 17 + c * 5) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    png = pc.encode_png(pixels, w, h)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    rw, rh, rpix = pc.decode_png(png)
+    assert (rw, rh) == (w, h)
+    assert rpix == pixels
+    # the filtered stream must actually contain all 5 filter types
+    import struct
+    import zlib
+
+    pos, idat = 8, b""
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 3
+    assert {raw[y * stride] for y in range(h)} == {0, 1, 2, 3, 4}
+
+
+def test_png_paeth_predictor_spec_vectors():
+    """Pin the Paeth predictor to the spec's tie-breaking rules (left,
+    then above, then upper-left) so a mirror-image encode/decode bug
+    can't hide behind a self-consistent round-trip."""
+    from flink_1_19_source_spark.operators.png_codec import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 30) == 10   # p=0: pa=10,pb=20,pc=30 -> left
+    assert _paeth(100, 50, 100) == 50  # p=50: pb=0 smallest -> above
+    assert _paeth(50, 100, 100) == 50  # p=50: pa=0 smallest -> left
+    assert _paeth(30, 40, 10) == 40    # p=60: pa=30,pb=20,pc=50 -> above
+    assert _paeth(5, 5, 5) == 5        # full tie -> left
+    assert _paeth(255, 0, 255) == 0    # p=0: pa=255,pb=0 -> above
+
+
+def test_png_decode_rejects_corruption():
+    import struct
+
+    import pytest
+
+    from flink_1_19_source_spark.operators import png_codec as pc
+
+    png = bytearray(pc.encode_png(bytes(27), 3, 3))
+    # flip one byte inside the IDAT body -> CRC must catch it
+    (ihdr_len,) = struct.unpack(">I", png[8:12])
+    idat_body = 8 + 12 + ihdr_len + 8  # sig + IHDR chunk + IDAT header
+    png[idat_body] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        pc.decode_png(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        pc.decode_png(b"not a png at all")
+
+
+def test_decode_image_png_is_real():
+    """multimodal.decode_image must route PNG to the real codec."""
+    from flink_1_19_source_spark.operators.png_codec import encode_png
+
+    pixels = bytes(range(0, 48))  # 4x4 RGB
+    w, h, out = multimodal.decode_image(encode_png(pixels, 4, 4), "PNG")
+    assert (w, h) == (4, 4) and out == pixels
 
 
 def test_multimodal_payload_roundtrip(spark, sf_dir):
