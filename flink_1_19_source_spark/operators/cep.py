@@ -139,6 +139,87 @@ def match_counts(
     )
 
 
+SKIP_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("b_rows", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def match_recognize_skip(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    skip: str = "past_last_row",
+    count_sym: str = "B",
+) -> DataFrame:
+    """MATCH_RECOGNIZE with an explicit AFTER MATCH SKIP mode + MEASURES.
+
+    Flink's two overlap policies [docs: match_recognize#after-match-strategy]:
+
+    - ``past_last_row`` (the default everywhere else in this module):
+      resume the scan after the match's last row — matches never overlap.
+    - ``to_next_row``: resume at the row after the match's FIRST row —
+      matches may overlap (e.g. ``CB*C`` over ``CBCBC`` yields two
+      matches sharing the middle C).
+
+    MEASURES emitted per match: ``first_ts`` (FIRST(ts)), ``last_ts``
+    (LAST(ts)), ``n_rows`` (COUNT(*)), ``b_rows`` (COUNT of the
+    ``count_sym``-classified rows inside the match).
+
+    Same scale shape as match_recognize_lite: one shuffle on the key,
+    linear per-key scan."""
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unknown AFTER MATCH SKIP mode: {skip}")
+    compiled = re.compile(pattern)
+    to_next = skip == "to_next_row"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        s = "".join(pdf["__sym"])
+        ids = pdf[id_col].to_numpy()
+        tss = pdf[ts_col].to_numpy()
+        out = []
+        pos = n = 0
+        while True:
+            m = compiled.search(s, pos)
+            if m is None:
+                break
+            a, b = m.start(), m.end() - 1
+            n += 1
+            seg = s[a : b + 1]
+            out.append(
+                (
+                    int(pdf[key_col].iloc[0]),
+                    n,
+                    int(ids[a]),
+                    int(ids[b]),
+                    b - a + 1,
+                    seg.count(count_sym),
+                    tss[a],
+                    tss[b],
+                )
+            )
+            # empty-match guard: always advance at least one position
+            pos = max(a + 1, m.end()) if not to_next else a + 1
+        return pd.DataFrame(out, columns=[f.name for f in SKIP_SCHEMA.fields])
+
+    prepared = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
+    )
+    return prepared.groupBy(key_col).applyInPandas(run, SKIP_SCHEMA)
+
+
 def classify(mapping: dict[str, str], other: str = "X") -> Callable[[Column], Column]:
     """Build a classifier column: event_type value → one-char symbol."""
 

@@ -216,3 +216,144 @@ def s_pattern_within_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "latency_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — AFTER MATCH SKIP modes + MEASURES (Flink after-match strategy)
+# ---------------------------------------------------------------------------
+# Pattern C B* C (purchase, any clicks/views, purchase): chains of
+# consecutive purchases make the two skip policies genuinely diverge —
+# TO NEXT ROW emits every consecutive-purchase edge, PAST LAST ROW
+# alternates through each chain (greedy non-overlapping = odd edges).
+# The oracle replays that relationally: next-non-B window → C→C edges →
+# island detection for chains → position parity for the greedy subset.
+_SKIP_ORACLE_BASE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'purchase' THEN 'C'
+                             WHEN 'click' THEN 'B'
+                             WHEN 'view' THEN 'B'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), nxt AS (
+      SELECT *,
+             MIN(CASE WHEN sym <> 'B' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nnb_rn
+      FROM ev
+    ), edges AS (
+      SELECT e.user_id, e.rn AS srn, n2.rn AS ern,
+             e.event_id AS start_id, n2.event_id AS end_id,
+             e.ts AS first_ts, n2.ts AS last_ts
+      FROM nxt e JOIN ev n2
+        ON n2.user_id = e.user_id AND n2.rn = e.nnb_rn
+      WHERE e.sym = 'C' AND n2.sym = 'C'
+    ), chains AS (
+      SELECT *, CASE WHEN srn = LAG(ern)
+                       OVER (PARTITION BY user_id ORDER BY srn)
+                     THEN 0 ELSE 1 END AS new_chain
+      FROM edges
+    ), pos AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, chain_id
+                                   ORDER BY srn) AS p
+      FROM (SELECT *, SUM(new_chain)
+                        OVER (PARTITION BY user_id ORDER BY srn) AS chain_id
+            FROM chains)
+    )
+"""
+
+_SKIP_SELECT = """
+    SELECT {mode} AS skip_mode, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn)
+                AS BIGINT) AS match_no,
+           start_id, end_id,
+           CAST(ern - srn + 1 AS BIGINT) AS n_rows,
+           CAST(ern - srn - 1 AS BIGINT) AS b_rows,
+           first_ts, last_ts
+    FROM pos {where}
+"""
+
+_SKIP_SYMBOL_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 'C' WHEN 'click' THEN 'B' "
+    "WHEN 'view' THEN 'B' ELSE 'X' END"
+)
+
+
+def _skip_symbol():
+    return (
+        F.when(F.col("event_type") == "purchase", "C")
+        .when(F.col("event_type").isin("click", "view"), "B")
+        .otherwise("X")
+    )
+
+
+@register(
+    "x5_skip_modes",
+    oracle=_SKIP_ORACLE_BASE
+    + _SKIP_SELECT.format(mode="'past_last_row'", where="WHERE p % 2 = 1")
+    + " UNION ALL "
+    + _SKIP_SELECT.format(mode="'to_next_row'", where=""),
+    survey="X5",
+)
+def x5_skip_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW vs SKIP TO NEXT ROW
+    on the same pattern (C B* C), with MEASURES (FIRST(ts), LAST(ts),
+    COUNT(*), COUNT(B.*)) per match [docs: match_recognize
+    after-match-strategy]. PAST LAST ROW is greedy non-overlapping;
+    TO NEXT ROW re-opens the scan one row after each match start, so
+    purchase chains produce overlapping matches. Each mode is one
+    keyed shuffle + linear scan (operators/cep.match_recognize_skip)."""
+    e = load_table(spark, sf_dir, "events")
+    sym = _skip_symbol()
+
+    def run(skip: str) -> DataFrame:
+        return (
+            cep.match_recognize_skip(
+                e, "user_id", "ts", "event_id", sym, "CB*C", skip=skip
+            )
+            .withColumnRenamed("key", "user_id")
+            .select(F.lit(skip).alias("skip_mode"), "*")
+        )
+
+    return run("past_last_row").unionByName(run("to_next_row"))
+
+
+@register(
+    "s_skip_modes_stream",
+    oracle=_SKIP_ORACLE_BASE
+    + _SKIP_SELECT.format(mode="'to_next_row'", where=""),
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_skip_modes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING AFTER MATCH SKIP TO NEXT ROW — the overlap-allowed
+    policy on keyed state (streaming/cep_stream.streaming_match_skip):
+    the NFA buffer keeps one past each match START (an overlapping match
+    may still complete later), emits each match with its measures as the
+    closing purchase arrives, and converges to the batch twin
+    x5_skip_modes' to_next_row half — whose SQL is this oracle."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import streaming_match_skip
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_skipmodes")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    out = streaming_match_skip(
+        sdf, "user_id", "ts", "event_id", _skip_symbol(), "CB*C",
+        start_chars="C", skip="to_next_row",
+    )
+    res = _drain_to_memory(spark, out, "s_skipmodes_q", "append", wd)
+    return res.select(
+        F.lit("to_next_row").alias("skip_mode"),
+        F.col("key").alias("user_id"),
+        "match_no", "start_id", "end_id", "n_rows", "b_rows",
+        "first_ts", "last_ts",
+    )

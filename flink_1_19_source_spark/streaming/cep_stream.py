@@ -143,6 +143,114 @@ def streaming_match_recognize(
     )
 
 
+SKIP_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("b_rows", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _skip_factory(
+    pattern: str, start_chars: str, max_buffer: int, to_next: bool, count_sym: str
+):
+    compiled = re.compile(pattern)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            syms, ids, tss, match_no = state.get
+            ids, tss = list(ids), list(tss)
+        else:
+            syms, ids, tss, match_no = "", [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            syms += "".join(pdf["sym"])
+            ids.extend(int(i) for i in pdf["id"])
+            tss.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+
+        out = []
+        pos = 0
+        while True:
+            m = compiled.search(syms, pos)
+            if m is None:
+                break
+            a, b = m.start(), m.end() - 1
+            match_no += 1
+            seg = syms[a : b + 1]
+            out.append(
+                (
+                    int(key[0]),
+                    match_no,
+                    ids[a],
+                    ids[b],
+                    b - a + 1,
+                    seg.count(count_sym),
+                    pd.to_datetime(tss[a], unit="us"),
+                    pd.to_datetime(tss[b], unit="us"),
+                )
+            )
+            # TO NEXT ROW resumes inside the match (overlap allowed);
+            # PAST LAST ROW resumes after it (empty-match guarded)
+            pos = a + 1 if to_next else max(a + 1, m.end())
+
+        # everything before the resume position can never participate in a
+        # future match; then prune to the first possible match-start symbol
+        rest = syms[pos:]
+        first_start = next(
+            (i for i, ch in enumerate(rest) if ch in start_chars), len(rest)
+        )
+        cut = pos + first_start
+        syms, ids, tss = syms[cut:], ids[cut:], tss[cut:]
+        if len(syms) > max_buffer:
+            syms, ids, tss = syms[-max_buffer:], ids[-max_buffer:], tss[-max_buffer:]
+        state.update((syms, ids, tss, match_no))
+        yield pd.DataFrame(out, columns=[f.name for f in SKIP_OUTPUT.fields])
+
+    return fn
+
+
+def streaming_match_skip(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    start_chars: str,
+    skip: str = "past_last_row",
+    count_sym: str = "B",
+    max_buffer: int = 4096,
+) -> DataFrame:
+    """Skip-mode-aware streaming CEP twin of operators/cep.py's
+    ``match_recognize_skip``: emits each match (with FIRST/LAST/COUNT
+    measures) as its closing row arrives.  ``to_next_row`` keeps the
+    buffer from one past the last match START (overlapping matches may
+    still complete); ``past_last_row`` drops through the match end."""
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unknown AFTER MATCH SKIP mode: {skip}")
+    prepared = sdf.select(
+        sdf[key_col].alias("key"),
+        sdf[ts_col].alias("ts"),
+        sdf[id_col].alias("id"),
+        symbol.alias("sym"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _skip_factory(
+            pattern, start_chars, max_buffer, skip == "to_next_row", count_sym
+        ),
+        outputStructType=SKIP_OUTPUT,
+        stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-constrained pattern (Pattern.followedBy().within()) on keyed state
 # ---------------------------------------------------------------------------

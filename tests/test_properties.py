@@ -376,3 +376,47 @@ def test_simhash_pairs_complete_vs_brute_force(spark, docs):
             if d <= 3:
                 want.add((a, b, d))
     assert got == want
+
+
+def test_skip_mode_laws(spark, sf_dir):
+    """X5 after-match strategies: PAST LAST ROW's matches are a subset of
+    TO NEXT ROW's, are non-overlapping, and PAST LAST ROW ≡
+    match_recognize_lite's finditer semantics on the same pattern."""
+    from pyspark.sql import functions as F
+
+    from flink_1_19_source_spark.operators import cep
+    from flink_1_19_source_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "purchase", "C")
+        .when(F.col("event_type").isin("click", "view"), "B")
+        .otherwise("X")
+    )
+
+    def spans(skip):
+        return cep.match_recognize_skip(
+            e, "user_id", "ts", "event_id", sym, "CB*C", skip=skip
+        ).collect()
+
+    past = spans("past_last_row")
+    nxt = spans("to_next_row")
+    k = lambda r: (r.key, r.start_id, r.end_id)
+    past_set, next_set = {k(r) for r in past}, {k(r) for r in nxt}
+    assert past_set <= next_set
+    assert len(next_set) > len(past_set)  # overlap policy must diverge
+    # measures are internally consistent
+    for r in nxt:
+        assert r.n_rows == r.b_rows + 2 and r.first_ts <= r.last_ts
+    # past_last ≡ the lite engine (same finditer semantics)
+    lite = cep.match_recognize_lite(
+        e, "user_id", "ts", "event_id", sym, "CB*C"
+    ).collect()
+    assert {(r.key, r.start_id, r.end_id) for r in lite} == past_set
+
+    import pytest
+
+    with pytest.raises(ValueError, match="SKIP"):
+        cep.match_recognize_skip(
+            e, "user_id", "ts", "event_id", sym, "CB*C", skip="bogus"
+        )
