@@ -352,3 +352,132 @@ def s_crash_resume_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return res
+
+
+@register(
+    "s_restart_schema_evolution",
+    oracle="""
+    WITH b AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ), ranked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) > (SELECT mid FROM b)
+                  THEN event_id % 97 END AS quality,
+             ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           CAST(quality AS BIGINT) AS quality
+    FROM ranked WHERE rn = 1
+    """,
+    survey="X4 X2 O7-S",
+    tags=("streaming",),
+)
+def s_restart_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful restart under SCHEMA EVOLUTION (X4, the savepoint-upgrade
+    scenario): a keep-last-per-user stream runs to completion on schema
+    v1, the job is stopped, the source gains a ``quality`` column, and
+    the job RESTARTS on the SAME checkpoint and the SAME keyed sink
+    state.  The file source's checkpoint skips the already-processed v1
+    files; the MERGE sink widens its state in place
+    (``unionByName(allowMissingColumns)`` + ``mergeSchema`` snapshot), so
+    users last seen before the upgrade carry NULL quality and users
+    touched after carry the real value — exactly Flink's state-schema
+    evolution contract for a savepoint upgrade.  The oracle is the batch
+    keep-last with the same epoch-split quality derivation."""
+    from ..streaming.topn import streaming_keep_last  # noqa: F401 (doc xref)
+    from ..tables import load_table
+
+    wd = os.path.join(
+        "/tmp/sgraft_streams", os.path.basename(sf_dir.rstrip("/")), "s_schemaevo"
+    )
+    os.makedirs(wd, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(wd, f"src-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    state = os.path.join(wd, f"merge-{run}")
+    os.makedirs(src, exist_ok=True)
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bounds = e.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    ).first()
+    mid = int(bounds.mid)
+
+    def publish(df, names: list[str]) -> None:
+        # K ts-ordered chunk files with increasing mtimes so the file
+        # source replays them in event-time order (same as replay.py)
+        rows = df.orderBy("ts", "event_id")
+        n = rows.count()
+        per = (n + len(names) - 1) // len(names)
+        tmp = os.path.join(wd, f"stage-{run}")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import pyarrow.parquet as pq
+
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        t = pq.read_table(os.path.join(tmp, part))
+        # Spark writes INT96 timestamps (read back by pyarrow as ns-NTZ);
+        # normalize to µs-UTC so the file stream reads plain TimestampType
+        # — same normalization as replay.split_into_chunks
+        import pyarrow as pa
+
+        idx = t.schema.get_field_index("ts")
+        t = t.set_column(
+            idx,
+            "ts",
+            t.column("ts")
+            .cast(pa.timestamp("us"), safe=False)
+            .cast(pa.timestamp("us", tz="UTC")),
+        )
+        for i, name in enumerate(names):
+            sl = t.slice(i * per, per)
+            if sl.num_rows:
+                path = os.path.join(src, name)
+                pq.write_table(sl, path)
+                seq = int(name.split("-")[1].split(".")[0])
+                os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sink = sinks.ParquetMergeSink(
+        spark, state, pk_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+
+    def drain(schema) -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_shuffle_partitions(spark):
+            replay.run_foreach_batch(sdf, sink, checkpoint_dir=ckpt)
+
+    # phase 1: schema v1 (no quality), first event-time half
+    v1 = e.filter(F.unix_micros("ts") <= mid)
+    publish(v1, ["chunk-0000.parquet", "chunk-0001.parquet"])
+    drain(e.schema)
+
+    # upgrade: source gains a quality column; restart on the SAME
+    # checkpoint + sink state with the WIDER schema
+    v2 = e.filter(F.unix_micros("ts") > mid).withColumn(
+        "quality", (F.col("event_id") % 97).cast("long")
+    )
+    publish(v2, ["chunk-0002.parquet", "chunk-0003.parquet"])
+    drain(v2.schema)
+
+    out = (
+        sink.snapshot_df()
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("quality").cast("long").alias("quality"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for p in (src, ckpt, state):
+        shutil.rmtree(p, ignore_errors=True)
+    return out

@@ -213,10 +213,15 @@ class ParquetMergeSink:
             for k in touched
             if str(k) in buckets
         ]
-        # 3. merge only the touched slice of the current version
+        # 3. merge only the touched slice of the current version.
+        # allowMissingColumns carries schema evolution across a restart:
+        # state written before a column was added null-fills it, state
+        # written after keeps it — the keyed table widens in place.
         if cur_paths:
-            cur = self.spark.read.parquet(*cur_paths)
-            merged = cur.join(keys, self.pk_cols, "left_anti").unionByName(upserts)
+            cur = self.spark.read.option("mergeSchema", "true").parquet(*cur_paths)
+            merged = cur.join(keys, self.pk_cols, "left_anti").unionByName(
+                upserts, allowMissingColumns=True
+            )
         else:
             merged = upserts
         # 4. one job writes every touched bucket as a partition of v{batch}
@@ -266,7 +271,9 @@ class ParquetMergeSink:
         if not paths:
             schema = StructType.fromJson(__import__("json").loads(man["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: buckets untouched since before a schema evolution
+        # still live in old-schema version dirs; widen + null-fill
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 #: debezium-ish op → Flink RowKind
