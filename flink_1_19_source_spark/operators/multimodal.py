@@ -88,6 +88,21 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
     )
 
 
+def decode_audio(payload: bytes, fmt: str) -> tuple[int, int, list]:
+    """Audio codec hook: returns (sample_rate, channels, pcm samples).
+
+    WAV/PCM-16 decode is REAL (pure-stdlib RIFF codec in ``wav_codec``);
+    compressed codecs (mp3/aac/flac) are environment-gapped like JPEG."""
+    if fmt.lower() in ("wav", "wave"):
+        from .wav_codec import decode_wav
+
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"{fmt} decoding requires an audio library not present in this "
+        "environment; wav decodes natively"
+    )
+
+
 def fake_decode_features(doc_id: int, payload: bytes, width: int, height: int) -> dict:
     """Deterministic stand-in for decode + feature-extract: byte length and
     an md5 digest of the payload (stable across engines and runs)."""

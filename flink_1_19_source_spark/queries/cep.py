@@ -357,3 +357,63 @@ def s_skip_modes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_no", "start_id", "end_id", "n_rows", "b_rows",
         "first_ts", "last_ts",
     )
+
+
+_PERMUTE_PATTERN = "(ABC|ACB|BAC|BCA|CAB|CBA)"
+
+
+@register(
+    "x5_permute",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'A'
+                             WHEN 'click' THEN 'B'
+                             WHEN 'purchase' THEN 'C'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), tri AS (
+      SELECT user_id, rn, event_id AS start_id, ts AS first_ts, sym,
+             LEAD(sym, 1) OVER w AS s2,
+             LEAD(sym, 2) OVER w AS s3,
+             LEAD(event_id, 2) OVER w AS end_id,
+             LEAD(ts, 2) OVER w AS last_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ), hits AS (
+      SELECT * FROM tri
+      WHERE sym || s2 || s3 IN ('ABC','ACB','BAC','BCA','CAB','CBA')
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                AS BIGINT) AS match_no,
+           start_id, end_id,
+           CAST(3 AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS b_rows,
+           first_ts, last_ts
+    FROM hits
+    """,
+    survey="X5",
+)
+def x5_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (PERMUTE (A, B, C))`` [docs:
+    match_recognize#pattern] with AFTER MATCH SKIP TO NEXT ROW: signup,
+    click and purchase contiguous in ANY order.  PERMUTE compiles to the
+    alternation of all orderings — exactly how Flink's planner expands
+    it into its NFA — and the overlap-allowed skip makes every
+    qualifying triad a match.  The oracle needs no regex at all: two
+    LEADs build each 3-row window and a set-membership check replays the
+    permutation test relationally."""
+    e = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "signup", "A")
+        .when(F.col("event_type") == "click", "B")
+        .when(F.col("event_type") == "purchase", "C")
+        .otherwise("X")
+    )
+    return cep.match_recognize_skip(
+        e, "user_id", "ts", "event_id", sym, _PERMUTE_PATTERN,
+        skip="to_next_row",
+    ).withColumnRenamed("key", "user_id")

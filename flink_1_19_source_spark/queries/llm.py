@@ -1166,3 +1166,89 @@ def n2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcounts) is value-hash-oracled."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=3)
+
+
+@register(
+    "n5_audio_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 50 + 20 AS n
+      FROM documents WHERE doc_id < 150
+    ), sam AS (
+      SELECT doc_id, n, UNNEST(range(0, n)) AS i FROM dims
+    ), vals AS (
+      SELECT doc_id, n, (doc_id*37 + i*13) % 4001 - 2000 AS s FROM sam
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(n) // 8 AS BIGINT) AS duration_ms,
+           CAST(SUM(s) AS BIGINT) AS sum_amp,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM vals GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (N5, audio twin of n5_decode_real):
+    deterministic per-doc PCM-16 waveforms are WAV-ENCODED in one
+    mapInPandas pass (pure-stdlib RIFF codec) and WAV-DECODED in a
+    second — RIFF framing, chunk walking, fmt validation, PCM unpack all
+    on the hot path — then folded to per-clip features (sample count,
+    duration, amplitude sums, peak).  The oracle never sees a WAV byte:
+    samples are a closed form of (doc_id, i), so DuckDB recomputes the
+    features directly and any framing/endianness/width bug breaks the
+    hash.  Map-only until the per-doc fold inside the decode pass."""
+    import pandas as pd
+
+    from ..operators.wav_codec import encode_wav
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 50 + 20
+                samples = [(did * 37 + i * 13) % 4001 - 2000 for i in range(n)]
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = [
+        "doc_id", "sample_rate", "channels", "n_samples",
+        "duration_ms", "sum_amp", "sum_abs", "peak",
+    ]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rate, ch, samples = multimodal.decode_audio(
+                    bytes(r.media_bytes), "wav"
+                )
+                n = len(samples)
+                rows.append(
+                    (
+                        int(r.doc_id), rate, ch, n, n * 1000 // rate // ch,
+                        sum(samples), sum(abs(s) for s in samples),
+                        max(abs(s) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, sample_rate int, channels int, n_samples long, "
+        "duration_ms long, sum_amp long, sum_abs long, peak long",
+    )

@@ -464,3 +464,41 @@ def test_lookup_cache_no_refetch_on_repeat(spark, sf_dir):
     assert probed.value == 400
     distinct_keys = probe.distinct().count()
     assert fetched.value == distinct_keys, (fetched.value, distinct_keys)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from flink_1_19_source_spark.operators import wav_codec as wc
+
+    mono = [0, 1, -1, 32767, -32768, 100, -200]
+    data = wc.encode_wav(mono, sample_rate=8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    rate, ch, out = wc.decode_wav(data)
+    assert (rate, ch, out) == (8000, 1, mono)
+    stereo = [10, -10, 20, -20, 30, -30]  # 3 frames, 2 channels
+    rate, ch, out = wc.decode_wav(wc.encode_wav(stereo, 44100, channels=2))
+    assert (rate, ch, out) == (44100, 2, stereo)
+
+
+def test_wav_decode_rejects_corruption():
+    import pytest
+
+    from flink_1_19_source_spark.operators import wav_codec as wc
+
+    good = bytearray(wc.encode_wav([1, 2, 3], 8000))
+    with pytest.raises(ValueError, match="RIFF"):
+        wc.decode_wav(b"nope" + bytes(good[4:]))
+    bad_len = bytearray(good)
+    bad_len[4] ^= 0xFF  # corrupt declared RIFF length
+    with pytest.raises(ValueError, match="length"):
+        wc.decode_wav(bytes(bad_len))
+    with pytest.raises(ValueError, match="int16"):
+        wc.encode_wav([99999], 8000)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xffISM", "mp3")
+
+
+def test_decode_audio_wav_is_real():
+    from flink_1_19_source_spark.operators.wav_codec import encode_wav
+
+    rate, ch, out = multimodal.decode_audio(encode_wav([5, -5], 16000), "WAV")
+    assert (rate, ch, out) == (16000, 1, [5, -5])

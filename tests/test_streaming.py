@@ -574,3 +574,39 @@ def test_proc_time_fire_purge_replayed_batch_is_idempotent(spark, work_dir):
         for r in trig.fired_df().collect()
     }
     assert got == {(1, 0): (2, 3.0), (2, 0): (1, 5.0)}, got
+
+
+def test_state_store_provider_parity_rocksdb_vs_hdfs(spark, sf_dir):
+    """X2/X4 state-backend story: keyed-state streams must produce
+    identical answers under the spill-capable RocksDB provider (the
+    100 TB state-size backend, session default in tests) and the
+    HDFS-backed in-memory provider (the driver-sim default).  Runs the
+    registered keep-last stream — applyInPandasWithState per user —
+    once under each provider and compares the full result set."""
+    from flink_1_19_source_spark.registry import REGISTRY, queries
+
+    queries()  # populate the registry
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    hdfs = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    assert spark.conf.get(conf) == rocks  # session default exercises RocksDB
+
+    def run():
+        rows = REGISTRY["s_keep_last_stream"].fn(spark, sf_dir).collect()
+        return sorted((r.user_id, r.event_id) for r in rows)
+
+    try:
+        under_rocks = run()
+        spark.conf.set(conf, hdfs)
+        under_hdfs = run()
+    finally:
+        spark.conf.set(conf, rocks)
+    assert len(under_rocks) > 0
+    assert under_rocks == under_hdfs
