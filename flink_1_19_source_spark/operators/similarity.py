@@ -323,3 +323,92 @@ def semantic_dedup(
     return v.join(dropped, "vid", "left_anti").select(
         F.col("vid").alias(id_col), "cluster"
     )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    codebook_ids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011) — the memory-compression scale path: each vector is
+    reduced to ``n_subspaces`` one-byte codes, and query scoring reads a
+    per-query lookup table instead of the raw corpus.
+
+    Fully relational, zero Python — the same plan both engines run:
+
+    1. codebook = the subvectors of the first ``codebook_ids`` vectors
+       (deterministic; a production deployment trains per-subspace
+       k-means via operators/kmeans.fit and broadcasts the result —
+       training is separable from this scoring kernel);
+    2. encode: for every (vector, subspace), argmin squared distance
+       over the codewords (ties → lowest codeword id) = the PQ code —
+       one broadcast join against the tiny codebook, no N² anywhere;
+    3. ADC: the same distance table restricted to query rows IS the
+       lookup table; approx_dist(q, v) = Σ_m lut[q][m][code(v, m)] —
+       a join on (subspace, code) + one sum;
+    4. top-k per query by (approx_dist, neighbor_id).
+
+    At 100 TB the corpus stores codes only (n_subspaces bytes/vector vs
+    4·dim), the codebook broadcasts, and scoring shuffles code rows, not
+    embeddings.  Output: (query_id, neighbor_id, approx_dist, rank).
+    """
+    ds = dim // n_subspaces
+    subs = F.explode(
+        F.array(*[F.lit(m) for m in range(n_subspaces)])
+    ).alias("m")
+
+    def subvec(vec: Column) -> Column:
+        return F.slice(vec, F.col("m") * ds + 1, ds)
+
+    # codebook: (m, code_id, codeword) — tiny, broadcast everywhere
+    cb = (
+        vectors.filter(F.col(id_col) < codebook_ids)
+        .select(F.col(id_col).alias("cb_k"), as_double(F.col(vec_col)).alias("v"))
+        .select("cb_k", "v", subs)
+        .select("m", "cb_k", subvec(F.col("v")).alias("cw"))
+    )
+    # squared distance of every (vector, subspace) to every codeword
+    sub = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).select("vid", "v", subs).select("vid", "m", subvec(F.col("v")).alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = sub.join(F.broadcast(cb), "m").select("vid", "m", "cb_k", d2.alias("d2"))
+    # encode: argmin codeword per (vector, subspace)
+    w_code = Window.partitionBy("vid", "m").orderBy("d2", "cb_k")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vid").alias("neighbor_id"), "m", F.col("cb_k").alias("code"))
+    )
+    # ADC: the query rows of the SAME dist table are the lookup table
+    qids = [r[0] for r in queries.select(id_col).collect()]
+    lut = dist.filter(F.col("vid").isin(qids)).select(
+        F.col("vid").alias("query_id"), "m", F.col("cb_k").alias("code"), "d2"
+    )
+    score = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("ad"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    return (
+        score.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("ad"), 6).alias("approx_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1252,3 +1252,60 @@ def n5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, channels int, n_samples long, "
         "duration_ms long, sum_amp long, sum_abs long, peak long",
     )
+
+
+@register(
+    "n3_pq_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), ms AS (SELECT UNNEST(range(0, 4)) AS m),
+    cb AS (
+      SELECT ms.m, v.vec_id AS cb_k,
+             list_slice(v.e, ms.m*16 + 1, ms.m*16 + 16) AS cw
+      FROM v, ms WHERE v.vec_id < 8
+    ), sub AS (
+      SELECT v.vec_id AS vid, ms.m,
+             list_slice(v.e, ms.m*16 + 1, ms.m*16 + 16) AS sv
+      FROM v, ms
+    ), dist AS (
+      SELECT s.vid, s.m, cb.cb_k,
+             list_sum(list_transform(range(1, 17),
+                      j -> (s.sv[j] - cb.cw[j]) * (s.sv[j] - cb.cw[j]))) AS d2
+      FROM sub s JOIN cb ON s.m = cb.m
+    ), codes AS (
+      SELECT vid AS neighbor_id, m, cb_k AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, m
+                                     ORDER BY d2, cb_k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), score AS (
+      SELECT d.vid AS query_id, c.neighbor_id, SUM(d.d2) AS ad
+      FROM codes c JOIN dist d ON d.m = c.m AND d.cb_k = c.code
+      WHERE d.vid < 8
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(ad, 6) AS approx_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ad, neighbor_id) AS rank
+      FROM score
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+    tags=("approx",),
+)
+def n3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/similarity.pq_topk): 64-d vectors → 4 one-byte codes via
+    per-subspace argmin against an 8-codeword codebook; query scoring
+    sums per-subspace lookup-table entries instead of touching raw
+    embeddings.  The oracle replays the ENTIRE pipeline — codebook,
+    encoding, LUT, ADC ranking — relationally in DuckDB, so the
+    quantizer itself is value-certified, not just its recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.pq_topk(e, q, dim=64, n_subspaces=4, codebook_ids=8, k=5)

@@ -628,3 +628,119 @@ def n4_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         "kept_fp",
     )
+
+
+# --------------------------------------------------------------------------
+# N2 — exact substring-duplicate SPANS across documents
+# --------------------------------------------------------------------------
+# The "dedup of repeated substrings" shape (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): not whole-document or
+# whole-shingle-set similarity, but the maximal VERBATIM character spans two
+# documents share — the unit a substring-dedup pass actually cuts.
+
+_SSD_K = 30        # gram length: spans shorter than this are invisible
+_SSD_DF_CAP = 20   # stop-gram cap: grams in > cap docs are dropped
+
+
+@register(
+    "n2_substring_dup_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 300 AND LEN(text) >= {_SSD_K}
+    ), g AS (
+      SELECT doc_id, UNNEST(range(1, LEN(text) - {_SSD_K} + 2)) AS pos, text
+      FROM d
+    ), h AS (
+      SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(substr(text, pos, {_SSD_K})), 1, 15))
+                  AS BIGINT) AS hg
+      FROM g
+    ), ok AS (
+      SELECT hg FROM h GROUP BY hg
+      HAVING COUNT(DISTINCT doc_id) <= {_SSD_DF_CAP}
+    ), hc AS (
+      SELECT h.* FROM h JOIN ok ON h.hg = ok.hg
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM hc a JOIN hc b ON a.hg = b.hg AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+      FROM cand
+    )
+    SELECT id_a, id_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pb) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + {_SSD_K} - 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY id_a, id_b, pa - pb, grp
+    """,
+    survey="N2 N1",
+)
+def n2_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplicate spans across documents (the Lee et al.
+    substring-dedup unit): every maximal verbatim character run ≥ K=30
+    shared by two docs, reported as (start_a, start_b, span_len).
+
+    Spark-first, zero Python: explode char-gram positions (sequence), a
+    60-bit md5 gram hash (8-byte shuffle key — gram text never shuffles),
+    a stop-gram df-cap bounding any gram's fan-out at cap² (the same
+    skew rule as the shingle/LSH caps), the hash-equality self-join, and
+    diagonal island detection (pos_a - row_number per (pair, pa-pb))
+    to coalesce overlapping gram hits into maximal spans. At 100 TB the
+    join is candidate-bounded by the cap and each span costs O(len)
+    grams — the paper's suffix-array pass re-expressed as three shuffles.
+    Both engines join on the identical hash, so a (cosmologically
+    unlikely) md5-prefix collision would affect both sides equally."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (F.length("text") >= _SSD_K))
+    )
+    g = d.select(
+        "doc_id",
+        F.col("text"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SSD_K - 1))
+        ).alias("pos"),
+    )
+    h = g.select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.substring(F.col("text"), F.col("pos"), _SSD_K)), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hg"),
+    )
+    ok = (
+        h.groupBy("hg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _SSD_DF_CAP)
+        .select("hg")
+    )
+    hc = h.join(ok, "hg", "left_semi")
+    a, b = hc.alias("a"), hc.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.hg") == F.col("b.hg")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = cand.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_a", "id_b", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(_SSD_K - 1)).alias("span_len"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )

@@ -502,3 +502,42 @@ def test_decode_audio_wav_is_real():
 
     rate, ch, out = multimodal.decode_audio(encode_wav([5, -5], 16000), "WAV")
     assert (rate, ch, out) == (16000, 1, [5, -5])
+
+
+def test_pq_topk_structure_and_recall(spark, sf_dir):
+    """N3 PQ/ADC: each query gets exactly k ranked neighbors with
+    non-negative approx distances, and PQ recall against the exact
+    EUCLIDEAN top-k clears a plumbing floor (random vectors are ANN's
+    worst case; exactness is the oracle's job)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    pq = similarity.pq_topk(e, q, dim=64, n_subspaces=4, codebook_ids=8, k=5)
+    rows = pq.collect()
+    per_q = {}
+    for r in rows:
+        assert r.approx_dist >= 0
+        per_q.setdefault(r.query_id, set()).add(r.rank)
+    assert all(v == {1, 2, 3, 4, 5} for v in per_q.values())
+
+    ev = e.select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
+    qv = ev.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        ev.crossJoin(qv)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    pq_set = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact_set & pq_set) / len(exact_set)
+    assert recall >= 0.2, f"PQ recall {recall}"
