@@ -10,6 +10,8 @@ engines apply byte-identical patterns.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -743,4 +745,94 @@ def n2_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) + F.lit(_SSD_K - 1)).alias("span_len"),
         )
         .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+
+
+# --------------------------------------------------------------------------
+# N4 — batch model inference (quality-classifier scoring pass)
+# --------------------------------------------------------------------------
+# The fastText-style quality-classifier step every corpus pipeline runs:
+# a trained model scores each document and a threshold gates it.  The
+# "model" here is a logistic regression with baked weights (a stand-in
+# with the same Arrow-batched signature any sklearn/torch scorer uses);
+# features are closed-form text statistics, so DuckDB recomputes the
+# logit exactly — both engines evaluate the identical left-to-right
+# float expression, making the hash bit-stable without trusting libm.
+
+_QC_W = ("0.01", "-0.002", "0.05", "-0.03", "0.004")
+_QC_B = "-1.0"
+
+
+@register(
+    "n4_model_score_batch",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS f_tokens,
+             CAST(LEN(text) AS BIGINT) AS f_chars,
+             CAST(LEN(text) - LEN(regexp_replace(text, '[.,!?;]', '', 'g'))
+                  AS BIGINT) AS f_punct,
+             CAST(LEN(text) - LEN(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS f_digits,
+             CAST(LEN(text) - LEN(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS BIGINT) AS f_upper
+      FROM documents
+    )
+    SELECT doc_id, f_tokens, f_chars, f_punct, f_digits, f_upper,
+           ROUND({_QC_W[0]} * f_tokens + {_QC_W[1]} * f_chars
+                 + {_QC_W[2]} * f_punct + {_QC_W[3]} * f_digits
+                 + {_QC_W[4]} * f_upper + {_QC_B}, 9) AS logit,
+           ({_QC_W[0]} * f_tokens + {_QC_W[1]} * f_chars
+                 + {_QC_W[2]} * f_punct + {_QC_W[3]} * f_digits
+                 + {_QC_W[4]} * f_upper + {_QC_B}) >= 0 AS keep
+    FROM feats
+    """,
+    survey="N4 2.10",
+)
+def n4_model_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over the corpus (the quality-classifier
+    scoring pass): integer text features extracted in Catalyst, then an
+    Arrow-vectorized pandas UDF applies the model — per-batch pandas
+    arithmetic in fixed evaluation order, the exact signature a real
+    sklearn/torch/fastText scorer plugs into (swap the closure body,
+    keep the plan).  Map-only: at 100 TB inference cost is one scan and
+    the model broadcasts as task-closure constants.  The oracle
+    recomputes features AND the logit relationally — a drifted feature
+    or a reordered accumulation breaks the hash."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def count_removed(pattern: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    feats = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("f_tokens"),
+        F.length(t).cast("long").alias("f_chars"),
+        count_removed(r"[.,!?;]").alias("f_punct"),
+        count_removed(r"[0-9]").alias("f_digits"),
+        count_removed(r"[A-Z]").alias("f_upper"),
+    )
+    w = [float(x) for x in _QC_W]
+    b = float(_QC_B)
+
+    @pandas_udf(DoubleType())
+    def model(
+        f1: pd.Series, f2: pd.Series, f3: pd.Series, f4: pd.Series, f5: pd.Series
+    ) -> pd.Series:
+        # fixed left-to-right accumulation — bit-identical to the SQL
+        # expression; a real model would run its matmul here instead
+        return w[0] * f1 + w[1] * f2 + w[2] * f3 + w[3] * f4 + w[4] * f5 + b
+
+    logit = model("f_tokens", "f_chars", "f_punct", "f_digits", "f_upper")
+    return feats.select(
+        "doc_id", "f_tokens", "f_chars", "f_punct", "f_digits", "f_upper",
+        F.round(logit, 9).alias("logit"),
+        (logit >= 0).alias("keep"),
     )

@@ -919,3 +919,146 @@ def src_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+
+
+@register(
+    "src_cdc_maxwell",
+    oracle="""
+    WITH oped AS (
+      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'update' END AS typ
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ms DESC, event_id DESC) AS rn
+      FROM oped
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value
+    FROM latest WHERE rn = 1 AND typ <> 'delete'
+    """,
+    survey="X6 S4",
+)
+def src_cdc_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxwell-json CDC FORMAT (Flink flink-formats/flink-json maxwell
+    decoder): Maxwell's Daemon emits one row image per envelope —
+    ``{"database":..,"table":..,"type":"insert|update|delete","ts":..,
+    "data":{...}}`` (lower-case statement types, ``data`` an OBJECT, not
+    Canal's array). Render real envelopes, parse with a typed schema,
+    map type→RowKind, apply the changelog; final state hash-matches the
+    relational replay, same discipline as the debezium/canal twins."""
+    e = load_table(spark, sf_dir, "events")
+    typ = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    env = e.select(
+        F.to_json(
+            F.struct(
+                F.lit("appdb").alias("database"),
+                F.lit("events").alias("table"),
+                typ.alias("type"),
+                F.unix_millis("ts").alias("ts"),
+                F.struct(
+                    F.col("user_id"), F.col("event_id"), F.col("value")
+                ).alias("data"),
+            )
+        ).alias("env")
+    )
+    schema = (
+        "database string, table string, type string, ts bigint,"
+        " data struct<user_id: bigint, event_id: bigint, value: double>"
+    )
+    rows = env.select(F.from_json("env", schema).alias("m")).select(
+        F.col("m.data.user_id").alias("user_id"),
+        F.col("m.data.event_id").alias("event_id"),
+        F.col("m.data.value").alias("value"),
+        F.col("m.type").alias("typ"),
+        F.col("m.ts").alias("ms"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ms").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        rows.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("typ") != "delete"))
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+@register(
+    "src_cdc_ogg",
+    oracle="""
+    WITH oped AS (
+      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS typ
+      FROM events
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ms DESC, event_id DESC) AS rn
+      FROM oped
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value
+    FROM latest WHERE rn = 1 AND typ <> 'D'
+    """,
+    survey="X6 S4",
+)
+def src_cdc_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogg-json CDC FORMAT (Flink flink-formats/flink-json Oracle
+    GoldenGate decoder): GoldenGate envelopes carry before/after images
+    with single-letter op codes — ``{"table":"SCHEMA.TABLE","op_type":
+    "I|U|D","op_ts":...,"before":{...},"after":{...}}``; deletes have a
+    NULL after-image, so the row image is COALESCE(after, before).
+    Render, parse, map op→RowKind, apply; final state hash-matches the
+    relational replay."""
+    e = load_table(spark, sf_dir, "events")
+    typ = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    img = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
+    # envelope with the correct before/after images per op: inserts have
+    # no before-image, deletes no after-image
+    env = e.select(
+        F.to_json(
+            F.struct(
+                F.lit("APP.EVENTS").alias("table"),
+                typ.alias("op_type"),
+                F.unix_millis("ts").alias("op_ts"),
+                F.when(typ != "I", img).alias("before"),
+                F.when(typ != "D", img).alias("after"),
+            )
+        ).alias("env")
+    )
+    row_schema = "struct<user_id: bigint, event_id: bigint, value: double>"
+    schema = (
+        f"table string, op_type string, op_ts bigint,"
+        f" before {row_schema}, after {row_schema}"
+    )
+    m = env.select(F.from_json("env", schema).alias("m"))
+    rows = m.select(
+        F.coalesce(F.col("m.after"), F.col("m.before")).alias("r"),
+        F.col("m.op_type").alias("typ"),
+        F.col("m.op_ts").alias("ms"),
+    ).select("r.user_id", "r.event_id", "r.value", "typ", "ms")
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ms").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        rows.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("typ") != "D"))
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
