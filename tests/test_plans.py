@@ -251,3 +251,21 @@ def test_band_join_is_hash_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_pq_topk_joins_all_broadcast(spark, sf_dir):
+    """N3 PQ: every join in the PQ/ADC plan must broadcast (codebook and
+    LUT are tiny); a sort-merge join would mean the corpus is shuffling
+    for metadata."""
+    df = REGISTRY["n3_pq_topk"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_substring_spans_pushdown(spark, sf_dir):
+    """N2 substring spans: the doc_id/length prefilters must reach the
+    parquet scan — the gram explosion only ever sees qualifying docs."""
+    df = REGISTRY["n2_substring_dup_spans"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "LessThan(doc_id,300)" in txt, txt
