@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -152,6 +153,10 @@ SKIP_SCHEMA = StructType(
     ]
 )
 
+SKIP_SCHEMA_BOTH = StructType(
+    [StructField("skip_mode", StringType())] + list(SKIP_SCHEMA.fields)
+)
+
 
 def match_recognize_skip(
     df: DataFrame,
@@ -178,29 +183,38 @@ def match_recognize_skip(
     ``count_sym``-classified rows inside the match).
 
     Same scale shape as match_recognize_lite: one shuffle on the key,
-    linear per-key scan."""
-    if skip not in ("past_last_row", "to_next_row"):
+    linear per-key scan.  ``skip="both"`` evaluates BOTH policies in the
+    single per-key pass (the string scan is repeated task-locally; the
+    data is shuffled and Arrow-transferred once) and prefixes each row
+    with a ``skip_mode`` column — for side-by-side policy comparison
+    without a second job."""
+    if skip not in ("past_last_row", "to_next_row", "both"):
         raise ValueError(f"unknown AFTER MATCH SKIP mode: {skip}")
     compiled = re.compile(pattern)
-    to_next = skip == "to_next_row"
+    modes = (
+        ["past_last_row", "to_next_row"] if skip == "both" else [skip]
+    )
+    schema = SKIP_SCHEMA_BOTH if skip == "both" else SKIP_SCHEMA
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
         s = "".join(pdf["__sym"])
         ids = pdf[id_col].to_numpy()
         tss = pdf[ts_col].to_numpy()
+        key = int(pdf[key_col].iloc[0])
         out = []
-        pos = n = 0
-        while True:
-            m = compiled.search(s, pos)
-            if m is None:
-                break
-            a, b = m.start(), m.end() - 1
-            n += 1
-            seg = s[a : b + 1]
-            out.append(
-                (
-                    int(pdf[key_col].iloc[0]),
+        for mode in modes:
+            to_next = mode == "to_next_row"
+            pos = n = 0
+            while True:
+                m = compiled.search(s, pos)
+                if m is None:
+                    break
+                a, b = m.start(), m.end() - 1
+                n += 1
+                seg = s[a : b + 1]
+                row = (
+                    key,
                     n,
                     int(ids[a]),
                     int(ids[b]),
@@ -209,15 +223,15 @@ def match_recognize_skip(
                     tss[a],
                     tss[b],
                 )
-            )
-            # empty-match guard: always advance at least one position
-            pos = max(a + 1, m.end()) if not to_next else a + 1
-        return pd.DataFrame(out, columns=[f.name for f in SKIP_SCHEMA.fields])
+                out.append((mode, *row) if skip == "both" else row)
+                # empty-match guard: always advance at least one position
+                pos = a + 1 if to_next else max(a + 1, m.end())
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     prepared = df.select(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
-    return prepared.groupBy(key_col).applyInPandas(run, SKIP_SCHEMA)
+    return prepared.groupBy(key_col).applyInPandas(run, schema)
 
 
 def classify(mapping: dict[str, str], other: str = "X") -> Callable[[Column], Column]:

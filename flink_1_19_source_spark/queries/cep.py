@@ -304,21 +304,14 @@ def x5_skip_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(*), COUNT(B.*)) per match [docs: match_recognize
     after-match-strategy]. PAST LAST ROW is greedy non-overlapping;
     TO NEXT ROW re-opens the scan one row after each match start, so
-    purchase chains produce overlapping matches. Each mode is one
-    keyed shuffle + linear scan (operators/cep.match_recognize_skip)."""
+    purchase chains produce overlapping matches. Both policies come out
+    of ONE keyed shuffle + linear scan (skip="both" — the event data is
+    shuffled and Arrow-transferred once, operators/cep
+    .match_recognize_skip)."""
     e = load_table(spark, sf_dir, "events")
-    sym = _skip_symbol()
-
-    def run(skip: str) -> DataFrame:
-        return (
-            cep.match_recognize_skip(
-                e, "user_id", "ts", "event_id", sym, "CB*C", skip=skip
-            )
-            .withColumnRenamed("key", "user_id")
-            .select(F.lit(skip).alias("skip_mode"), "*")
-        )
-
-    return run("past_last_row").unionByName(run("to_next_row"))
+    return cep.match_recognize_skip(
+        e, "user_id", "ts", "event_id", _skip_symbol(), "CB*C", skip="both"
+    ).withColumnRenamed("key", "user_id")
 
 
 @register(
