@@ -269,3 +269,38 @@ def test_substring_spans_pushdown(spark, sf_dir):
     df = REGISTRY["n2_substring_dup_spans"].fn(spark, sf_dir)
     txt = audit.plan_text(df)
     assert "LessThan(doc_id,300)" in txt, txt
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Flink 1.19's headline batch feature — runtime filters for large
+    joins (FLIP-324) — maps to Spark's InjectRuntimeFilter: a selective
+    dim-side predicate materializes a bloom filter that prunes the fact
+    scan before the shuffle join. Pin that the engine's conf surface can
+    produce the shape: plan must contain the bloom_filter_agg creation
+    and a might_contain probe on the fact side."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creation side must fall below this cap for injection
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        txt = audit.plan_text(j)
+        assert "bloom_filter_agg" in txt, txt
+        assert "might_contain" in txt, txt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
