@@ -3,10 +3,10 @@
 Dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
 (exact + LSH), text analysis (quality stats, token counting, lang-id,
 fingerprinting) and multimodal plumbing over the `documents` /
-`embeddings` tables. Exact paths are DuckDB-oracled; hash-seeded
-approximate paths (xxhash64 is not reproducible in DuckDB) register as
-rows-only here and are recall-verified against their exact counterparts
-in tests/test_llm.py.
+`embeddings` tables. Every registered query is DuckDB-value-hash-oracled
+(seeded permutations/planes are embedded as SQL literals so the oracle
+replays the same hashes); approximate paths are additionally
+recall-verified against their exact counterparts in tests/test_llm.py.
 """
 
 from __future__ import annotations
