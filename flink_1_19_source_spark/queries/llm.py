@@ -910,15 +910,20 @@ def n5_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-weighted checksum directly — any unfilter/stride/channel
     bug breaks the hash.  Both passes are map-only (no shuffle until the
     final per-doc agg, which the decode pass already folds per image)."""
-    import pandas as pd
-
-    from ..operators.png_codec import encode_png
-
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 150)
         .select("doc_id")
     )
+    return _png_feature_pipeline(d)
+
+
+def _png_feature_pipeline(d: DataFrame) -> DataFrame:
+    """Shared encode→decode→features pipeline over a (doc_id) frame —
+    batch and streaming inputs take the identical map-only plan."""
+    import pandas as pd
+
+    from ..operators.png_codec import encode_png
 
     def encode(batches):
         for pdf in batches:
@@ -1309,3 +1314,53 @@ def n3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.pq_topk(e, q, dim=64, n_subspaces=4, codebook_ids=8, k=5)
+
+
+@register(
+    "s_media_decode_stream",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 5) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 10) % 256)
+                AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * ((doc_id*31 + (i // w)*17 + (i % w)*7) % 256))
+                AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id
+    """,
+    survey="N5-S S1",
+    tags=("streaming",),
+)
+def s_media_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest (N5-S): documents replayed as a file
+    stream are PNG-encoded and REAL-decoded on arrival — the same
+    map-only `_png_feature_pipeline` plan as the batch twin
+    n5_decode_real, running inside micro-batches with zero state (decode
+    is embarrassingly parallel; the 100 TB shape is decode-at-ingest
+    before anything shuffles).  Append emission; the drained stream
+    hash-matches the batch oracle."""
+    import os
+
+    from ..streaming import replay
+    from .streaming_queries import _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_media")
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=4, order_by=["doc_id"],
+    )
+    feats = _png_feature_pipeline(
+        sdf.filter(F.col("doc_id") < 150).select("doc_id")
+    )
+    return _drain_to_memory(spark, feats, "s_media_q", "append", wd)

@@ -496,3 +496,56 @@ def f_map_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("entries"),
     )
+
+
+@register(
+    "f_str_to_map",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             'status=' || o_orderstatus || ',prio=' || o_orderpriority
+               || ',cust=' || o_custkey AS s
+      FROM orders WHERE o_orderkey <= 2000
+    ), kv AS (
+      SELECT o_orderkey, s,
+             list_transform(string_split(s, ','),
+                            p -> string_split(p, '=')) AS pairs
+      FROM t
+    )
+    SELECT o_orderkey,
+           CAST(len(pairs) AS INTEGER) AS n_keys,
+           list_filter(pairs, p -> p[1] = 'status')[1][2] AS status_val,
+           array_to_string(list_sort(list_transform(pairs,
+                           p -> p[1] || '=' || p[2])), ',') AS entries
+    FROM kv
+    """,
+    survey="2.8-collection 2.8-string",
+)
+def f_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR_TO_MAP(text[, pairDelim, kvDelim]) (Flink 1.19 built-in
+    [docs: functions#string]): parse a delimited k=v string into a MAP.
+    Spark's str_to_map is the same function; map iteration order is
+    engine-dependent, so the certified projection is cardinality, a
+    point lookup, and the SORTED entries rendering — the normalization
+    any engine needs for a reproducible map hash."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    s = F.concat(
+        F.lit("status="), F.col("o_orderstatus"),
+        F.lit(",prio="), F.col("o_orderpriority"),
+        F.lit(",cust="), F.col("o_custkey").cast("string"),
+    )
+    m = F.expr("str_to_map(s, ',', '=')")
+    return o.select("o_orderkey", s.alias("s")).select(
+        "o_orderkey",
+        F.size(m).alias("n_keys"),
+        m["status"].alias("status_val"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        ).alias("entries"),
+    )
