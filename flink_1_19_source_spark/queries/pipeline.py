@@ -546,3 +546,180 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# N7 #2 — multimodal pipeline: model gate → verbatim-overlap dedup →
+#          real decode → per-language corpus report
+# --------------------------------------------------------------------------
+_PME_THRESH = "-1.05"  # model-gate logit threshold (keeps ~half the docs)
+
+
+def _pme_oracle() -> str:
+    from .llm2 import _QC_B, _QC_W, _SSD_DF_CAP, _SSD_K
+
+    w = _QC_W
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id < 300
+    ), feats AS (
+      SELECT doc_id, text, lang,
+             {w[0]} * CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                           t -> t <> '')) AS BIGINT)
+             + {w[1]} * CAST(LEN(text) AS BIGINT)
+             + {w[2]} * CAST(LEN(text)
+                 - LEN(regexp_replace(text, '[.,!?;]', '', 'g')) AS BIGINT)
+             + {w[3]} * CAST(LEN(text)
+                 - LEN(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+             + {w[4]} * CAST(LEN(text)
+                 - LEN(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT)
+             + {_QC_B} AS logit
+      FROM base
+    ), gated AS (
+      SELECT * FROM feats WHERE logit >= {_PME_THRESH}
+    ), g AS (
+      SELECT doc_id, UNNEST(range(1, LEN(text) - {_SSD_K} + 2)) AS pos, text
+      FROM gated WHERE LEN(text) >= {_SSD_K}
+    ), h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(substr(text, pos, {_SSD_K})), 1, 15))
+                  AS BIGINT) AS hg
+      FROM g
+    ), ok AS (
+      SELECT hg FROM h GROUP BY hg
+      HAVING COUNT(DISTINCT doc_id) <= {_SSD_DF_CAP}
+    ), hc AS (SELECT h.* FROM h JOIN ok ON h.hg = ok.hg),
+    dupped AS (
+      SELECT DISTINCT b.doc_id
+      FROM hc a JOIN hc b ON a.hg = b.hg AND a.doc_id < b.doc_id
+    ), survivors AS (
+      SELECT g2.doc_id, g2.lang FROM gated g2
+      WHERE g2.doc_id NOT IN (SELECT doc_id FROM dupped)
+    ), px AS (
+      SELECT s.doc_id, s.lang,
+             s.doc_id % 13 + 4 AS w, s.doc_id % 7 + 3 AS h,
+             UNNEST(range(0, (s.doc_id % 13 + 4) * (s.doc_id % 7 + 3))) AS i
+      FROM survivors s
+    ), decoded AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7) % 256)
+                  AS BIGINT) AS sum_r
+      FROM px GROUP BY doc_id, lang
+    ), stage_counts AS (
+      SELECT (SELECT COUNT(*) FROM base) AS n_base,
+             (SELECT COUNT(*) FROM gated) AS n_gated,
+             (SELECT COUNT(*) FROM survivors) AS n_deduped
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_px) AS BIGINT) AS total_px,
+           CAST(SUM(d.sum_r) AS BIGINT) AS total_r,
+           CAST(MAX(sc.n_base) AS BIGINT) AS n_base,
+           CAST(MAX(sc.n_gated) AS BIGINT) AS n_gated,
+           CAST(MAX(sc.n_deduped) AS BIGINT) AS n_deduped
+    FROM decoded d CROSS JOIN stage_counts sc
+    GROUP BY d.lang
+    """
+
+
+@register("pipeline_media_end_to_end", oracle=_pme_oracle(), survey="N7 N4 N2 N5")
+def pipeline_media_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second end-to-end pipeline (N7): model-score gate (the r6 batch
+    inference stage) → verbatim substring-overlap dedup (drop any doc
+    sharing a ≥30-char span with a lower-id survivor) → REAL PNG decode
+    of the survivors' media → per-language corpus report with per-stage
+    attrition columns.  Every stage is an independently certified r6
+    operator; the composition is oracled as ONE query so stage coupling
+    (gate-then-dedup ordering, dedup scoped to gated docs only) is
+    value-verified too.  Scale shape: gate is map-only, dedup is the
+    df-capped gram-hash join, decode is map-only — one keyed shuffle
+    plus the final small agg."""
+    from .llm import _png_feature_pipeline
+    from .llm2 import _QC_B, _QC_W, _SSD_DF_CAP, _SSD_K
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.col("text")
+
+    def count_removed(pattern: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    w = [float(x) for x in _QC_W]
+    logit = (
+        w[0] * F.size(F.split(F.trim(t), r"\s+")).cast("long")
+        + w[1] * F.length(t).cast("long")
+        + w[2] * count_removed(r"[.,!?;]")
+        + w[3] * count_removed(r"[0-9]")
+        + w[4] * count_removed(r"[A-Z]")
+        + float(_QC_B)
+    )
+    gated = d.select("doc_id", "text", "lang").filter(
+        logit >= float(_PME_THRESH)
+    )
+    n_base = d.count()
+    n_gated = gated.count()
+
+    g = gated.filter(F.length("text") >= _SSD_K).select(
+        "doc_id",
+        F.col("text"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(_SSD_K - 1))
+        ).alias("pos"),
+    )
+    h = g.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.substring(F.col("text"), F.col("pos"), _SSD_K)), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hg"),
+    )
+    ok = (
+        h.groupBy("hg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _SSD_DF_CAP)
+        .select("hg")
+    )
+    hc = h.join(ok, "hg", "left_semi")
+    dupped = (
+        hc.alias("a")
+        .join(
+            hc.alias("b"),
+            (F.col("a.hg") == F.col("b.hg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = gated.select("doc_id", "lang").join(
+        dupped, "doc_id", "left_anti"
+    )
+    n_deduped = survivors.count()
+
+    decoded = _png_feature_pipeline(survivors.select("doc_id")).select(
+        "doc_id", "n_px", "sum_r"
+    )
+    return (
+        survivors.join(decoded, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_px").alias("total_px"),
+            F.sum("sum_r").alias("total_r"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_px",
+            "total_r",
+            F.lit(n_base).alias("n_base"),
+            F.lit(n_gated).alias("n_gated"),
+            F.lit(n_deduped).alias("n_deduped"),
+        )
+    )
