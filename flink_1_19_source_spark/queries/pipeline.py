@@ -723,3 +723,49 @@ def pipeline_media_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_deduped).alias("n_deduped"),
         )
     )
+
+
+@register(
+    "n6_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, lang, hk,
+             CAST(concat('0x', substr(hk, 1, 8)) AS BIGINT) % 8 AS shard
+      FROM keyed
+    )
+    SELECT doc_id, lang,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sharded
+    """,
+    survey="N6",
+)
+def n6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment (N6): the order a
+    training run visits the corpus, reproducible from (seed, doc_id)
+    alone.  shard = top-32-bits-of-md5 mod S (map-only — at 100 TB this
+    is the output partitioning, no global sort anywhere); position
+    within a shard = rank of the md5 key inside it (sort is per-shard,
+    embarrassingly parallel).  Changing the seed string reshuffles every
+    epoch; same seed ⇒ byte-identical order on any engine — the
+    data-order reproducibility contract training infra needs."""
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", "lang", hk.alias("hk")).withColumn(
+        "shard",
+        (F.conv(F.substring("hk", 1, 8), 16, 10).cast("long") % 8).cast("int"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
