@@ -103,6 +103,23 @@ def decode_audio(payload: bytes, fmt: str) -> tuple[int, int, list]:
     )
 
 
+def decode_video(payload: bytes, fmt: str) -> tuple[int, int, int, list]:
+    """Video codec hook: returns (width, height, fps, RGB frames).
+
+    Uncompressed AVI (raw 24-bpp DIB frames) decodes natively via the
+    pure-stdlib RIFF codec in ``avi_codec`` — including the DIB
+    bottom-up/BGR/row-padding conventions; compressed codecs
+    (MJPEG/H.264/VP9) are environment-gapped."""
+    if fmt.lower() == "avi":
+        from .avi_codec import decode_avi
+
+        return decode_avi(payload)
+    raise NotImplementedError(
+        f"{fmt} decoding requires a video library not present in this "
+        "environment; uncompressed avi decodes natively"
+    )
+
+
 def fake_decode_features(doc_id: int, payload: bytes, width: int, height: int) -> dict:
     """Deterministic stand-in for decode + feature-extract: byte length and
     an md5 digest of the payload (stable across engines and runs)."""

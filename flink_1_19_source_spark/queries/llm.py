@@ -1364,3 +1364,103 @@ def s_media_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.filter(F.col("doc_id") < 150).select("doc_id")
     )
     return _drain_to_memory(spark, feats, "s_media_q", "append", wd)
+
+
+@register(
+    "n5_video_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 5 + 3 AS h,
+             doc_id % 4 + 2 AS nf
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT doc_id, w, h, nf, UNNEST(range(0, nf * w * h)) AS j FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, nf, j,
+             j // (w * h) AS f, (j % (w * h)) AS i
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(25 AS INTEGER) AS fps,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7 + 10) % 256)
+                AS BIGINT) AS sum_b,
+           CAST(SUM((j + 1) * ((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7)
+                               % 256)) AS BIGINT) AS wsum
+    FROM v GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (N5, closing the image/audio/video
+    triad): deterministic multi-frame RGB clips are AVI-ENCODED in one
+    mapInPandas pass (pure-stdlib RIFF container, raw DIB frames) and
+    AVI-DECODED in a second — container walk, header validation, and
+    the DIB storage conventions (bottom-up rows, BGR order, 4-byte row
+    padding) all on the hot path; a decoder that skips the un-flip or
+    the channel swap fails the hash.  Oracle recomputes per-channel and
+    position-weighted sums from the closed-form (doc_id, frame, x, y)
+    pixel generator; both passes map-only."""
+    import pandas as pd
+
+    from ..operators.avi_codec import encode_avi
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 9 + 4, did % 5 + 3, did % 4 + 2
+                frames = []
+                for f in range(nf):
+                    px = bytearray()
+                    for i in range(w * h):
+                        base = did * 31 + f * 11 + (i // w) * 17 + (i % w) * 7
+                        px += bytes(((base + c * 5) % 256) for c in range(3))
+                    frames.append(bytes(px))
+                payloads.append(encode_avi(frames, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = ["doc_id", "width", "height", "fps", "n_frames",
+            "sum_r", "sum_b", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, fps, frames = multimodal.decode_video(
+                    bytes(r.media_bytes), "avi"
+                )
+                sr = sb = ws = 0
+                j = 0
+                for pix in frames:
+                    for i in range(w * h):
+                        red = pix[3 * i]
+                        sr += red
+                        sb += pix[3 * i + 2]
+                        ws += (j + 1) * red
+                        j += 1
+                rows.append(
+                    (int(r.doc_id), w, h, fps, len(frames), sr, sb, ws)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, fps int, n_frames long, "
+        "sum_r long, sum_b long, wsum long",
+    )

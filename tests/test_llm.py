@@ -541,3 +541,53 @@ def test_pq_topk_structure_and_recall(spark, sf_dir):
     pq_set = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact_set & pq_set) / len(exact_set)
     assert recall >= 0.2, f"PQ recall {recall}"
+
+
+def test_avi_roundtrip_and_dib_conventions():
+    """AVI codec: round-trip recovers top-down RGB frames exactly, and
+    the stored DIB bytes really are bottom-up + BGR + padded (checked on
+    a frame whose stride is not a multiple of 4)."""
+    import struct
+
+    from flink_1_19_source_spark.operators import avi_codec as ac
+
+    w, h = 3, 2  # stride 9 -> 3 pad bytes per row
+    f0 = bytes(range(0, 18))            # distinct values everywhere
+    f1 = bytes((255 - v) for v in range(18))
+    avi = ac.encode_avi([f0, f1], w, h)
+    rw, rh, fps, frames = ac.decode_avi(avi)
+    assert (rw, rh, fps) == (w, h, 25)
+    assert frames == [f0, f1]
+    # the raw 00db payload must start with the LAST row, blue-first:
+    # bottom row starts at y=1 -> RGB (9,10,11) -> stored B,G,R = 11,10,9
+    pos = avi.find(b"00db")
+    (ln,) = struct.unpack("<I", avi[pos + 4 : pos + 8])
+    dib = avi[pos + 8 : pos + 8 + ln]
+    assert ln == (9 + 3) * 2
+    assert dib[0:3] == bytes((11, 10, 9))
+
+
+def test_avi_decode_rejects_corruption():
+    import pytest
+
+    from flink_1_19_source_spark.operators import avi_codec as ac
+
+    good = bytearray(ac.encode_avi([bytes(12)], 2, 2))
+    with pytest.raises(ValueError, match="RIFF"):
+        ac.decode_avi(b"nope" + bytes(good[4:]))
+    bad = bytearray(good)
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError, match="length"):
+        ac.decode_avi(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00\x00\x00\x18ftyp", "mp4")
+
+
+def test_decode_video_avi_is_real():
+    from flink_1_19_source_spark.operators.avi_codec import encode_avi
+
+    frame = bytes(range(24))  # 2x4 RGB
+    w, h, fps, frames = multimodal.decode_video(
+        encode_avi([frame], 2, 4), "AVI"
+    )
+    assert (w, h, fps, frames) == (2, 4, 25, [frame])
