@@ -304,3 +304,52 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """§4 skew handling: a join keyed 90% onto one value must trigger
+    AQE's skew-join split — the executed plan carries SortMergeJoin
+    (skew=true) with a skewed AQEShuffleRead — and still return the
+    exact row count. This is the runtime half of the skew story
+    (skew_salted_agg is the rewrite half)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.lit("x" * 64).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("w")
+        )
+        agg = left.join(right, "k").groupBy().count()
+        # 360k rows on k=0 join 50 right rows with k=0 -> 18,000,000
+        # + 40k distinct left keys (>=1000, none match) -> 18M
+        # + keys 1..999 appear ~? left keys are id (>=10) w/ id%10==9 -> only
+        # ids 19,29,..,999 match right keys 19..999 (99 ids x 50 each? no:
+        # right has 50 rows per k) -> assert against a computed reference
+        n = agg.collect()[0][0]
+        lk = {}
+        for i in range(0, 400_000):
+            k = 0 if i % 10 < 9 else i
+            lk[k] = lk.get(k, 0) + 1
+        rk = {}
+        for i in range(0, 50_000):
+            rk[i % 1000] = rk.get(i % 1000, 0) + 1
+        expect = sum(c * rk.get(k, 0) for k, c in lk.items())
+        assert n == expect, (n, expect)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
