@@ -1062,3 +1062,77 @@ def src_cdc_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("typ") != "D"))
         .select("user_id", "event_id", F.round("value", 6).alias("value"))
     )
+
+
+@register(
+    "src_time_travel",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ), snaps AS (
+      SELECT 0 AS k, (SELECT mn + (mx - mn) // 3 FROM b) AS bound
+      UNION ALL
+      SELECT 1, (SELECT mn + 2 * ((mx - mn) // 3) FROM b)
+      UNION ALL
+      SELECT 2, (SELECT mx FROM b)
+    ), ranked AS (
+      SELECT s.k, e.user_id, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY s.k, e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM events e JOIN snaps s ON epoch_us(e.ts) <= s.bound
+    )
+    SELECT CAST(k AS INTEGER) AS as_of_batch, user_id,
+           event_id AS last_event_id
+    FROM ranked WHERE rn = 1
+    """,
+    survey="S11 X4 X6",
+)
+def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog TIME TRAVEL (Flink 1.18+ `SELECT ... FOR SYSTEM_TIME AS OF`
+    on versioned catalog tables [docs: time-travel]): three commit
+    batches of upserts land in the snapshot-retaining MERGE table, then
+    each historical snapshot is read back AS OF its commit — every
+    snapshot must equal the keep-last state of exactly the rows ingested
+    up to that commit.  Snapshots are immutable per-commit manifests over
+    the hash-bucketed CoW versions (the Iceberg/Delta snapshot shape);
+    reading AS OF k touches only the version dirs commit k referenced."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import formats
+    from ..streaming import sinks as _sinks
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    mn, mx = int(b.mn), int(b.mx)
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + 2 * ((mx - mn) // 3)
+
+    wd = formats.scratch(sf_dir, "time_travel")
+    state = os.path.join(wd, f"tbl-{uuid.uuid4().hex[:8]}")
+    sink = _sinks.ParquetMergeSink(
+        spark, state, pk_cols=["user_id"], order_cols=["ts", "event_id"],
+        retain_history=True,
+    )
+    us = F.unix_micros("ts")
+    sink(e.filter(us <= t1), 0)
+    sink(e.filter((us > t1) & (us <= t2)), 1)
+    sink(e.filter(us > t2), 2)
+
+    parts = [
+        sink.snapshot_df(as_of_batch=k)
+        .select(
+            F.lit(k).alias("as_of_batch"),
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+        )
+        for k in (0, 1, 2)
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out

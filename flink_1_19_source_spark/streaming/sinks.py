@@ -144,6 +144,7 @@ class ParquetMergeSink:
         op_col: str | None = None,
         num_buckets: int = 16,
         order_cols: list[str] | None = None,
+        retain_history: bool = False,
     ):
         import os
 
@@ -155,6 +156,12 @@ class ParquetMergeSink:
         # within-batch tiebreak for multiple ops on one key; None falls
         # back to stable arrival order (monotonically_increasing_id)
         self.order_cols = order_cols
+        # time travel: keep an immutable _SNAPSHOT_{batch} manifest per
+        # commit and never prune version dirs, so snapshot_df(as_of_batch=k)
+        # reads the table exactly as of commit k — Flink 1.18+'s
+        # `FOR SYSTEM_TIME AS OF` catalog time travel. A production
+        # deployment GCs by snapshot-retention policy instead of never.
+        self.retain_history = retain_history
         os.makedirs(state_dir, exist_ok=True)
         self._ptr = os.path.join(state_dir, "_CURRENT")
 
@@ -246,6 +253,14 @@ class ParquetMergeSink:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._ptr)
+        if self.retain_history:
+            # immutable per-commit snapshot manifest; version dirs it
+            # references are never pruned (time-travel reads)
+            snap = os.path.join(self.state_dir, f"_SNAPSHOT_{batch_id:05d}")
+            with open(snap + ".tmp", "w") as f:
+                json.dump(manifest, f)
+            os.replace(snap + ".tmp", snap)
+            return
         # prune versions no longer referenced by the manifest we just wrote
         # or its predecessor (crash between write and flip never orphans
         # the committed base)
@@ -256,12 +271,28 @@ class ParquetMergeSink:
             if d.startswith("v") and d[1:].isdigit() and d not in keep:
                 shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
-    def snapshot_df(self) -> DataFrame:
+    def snapshot_df(self, as_of_batch: int | None = None) -> DataFrame:
+        """Current table state, or — with ``as_of_batch`` and
+        ``retain_history`` — the state exactly as of that commit
+        (Flink `FOR SYSTEM_TIME AS OF` catalog time travel)."""
+        import json
         import os
 
         from pyspark.sql.types import StructType
 
-        man = self._manifest()
+        if as_of_batch is not None:
+            snap = os.path.join(
+                self.state_dir, f"_SNAPSHOT_{as_of_batch:05d}"
+            )
+            if not os.path.exists(snap):
+                raise ValueError(
+                    f"no snapshot for batch {as_of_batch} "
+                    "(sink not created with retain_history=True?)"
+                )
+            with open(snap) as f:
+                man = json.load(f)
+        else:
+            man = self._manifest()
         if man is None:
             raise ValueError("ParquetMergeSink: no committed version yet")
         paths = [
