@@ -1136,3 +1136,84 @@ def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+@register(
+    "src_snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ), snaps AS (
+      SELECT 0 AS k, (SELECT mn + (mx - mn) // 3 FROM b) AS bound
+      UNION ALL
+      SELECT 2, (SELECT mx FROM b)
+    ), state AS (
+      SELECT k, user_id, event_id FROM (
+        SELECT s.k, e.user_id, e.event_id, e.event_type,
+               ROW_NUMBER() OVER (PARTITION BY s.k, e.user_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM events e JOIN snaps s ON epoch_us(e.ts) <= s.bound
+      ) WHERE rn = 1 AND event_type <> 'error'
+    ), s0 AS (SELECT user_id, event_id FROM state WHERE k = 0),
+    s2 AS (SELECT user_id, event_id FROM state WHERE k = 2)
+    SELECT CASE WHEN s0.user_id IS NULL THEN '+I'
+                WHEN s2.user_id IS NULL THEN '-D'
+                ELSE '+U' END AS _rowkind,
+           COALESCE(s2.user_id, s0.user_id) AS user_id,
+           COALESCE(s2.event_id, s0.event_id) AS last_event_id
+    FROM s2 FULL OUTER JOIN s0 ON s2.user_id = s0.user_id
+    WHERE s0.user_id IS NULL OR s2.user_id IS NULL
+       OR s0.event_id <> s2.event_id
+    """,
+    survey="S11 X6 X4",
+)
+def src_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan between table snapshots (Iceberg incremental
+    read / Flink versioned-table changelog consumption): three CDC
+    commit batches land in the snapshot-retaining MERGE table (``error``
+    events are ``-D`` deletes, everything else upserts), then the
+    RowKind-classified DIFF between commit 0 and commit 2 is read —
+    ``+I`` for keys born after the first commit, ``+U`` for keys whose
+    row changed, ``-D`` for keys deleted since, silence for untouched
+    keys.  One full-outer join on pk with a null-safe payload compare
+    (streaming/sinks.snapshot_changes); the oracle replays both
+    snapshot states relationally and diffs them the same way."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import formats
+    from ..streaming import sinks as _sinks
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id",
+        F.when(F.col("event_type") == "error", "-D")
+        .otherwise("+U")
+        .alias("op"),
+    )
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    mn, mx = int(b.mn), int(b.mx)
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + 2 * ((mx - mn) // 3)
+
+    wd = formats.scratch(sf_dir, "snapshot_diff")
+    state = os.path.join(wd, f"tbl-{uuid.uuid4().hex[:8]}")
+    sink = _sinks.ParquetMergeSink(
+        spark, state, pk_cols=["user_id"], op_col="op",
+        order_cols=["ts", "event_id"], retain_history=True,
+    )
+    us = F.unix_micros("ts")
+    sink(e.filter(us <= t1), 0)
+    sink(e.filter((us > t1) & (us <= t2)), 1)
+    sink(e.filter(us > t2), 2)
+
+    out = (
+        _sinks.snapshot_changes(sink, 0, 2)
+        .select("_rowkind", "user_id", F.col("event_id").alias("last_event_id"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -307,6 +307,52 @@ class ParquetMergeSink:
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def snapshot_changes(
+    sink: "ParquetMergeSink", from_batch: int, to_batch: int
+) -> DataFrame:
+    """Incremental scan between two snapshots (Iceberg incremental read /
+    Flink versioned-table changelog): the RowKind-classified difference
+    between commit ``from_batch`` and commit ``to_batch``.
+
+    Keys present only in the newer snapshot emit ``+I`` (their new row),
+    keys in both whose payload changed emit ``+U`` (the new row), keys
+    present only in the older snapshot emit ``-D`` (their old row).
+    Unchanged keys emit nothing — the reader pays for the delta, not the
+    table.  All set-based: two snapshot reads + ONE full-outer join on
+    pk with a null-safe payload struct compare."""
+    old = sink.snapshot_df(as_of_batch=from_batch)
+    new = sink.snapshot_df(as_of_batch=to_batch)
+    pk = sink.pk_cols
+    payload = [c for c in new.columns if c not in pk]
+    o = old.select(
+        *pk,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"__old_{c}") for c in payload],
+    )
+    n = new.select(*pk, F.lit(1).alias("__in_new"), *payload)
+    j = n.join(o, pk, "full_outer")
+    new_struct = F.struct(*[F.col(c) for c in payload])
+    old_struct = F.struct(
+        *[F.col(f"__old_{c}").alias(c) for c in payload]
+    )
+    kind = (
+        F.when(F.col("__in_old").isNull(), "+I")
+        .when(F.col("__in_new").isNull(), "-D")
+        .when(~new_struct.eqNullSafe(old_struct), "+U")
+    )
+    out_payload = [
+        F.when(F.col("__in_new").isNull(), F.col(f"__old_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        j.withColumn("_rowkind", kind)
+        .filter(F.col("_rowkind").isNotNull())
+        .select("_rowkind", *pk, *out_payload)
+    )
+
+
 #: debezium-ish op → Flink RowKind
 CDC_OP_TO_ROWKIND = {"c": "+I", "r": "+I", "u": "+U", "d": "-D"}
 
