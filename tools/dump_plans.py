@@ -96,6 +96,25 @@ HEADLINERS = {
         "benchmark-overlap check: benchmark gram set broadcast, corpus side "
         "explode + broadcast-hash left join — no corpus shuffle for the join"
     ),
+    "n3_pq_topk": (
+        "product quantization + ADC: codebook and per-query lookup table "
+        "broadcast everywhere, codes shuffle instead of embeddings — zero "
+        "sort-merge joins anywhere in the plan"
+    ),
+    "n2_substring_dup_spans": (
+        "exact substring-dup spans: char-gram hash (8-byte shuffle key, "
+        "gram text never shuffles) + df-capped self-join + diagonal "
+        "island windows"
+    ),
+    "n4_model_score_batch": (
+        "batch model inference: Catalyst feature extraction feeding one "
+        "Arrow-vectorized scorer — map-only, the model rides the task "
+        "closure"
+    ),
+    "x5_skip_modes": (
+        "after-match skip policies: both evaluated in ONE keyed "
+        "applyInPandas pass — events shuffle and Arrow-transfer once"
+    ),
     "n4_repetition_signals": (
         "Gopher repetition metrics: O(n) sorted-run-length folds per row, "
         "no explode, no shuffle (the quadratic distinct-x-filter spelling "
