@@ -13,7 +13,10 @@ Spark. Two mechanisms, both conservative and documented:
    nondeterministic by contract, so there is nothing to inline).
 
 Covered subset (extend as needed): SPLIT_INDEX, TRUNCATE, STRCMP,
-RAND_INTEGER, JSON_VALUE, REGEXP, TO_BASE64, FROM_BASE64.
+RAND_INTEGER, JSON_VALUE, REGEXP, TO_BASE64, FROM_BASE64; plus the
+windowing TVFs — TABLE(TUMBLE/HOP/CUMULATE(TABLE t, DESCRIPTOR(ts),
+...)) rewrite onto window()/covering-window subqueries (SESSION TVF
+raises: keyed gap merge is not textual).
 Flink semantics sources: Flink 1.19 "System (Built-in) Functions" docs
 (upstream: flink-table-common BuiltInFunctionDefinitions).
 """
@@ -115,10 +118,113 @@ def _rewrite_current_watermark(query: str, spark: SparkSession | None) -> str:
     return _CURRENT_WM_RE.sub(lit, query)
 
 
+# ---------------------------------------------------------------------------
+# Windowing TVFs — Flink's signature SQL syntax [docs: queries/window-tvf]:
+#   TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+#   TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+#   TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+# rewritten textually onto Spark subqueries that append the TVF's
+# window_start / window_end / window_time columns.  TUMBLE maps to
+# Spark's window() expression; HOP/CUMULATE expand each row to its
+# covering windows with integer µs arithmetic (the same construction as
+# operators/cumulate.py — no double rounding).  SESSION TVF needs keyed
+# gap merging and is NOT textually translatable — use
+# queries/windows.w4_session / streaming/dynamic_session instead.
+# Positional-argument form only (the documented canonical shape).
+# ---------------------------------------------------------------------------
+_IVL = r"INTERVAL\s+'(\d+)'\s+(\w+)"
+_TUMBLE_RE = re.compile(
+    rf"TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_HOP_RE = re.compile(
+    rf"TABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_CUMULATE_RE = re.compile(
+    rf"TABLE\s*\(\s*CUMULATE\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_SESSION_TVF_RE = re.compile(r"TABLE\s*\(\s*SESSION\s*\(", re.IGNORECASE)
+
+_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _dur_us(n: str, unit: str) -> int:
+    u = unit.lower().rstrip("s")
+    if u not in _US:
+        raise ValueError(f"unsupported window TVF interval unit: {unit}")
+    return int(n) * _US[u]
+
+
+def _rewrite_window_tvf(query: str) -> str:
+    def tumble(m: re.Match) -> str:
+        tbl, ts, n, unit = m.groups()
+        dur = f"{n} {unit.lower()}"
+        return (
+            f"(SELECT *, window({ts}, '{dur}').start AS window_start,"
+            f" window({ts}, '{dur}').end AS window_end,"
+            f" window({ts}, '{dur}').end - INTERVAL 1 MILLISECOND"
+            f" AS window_time FROM {tbl})"
+        )
+
+    def hop(m: re.Match) -> str:
+        tbl, ts, sn, su, zn, zu = m.groups()
+        slide, size = _dur_us(sn, su), _dur_us(zn, zu)
+        if size % slide:
+            raise ValueError("HOP size must be a multiple of slide")
+        nk = size // slide
+        ws = (
+            f"timestamp_micros(CAST(floor(unix_micros({ts}) / {slide})"
+            f" AS BIGINT) * {slide} - CAST(k_ AS BIGINT) * {slide})"
+        )
+        return (
+            f"(SELECT * FROM (SELECT t_.*, {ws} AS window_start,"
+            f" {ws} + INTERVAL {size} MICROSECOND AS window_end,"
+            f" {ws} + INTERVAL {size - 1000} MICROSECOND AS window_time"
+            f" FROM {tbl} t_"
+            f" LATERAL VIEW explode(sequence(0, {nk - 1})) _e AS k_)"
+            f" WHERE window_end > {ts})"
+        )
+
+    def cumulate(m: re.Match) -> str:
+        tbl, ts, sn, su, zn, zu = m.groups()
+        step, mx = _dur_us(sn, su), _dur_us(zn, zu)
+        if mx % step:
+            raise ValueError("CUMULATE max must be a multiple of step")
+        bucket = (
+            f"CAST(floor(unix_micros({ts}) / {mx}) AS BIGINT) * {mx}"
+        )
+        return (
+            f"(SELECT * FROM (SELECT t_.*,"
+            f" timestamp_micros({bucket}) AS window_start,"
+            f" timestamp_micros({bucket} + CAST(k_ AS BIGINT) * {step}) AS window_end,"
+            f" timestamp_micros({bucket} + CAST(k_ AS BIGINT) * {step} - 1000)"
+            f" AS window_time FROM {tbl} t_"
+            f" LATERAL VIEW explode(sequence(1, {mx // step})) _e AS k_)"
+            f" WHERE window_end > {ts})"
+        )
+
+    out = _TUMBLE_RE.sub(tumble, query)
+    out = _HOP_RE.sub(hop, out)
+    out = _CUMULATE_RE.sub(cumulate, out)
+    if _SESSION_TVF_RE.search(out):
+        raise ValueError(
+            "SESSION window TVF is not textually translatable (keyed gap "
+            "merge); use the session-window operators instead"
+        )
+    return out
+
+
 def translate(query: str, spark: SparkSession | None = None) -> str:
-    """Rewrite the Flink dialect onto Spark SQL: name aliases, SIMILAR TO,
-    CURRENT_WATERMARK."""
-    out = query
+    """Rewrite the Flink dialect onto Spark SQL: window TVFs, name
+    aliases, SIMILAR TO, CURRENT_WATERMARK."""
+    out = _rewrite_window_tvf(query)
     for flink_name, spark_name in NAME_ALIASES.items():
         out = re.sub(
             rf"\b{flink_name}\s*\(", f"{spark_name}(", out, flags=re.IGNORECASE

@@ -334,3 +334,93 @@ def f_string4_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_ny"
         ),
     )
+
+
+@register(
+    "sql_window_tvf",
+    oracle="""
+    WITH tumble AS (
+      SELECT 'tumble' AS tvf,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS s
+      FROM events GROUP BY 2, 3
+    ), hop AS (
+      SELECT 'hop' AS tvf, ws AS window_start,
+             ws + INTERVAL '1 hour' AS window_end,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS s
+      FROM (
+        SELECT user_id,
+               UNNEST(generate_series(
+                   time_bucket(INTERVAL '15 minutes', ts)
+                     - INTERVAL '45 minutes',
+                   time_bucket(INTERVAL '15 minutes', ts),
+                   INTERVAL '15 minutes')) AS ws
+        FROM events
+      ) GROUP BY 2, 3
+    ), cml AS (
+      SELECT 'cumulate' AS tvf,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             UNNEST(generate_series(
+                 time_bucket(INTERVAL '15 minutes', ts)
+                   + INTERVAL '15 minutes',
+                 time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                 INTERVAL '15 minutes')) AS window_end,
+             user_id
+      FROM events
+    ), cml_agg AS (
+      SELECT tvf, window_start, window_end,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS s
+      FROM cml GROUP BY 1, 2, 3
+    )
+    SELECT * FROM tumble UNION ALL SELECT * FROM hop
+    UNION ALL SELECT * FROM cml_agg
+    """,
+    survey="S12 W1 W2 W3 2.8-temporal",
+)
+def sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's windowing-TVF SQL syntax runs VERBATIM through the dialect
+    layer [docs: queries/window-tvf]: ``TABLE(TUMBLE(TABLE events,
+    DESCRIPTOR(ts), INTERVAL '1' HOUR))`` (and HOP / CUMULATE) are
+    textually rewritten onto Spark subqueries that append
+    window_start/window_end/window_time — window() for TUMBLE, integer-µs
+    covering-window expansion for HOP/CUMULATE.  A Flink user's windowed
+    SQL pastes in unchanged; all three aggregates here are written in
+    pure Flink syntax and hash-match the relational replay."""
+    from ..functions.flink_sql import flink_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+
+    def agg(tvf_sql: str, tag: str) -> DataFrame:
+        return flink_sql(
+            spark,
+            f"""
+            SELECT window_start, window_end,
+                   COUNT(*) AS n, SUM(user_id) AS s
+            FROM {tvf_sql}
+            GROUP BY window_start, window_end
+            """,
+        ).select(
+            F.lit(tag).alias("tvf"), "window_start", "window_end", "n", "s"
+        )
+
+    t = agg(
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))",
+        "tumble",
+    )
+    h = agg(
+        "TABLE(HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE,"
+        " INTERVAL '1' HOUR))",
+        "hop",
+    )
+    c = agg(
+        "TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), INTERVAL '15' MINUTE,"
+        " INTERVAL '1' HOUR))",
+        "cumulate",
+    )
+    return t.unionByName(h).unionByName(c)

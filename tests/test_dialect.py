@@ -89,3 +89,35 @@ def test_dialect_shims_are_inlined_expressions_not_python_udfs(spark):
     assert all(r.a == "x" for r in rows)  # ['<id>','x','y'] → index 1
     assert [r.b for r in rows][:5] == [-1, -1, -1, 0, 1]  # '0'..'4' vs '3'
     assert rows[1].c == 1.11  # trunc(1.111, 2)
+
+
+def test_window_tvf_translation_shapes():
+    """The Flink windowing-TVF rewrite: TUMBLE maps to window(), HOP and
+    CUMULATE to covering-window expansions, SESSION raises."""
+    import pytest
+
+    from flink_1_19_source_spark.functions.flink_sql import translate
+
+    t = translate(
+        "SELECT * FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts),"
+        " INTERVAL '1' HOUR))"
+    )
+    assert "window(ts, '1 hour')" in t and "window_start" in t
+
+    h = translate(
+        "SELECT * FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),"
+        " INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+    )
+    assert "explode(sequence(0, 3))" in h and "window_end > ts" in h
+
+    c = translate(
+        "SELECT * FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),"
+        " INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+    )
+    assert "explode(sequence(1, 4))" in c
+
+    with pytest.raises(ValueError, match="SESSION"):
+        translate(
+            "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts),"
+            " INTERVAL '10' MINUTE))"
+        )
