@@ -221,10 +221,73 @@ def _rewrite_window_tvf(query: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Legacy group windows — the pre-TVF Flink syntax still common in the
+# wild [docs: queries/window-agg (legacy group window functions)]:
+#   GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)    + TUMBLE_START/END accessors
+#   GROUP BY HOP(ts, INTERVAL slide, INTERVAL size) + HOP_START/END
+# map 1:1 onto Spark's window() grouping expression (note HOP's argument
+# order flips: Flink is (slide, size), Spark window() is (size, slide)).
+# SESSION legacy group windows raise like the SESSION TVF.
+# ---------------------------------------------------------------------------
+_TUMBLE_ACC_RE = re.compile(
+    rf"\bTUMBLE_(START|END)\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
+_TUMBLE_GRP_RE = re.compile(
+    rf"\bTUMBLE\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
+_HOP_ACC_RE = re.compile(
+    rf"\bHOP_(START|END)\s*\(\s*(\w+)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)",
+    re.IGNORECASE,
+)
+_HOP_GRP_RE = re.compile(
+    rf"\bHOP\s*\(\s*(\w+)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
+_SESSION_GRP_RE = re.compile(
+    r"\bSESSION(_START|_END)?\s*\(\s*\w+\s*,\s*INTERVAL", re.IGNORECASE
+)
+
+
+def _rewrite_legacy_group_windows(query: str) -> str:
+    def dur(n: str, unit: str) -> str:
+        return f"{n} {unit.lower()}"
+
+    def tumble_acc(m: re.Match) -> str:
+        which, ts, n, unit = m.groups()
+        return f"window({ts}, '{dur(n, unit)}').{which.lower()}"
+
+    def tumble_grp(m: re.Match) -> str:
+        ts, n, unit = m.groups()
+        return f"window({ts}, '{dur(n, unit)}')"
+
+    def hop_acc(m: re.Match) -> str:
+        which, ts, sn, su, zn, zu = m.groups()
+        return (
+            f"window({ts}, '{dur(zn, zu)}', '{dur(sn, su)}')"
+            f".{which.lower()}"
+        )
+
+    def hop_grp(m: re.Match) -> str:
+        ts, sn, su, zn, zu = m.groups()
+        return f"window({ts}, '{dur(zn, zu)}', '{dur(sn, su)}')"
+
+    out = _TUMBLE_ACC_RE.sub(tumble_acc, query)
+    out = _TUMBLE_GRP_RE.sub(tumble_grp, out)
+    out = _HOP_ACC_RE.sub(hop_acc, out)
+    out = _HOP_GRP_RE.sub(hop_grp, out)
+    if _SESSION_GRP_RE.search(out):
+        raise ValueError(
+            "legacy SESSION group windows are not textually translatable "
+            "(keyed gap merge); use the session-window operators instead"
+        )
+    return out
+
+
 def translate(query: str, spark: SparkSession | None = None) -> str:
-    """Rewrite the Flink dialect onto Spark SQL: window TVFs, name
-    aliases, SIMILAR TO, CURRENT_WATERMARK."""
+    """Rewrite the Flink dialect onto Spark SQL: window TVFs, legacy
+    group windows, name aliases, SIMILAR TO, CURRENT_WATERMARK."""
     out = _rewrite_window_tvf(query)
+    out = _rewrite_legacy_group_windows(out)
     for flink_name, spark_name in NAME_ALIASES.items():
         out = re.sub(
             rf"\b{flink_name}\s*\(", f"{spark_name}(", out, flags=re.IGNORECASE

@@ -424,3 +424,66 @@ def sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulate",
     )
     return t.unionByName(h).unionByName(c)
+
+
+@register(
+    "sql_legacy_group_windows",
+    oracle="""
+    WITH tumble AS (
+      SELECT 'tumble' AS win,
+             time_bucket(INTERVAL '1 hour', ts) AS ws,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS s
+      FROM events GROUP BY 2, 3
+    ), hop AS (
+      SELECT 'hop' AS win, ws, ws + INTERVAL '1 hour' AS we,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS s
+      FROM (
+        SELECT user_id,
+               UNNEST(generate_series(
+                   time_bucket(INTERVAL '15 minutes', ts)
+                     - INTERVAL '45 minutes',
+                   time_bucket(INTERVAL '15 minutes', ts),
+                   INTERVAL '15 minutes')) AS ws
+        FROM events
+      ) GROUP BY 2, 3
+    )
+    SELECT * FROM tumble UNION ALL SELECT * FROM hop
+    """,
+    survey="S12 W1 W2",
+)
+def sql_legacy_group_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's LEGACY group-window syntax — ``GROUP BY TUMBLE(ts,
+    INTERVAL '1' HOUR)`` with ``TUMBLE_START``/``TUMBLE_END`` accessors,
+    and ``GROUP BY HOP(ts, slide, size)`` with ``HOP_START`` — runs
+    verbatim through the dialect layer [docs: legacy window aggregation].
+    The rewrite maps them onto Spark's ``window()`` grouping expression
+    (flipping HOP's slide/size argument order).  Pre-TVF Flink SQL is
+    still everywhere in production; a user's old queries paste in
+    unchanged."""
+    from ..functions.flink_sql import flink_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    t = flink_sql(
+        spark,
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS we,
+               COUNT(*) AS n, SUM(user_id) AS s
+        FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """,
+    ).select(F.lit("tumble").alias("win"), "ws", "we", "n", "s")
+    h = flink_sql(
+        spark,
+        """
+        SELECT HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR) AS ws,
+               HOP_END(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR) AS we,
+               COUNT(*) AS n, SUM(user_id) AS s
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+        """,
+    ).select(F.lit("hop").alias("win"), "ws", "we", "n", "s")
+    return t.unionByName(h)

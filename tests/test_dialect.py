@@ -121,3 +121,30 @@ def test_window_tvf_translation_shapes():
             "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts),"
             " INTERVAL '10' MINUTE))"
         )
+
+
+def test_legacy_group_window_translation_shapes():
+    import pytest
+
+    from flink_1_19_source_spark.functions.flink_sql import translate
+
+    q = translate(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, COUNT(*) n "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hour').start" in q
+    assert "GROUP BY window(ts, '1 hour')" in q
+
+    # HOP arg order flips: Flink (slide, size) -> Spark (size, slide)
+    q = translate(
+        "SELECT HOP_END(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR) "
+        "FROM events GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hour', '15 minute').end" in q
+    assert "GROUP BY window(ts, '1 hour', '15 minute')" in q
+
+    with pytest.raises(ValueError, match="SESSION"):
+        translate(
+            "SELECT COUNT(*) FROM events "
+            "GROUP BY SESSION(ts, INTERVAL '10' MINUTE)"
+        )
