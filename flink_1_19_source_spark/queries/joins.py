@@ -460,3 +460,46 @@ def j8b_window_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(
         r, (F.col("user_id") == F.col("r_user")) & (F.col("w") == F.col("rw")), "left"
     ).select("l_id", "r_id", F.col("w.start").alias("window_start"))
+
+
+@register(
+    "j8c_window_join_full",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id,
+           COALESCE(time_bucket(INTERVAL '1 hour', l.ts),
+                    time_bucket(INTERVAL '1 hour', r.ts)) AS window_start
+    FROM (SELECT * FROM events WHERE event_type = 'signup') l
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND time_bucket(INTERVAL '1 hour', l.ts)
+         = time_bucket(INTERVAL '1 hour', r.ts)
+    """,
+    survey="J8 J2 W1",
+)
+def j8c_window_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER window join — the last of Flink's window-join variants
+    [docs: queries/window-join]: signups x same-user errors inside the
+    same 1 h tumble, null-padded on BOTH sides (signup-without-incident
+    AND incident-without-signup windows survive).  Same (user, window
+    struct) hash-join key as the inner/left variants; window_start
+    coalesces across sides since either may be null-padded."""
+    e = load_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("l_user"),
+        F.window("ts", "1 hour").alias("lw"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user"),
+        F.window("ts", "1 hour").alias("rw"),
+        F.col("event_id").alias("r_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user")) & (F.col("lw") == F.col("rw")),
+        "full_outer",
+    ).select(
+        "l_id",
+        "r_id",
+        F.coalesce(F.col("lw.start"), F.col("rw.start")).alias("window_start"),
+    )

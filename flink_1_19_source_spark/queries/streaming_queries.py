@@ -970,3 +970,70 @@ def s_window_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, joined, "s_wjoin_outer_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
     )
+
+
+@register(
+    "s_window_join_full_stream",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'signup'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'error')
+             ) - INTERVAL 10 MINUTE AS w
+    ),
+    l AS (SELECT user_id, event_id AS l_id,
+                 time_bucket(INTERVAL '1 hour', ts) AS ws
+          FROM events WHERE event_type = 'signup'),
+    r AS (SELECT user_id, event_id AS r_id,
+                 time_bucket(INTERVAL '1 hour', ts) AS ws
+          FROM events WHERE event_type = 'error'),
+    matched AS (
+      SELECT l.l_id, r.r_id, l.ws FROM l JOIN r
+        ON l.user_id = r.user_id AND l.ws = r.ws
+    )
+    SELECT l_id, r_id, ws AS window_start FROM matched
+    UNION ALL
+    SELECT l.l_id, NULL AS r_id, l.ws AS window_start
+    FROM l, wm
+    WHERE l.l_id NOT IN (SELECT l_id FROM matched)
+      AND l.ws + INTERVAL 1 HOUR < wm.w
+    UNION ALL
+    SELECT NULL AS l_id, r.r_id, r.ws AS window_start
+    FROM r, wm
+    WHERE r.r_id NOT IN (SELECT r_id FROM matched)
+      AND r.ws + INTERVAL 1 HOUR < wm.w
+    """,
+    survey="J8-S J2 X1",
+    tags=("streaming",),
+)
+def s_window_join_full_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER streaming window join — both sides null-pad once the
+    watermark passes their window's end (signup-without-incident AND
+    incident-without-signup windows emit); completes Flink's window-join
+    outer family on the streaming tier.  Same min-of-filtered-watermarks
+    eviction rule as the left-outer twin."""
+    wd = _work_dir(sf_dir, "s_wjoin_full")
+    sdf1 = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    sdf2 = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    left = sdf1.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = sdf2.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    joined = ops.window_join(
+        left, right, keys=["user_id"], left_ts="l_ts", right_ts="r_ts",
+        size="1 hour", how="fullOuter",
+    ).select("l_id", "r_id", "window_start")
+    return _drain_to_memory(
+        spark, joined, "s_wjoin_full_q",
+        sinks.plan_sink("stream_stream_join").output_mode, wd,
+    )
