@@ -420,3 +420,63 @@ def test_skip_mode_laws(spark, sf_dir):
         cep.match_recognize_skip(
             e, "user_id", "ts", "event_id", sym, "CB*C", skip="bogus"
         )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_fuzz(w, h, seed):
+    """PNG codec: any pixel buffer round-trips losslessly at any
+    dimensions (every filter type participates for h >= 5)."""
+    import random
+
+    from flink_1_19_source_spark.operators import png_codec as pc
+
+    rng = random.Random(seed)
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    rw, rh, out = pc.decode_png(pc.encode_png(pixels, w, h))
+    assert (rw, rh, out) == (w, h, pixels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 64),
+    channels=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_fuzz(n, channels, seed):
+    import random
+
+    from flink_1_19_source_spark.operators import wav_codec as wc
+
+    rng = random.Random(seed)
+    samples = [rng.randrange(-32768, 32768) for _ in range(n * channels)]
+    rate, ch, out = wc.decode_wav(
+        wc.encode_wav(samples, sample_rate=8000, channels=channels)
+    )
+    assert (rate, ch, out) == (8000, channels, samples)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    nf=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_codec_roundtrip_fuzz(w, h, nf, seed):
+    """AVI codec: frames of any odd/even stride round-trip exactly
+    (exercises the DIB row-padding and bottom-up/BGR inversions)."""
+    import random
+
+    from flink_1_19_source_spark.operators import avi_codec as ac
+
+    rng = random.Random(seed)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(nf)
+    ]
+    rw, rh, fps, out = ac.decode_avi(ac.encode_avi(frames, w, h))
+    assert (rw, rh, out) == (w, h, frames)
