@@ -759,8 +759,15 @@ def n2_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # logit exactly — both engines evaluate the identical left-to-right
 # float expression, making the hash bit-stable without trusting libm.
 
-_QC_W = ("0.01", "-0.002", "0.05", "-0.03", "0.004")
-_QC_B = "-1.0"
+# weights in MILLI units: the logit is computed as integer milli-units
+# (10*f1 - 2*f2 + 50*f3 - 30*f4 + 4*f5 + 50) so the keep gate is pure
+# integer arithmetic — no engine's float-vs-decimal literal semantics can
+# flip a boundary document (DuckDB parses 0.01 as DECIMAL; Spark floats).
+_QC_MILLI = (10, -2, 50, -30, 4)
+# bias (milli) chosen so the keep gate genuinely SPLITS the test corpora
+# (~half kept at every SF) — a threshold no document ever crosses would
+# certify the gate vacuously
+_QC_B_MILLI = 50
 
 
 @register(
@@ -780,12 +787,13 @@ _QC_B = "-1.0"
       FROM documents
     )
     SELECT doc_id, f_tokens, f_chars, f_punct, f_digits, f_upper,
-           ROUND({_QC_W[0]} * f_tokens + {_QC_W[1]} * f_chars
-                 + {_QC_W[2]} * f_punct + {_QC_W[3]} * f_digits
-                 + {_QC_W[4]} * f_upper + {_QC_B}, 9) AS logit,
-           ({_QC_W[0]} * f_tokens + {_QC_W[1]} * f_chars
-                 + {_QC_W[2]} * f_punct + {_QC_W[3]} * f_digits
-                 + {_QC_W[4]} * f_upper + {_QC_B}) >= 0 AS keep
+           ROUND(({_QC_MILLI[0]} * f_tokens + {_QC_MILLI[1]} * f_chars
+                 + {_QC_MILLI[2]} * f_punct + {_QC_MILLI[3]} * f_digits
+                 + {_QC_MILLI[4]} * f_upper + {_QC_B_MILLI})
+                 / 1000.0, 9) AS logit,
+           ({_QC_MILLI[0]} * f_tokens + {_QC_MILLI[1]} * f_chars
+                 + {_QC_MILLI[2]} * f_punct + {_QC_MILLI[3]} * f_digits
+                 + {_QC_MILLI[4]} * f_upper + {_QC_B_MILLI}) >= 0 AS keep
     FROM feats
     """,
     survey="N4 2.10",
@@ -819,20 +827,28 @@ def n4_model_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_removed(r"[0-9]").alias("f_digits"),
         count_removed(r"[A-Z]").alias("f_upper"),
     )
-    w = [float(x) for x in _QC_W]
-    b = float(_QC_B)
+    w = list(_QC_MILLI)
+    b = _QC_B_MILLI
 
     @pandas_udf(DoubleType())
     def model(
         f1: pd.Series, f2: pd.Series, f3: pd.Series, f4: pd.Series, f5: pd.Series
     ) -> pd.Series:
-        # fixed left-to-right accumulation — bit-identical to the SQL
-        # expression; a real model would run its matmul here instead
-        return w[0] * f1 + w[1] * f2 + w[2] * f3 + w[3] * f4 + w[4] * f5 + b
+        # integer milli-unit accumulation, ONE final float division —
+        # exact on any engine; a real model would run its matmul here
+        milli = w[0] * f1 + w[1] * f2 + w[2] * f3 + w[3] * f4 + w[4] * f5 + b
+        return milli / 1000.0
 
     logit = model("f_tokens", "f_chars", "f_punct", "f_digits", "f_upper")
+    # the keep gate is PURE integer arithmetic — boundary docs cannot
+    # flip between engines' float/decimal literal semantics
+    milli_expr = (
+        w[0] * F.col("f_tokens") + w[1] * F.col("f_chars")
+        + w[2] * F.col("f_punct") + w[3] * F.col("f_digits")
+        + w[4] * F.col("f_upper") + b
+    )
     return feats.select(
         "doc_id", "f_tokens", "f_chars", "f_punct", "f_digits", "f_upper",
         F.round(logit, 9).alias("logit"),
-        (logit >= 0).alias("keep"),
+        (milli_expr >= 0).alias("keep"),
     )

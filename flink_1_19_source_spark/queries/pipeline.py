@@ -552,13 +552,10 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N7 #2 — multimodal pipeline: model gate → verbatim-overlap dedup →
 #          real decode → per-language corpus report
 # --------------------------------------------------------------------------
-_PME_THRESH = "-1.05"  # model-gate logit threshold (keeps ~half the docs)
-
-
 def _pme_oracle() -> str:
-    from .llm2 import _QC_B, _QC_W, _SSD_DF_CAP, _SSD_K
+    from .llm2 import _QC_B_MILLI, _QC_MILLI, _SSD_DF_CAP, _SSD_K
 
-    w = _QC_W
+    w = _QC_MILLI
     return f"""
     WITH base AS (
       SELECT doc_id, text, lang FROM documents WHERE doc_id < 300
@@ -573,10 +570,10 @@ def _pme_oracle() -> str:
                  - LEN(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
              + {w[4]} * CAST(LEN(text)
                  - LEN(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT)
-             + {_QC_B} AS logit
+             + {_QC_B_MILLI} AS milli
       FROM base
     ), gated AS (
-      SELECT * FROM feats WHERE logit >= {_PME_THRESH}
+      SELECT * FROM feats WHERE milli >= 0
     ), g AS (
       SELECT doc_id, UNNEST(range(1, LEN(text) - {_SSD_K} + 2)) AS pos, text
       FROM gated WHERE LEN(text) >= {_SSD_K}
@@ -636,7 +633,7 @@ def pipeline_media_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped gram-hash join, decode is map-only — one keyed shuffle
     plus the final small agg."""
     from .llm import _png_feature_pipeline
-    from .llm2 import _QC_B, _QC_W, _SSD_DF_CAP, _SSD_K
+    from .llm2 import _QC_B_MILLI, _QC_MILLI, _SSD_DF_CAP, _SSD_K
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     t = F.col("text")
@@ -646,18 +643,18 @@ def pipeline_media_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
         ).cast("long")
 
-    w = [float(x) for x in _QC_W]
-    logit = (
+    w = list(_QC_MILLI)
+    # integer milli-unit gate (see llm2._QC_MILLI): boundary docs cannot
+    # flip between engines' float/decimal literal semantics
+    milli = (
         w[0] * F.size(F.split(F.trim(t), r"\s+")).cast("long")
         + w[1] * F.length(t).cast("long")
         + w[2] * count_removed(r"[.,!?;]")
         + w[3] * count_removed(r"[0-9]")
         + w[4] * count_removed(r"[A-Z]")
-        + float(_QC_B)
+        + F.lit(_QC_B_MILLI)
     )
-    gated = d.select("doc_id", "text", "lang").filter(
-        logit >= float(_PME_THRESH)
-    )
+    gated = d.select("doc_id", "text", "lang").filter(milli >= 0)
     n_base = d.count()
     n_gated = gated.count()
 
