@@ -359,13 +359,19 @@ def s_crash_resume_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+    ), delivered AS (
+      -- the post-upgrade source only carries the migrated user cohort
+      -- (user_id % 3 <> 0), so a third of the users keep their
+      -- pre-upgrade state — the NULL-quality branch is real, not vacuous
+      SELECT * FROM events
+      WHERE epoch_us(ts) <= (SELECT mid FROM b) OR user_id % 3 <> 0
     ), ranked AS (
       SELECT user_id, event_id, ts,
              CASE WHEN epoch_us(ts) > (SELECT mid FROM b)
                   THEN event_id % 97 END AS quality,
              ROW_NUMBER() OVER (
                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM delivered
     )
     SELECT user_id, event_id AS last_event_id,
            CAST(quality AS BIGINT) AS quality
@@ -463,9 +469,12 @@ def s_restart_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # upgrade: source gains a quality column; restart on the SAME
     # checkpoint + sink state with the WIDER schema
-    v2 = e.filter(F.unix_micros("ts") > mid).withColumn(
-        "quality", (F.col("event_id") % 97).cast("long")
-    )
+    # only the migrated cohort flows after the upgrade: users with
+    # user_id % 3 == 0 never get post-upgrade rows, so their pre-upgrade
+    # state must survive in place with NULL quality
+    v2 = e.filter(
+        (F.unix_micros("ts") > mid) & (F.col("user_id") % 3 != 0)
+    ).withColumn("quality", (F.col("event_id") % 97).cast("long"))
     publish(v2, ["chunk-0002.parquet", "chunk-0003.parquet"])
     drain(v2.schema)
 
