@@ -36,6 +36,7 @@ from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 from . import llm2  # noqa: F401  (PII, contamination, repetition, packing)
 from . import aggregates2  # noqa: F401  (JSON_OBJECTAGG family, portable Bloom)
 from . import dialect3  # noqa: F401  (ALTER/TRUNCATE/LIKE, SQL UDFs, ANALYZE)
+from . import llm3  # noqa: F401  (streaming LSH dedup, DSIR resampling)
 
 from ..registry import REGISTRY
 

@@ -1,0 +1,282 @@
+"""Round-6 LLM-pipeline continuations (SURVEY §2.11 N2/N6, X2/X4).
+
+Streaming incremental MinHash-LSH dedup (the online twin of
+n1_incremental_dedup / n2_minhash_lsh_pairs) and DSIR-style hashed-n-gram
+importance resampling.  Same oracle discipline as queries/llm.py: the
+seeded permutation constants are embedded as SQL literals so DuckDB
+replays the exact hashes and the driver value-hash-checks everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..registry import register
+from ..tables import load_table
+
+from .llm import _SHINGLE_HASH_CTES
+
+
+# --------------------------------------------------------------------------
+# N2-S — streaming incremental MinHash-LSH dedup
+# --------------------------------------------------------------------------
+def _s_minhash_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """Whole-stream replay of the online dedup: a doc's dup_of is the
+    smallest earlier doc_id sharing ANY band bucket (arrival order ==
+    doc_id order in the replay), n_dup_bands counts the bands that hit."""
+    pa, pb = dedup.minhash_perms(num_hashes, seed)
+    rpb = num_hashes // bands
+    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb)))
+    return f"""
+    WITH {_SHINGLE_HASH_CTES},
+    perms(k, a, b) AS (VALUES {perms}),
+    sig AS (
+      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
+      FROM hv CROSS JOIN perms GROUP BY doc_id, k
+    ), bandkey AS (
+      SELECT doc_id, k // {rpb} AS band,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
+      FROM sig GROUP BY doc_id, k // {rpb}
+    ), m AS (
+      SELECT b.doc_id, MIN(a.doc_id) AS dup_of,
+             CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_dup_bands
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup,
+           COALESCE(m.n_dup_bands, 0) AS n_dup_bands
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    """
+
+
+@register(
+    "s_minhash_dedup_stream",
+    oracle=_s_minhash_oracle(),
+    survey="N2 N1-S X2 X4",
+    tags=("streaming",),
+)
+def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental MinHash-LSH dedup — the online near-dup
+    gate a training-data ingest pipeline runs continuously: each arriving
+    micro-batch of documents is (1) MinHash-signed and banded (one Arrow
+    pass, no shuffle), (2) probed against the accumulated band-bucket
+    index PLUS its own earlier rows (one join keyed on the band bucket —
+    work ∝ bucket hits, never corpus²), and (3) appended to the index.
+
+    State is an APPEND-ONLY bucket log: each batch writes only its own
+    O(batch) segment (`seg-<bid>`, overwrite ⇒ idempotent on crash
+    replay), never rewriting history — the 100 TB shape, where the index
+    is a date-partitioned table and today's ingest probes it without
+    touching yesterday's files (same contract as n1_incremental_dedup's
+    broadcast-digest history).  A replayed batch re-probes against a
+    state that may already contain its own rows; the strict `<` on
+    doc_id and the MIN/COUNT(DISTINCT) aggregates make the verdicts
+    identical, so crash-resume converges (X4).
+
+    Verdict per doc: (doc_id, dup_of = min earlier doc sharing a band,
+    is_dup, n_dup_bands).  The drained stream hash-matches the one-shot
+    whole-corpus LSH replay (the oracle), estimate-free: banding is
+    exact given the signatures.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
+
+    wd = _work_dir(sf_dir, "s_mhdedup")
+    run = uuid.uuid4().hex[:8]
+    state_dir = os.path.join(wd, f"state-{run}")
+    out_dir = os.path.join(wd, f"out-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+
+    def fold(batch, bid: int) -> None:
+        buckets = dedup.minhash_band_buckets(
+            batch, "doc_id", "text", n=3, num_hashes=32, bands=8
+        )
+        flat = buckets.select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        ).localCheckpoint(eager=True)
+        earlier = flat.select(F.col("id").alias("eid"), "band", "key")
+        segs = sorted(_glob.glob(os.path.join(state_dir, "seg-*")))
+        if segs:
+            hist = spark.read.parquet(*segs)
+            earlier = earlier.unionByName(
+                hist.select(F.col("id").alias("eid"), "band", "key")
+            )
+        hits = (
+            flat.join(earlier, ["band", "key"])
+            .filter(F.col("eid") < F.col("id"))
+            .groupBy("id")
+            .agg(
+                F.min("eid").alias("dup_of"),
+                F.countDistinct("band").alias("n_dup_bands"),
+            )
+        )
+        verdicts = (
+            batch.select("doc_id")
+            .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "dup_of",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                F.coalesce("n_dup_bands", F.lit(0)).cast("long").alias("n_dup_bands"),
+            )
+        )
+        # overwrite per-batch paths ⇒ replay-idempotent emission and state
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"out-{bid:04d}")
+        )
+        flat.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"seg-{bid:04d}")
+        )
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    outs = sorted(_glob.glob(os.path.join(out_dir, "out-*")))
+    res = (
+        spark.read.parquet(*outs)
+        .select("doc_id", "dup_of", "is_dup", "n_dup_bands")
+        .localCheckpoint(eager=True)
+    )
+    for d in (state_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return res
+
+
+# --------------------------------------------------------------------------
+# N6 — DSIR-style hashed-n-gram importance resampling
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "n6_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), bt AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+      FROM tok
+    ), target AS (
+      SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b
+    ), raw AS (
+      SELECT b, COUNT(*) AS rc FROM bt GROUP BY b
+    ), totals AS (
+      SELECT (SELECT SUM(tc) FROM target) AS tt,
+             (SELECT SUM(rc) FROM raw) AS rt
+    ), scored AS (
+      SELECT bt.doc_id, bt.lang,
+             SUM(COALESCE(target.tc, 0) * totals.rt
+                 - raw.rc * totals.tt) AS score,
+             COUNT(*) AS n_tokens
+      FROM bt
+      LEFT JOIN target ON target.b = bt.b
+      JOIN raw ON raw.b = bt.b
+      CROSS JOIN totals
+      GROUP BY bt.doc_id, bt.lang
+    )
+    SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           score > 0 AS keep,
+           CAST(CASE WHEN score > 0 THEN
+                  ROW_NUMBER() OVER (PARTITION BY (score > 0)
+                                     ORDER BY score DESC, doc_id)
+                ELSE NULL END AS BIGINT) AS sample_rank
+    FROM scored
+    """,
+    survey="N6 N4",
+)
+def n6_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored importance resampling [Xie et al. 2023, Data
+    Selection for Language Models via Importance Resampling]: documents
+    are scored by how target-like their hashed-n-gram feature profile is,
+    then the over-represented ones are kept/ranked for resampling.
+
+    Engine-exact variant: instead of log-probability ratios (libm-
+    dependent), the per-bucket weight is the INTEGER cross-difference
+    ``target_count·raw_total − raw_count·target_total`` — positive iff
+    the bucket is over-represented in the target distribution (here:
+    lang='en' docs), and a document's score is the exact BIGINT sum of
+    its token-occurrence weights.  Rank order equals the rational-
+    arithmetic ratio ranking; nothing floats, so both engines agree
+    bit-for-bit.
+
+    Scale shape: tokens hash into 1024 buckets, the
+    target/raw count tables are O(buckets) and broadcast into the
+    per-token join; the corpus shuffles once on the bucket id.  At
+    100 TB the count tables are a side output of the same scan,
+    refreshed per snapshot — no per-doc state anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    bt = tok.select("doc_id", "lang", bucket.alias("b"))
+    target = bt.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = target.agg(F.sum("tc")).collect()[0][0]
+    rt = raw.agg(F.sum("rc")).collect()[0][0]
+    weights = (
+        raw.join(target, "b", "left")
+        .select(
+            "b",
+            (
+                F.coalesce("tc", F.lit(0)) * F.lit(int(rt))
+                - F.col("rc") * F.lit(int(tt))
+            ).alias("w"),
+        )
+    )
+    scored = (
+        bt.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w").cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy(F.col("score") > 0).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        "n_tokens",
+        (F.col("score") > 0).alias("keep"),
+        F.when(
+            F.col("score") > 0, F.row_number().over(rank_w).cast("long")
+        ).alias("sample_rank"),
+    )
