@@ -140,6 +140,69 @@ def match_counts(
     )
 
 
+def match_recognize_measures(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    count_syms: tuple[str, ...] = (),
+) -> DataFrame:
+    """MATCH_RECOGNIZE with per-symbol MEASURES over an arbitrary pattern
+    — alternations (``(C|V)`` ≡ ``[CV]``) and bounded quantifiers
+    (``{m,n}``) included [docs: match_recognize#defining-a-pattern].
+
+    MEASURES: ``n_rows`` (COUNT(*)) plus one ``n_<s>`` column per entry
+    of ``count_syms`` (COUNT(s.*)), FIRST/LAST ts, start/end ids.
+    Default AFTER MATCH SKIP PAST LAST ROW (non-overlapping, leftmost).
+    Same scale shape as match_recognize_lite: one shuffle on the key,
+    linear per-key scan, Arrow transfer."""
+    compiled = re.compile(pattern)
+    fields = [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+    fields += [StructField(f"n_{s.lower()}", LongType()) for s in count_syms]
+    fields += [
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+    schema = StructType(fields)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        s = "".join(pdf["__sym"])
+        ids = pdf[id_col].to_numpy()
+        tss = pdf[ts_col].to_numpy()
+        key = int(pdf[key_col].iloc[0])
+        out = []
+        for i, m in enumerate(compiled.finditer(s)):
+            a, b = m.start(), m.end() - 1
+            seg = s[a : b + 1]
+            out.append(
+                (
+                    key,
+                    i + 1,
+                    int(ids[a]),
+                    int(ids[b]),
+                    b - a + 1,
+                    *(seg.count(cs) for cs in count_syms),
+                    tss[a],
+                    tss[b],
+                )
+            )
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    prepared = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
+    )
+    return prepared.groupBy(key_col).applyInPandas(run, schema)
+
+
 SKIP_SCHEMA = StructType(
     [
         StructField("key", LongType()),

@@ -410,3 +410,75 @@ def x5_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", "event_id", sym, _PERMUTE_PATTERN,
         skip="to_next_row",
     ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "x5_quantifier_alternation",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'view' THEN 'V'
+                             WHEN 'purchase' THEN 'P'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), cum AS (
+      SELECT *,
+             SUM(CASE WHEN sym = 'C' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS cc,
+             SUM(CASE WHEN sym = 'V' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS cv,
+             MIN(CASE WHEN sym NOT IN ('C', 'V') THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nrun
+      FROM ev
+    ), m AS (
+      SELECT s.user_id, s.rn AS srn,
+             s.event_id AS start_id, e.event_id AS end_id,
+             e.rn - s.rn + 1 AS n_rows,
+             e.cc - s.cc AS n_c, e.cv - s.cv AS n_v,
+             s.ts AS first_ts, e.ts AS last_ts
+      FROM cum s JOIN cum e
+        ON e.user_id = s.user_id AND e.rn = s.nrun
+      WHERE s.sym = 'S' AND e.sym = 'P'
+        AND e.rn - s.rn - 1 BETWEEN 2 AND 3
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn)
+                AS BIGINT) AS match_no,
+           start_id, end_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_c AS BIGINT) AS n_c,
+           CAST(n_v AS BIGINT) AS n_v,
+           first_ts, last_ts
+    FROM m
+    """,
+    survey="X5",
+)
+def x5_quantifier_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (S (C|V){2,3} P)`` — alternation inside
+    a BOUNDED quantifier [docs: match_recognize#pattern quantifiers],
+    with per-variable MEASURES COUNT(C.*)/COUNT(V.*): a signup, then two
+    or three click-or-view events, closed by a purchase.  Because P and
+    S both terminate a [CV]-run, the quantifier must consume the ENTIRE
+    run between S and the next non-[CV] row — so greedy non-overlapping
+    matching (AFTER MATCH SKIP PAST LAST ROW) is provably equivalent to
+    the relational replay: S matches iff its following click/view run
+    has length 2..3 and ends at a purchase.  The oracle exploits exactly
+    that: next-non-[CV] window + prefix-sum C/V counts, no regex."""
+    e = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("X")
+    )
+    return cep.match_recognize_measures(
+        e, "user_id", "ts", "event_id", sym, "S[CV]{2,3}P",
+        count_syms=("C", "V"),
+    ).withColumnRenamed("key", "user_id")
