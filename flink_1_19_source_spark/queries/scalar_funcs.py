@@ -549,3 +549,54 @@ def f_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("entries"),
     )
+
+
+@register(
+    "f_math2_family",
+    oracle="""
+    SELECT p_partkey,
+           ROUND((EXP(p_size / 50.0) - EXP(-(p_size / 50.0))) / 2, 9) AS snh,
+           ROUND((EXP(p_size / 50.0) + EXP(-(p_size / 50.0))) / 2, 9) AS csh,
+           ROUND((EXP(p_size / 25.0) - 1) / (EXP(p_size / 25.0) + 1), 9)
+             AS tnh,
+           ROUND(COT(p_size / 10.0), 9) AS ct,
+           ROUND(LOG2(p_size), 9) AS lg2,
+           ROUND(LOG(2, p_retailprice), 9) AS lgb,
+           ROUND(CBRT(p_retailprice), 9) AS cb,
+           CAST(FACTORIAL(p_size % 10) AS BIGINT) AS fact,
+           CAST(((p_size - 25) % 7 + 7) % 7 AS INTEGER) AS pm,
+           CAST(BIT_COUNT(p_size) AS INTEGER) AS bc,
+           ROUND(SQRT(CAST(p_size * p_size + 100 AS DOUBLE)), 9) AS hyp,
+           ROUND(EXP(1), 9) AS e_const,
+           FLOOR(p_retailprice / 10) * 10 AS trunc_neg1
+    FROM part WHERE p_partkey <= 60
+    """,
+    survey="2.8-math",
+)
+def f_math2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins wave 2 [docs: systemfunctions#arithmetic]:
+    SINH/COSH/TANH (DuckDB 1.0 lacks the hyperbolics — the oracle
+    composes them from EXP; both sides agree at 9 digits on bounded
+    inputs), COT, LOG2, two-arg LOG, CBRT, FACTORIAL, PMOD (the oracle
+    replays Spark's always-positive semantics as ((x%n)+n)%n), BIN-free
+    BIT_COUNT, HYPOT (composed as sqrt(x²+y²) in the oracle), the E()
+    constant, and TRUNCATE with a negative digit count (floor to tens)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    sz = F.col("p_size")
+    pr = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.sinh(sz / 50.0), 9).alias("snh"),
+        F.round(F.cosh(sz / 50.0), 9).alias("csh"),
+        F.round(F.tanh(sz / 50.0), 9).alias("tnh"),
+        F.round(F.cot(sz / 10.0), 9).alias("ct"),
+        F.round(F.log2(sz), 9).alias("lg2"),
+        F.round(F.log(2.0, pr), 9).alias("lgb"),
+        F.round(F.cbrt(pr), 9).alias("cb"),
+        F.factorial(sz % 10).cast("long").alias("fact"),
+        F.pmod(sz - 25, F.lit(7)).cast("int").alias("pm"),
+        F.bit_count(sz).cast("int").alias("bc"),
+        F.round(F.hypot(sz.cast("double"), F.lit(10.0)), 9).alias("hyp"),
+        F.round(F.exp(F.lit(1.0)), 9).alias("e_const"),
+        (F.floor(pr / 10) * 10).cast("double").alias("trunc_neg1"),
+    )
