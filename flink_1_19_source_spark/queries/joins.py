@@ -503,3 +503,51 @@ def j8c_window_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_id",
         F.coalesce(F.col("lw.start"), F.col("rw.start")).alias("window_start"),
     )
+
+
+@register(
+    "j8d_hop_window_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ws, COUNT(*) AS n_clicks FROM (
+        SELECT user_id, UNNEST(generate_series(
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+            time_bucket(INTERVAL '30 minutes', ts),
+            INTERVAL '30 minutes')) AS ws
+        FROM events WHERE event_type = 'click')
+      GROUP BY user_id, ws
+    ), e AS (
+      SELECT user_id, ws, COUNT(*) AS n_errors FROM (
+        SELECT user_id, UNNEST(generate_series(
+            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+            time_bucket(INTERVAL '30 minutes', ts),
+            INTERVAL '30 minutes')) AS ws
+        FROM events WHERE event_type = 'error')
+      GROUP BY user_id, ws
+    )
+    SELECT c.user_id, c.ws AS window_start, c.n_clicks, e.n_errors
+    FROM c JOIN e ON c.user_id = e.user_id AND c.ws = e.ws
+    """,
+    survey="J8 W2",
+)
+def j8d_hop_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join over HOP windows [docs: queries/window-join — works
+    with TUMBLE, HOP and CUMULATE TVFs]: both sides are exploded to
+    their 2 covering hop windows (size 1 h, slide 30 min), aggregated
+    per (key, window), then equi-joined on (key, window_start) — the
+    same hash-join shape as the tumble variant j8_window_join, with the
+    2× row expansion happening map-side before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+
+    def per_type(event_type: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .groupBy("user_id", win.alias("w"))
+            .agg(F.count(F.lit(1)).alias(out))
+            .select("user_id", F.col("w.start").alias("window_start"), out)
+        )
+
+    clicks = per_type("click", "n_clicks")
+    errors = per_type("error", "n_errors")
+    return clicks.join(errors, ["user_id", "window_start"])

@@ -272,3 +272,45 @@ def o2b_lead_lag_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value", 2, -1.0).over(w).alias("lead2"),
         F.lag("event_type", 1, "none").over(w).alias("prev_type"),
     )
+
+
+@register(
+    "o6b_topn_with_ties",
+    oracle="""
+    SELECT user_id, event_id, vb, rnk, drk FROM (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value / 100) AS BIGINT) AS vb,
+               CAST(RANK() OVER (PARTITION BY user_id
+                                 ORDER BY FLOOR(value / 100) DESC)
+                    AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                                       ORDER BY FLOOR(value / 100) DESC)
+                    AS BIGINT) AS drk
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rnk <= 3
+    """,
+    survey="O6 O1",
+)
+def o6b_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N WITH TIES — Flink's Top-N pattern with RANK() instead of
+    ROW_NUMBER() [docs: queries/topn — rank functions]: every row whose
+    value bucket ties into the top 3 ranks survives, so group sizes
+    vary with the data (the bucketed ordering key makes ties real, not
+    accidental).  DENSE_RANK rides along as the gap-free variant.  Same
+    rank-limit plan shape as o6_topn_pattern: per-partition pre-rank
+    before the shuffle keeps the skew story intact."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    vb = F.floor(F.col("value") / 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(vb.desc())
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            vb.alias("vb"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
