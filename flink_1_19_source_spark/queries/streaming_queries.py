@@ -1037,3 +1037,71 @@ def s_window_join_full_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, joined, "s_wjoin_full_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
     )
+
+
+@register(
+    "s_three_way_interval_join_stream",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           e.event_id AS error_id
+    FROM events s
+    JOIN events p ON s.user_id = p.user_id AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+    JOIN events e ON e.user_id = s.user_id AND e.event_type = 'error'
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+    WHERE s.event_type = 'signup'
+    """,
+    survey="J5-S X1 X2",
+    tags=("streaming",),
+)
+def s_three_way_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stream-stream-stream interval join — Flink pipelines
+    arbitrary-length streaming join chains [docs: queries/joins]; Spark
+    since the multiple-stateful-operator support runs them in one query:
+    signup → same-user purchase within 1 day → same-user error within
+    1 day of THAT purchase.  Only the three source streams carry
+    withWatermark; the intermediate join's event-time column (p_ts)
+    keeps its watermark METADATA through the select, and re-defining it
+    would throw — the second join keys its state eviction off the
+    propagated watermark.  Each join is keyed state bounded by its time
+    range; inner emission is eager (no watermark wait), so the drained
+    chain equals the 3-way batch join (the oracle)."""
+    from ..streaming.ops import with_bounded_out_of_orderness as _wboo
+
+    sdf1, wd = _events_stream(spark, sf_dir, "s_chain3")
+    sdf2, _ = _events_stream(spark, sf_dir, "s_chain3")
+    sdf3, _ = _events_stream(spark, sf_dir, "s_chain3")
+    s = sdf1.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("signup_id")
+    )
+    p = sdf2.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    e = sdf3.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_uid"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    j1 = (
+        _wboo(s, "s_ts", "10 minutes")
+        .join(
+            _wboo(p, "p_ts", "10 minutes"),
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+        )
+        .select("user_id", "signup_id", "purchase_id", "p_ts")
+    )
+    j2 = j1.join(
+        _wboo(e, "e_ts", "10 minutes"),
+        (F.col("user_id") == F.col("e_uid"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    out = j2.select("signup_id", "purchase_id", "error_id")
+    return _drain_to_memory(
+        spark, out, "s_chain3_q",
+        sinks.plan_sink("stream_stream_join").output_mode, wd,
+    )
