@@ -76,6 +76,13 @@ INVARIANT_QUERIES = [
     # outer window join: null emission gated on the final min-of-sides
     # watermark, matches data-driven — same invariance as interval outer
     "s_window_join_outer_stream",
+    # incremental LSH dedup: dup_of = min earlier doc sharing a band is a
+    # pure function of doc_id order (strict <), and the append-only index
+    # is a set union — any batch composition yields the same verdicts
+    "s_minhash_dedup_stream",
+    # chained 3-way interval join: inner matches are data-driven; both
+    # join states evict strictly after their time bounds at any slicing
+    "s_three_way_interval_join_stream",
 ]
 
 
