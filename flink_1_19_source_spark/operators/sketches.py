@@ -175,3 +175,68 @@ def bloom_probe(
         )
         .select("key", (F.col("n_hit") == F.col("n_pos")).alias("member"))
     )
+
+
+# -- bottom-k priority sample (mergeable quantile sketch) ------------------
+
+def bottomk_priority(id_col: str = "event_id") -> F.Column:
+    """The 60-bit md5 priority used by the bottom-k sample — identical in
+    DuckDB as CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)),1,15))
+    AS BIGINT), so oracles replay the exact sample."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group bottom-k rows by md5 priority — a MERGEABLE uniform
+    sample: because membership is "the k smallest hashes", the bottom-k
+    of a union equals the bottom-k of the parts' bottom-k's (union +
+    re-select), making the sketch commutative and idempotent — the same
+    algebra HLL registers obey, applied to quantile estimation.
+    Deterministic: the hash is seeded by row identity, not RNG state.
+    Scale: rank-limit plans prune to k rows per group map-side before
+    the single shuffle."""
+    from pyspark.sql import Window
+
+    pri = bottomk_priority(id_col)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(group_col, value_col, F.col(id_col), pri.alias("__pri"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(group_col).orderBy("__pri", id_col)
+        ))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bottomk_quantiles(
+    sample: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9),
+) -> DataFrame:
+    """Quantile estimates from a bottom-k sample: the element at index
+    floor(q·(n−1)) of the value-sorted sample (nearest-rank, exact
+    integer indexing — both engines compute the same double product and
+    floor, so estimates hash-match)."""
+    vs = F.array_sort(F.collect_list(value_col))
+    agg = sample.groupBy(group_col).agg(
+        vs.alias("__vs"), F.count(F.lit(1)).alias("n_sample")
+    )
+    cols = [F.col(group_col), F.col("n_sample").cast("long").alias("n_sample")]
+    for q in quantiles:
+        idx = (
+            F.floor(F.lit(q) * (F.col("n_sample") - 1)).cast("int") + 1
+        )
+        cols.append(
+            F.element_at("__vs", idx).alias(f"est_p{int(q * 100)}")
+        )
+    return agg.select(*cols)

@@ -573,3 +573,130 @@ def a7b_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_orderpriority").alias("n_distinct"),
     )
+
+
+_BK_K = 200
+_BK_PRI_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+def _bottomk_quantile_oracle() -> str:
+    return f"""
+    WITH pri AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY {_BK_PRI_DUCK}, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), samp AS (
+      SELECT event_type, value FROM pri WHERE rn <= {_BK_K}
+    ), g AS (
+      SELECT event_type, ARRAY_AGG(value ORDER BY value) AS vs,
+             COUNT(*) AS n
+      FROM samp GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+           vs[CAST(FLOOR(0.25 * (n - 1)) AS BIGINT) + 1] AS est_p25,
+           vs[CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1] AS est_p50,
+           vs[CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1] AS est_p90
+    FROM g
+    """
+
+
+@register(
+    "a16_quantile_sketch",
+    oracle=_bottomk_quantile_oracle(),
+    survey="A9 A5",
+    tags=("approx",),
+)
+def a16_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the percentile analog of the portable
+    HLL (a9c) and Bloom (a14): a per-group bottom-k sample keyed by md5
+    priority [Bar-Yossef et al., bottom-k sketches].  Because "the k
+    smallest hashes" of a union equal the bottom-k of the parts'
+    bottom-k's, the sample is commutative/idempotent-mergeable — the
+    algebra that makes sketch ROLLUPS work — and quantile estimates are
+    nearest-rank picks from the sorted sample.  Deterministic (row-
+    identity hashing, no RNG), so fully value-hash-oracled: DuckDB
+    replays the exact sample AND the exact estimates.  Scale: rank-limit
+    prunes to k rows per group map-side; only 5·k rows shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    samp = sketches.bottomk_sample(e, "event_type", "value", "event_id", k=_BK_K)
+    return sketches.bottomk_quantiles(samp, "event_type", "value")
+
+
+@register(
+    "s_quantile_sketch_stream",
+    oracle=_bottomk_quantile_oracle(),
+    survey="A9 X2 X4",
+    tags=("streaming",),
+)
+def s_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile-sketch maintenance: each micro-batch's
+    bottom-k joins the persistent per-group sample, and the union is
+    re-bottom-k'd — state stays ≤ groups×k rows forever (the mergeable
+    property applied incrementally, exactly like the HLL register
+    max-merge in s_hll_stream_rollup).  Union + re-select is
+    commutative and idempotent, so any batch slicing or crash replay
+    converges to the whole-stream sample, and the final estimates
+    hash-match the one-shot batch sketch (the oracle).  100 TB: the
+    continuous latency-percentile dashboard with O(k) state per key."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from . import streaming_queries as _sq
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    wd = _work_dir(sf_dir, "s_bkq")
+    run = uuid.uuid4().hex[:8]
+    state_path = os.path.join(wd, f"samp-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+    )
+
+    def fold(batch, bid: int) -> None:
+        batch_samp = sketches.bottomk_sample(
+            batch, "event_type", "value", "event_id", k=_BK_K
+        )
+        cur = _read_sketch_state(spark, state_path)
+        if cur is not None:
+            merged = cur.unionByName(batch_samp)
+        else:
+            merged = batch_samp
+        # re-select bottom-k over the union (idempotent: already-present
+        # rows keep their priority; duplicates from a replayed batch
+        # collapse on the distinct id before ranking)
+        from pyspark.sql import Window
+
+        merged = (
+            merged.dropDuplicates(["event_type", "event_id"])
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        "__pri", "event_id"
+                    )
+                ),
+            )
+            .filter(F.col("__rn") <= _BK_K)
+            .drop("__rn")
+        )
+        tmp = state_path + f".tmp{bid}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_sketch_state(state_path, tmp, bid)
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    samp = spark.read.parquet(state_path)
+    out = sketches.bottomk_quantiles(samp, "event_type", "value").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(state_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -83,6 +83,10 @@ INVARIANT_QUERIES = [
     # chained 3-way interval join: inner matches are data-driven; both
     # join states evict strictly after their time bounds at any slicing
     "s_three_way_interval_join_stream",
+    # bottom-k quantile sketch: union + re-select-bottom-k is commutative
+    # and idempotent (same algebra as the HLL register max-merge), so the
+    # converged sample — and its estimates — are slicing-independent
+    "s_quantile_sketch_stream",
 ]
 
 
