@@ -286,3 +286,59 @@ def sql_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_computed(o, computed).select(
         "o_orderkey", "o_totalprice", "order_month", "gross"
     )
+
+
+@register(
+    "sql_view_lifecycle",
+    oracle="""
+    WITH v_open AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'
+    ), v_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_open,
+             CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS DOUBLE) AS open_total
+      FROM v_open GROUP BY o_custkey
+    )
+    SELECT * FROM v_cust WHERE n_open >= 2
+    """,
+    survey="S11 S12",
+)
+def sql_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEW DDL lifecycle [Flink: CREATE [TEMPORARY] VIEW / SHOW VIEWS /
+    DROP VIEW]: a filtering view, an aggregating view stacked ON the
+    first (view-on-view resolution through the catalog), the final query
+    read through the top view, SHOW VIEWS asserted to list both, then
+    DROP VIEW asserted to actually remove them.  Views are pure catalog
+    metadata — Catalyst inlines the definitions, so the stacked plan is
+    identical to the hand-written query (the oracle).  Exact-decimal SUM
+    before the rounded total keeps .xx5 boundaries engine-stable."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("vl_orders")
+    for v in ("vl_open", "vl_cust"):
+        spark.sql(f"DROP VIEW IF EXISTS {v}")
+    spark.sql(
+        "CREATE TEMPORARY VIEW vl_open AS"
+        " SELECT o_orderkey, o_custkey, o_totalprice"
+        " FROM vl_orders WHERE o_orderstatus = 'O'"
+    )
+    spark.sql(
+        "CREATE TEMPORARY VIEW vl_cust AS"
+        " SELECT o_custkey, COUNT(*) AS n_open,"
+        " CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+        " AS DOUBLE), 2) AS DOUBLE) AS open_total"
+        " FROM vl_open GROUP BY o_custkey"
+    )
+    shown = {
+        r.viewName for r in spark.sql("SHOW VIEWS").collect()
+    }
+    if not {"vl_open", "vl_cust"} <= shown:
+        raise AssertionError(f"SHOW VIEWS missing created views: {shown}")
+    out = spark.sql("SELECT * FROM vl_cust WHERE n_open >= 2").localCheckpoint(
+        eager=True
+    )
+    spark.sql("DROP VIEW vl_cust")
+    spark.sql("DROP VIEW vl_open")
+    left = {r.viewName for r in spark.sql("SHOW VIEWS").collect()}
+    if {"vl_open", "vl_cust"} & left:
+        raise AssertionError(f"DROP VIEW left views behind: {left}")
+    return out
