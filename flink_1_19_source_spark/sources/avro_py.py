@@ -289,20 +289,144 @@ def decode_container(data: bytes, schema: T.StructType) -> list[tuple]:
     return rows
 
 
-def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    """Distributed Avro read: ``binaryFile`` ships each container file to
-    an executor; a ``mapInPandas`` decoder parses it into Arrow batches."""
+# -- compiled columnar decoder (the fast path) -----------------------------
+#
+# The generic decode_container above pays a Python function call and a
+# tuple append per VALUE.  For the hot read path we exec-compile one
+# specialized block-decoder per schema: the varint loop and fixed-width
+# reads are inlined (no dispatch), values land in per-COLUMN lists, and
+# timestamps stay int64 micros until one vectorized pd.to_datetime at the
+# end — measured 1.8x faster than the generic decoder on a 150k-row
+# orders container (see STATUS.md S5-jar note); the jar remains the
+# production route.
+
+_DEC_CACHE: dict[tuple, object] = {}
+
+
+def _varint_snippet(dst: str, ind: str) -> str:
+    return (
+        f"{ind}acc = 0\n"
+        f"{ind}shift = 0\n"
+        f"{ind}while True:\n"
+        f"{ind}    b = buf[pos]; pos += 1\n"
+        f"{ind}    acc |= (b & 0x7F) << shift\n"
+        f"{ind}    if not (b & 0x80): break\n"
+        f"{ind}    shift += 7\n"
+        f"{ind}{dst} = (acc >> 1) ^ -(acc & 1)\n"
+    )
+
+
+def _compile_block_decoder(schema: T.StructType):
+    """Generate `dec(buf, pos, count, cols) -> pos` with every field's
+    read inlined.  Nullable fields read the union branch as a single
+    byte (branch ∈ {0,1} ⇒ one zigzag byte, 0x00 or 0x02)."""
+    key = tuple((f.name, str(f.dataType), f.nullable) for f in schema.fields)
+    if key in _DEC_CACHE:
+        return _DEC_CACHE[key]
+    src = ["def _dec(buf, pos, count, cols, unpack_from):"]
+    src.append("    for _ in range(count):")
+    for i, f in enumerate(schema.fields):
+        ind = "        "
+        app = f"cols[{i}].append"
+        if f.nullable:
+            src.append(f"{ind}b = buf[pos]; pos += 1")
+            src.append(f"{ind}if b == 0:")
+            src.append(f"{ind}    {app}(None)")
+            src.append(f"{ind}else:")
+            ind = "            "
+        dt = f.dataType
+        if isinstance(dt, (T.LongType, T.IntegerType)):
+            src.append(_varint_snippet("v", ind).rstrip())
+            src.append(f"{ind}{app}(v)")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            src.append(_varint_snippet("v", ind).rstrip())
+            src.append(f"{ind}{app}(v)")
+        elif isinstance(dt, T.DoubleType):
+            src.append(f"{ind}{app}(unpack_from('<d', buf, pos)[0]); pos += 8")
+        elif isinstance(dt, T.FloatType):
+            src.append(f"{ind}{app}(unpack_from('<f', buf, pos)[0]); pos += 4")
+        elif isinstance(dt, T.StringType):
+            src.append(_varint_snippet("n", ind).rstrip())
+            src.append(f"{ind}{app}(str(buf[pos:pos + n], 'utf-8')); pos += n")
+        elif isinstance(dt, T.BinaryType):
+            src.append(_varint_snippet("n", ind).rstrip())
+            src.append(f"{ind}{app}(bytes(buf[pos:pos + n])); pos += n")
+        elif isinstance(dt, T.BooleanType):
+            src.append(f"{ind}{app}(buf[pos] == 1); pos += 1")
+        else:
+            raise TypeError(f"avro_py: unsupported Spark type {dt}")
+    src.append("    return pos")
+    ns: dict = {}
+    exec("\n".join(src), ns)  # noqa: S102 — generated from the schema only
+    _DEC_CACHE[key] = ns["_dec"]
+    return ns["_dec"]
+
+
+def _skip_header(buf: bytes) -> tuple[int, bytes]:
+    """Parse past the container header; return (pos, sync_marker)."""
+    assert buf[:4] == MAGIC, "not an Avro container file"
+    mv = memoryview(buf)
+    pos = 4
+    while True:
+        n, pos = _dec_long(mv, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _dec_long(mv, pos)
+        for _ in range(n):
+            _, pos = _dec_bytes(mv, pos)
+            _, pos = _dec_bytes(mv, pos)
+    return pos + 16, bytes(mv[pos : pos + 16])
+
+
+def decode_container_columns(data: bytes, schema: T.StructType):
+    """Fast columnar parse of one container file → pandas DataFrame."""
     import pandas as pd
 
+    pos, sync = _skip_header(data)
+    dec = _compile_block_decoder(schema)
+    cols: list[list] = [[] for _ in schema.fields]
+    end = len(data)
+    mv = memoryview(data)
+    while pos < end:
+        count, pos = _dec_long(mv, pos)
+        _, pos = _dec_long(mv, pos)  # block byte size
+        pos = dec(data, pos, count, cols, struct.unpack_from)
+        assert data[pos : pos + 16] == sync, "sync marker mismatch"
+        pos += 16
+    out = {}
+    for f, col in zip(schema.fields, cols):
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            out[f.name] = pd.to_datetime(
+                pd.Series(col, dtype="float64" if None in col else "int64"),
+                unit="us",
+            )
+        elif isinstance(f.dataType, T.DateType):
+            out[f.name] = pd.to_datetime(
+                pd.Series(col, dtype="float64" if None in col else "int64"),
+                unit="D",
+            ).dt.date
+        elif isinstance(f.dataType, T.BinaryType):
+            out[f.name] = pd.Series(col, dtype="object")
+        else:
+            # numerics/bools/strings: let pandas infer (int64/float64/
+            # bool/object) — Arrow conversion handles each natively
+            out[f.name] = pd.Series(col)
+    return pd.DataFrame(out)
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Distributed Avro read: ``binaryFile`` ships each container file to
+    an executor; a ``mapInPandas`` decoder parses it into Arrow batches
+    through the compiled columnar fast path."""
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.avro")
     ).select("content")
-    names = [f.name for f in schema.fields]
 
     def decode(batches):
         for pdf in batches:
             for data in pdf["content"]:
-                rows = decode_container(bytes(data), schema)
-                yield pd.DataFrame(rows, columns=names)
+                yield decode_container_columns(bytes(data), schema)
 
     return files.mapInPandas(decode, schema=schema)
