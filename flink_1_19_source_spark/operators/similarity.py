@@ -173,23 +173,37 @@ def ivf_topk(
     data before any distance math runs. Centroids are a fixed codebook
     (trained offline in practice; any deterministic array works —
     recall is verified against the exact path in tests)."""
-    n_cent = centroids.shape[0]
     # corpus side: each vector lands in exactly ONE list (its nearest
     # centroid) — standard IVF; queries fan out to nprobe lists
     corpus_assign = _centroid_assign_udf(centroids, 1)
-    query_assign = _centroid_assign_udf(centroids, nprobe)
-
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("nvec"),
     ).withColumn("list_id", F.explode(corpus_assign(F.col("nvec"))))
+    return ivf_probe(v, queries, centroids, id_col, vec_col, k, nprobe)
+
+
+def ivf_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a PRE-BUCKETED inverted-file index (neighbor_id, nvec,
+    list_id) — the read half of IVF, split out so an incrementally
+    maintained index (streaming ingest, date-partitioned lists) serves
+    the same query path as the one-shot build."""
+    query_assign = _centroid_assign_udf(centroids, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qvec"),
     ).withColumn("list_id", F.explode(query_assign(F.col("qvec"))))
 
     cand = (
-        v.join(F.broadcast(q), ["list_id"])
+        index.join(F.broadcast(q), ["list_id"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -16,7 +16,7 @@ from ..operators import dedup
 from ..registry import register
 from ..tables import load_table
 
-from .llm import _SHINGLE_HASH_CTES
+from .llm import _IVF_ORACLE, _SHINGLE_HASH_CTES
 
 
 # --------------------------------------------------------------------------
@@ -280,3 +280,76 @@ def n6_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score") > 0, F.row_number().over(rank_w).cast("long")
         ).alias("sample_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# N3-S — streaming IVF index ingest
+# --------------------------------------------------------------------------
+@register(
+    "s_ivf_ingest_stream",
+    oracle=_IVF_ORACLE,
+    survey="N3 X2 X4",
+    tags=("streaming", "approx"),
+)
+def s_ivf_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF index maintenance — similarity search kept fresh at
+    ingest time: each arriving micro-batch of embeddings is assigned to
+    its nearest coarse centroid (the fixed codebook broadcasts with the
+    Arrow UDF) and APPENDED to the inverted-file index as an O(batch)
+    segment — per-batch overwrite paths make crash replay idempotent,
+    and history is never rewritten (at 100 TB the list_id is the table's
+    partition key and each day adds files under it).  After the drain,
+    the standard probe path (operators/similarity.ivf_probe — the same
+    code the one-shot build uses) answers top-5 queries against the
+    accumulated index, hash-matching the batch IVF build (the oracle is
+    n3_ivf_topk's SQL replay)."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+
+    from ..operators import similarity
+    from ..streaming import replay
+    from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    corpus_assign = similarity._centroid_assign_udf(centroids, 1)
+
+    wd = _work_dir(sf_dir, "s_ivf")
+    run = uuid.uuid4().hex[:8]
+    state_dir = os.path.join(wd, f"index-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(state_dir, exist_ok=True)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "embeddings", os.path.join(wd, "src"),
+        ts_col="vec_id", chunks=_CHUNKS, order_by=["vec_id"],
+    )
+
+    def fold(batch, bid: int) -> None:
+        seg = batch.select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.as_double(F.col("embedding")).alias("nvec"),
+        ).withColumn("list_id", F.explode(corpus_assign(F.col("nvec"))))
+        seg.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"seg-{bid:04d}")
+        )
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    segs = sorted(_glob.glob(os.path.join(state_dir, "seg-*")))
+    index = spark.read.parquet(*segs)
+    q = e.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_probe(
+        index, q, centroids, k=5, nprobe=3
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
