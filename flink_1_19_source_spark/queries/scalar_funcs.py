@@ -600,3 +600,44 @@ def f_math2_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.lit(1.0)), 9).alias("e_const"),
         (F.floor(pr / 10) * 10).cast("double").alias("trunc_neg1"),
     )
+
+
+@register(
+    "f_try_family",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER) AS bad_int,
+           TRY_CAST(substr(p_brand, 7, 2) AS INTEGER) AS good_int,
+           TRY_CAST(concat('1995-', lpad(CAST(p_size % 15 AS VARCHAR), 2, '0'),
+                           '-10') AS DATE) IS NULL AS bad_month,
+           CASE WHEN p_size = 25 THEN NULL
+                ELSE p_retailprice / (p_size - 25) END AS try_div,
+           string_split(p_name, ' ')[p_size] AS try_elem
+    FROM part WHERE p_partkey <= 80
+    """,
+    survey="2.8-cast 2.8-conditional",
+)
+def f_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant evaluation family [docs: TRY_CAST; Flink returns
+    NULL instead of raising on malformed casts]: TRY_CAST on a
+    non-numeric string (NULL), on an extracted digit substring (value),
+    and on an out-of-range calendar month (NULL — compared as IS NULL so
+    the date/datetime widening mismatch never enters the hash);
+    TRY_DIVIDE null-on-zero-denominator (the oracle replays it as a
+    guarded CASE — DuckDB has no try_divide); try_element_at past the
+    array end (DuckDB list indexing is natively NULL out-of-range).
+    Strings like '3.5' are deliberately absent: DuckDB TRY_CAST rounds
+    them into INTEGER while Spark nulls them — a real cross-engine
+    semantic divergence this family pins around."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 80)
+    return p.select(
+        "p_partkey",
+        F.expr("TRY_CAST(p_brand AS INT)").alias("bad_int"),
+        F.expr("TRY_CAST(substring(p_brand, 7, 2) AS INT)").alias("good_int"),
+        F.expr(
+            "TRY_CAST(concat('1995-', lpad(CAST(p_size % 15 AS STRING), 2, '0'),"
+            " '-10') AS DATE)"
+        ).isNull().alias("bad_month"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - 25).alias("try_div"),
+        F.try_element_at(F.split("p_name", " "), F.col("p_size")).alias("try_elem"),
+    )
