@@ -551,3 +551,41 @@ def j8d_hop_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = per_type("click", "n_clicks")
     errors = per_type("error", "n_errors")
     return clicks.join(errors, ["user_id", "window_start"])
+
+
+@register(
+    "j5c_interval_join_sym",
+    oracle="""
+    SELECT s.event_id AS signup_id, e.event_id AS error_id,
+           CAST(date_diff('second', s.ts, e.ts) AS BIGINT) AS skew_s
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON s.user_id = e.user_id
+     AND e.ts >= s.ts - INTERVAL '10 minutes'
+     AND e.ts <= s.ts + INTERVAL '10 minutes'
+    """,
+    survey="J5",
+)
+def j5c_interval_join_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with a NEGATIVE lower bound [docs: queries/joins —
+    `BETWEEN l.ts - INTERVAL x AND l.ts + INTERVAL y`]: errors within
+    ±10 minutes of a signup, either side of it.  The signed second-skew
+    measure pins that the pre-window half really joins (a [0, upper)
+    implementation would silently drop every negative-skew row).  Same
+    equi-key + band shape as j5; streaming state must retain BOTH sides
+    for lower+upper, which is why the bound signs matter."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").alias("s")
+    r = e.filter(F.col("event_type") == "error").alias("e")
+    return s.join(
+        r,
+        (F.col("s.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") >= F.col("s.ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e.ts") <= F.col("s.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("s.event_id").alias("signup_id"),
+        F.col("e.event_id").alias("error_id"),
+        (
+            (F.unix_timestamp("e.ts") - F.unix_timestamp("s.ts"))
+        ).cast("long").alias("skew_s"),
+    )

@@ -100,3 +100,12 @@ def test_minhash_dedup_stream_matches_batch_replay(spark, sf_dir):
     for r in got:
         assert r.dup_of == expected.get(r.doc_id), (r, expected.get(r.doc_id))
         assert r.is_dup == (r.doc_id in expected), r
+
+
+def test_quantile_sketch_rank_limit_is_map_side(spark, sf_dir):
+    """The bottom-k selection must prune to k rows per group BEFORE the
+    shuffle (WindowGroupLimit Partial) — the property that keeps the
+    sketch O(groups x k x mappers) on the wire at 100 TB."""
+    df = REGISTRY["a16_quantile_sketch"].fn(spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in txt and "Partial" in txt, txt
