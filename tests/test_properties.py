@@ -480,3 +480,61 @@ def test_avi_codec_roundtrip_fuzz(w, h, nf, seed):
     ]
     rw, rh, fps, out = ac.decode_avi(ac.encode_avi(frames, w, h))
     assert (rw, rh, out) == (w, h, frames)
+
+
+# ---------------------------------------------------------------------------
+# r6 continuation: bottom-k mergeability + quantifier-oracle equivalence
+# ---------------------------------------------------------------------------
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=0,
+                 max_size=120, unique=True),
+    k=st.integers(min_value=1, max_value=12),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_bottomk_sample_is_mergeable(ids, k, n_parts):
+    """The algebra s_quantile_sketch_stream rests on: bottom-k (by md5
+    priority) of a union == bottom-k of the concatenated per-part
+    bottom-k's, for ANY partitioning — checked against the same priority
+    the engines compute (low 60 bits of md5 of the decimal id)."""
+    import hashlib
+
+    def pri(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    def bottomk(xs):
+        return sorted(xs, key=lambda i: (pri(i), i))[:k]
+
+    whole = bottomk(ids)
+    parts = [[] for _ in range(n_parts)]
+    for j, i in enumerate(ids):
+        parts[j % n_parts].append(i)
+    merged = bottomk([i for p in parts for i in bottomk(p)])
+    assert merged == whole
+
+
+@given(
+    syms=st.lists(st.sampled_from("SCVPX"), min_size=0, max_size=60),
+)
+@_settings
+def test_quantifier_regex_equals_run_formulation(syms):
+    """The x5_quantifier_alternation equivalence proof, fuzzed: greedy
+    non-overlapping regex matching of S[CV]{2,3}P equals the relational
+    formulation the DuckDB oracle uses (S matches iff its following
+    [CV]-run has length 2..3 and ends at a P) on arbitrary symbol
+    strings."""
+    import re
+
+    s = "".join(syms)
+    regex_spans = [(m.start(), m.end() - 1) for m in re.finditer(r"S[CV]{2,3}P", s)]
+    rel_spans = []
+    for i, ch in enumerate(s):
+        if ch != "S":
+            continue
+        j = i + 1
+        while j < len(s) and s[j] in "CV":
+            j += 1
+        if j < len(s) and s[j] == "P" and 2 <= j - i - 1 <= 3:
+            rel_spans.append((i, j))
+    assert regex_spans == rel_spans
