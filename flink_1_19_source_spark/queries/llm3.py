@@ -353,3 +353,83 @@ def s_ivf_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# N2 — winnowing fingerprint-overlap pairs (MOSS-style)
+# --------------------------------------------------------------------------
+@register(
+    "n2_winnow_overlap_pairs",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, LOWER(text) AS t,
+               GREATEST(LEN(LOWER(text)) - 7, 1) AS n,
+               UNNEST(generate_series(1, GREATEST(LEN(LOWER(text)) - 7, 1)))
+                 AS i
+        FROM documents WHERE doc_id < 200
+    ), h AS (
+        SELECT doc_id, i, n,
+               CAST(concat('0x', substr(md5(substr(t, CAST(i AS INTEGER), 8)),
+                                        1, 8)) AS BIGINT) AS hv
+        FROM pos
+    ), wm AS (
+        SELECT doc_id, i, n,
+               MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+        FROM h
+    ), fset AS (
+        SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 15
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM fset GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM fset a JOIN fset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz), 9) AS overlap
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5
+    """,
+    survey="N2 N4",
+)
+def n2_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs [Schleimer et al. 2003 — the
+    MOSS similarity measure]: documents whose selected-fingerprint sets
+    overlap by ≥ 50% of the smaller set.  Reuses the same rolling-hash +
+    window-minimum fingerprints n4_winnow_fingerprints certifies; the
+    self-join keys on the fingerprint (an inverted index — work ∝
+    per-fingerprint document frequency, same scale rule as the shingle
+    index, cappable the same way at 100 TB).  Winnowing guarantees any
+    shared substring ≥ w+k−1 chars yields a shared fingerprint, so high
+    overlap ⇒ long verbatim reuse — the plagiarism/near-dup signal."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fset = (
+        ta.winnow_fingerprints(d, "doc_id", "text", k=8, w=16)
+        .select("id", "fp")
+        .distinct()
+    )
+    sizes = fset.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = fset.alias("a")
+    b = fset.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ratio = F.col("n_shared") / F.least("sz_a", "sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ratio >= 0.5)
+        .select(
+            "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(ratio, 9).alias("overlap"),
+        )
+    )
