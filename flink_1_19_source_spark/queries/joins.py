@@ -589,3 +589,55 @@ def j5c_interval_join_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("e.ts") - F.unix_timestamp("s.ts"))
         ).cast("long").alias("skew_s"),
     )
+
+
+@register(
+    "j8e_cumulate_window_join",
+    oracle="""
+    WITH cw AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL '2 hours', ts) AS ws,
+               time_bucket(INTERVAL '2 hours', ts)
+                 + INTERVAL '30 minutes' * k AS we
+        FROM events,
+             (SELECT UNNEST(generate_series(1, 4)) AS k)
+        WHERE ts < time_bucket(INTERVAL '2 hours', ts)
+                   + INTERVAL '30 minutes' * k
+    ), c AS (
+        SELECT user_id, ws, we, COUNT(*) AS n_clicks
+        FROM cw WHERE event_type = 'click' GROUP BY user_id, ws, we
+    ), e AS (
+        SELECT user_id, ws, we, COUNT(*) AS n_errors
+        FROM cw WHERE event_type = 'error' GROUP BY user_id, ws, we
+    )
+    SELECT c.user_id, c.ws AS window_start, c.we AS window_end,
+           c.n_clicks, e.n_errors
+    FROM c JOIN e ON c.user_id = e.user_id AND c.ws = e.ws AND c.we = e.we
+    """,
+    survey="J8 W3",
+)
+def j8e_cumulate_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join over CUMULATE windows [docs: queries/window-join —
+    TUMBLE, HOP and CUMULATE TVFs] — completing the window-join TVF
+    triad (tumble j8, hop j8d): both sides explode to their covering
+    cumulate windows (step 30 min, max 2 h) through the same operator
+    w3_cumulate certifies, aggregate per (key, window_start, window_end)
+    — the growing windows make BOTH bounds part of the join key — then
+    equi-join.  The ≤4x expansion happens map-side before the shuffle."""
+    from ..operators.cumulate import cumulate as _cumulate
+
+    e = load_table(spark, sf_dir, "events")
+
+    def per_type(event_type: str, out: str) -> DataFrame:
+        return (
+            _cumulate(
+                e.filter(F.col("event_type") == event_type),
+                "ts", step="30 minutes", max_size="2 hours",
+            )
+            .groupBy("user_id", "window_start", "window_end")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    clicks = per_type("click", "n_clicks")
+    errors = per_type("error", "n_errors")
+    return clicks.join(errors, ["user_id", "window_start", "window_end"])
