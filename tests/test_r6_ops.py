@@ -109,3 +109,69 @@ def test_quantile_sketch_rank_limit_is_map_side(spark, sf_dir):
     df = REGISTRY["a16_quantile_sketch"].fn(spark, sf_dir)
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in txt and "Partial" in txt, txt
+
+
+def test_restart_with_changed_shuffle_partitions(spark, sf_dir, tmp_path):
+    """X4 operational pin: restarting a stateful query from its
+    checkpoint under a DIFFERENT spark.sql.shuffle.partitions must
+    converge to the uninterrupted run's answer — the state-store
+    partition count is recorded in the checkpoint and silently wins
+    over the new session conf (Flink analog: restoring a savepoint
+    keeps the operator's key-group range)."""
+    import os
+    import shutil
+
+    from flink_1_19_source_spark.streaming import replay
+
+    src = os.path.join(sf_dir, "events.parquet")
+    chunks = str(tmp_path / "chunks")
+    held = str(tmp_path / "held")
+    replay.split_into_chunks(src, chunks, "ts", 4)
+    os.makedirs(held)
+    files = sorted(os.listdir(chunks))
+    for f in files[2:]:
+        shutil.move(os.path.join(chunks, f), os.path.join(held, f))
+    schema = spark.read.parquet(chunks).schema
+
+    def run(n_parts, out, ckpt):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+        try:
+            sdf = replay.read_stream(spark, chunks, schema, 1)
+            agg = (
+                sdf.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    out_a, ckpt_a = str(tmp_path / "out_a"), str(tmp_path / "ckpt_a")
+    run("8", out_a, ckpt_a)  # phase 1: half the stream at 8 partitions
+    for f in files[2:]:
+        shutil.move(os.path.join(held, f), os.path.join(chunks, f))
+    run("16", out_a, ckpt_a)  # restart, conf says 16 — checkpoint wins
+
+    out_b, ckpt_b = str(tmp_path / "out_b"), str(tmp_path / "ckpt_b")
+    run("8", out_b, ckpt_b)  # uninterrupted reference over the full data
+
+    def snap(path):
+        return sorted(
+            (r.ws, r.event_type, r.n)
+            for r in spark.read.parquet(path)
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        )
+
+    a, b = snap(out_a), snap(out_b)
+    assert a == b, f"restart diverged: {len(a)} vs {len(b)} rows"
+    assert a, "no windows closed — test is vacuous"
