@@ -163,6 +163,50 @@ def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 1024
 
 
+def _dsir_scored(d: DataFrame) -> DataFrame:
+    """The DSIR scoring core: (doc_id, lang, score, n_tokens) with the
+    exact-integer cross-difference weights — shared by n6_dsir_resample
+    and the pipeline composite."""
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    bt = tok.select("doc_id", "lang", bucket.alias("b"))
+    target = bt.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = target.agg(F.sum("tc")).collect()[0][0]
+    rt = raw.agg(F.sum("rc")).collect()[0][0]
+    weights = (
+        raw.join(target, "b", "left")
+        .select(
+            "b",
+            (
+                F.coalesce("tc", F.lit(0)) * F.lit(int(rt))
+                - F.col("rc") * F.lit(int(tt))
+            ).alias("w"),
+        )
+    )
+    return (
+        bt.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w").cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 @register(
     "n6_dsir_resample",
     oracle=f"""
@@ -227,44 +271,7 @@ def n6_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshed per snapshot — no per-doc state anywhere.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
-            )
-        ).alias("t"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-        % _DSIR_BUCKETS
-    )
-    bt = tok.select("doc_id", "lang", bucket.alias("b"))
-    target = bt.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tt = target.agg(F.sum("tc")).collect()[0][0]
-    rt = raw.agg(F.sum("rc")).collect()[0][0]
-    weights = (
-        raw.join(target, "b", "left")
-        .select(
-            "b",
-            (
-                F.coalesce("tc", F.lit(0)) * F.lit(int(rt))
-                - F.col("rc") * F.lit(int(tt))
-            ).alias("w"),
-        )
-    )
-    scored = (
-        bt.join(F.broadcast(weights), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("w").cast("long").alias("score"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
+    scored = _dsir_scored(d)
     from pyspark.sql import Window
 
     rank_w = Window.partitionBy(F.col("score") > 0).orderBy(
@@ -431,5 +438,165 @@ def n2_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"),
             F.round(ratio, 9).alias("overlap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# N7 — composite: DSIR gate → winnow-overlap dedup → quantile report
+# --------------------------------------------------------------------------
+def _pipeline_dsir_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), bt AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+      FROM tok
+    ), target AS (
+      SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b
+    ), raw AS (
+      SELECT b, COUNT(*) AS rc FROM bt GROUP BY b
+    ), totals AS (
+      SELECT (SELECT SUM(tc) FROM target) AS tt,
+             (SELECT SUM(rc) FROM raw) AS rt
+    ), scored AS (
+      SELECT bt.doc_id, bt.lang,
+             SUM(COALESCE(target.tc, 0) * totals.rt
+                 - raw.rc * totals.tt) AS score
+      FROM bt
+      LEFT JOIN target ON target.b = bt.b
+      JOIN raw ON raw.b = bt.b
+      CROSS JOIN totals
+      GROUP BY bt.doc_id, bt.lang
+    ), keep AS (
+      SELECT doc_id, lang FROM scored WHERE score > 0
+    ), pos AS (
+      SELECT d.doc_id, LOWER(d.text) AS t,
+             GREATEST(LEN(LOWER(d.text)) - 7, 1) AS n,
+             UNNEST(generate_series(1, GREATEST(LEN(LOWER(d.text)) - 7, 1)))
+               AS i
+      FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+    ), h AS (
+      SELECT doc_id, i, n,
+             CAST(concat('0x', substr(md5(substr(t, CAST(i AS INTEGER), 8)),
+                                      1, 8)) AS BIGINT) AS hv
+      FROM pos
+    ), wm AS (
+      SELECT doc_id, i, n,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      FROM h
+    ), fset AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 15
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM fset GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM fset a JOIN fset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dropped AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5
+    ), final AS (
+      SELECT k.doc_id, k.lang FROM keep k
+      LEFT JOIN dropped dr ON dr.id_b = k.doc_id
+      WHERE dr.id_b IS NULL
+    ), chars AS (
+      SELECT f.doc_id, f.lang, d.n_chars
+      FROM final f JOIN documents d ON d.doc_id = f.doc_id
+    ), pri AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), doc_id) AS rn
+      FROM chars
+    ), g AS (
+      SELECT lang, ARRAY_AGG(n_chars ORDER BY n_chars) AS vs, COUNT(*) AS n
+      FROM pri WHERE rn <= 50 GROUP BY lang
+    ), n_in AS (
+      SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ), n_dsir AS (
+      SELECT lang, COUNT(*) AS c FROM keep GROUP BY lang
+    ), n_final AS (
+      SELECT lang, COUNT(*) AS c FROM final GROUP BY lang
+    )
+    SELECT g.lang,
+           CAST(n_in.c AS BIGINT) AS n_in,
+           CAST(n_dsir.c AS BIGINT) AS n_after_dsir,
+           CAST(n_final.c AS BIGINT) AS n_after_dedup,
+           CAST(g.vs[CAST(FLOOR(0.5 * (g.n - 1)) AS BIGINT) + 1]
+                AS BIGINT) AS est_p50_chars
+    FROM g
+    JOIN n_in ON n_in.lang = g.lang
+    JOIN n_dsir ON n_dsir.lang = g.lang
+    JOIN n_final ON n_final.lang = g.lang
+    """
+
+
+@register(
+    "pipeline_dsir_end_to_end",
+    oracle=_pipeline_dsir_oracle(),
+    survey="N7 N6 N2 A9",
+)
+def pipeline_dsir_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third end-to-end pipeline composite, built from THIS wave's
+    certified operators in one oracled query: (1) DSIR importance gate
+    (keep score > 0), (2) winnowing-overlap dedup among survivors (drop
+    any doc sharing ≥ 50% of the smaller fingerprint set with an
+    earlier survivor), (3) per-language report with a bottom-k quantile
+    sketch of the surviving length distribution — per-stage attrition
+    visible as n_in → n_after_dsir → n_after_dedup.  Every stage is the
+    same code its standalone query certifies (_dsir_scored,
+    winnow_fingerprints, bottomk); the composition itself is what this
+    query proves."""
+    from ..operators import sketches
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    keep = _dsir_scored(d).filter(F.col("score") > 0).select("doc_id", "lang")
+    survivors = d.join(keep.select("doc_id"), "doc_id")
+    fset = (
+        ta.winnow_fingerprints(survivors, "doc_id", "text", k=8, w=16)
+        .select("id", "fp")
+        .distinct()
+    )
+    sizes = fset.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = fset.alias("a")
+    b = fset.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    dropped = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("n_shared") / F.least("sz_a", "sz_b") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = keep.join(dropped, "doc_id", "left_anti")
+    chars = final.join(d.select("doc_id", "n_chars"), "doc_id")
+    samp = sketches.bottomk_sample(chars, "lang", "n_chars", "doc_id", k=50)
+    est = sketches.bottomk_quantiles(samp, "lang", "n_chars", quantiles=(0.5,))
+    n_in = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    n_dsir = keep.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_dsir"))
+    n_final = final.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    return (
+        est.join(n_in, "lang")
+        .join(n_dsir, "lang")
+        .join(n_final, "lang")
+        .select(
+            "lang", "n_in", "n_after_dsir", "n_after_dedup",
+            F.col("est_p50").cast("long").alias("est_p50_chars"),
         )
     )
