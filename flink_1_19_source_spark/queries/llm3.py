@@ -1,10 +1,12 @@
-"""Round-6 LLM-pipeline continuations (SURVEY §2.11 N2/N6, X2/X4).
+"""Round-6 LLM-pipeline continuations (SURVEY §2.11 N2/N3/N6/N7, X2/X4).
 
-Streaming incremental MinHash-LSH dedup (the online twin of
-n1_incremental_dedup / n2_minhash_lsh_pairs) and DSIR-style hashed-n-gram
-importance resampling.  Same oracle discipline as queries/llm.py: the
-seeded permutation constants are embedded as SQL literals so DuckDB
-replays the exact hashes and the driver value-hash-checks everything.
+The ingest-time maintenance tier: streaming incremental MinHash-LSH
+dedup and streaming IVF index ingest (each hash-matching its one-shot
+batch twin), DSIR-style hashed-n-gram importance resampling, winnowing
+fingerprint-overlap pairs (the MOSS measure), and the pipeline composite
+chaining them.  Same oracle discipline as queries/llm.py: seeded
+constants are embedded as SQL literals so DuckDB replays the exact
+hashes and the driver value-hash-checks everything.
 """
 
 from __future__ import annotations

@@ -96,6 +96,19 @@ HEADLINERS = {
         "benchmark-overlap check: benchmark gram set broadcast, corpus side "
         "explode + broadcast-hash left join — no corpus shuffle for the join"
     ),
+    "a16_quantile_sketch": (
+        "mergeable bottom-k quantile sketch: WindowGroupLimit prunes to k "
+        "rows per group map-side (Partial) before the single exchange — "
+        "only groups x k x mappers rows ever move"
+    ),
+    "n6_dsir_resample": (
+        "DSIR importance scores: O(buckets) weight table broadcast into "
+        "the token join, corpus shuffles once on the hashed bucket id"
+    ),
+    "j8d_hop_window_join": (
+        "HOP window join: bounded 2x covering-window expansion map-side, "
+        "then plain hash join on (key, window_start)"
+    ),
     "n3_pq_topk": (
         "product quantization + ADC: codebook and per-query lookup table "
         "broadcast everywhere, codes shuffle instead of embeddings — zero "
