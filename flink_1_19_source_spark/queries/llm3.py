@@ -81,8 +81,22 @@ def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verdict per doc: (doc_id, dup_of = min earlier doc sharing a band,
     is_dup, n_dup_bands).  The drained stream hash-matches the one-shot
     whole-corpus LSH replay (the oracle), estimate-free: banding is
-    exact given the signatures.
+    exact given the signatures.  The crash-convergence claim is pinned
+    by tests/test_r6_ops.py::test_minhash_dedup_stream_crash_replay,
+    which injects a torn state segment mid-run through this same core
+    (``_minhash_dedup_run``).
     """
+    return _minhash_dedup_run(spark, sf_dir)
+
+
+def _minhash_dedup_run(
+    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None
+) -> DataFrame:
+    """The streaming-dedup core.  ``crash_once_at=b`` injects a failure
+    in batch b AFTER a torn (partial) state segment lands — the worst
+    crash point — then restarts on the same checkpoint; the replayed
+    batch sees its own torn rows in the index, which the strict `<` and
+    MIN/COUNT(DISTINCT) aggregates absorb."""
     import glob as _glob
     import os
     import shutil
@@ -103,6 +117,7 @@ def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "documents", os.path.join(wd, "src"),
         ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
     )
+    crashed = {"done": False}
 
     def fold(batch, bid: int) -> None:
         buckets = dedup.minhash_band_buckets(
@@ -137,6 +152,14 @@ def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_dup_bands", F.lit(0)).cast("long").alias("n_dup_bands"),
             )
         )
+        if crash_once_at == bid and not crashed["done"]:
+            crashed["done"] = True
+            # torn write: a partial state segment lands, then the
+            # "process" dies before the verdicts commit
+            flat.limit(5).write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"seg-{bid:04d}")
+            )
+            raise RuntimeError("injected crash after torn state segment")
         # overwrite per-batch paths ⇒ replay-idempotent emission and state
         verdicts.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"out-{bid:04d}")
@@ -146,6 +169,13 @@ def s_minhash_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
     outs = sorted(_glob.glob(os.path.join(out_dir, "out-*")))

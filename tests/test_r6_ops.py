@@ -175,3 +175,23 @@ def test_restart_with_changed_shuffle_partitions(spark, sf_dir, tmp_path):
     a, b = snap(out_a), snap(out_b)
     assert a == b, f"restart diverged: {len(a)} vs {len(b)} rows"
     assert a, "no windows closed — test is vacuous"
+
+
+def test_minhash_dedup_stream_crash_replay(spark, sf_dir):
+    """X4 pin for the streaming LSH dedup: a crash injected AFTER a torn
+    (partial) state segment lands but BEFORE the batch's verdicts commit,
+    then a restart on the same checkpoint, must converge to the clean
+    run's verdicts — the replayed batch sees its own torn rows in the
+    index, which the strict doc_id ordering and MIN/COUNT(DISTINCT)
+    aggregates absorb."""
+    from flink_1_19_source_spark.queries.llm3 import _minhash_dedup_run
+
+    clean = {
+        r.doc_id: (r.dup_of, r.is_dup, r.n_dup_bands)
+        for r in _minhash_dedup_run(spark, sf_dir).collect()
+    }
+    crashed = {
+        r.doc_id: (r.dup_of, r.is_dup, r.n_dup_bands)
+        for r in _minhash_dedup_run(spark, sf_dir, crash_once_at=1).collect()
+    }
+    assert clean and crashed == clean

@@ -610,3 +610,39 @@ def test_state_store_provider_parity_rocksdb_vs_hdfs(spark, sf_dir):
         spark.conf.set(conf, rocks)
     assert len(under_rocks) > 0
     assert under_rocks == under_hdfs
+
+
+def test_chained_join_state_parity_rocksdb_vs_hdfs(spark, sf_dir):
+    """The chained 3-way interval join keeps TWO stream-stream join
+    states live in one query — the heaviest state shape in the repo.
+    Both providers must agree row-for-row (RocksDB is the 100 TB
+    backend; the chained buffers are exactly what outgrows the
+    in-memory provider first)."""
+    from flink_1_19_source_spark.registry import REGISTRY, queries
+
+    queries()
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    hdfs = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+
+    def run():
+        rows = REGISTRY["s_three_way_interval_join_stream"].fn(
+            spark, sf_dir
+        ).collect()
+        return sorted((r.signup_id, r.purchase_id, r.error_id) for r in rows)
+
+    try:
+        under_rocks = run()
+        spark.conf.set(conf, hdfs)
+        under_hdfs = run()
+    finally:
+        spark.conf.set(conf, rocks)
+    assert len(under_rocks) > 0
+    assert under_rocks == under_hdfs
