@@ -523,8 +523,16 @@ def _pipeline_dsir_oracle() -> str:
              MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
       FROM h
-    ), fset AS (
+    ), fset0 AS (
       SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 15
+    ), fdf AS (
+      SELECT fp, COUNT(*) AS df FROM fset0 GROUP BY fp
+    ), fset AS (
+      -- stop-fingerprint cap (df <= 64): hot fingerprints carry no
+      -- near-dup signal and send the self-join quadratic — same rule as
+      -- stop_shingle_df_cap, applied identically on both engines
+      SELECT fset0.doc_id, fset0.fp FROM fset0
+      JOIN fdf ON fdf.fp = fset0.fp WHERE fdf.df <= 64
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS sz FROM fset GROUP BY doc_id
     ), inter AS (
@@ -599,6 +607,16 @@ def pipeline_dsir_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "fp")
         .distinct()
     )
+    # stop-fingerprint cap: drop fps with df > 64 BEFORE the self-join
+    # (semi-join on the same shuffle key) — bounds the pair fan-out at
+    # n_fps x 64^2; hot fingerprints carry no near-dup signal
+    rare = (
+        fset.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("fp")
+    )
+    fset = fset.join(rare, "fp", "left_semi")
     sizes = fset.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = fset.alias("a")
     b = fset.alias("b")
