@@ -482,3 +482,85 @@ def x5_quantifier_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", "event_id", sym, "S[CV]{2,3}P",
         count_syms=("C", "V"),
     ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "s_quantifier_stream",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'view' THEN 'V'
+                             WHEN 'purchase' THEN 'P'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), cum AS (
+      SELECT *,
+             SUM(CASE WHEN sym = 'C' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS cc,
+             MIN(CASE WHEN sym NOT IN ('C', 'V') THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nrun
+      FROM ev
+    ), m AS (
+      SELECT s.user_id, s.rn AS srn,
+             s.event_id AS start_id, e.event_id AS end_id,
+             e.rn - s.rn + 1 AS n_rows, e.cc - s.cc AS b_rows,
+             s.ts AS first_ts, e.ts AS last_ts
+      FROM cum s JOIN cum e
+        ON e.user_id = s.user_id AND e.rn = s.nrun
+      WHERE s.sym = 'S' AND e.sym = 'P'
+        AND e.rn - s.rn - 1 BETWEEN 2 AND 3
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn)
+                AS BIGINT) AS match_no,
+           start_id, end_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(b_rows AS BIGINT) AS b_rows,
+           first_ts, last_ts
+    FROM m
+    """,
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING bounded-quantifier pattern — ``S (C|V){2,3} P`` on
+    keyed state, matches emitted as their closing purchase arrives
+    (COUNT(C.*) rides as the measure; the streaming NFA counts one
+    designated variable).  Because every match starts at an S and spans
+    no other S, the to-next-row policy coincides with the per-S first-
+    completion rule the batch twin x5_quantifier_alternation proves —
+    the drained stream hash-matches the same relational replay."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import streaming_match_skip
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_quant")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    sym = (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("X")
+    )
+    out = streaming_match_skip(
+        sdf, "user_id", "ts", "event_id", sym, "S[CV]{2,3}P",
+        start_chars="S", skip="to_next_row", count_sym="C",
+    )
+    res = _drain_to_memory(spark, out, "s_quant_q", "append", wd)
+    return res.select(
+        F.col("key").alias("user_id"),
+        "match_no", "start_id", "end_id", "n_rows", "b_rows",
+        "first_ts", "last_ts",
+    )
