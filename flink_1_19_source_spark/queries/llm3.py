@@ -650,3 +650,65 @@ def pipeline_dsir_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_p50").cast("long").alias("est_p50_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N4 — character-diversity quality signal (entropy-free, engine-exact)
+# --------------------------------------------------------------------------
+@register(
+    "n4_char_diversity",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '')) AS c
+      FROM documents WHERE doc_id < 300
+    ), cnt AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(SUM(n) AS BIGINT) AS n_chars,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+             CAST(MAX(n) AS BIGINT) AS top_char_n
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_distinct_chars, n_chars,
+           1.0 - CAST(sum_sq AS DOUBLE) / (n_chars * n_chars) AS char_gini,
+           CAST(top_char_n AS DOUBLE) / n_chars AS top_char_frac
+    FROM agg
+    """,
+    survey="N4",
+)
+def n4_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal, entropy without logarithms:
+    Gini impurity 1 − Σ(cᵢ/n)² over the character histogram plus the
+    top-character mass — rational arithmetic only (one double division
+    per measure), so both engines agree bit-for-bit where a Shannon
+    entropy would drift in the last ulp of libm's log.  Low diversity /
+    high top-char mass flags degenerate or repetitive documents — the
+    cheap first-pass gate before the heavier repetition signals
+    (n4_repetition_signals).  Map-side explode + one shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum("n").cast("long").alias("n_chars"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.max("n").cast("long").alias("top_char_n"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_distinct_chars",
+        "n_chars",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_chars") * F.col("n_chars"))
+        ).alias("char_gini"),
+        (F.col("top_char_n").cast("double") / F.col("n_chars")).alias(
+            "top_char_frac"
+        ),
+    )
