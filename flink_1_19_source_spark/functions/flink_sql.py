@@ -297,8 +297,28 @@ def translate(query: str, spark: SparkSession | None = None) -> str:
     return out
 
 
+# Flink sql-client session statements [docs: sql/set]: SET 'k' = 'v'
+# applies a session conf, bare SET lists them, RESET 'k' restores the
+# default.  Spark analog: spark.conf; the statement result mirrors
+# Flink's key/value echo.
+_SET_RE = re.compile(r"^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$", re.I)
+_RESET_RE = re.compile(r"^\s*RESET\s+'([^']+)'\s*;?\s*$", re.I)
+
+
 def flink_sql(spark: SparkSession, query: str) -> DataFrame:
     """Execute Flink-flavored SQL: alias-translate, ensure shims, run.
-    Tables must already be registered as views (tables.register_views)."""
+    Tables must already be registered as views (tables.register_views).
+    Session statements (SET 'k'='v' / RESET 'k') are executed against
+    the Spark session conf and echo the key like Flink's sql client."""
     register_shims(spark)
+    m = _SET_RE.match(query)
+    if m:
+        spark.conf.set(m.group(1), m.group(2))
+        return spark.createDataFrame(
+            [(m.group(1), m.group(2))], ["key", "value"]
+        )
+    m = _RESET_RE.match(query)
+    if m:
+        spark.conf.unset(m.group(1))
+        return spark.createDataFrame([(m.group(1),)], ["key"])
     return spark.sql(translate(query, spark))

@@ -342,3 +342,51 @@ def sql_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if {"vl_open", "vl_cust"} & left:
         raise AssertionError(f"DROP VIEW left views behind: {left}")
     return out
+
+
+@register(
+    "sql_set_reset",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE), 2) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    survey="S12",
+)
+def sql_set_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink sql-client session statements [docs: sql/set]: ``SET
+    'k'='v'`` applies a session conf (echoed back key/value, like
+    Flink), the next statement runs UNDER it, and ``RESET 'k'``
+    restores the default — asserted live against the session conf on
+    both edges.  The governed query's VALUES are partitioning-
+    independent (exact-decimal sum), which is exactly what makes a
+    session-conf statement safe to certify."""
+    from ..functions.flink_sql import flink_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        echo = flink_sql(spark, f"SET '{key}' = '16'").collect()
+        if (echo[0].key, echo[0].value) != (key, "16"):
+            raise AssertionError(f"SET echo wrong: {echo}")
+        if spark.conf.get(key) != "16":
+            raise AssertionError("SET did not apply to the session conf")
+        out = flink_sql(
+            spark,
+            """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 2) AS DOUBLE) AS total
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+            """,
+        ).localCheckpoint(eager=True)
+    finally:
+        flink_sql(spark, f"RESET '{key}'")
+        spark.conf.set(key, before)
+    if spark.conf.get(key) != before:
+        raise AssertionError("RESET did not restore the default")
+    return out
