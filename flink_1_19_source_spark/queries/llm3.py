@@ -712,3 +712,74 @@ def n4_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_char_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# N2 — cluster canonical selection (keep the best member per dedup cluster)
+# --------------------------------------------------------------------------
+def _canonical_oracle() -> str:
+    from ..registry import REGISTRY
+
+    clusters = REGISTRY["n2_dedup_clusters"].oracle
+    return f"""
+    WITH comp AS ({clusters}),
+    members AS (
+      SELECT c.id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ), pick AS (
+      SELECT component, id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, id) AS rk,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM members
+    )
+    SELECT component, id AS canonical_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM pick WHERE rk = 1
+    """
+
+
+@register(
+    "n2_cluster_canonical",
+    oracle=_canonical_oracle(),
+    survey="N2 N1",
+)
+def n2_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-member selection per near-dup cluster — the decision
+    step after n2_dedup_clusters' components: keep the LONGEST member
+    (most complete version, ties to the lower doc_id), drop the rest.
+    The min-id convention elsewhere is a special case; real corpus
+    dedup keeps the best-quality copy, and any deterministic per-member
+    score slots into the same argmax window.  One extra window over the
+    component partitioning — no new shuffle beyond the components'."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    comp = dedup.connected_components(pairs)
+    members = comp.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id")
+    )
+    cw = Window.partitionBy("component")
+    return (
+        members.select(
+            "component",
+            "id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(cw).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("id").alias("canonical_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
