@@ -364,9 +364,11 @@ def pq_topk(
     2. encode: for every (vector, subspace), argmin squared distance
        over the codewords (ties → lowest codeword id) = the PQ code —
        one broadcast join against the tiny codebook, no N² anywhere;
-    3. ADC: the same distance table restricted to query rows IS the
-       lookup table; approx_dist(q, v) = Σ_m lut[q][m][code(v, m)] —
-       a join on (subspace, code) + one sum;
+    3. ADC: the query subvectors go through the SAME subvector×codebook
+       distance join to form the lookup table (queries need not be
+       corpus rows, and no ids are collected driver-side);
+       approx_dist(q, v) = Σ_m lut[q][m][code(v, m)] — a join on
+       (subspace, code) + one sum;
     4. top-k per query by (approx_dist, neighbor_id).
 
     At 100 TB the corpus stores codes only (n_subspaces bytes/vector vs
@@ -405,10 +407,19 @@ def pq_topk(
         .filter(F.col("rn") == 1)
         .select(F.col("vid").alias("neighbor_id"), "m", F.col("cb_k").alias("code"))
     )
-    # ADC: the query rows of the SAME dist table are the lookup table
-    qids = [r[0] for r in queries.select(id_col).collect()]
-    lut = dist.filter(F.col("vid").isin(qids)).select(
-        F.col("vid").alias("query_id"), "m", F.col("cb_k").alias("code"), "d2"
+    # ADC: the query subvectors run the SAME codebook-distance join as
+    # the corpus (no collect/isin, no queries-are-corpus-rows
+    # precondition — any query vector of the right dim works)
+    qsub = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .select("query_id", "v", subs)
+        .select("query_id", "m", subvec(F.col("v")).alias("sv"))
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", F.col("cb_k").alias("code"), d2.alias("d2")
     )
     score = (
         codes.join(F.broadcast(lut), ["m", "code"])

@@ -1,15 +1,18 @@
 """Importing this package registers every coverage query (SURVEY.md §2).
 
 WINDOW ORDER IS LOAD-BEARING: the driver certifies only the FIRST 50
-registry entries.  Import order seeds the registry, then ``_R06_WINDOW``
+registry entries.  Import order seeds the registry, then ``_R07_WINDOW``
 below reorders it explicitly so the certification window is an exact,
-named set rather than a module-prefix accident.  Round-6 window = the
-first 50 of the 85 registered queries that have NEVER carried a driver
-CORRECTNESS row (all r5 additions), in the exact order STATUS.md's r06
-ledger plans them: proc-time triggers, avro, the parked TPC-H quartet,
-semantic dedup, the late-r5 N/SQL/stream blocks.  The remaining 35
-never-certified queries are queued for r07.  See STATUS.md "driver
-certification window" for the per-round ledger.
+named set rather than a module-prefix accident.  Round-7 window = the
+first 50 of the 77 registered queries that have NEVER carried a driver
+CORRECTNESS row, in the exact order STATUS.md's r07 ledger plans them:
+the 35 r5 leftovers (recall reports, lookup streams, band joins,
+pipeline composite, HLL/Bloom streams, CDC canal/debezium-stream,
+collection/map/temporal families), then the first 15 r6 additions
+(real codecs, CEP skip modes/permute, schema-evolution restart,
+substring spans, PQ ANN, maxwell/ogg CDC, model scoring, media
+pipeline).  The remaining 27 never-certified queries head r08.  See
+STATUS.md "driver certification window" for the per-round ledger.
 """
 
 from . import windows  # noqa: F401
@@ -40,47 +43,44 @@ from . import llm3  # noqa: F401  (streaming LSH dedup, DSIR resampling)
 
 from ..registry import REGISTRY
 
-# The exact round-6 certification window (first 50 registry entries):
-# all never-certified, in STATUS.md r06-ledger order.
-_R06_WINDOW = [
-    # W7 proc-time triggers + W8 allowed lateness + S5 avro + S9 rate
-    "s_proc_time_trigger_stream", "s_proc_time_accumulate_stream",
-    "s_allowed_lateness_stream", "src_avro_roundtrip",
-    # TPC-H classics never in a window
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_stock", "q20_potential_promotion",
-    # N2 semantic dedup + datagen stream
-    "n2_semantic_dedup", "s_datagen_rate_stream",
-    # late-r5 N4/N6/N1/N3 block
-    "n4_pii_redact", "n4_contamination", "n4_repetition_signals",
-    "n4_token_percentiles", "n6_sequence_packing", "n6_mix_rebalance",
-    "n1_cross_source_dup_matrix", "n3_int8_topk",
-    # late-r5 streaming joins + source closures
-    "s_window_join_stream", "s_temporal_join_stream",
-    "src_schema_evolution", "src_dynamic_partition_overwrite",
-    "f_variant_family", "f_string3_family",
-    # final-r5 aggregate/dialect block
-    "a13_jsonagg_family", "a14_bloom_portable", "sql_statement_set",
-    "sql_ddl_lifecycle", "sql_create_function", "sql_analyze_stats",
-    # final-r5 window/dedup/CEP/source block
-    "w4b_dynamic_gap_session", "w9_window_grouping_sets",
-    "n1_chunk_dedup", "s_dynamic_gap_session_stream",
-    "x5_pattern_within", "src_sorted_write", "s_statement_set_stream",
-    "src_cdc_debezium", "s_rolling_file_sink", "sql_join_hints",
-    "s_kafka_aligned_read", "n4_url_canonicalize",
-    "n1_incremental_dedup", "o4c_time_range_over",
-    "s_window_distinct_stream", "j5b_interval_join_outer",
-    "s_interval_join_outer_stream", "a15_agg_filter",
-    "src_metadata_columns", "x8_pagerank",
+# The exact round-7 certification window (first 50 registry entries):
+# all never-certified, in STATUS.md r07-ledger order.
+_R07_WINDOW = [
+    # r5 leftovers (35): sampling/lookup/recall/stream blocks
+    "n6_curriculum_order", "j7b_lookup_partial_cache",
+    "n2_lsh_recall_report", "s_lookup_enrich_stream",
+    "f_string4_family", "w4c_global_session", "t6_null_ordering",
+    "src_cdc_canal", "w5b_hop_offset", "j4b_band_join",
+    "src_dynamic_partition_pruning", "r8_table_api_columns",
+    "r9_connect_comap", "pipeline_corpus_end_to_end",
+    "x7b_broadcast_rules_update_stream", "n4_boilerplate_strip",
+    "s_pattern_within_stream", "sql_computed_columns",
+    "f_temporal3_family", "s_crash_resume_exactly_once",
+    "a9d_hll_merge_rollup", "n3_ivf_recall_report",
+    "s_hll_stream_rollup", "s_bloom_stream_filter",
+    "src_csv_malformed", "t4c_union_type_coercion",
+    "n2_simhash_pairs", "o2b_lead_lag_offsets", "src_agg_pushdown",
+    "j8b_window_join_outer", "s_window_join_outer_stream",
+    "s_cdc_debezium_stream", "f_collection2_family", "f_map_family2",
+    "a7b_listagg_distinct",
+    # first 15 r6 additions: codecs, CEP skip/permute, restart
+    # evolution, substring spans, PQ ANN, maxwell/ogg CDC, model
+    # scoring, str_to_map, media stream + pipeline
+    "n5_decode_real", "n5_audio_decode_real", "n5_video_decode_real",
+    "x5_skip_modes", "s_skip_modes_stream", "x5_permute",
+    "s_restart_schema_evolution", "n2_substring_dup_spans",
+    "n3_pq_topk", "src_cdc_maxwell", "src_cdc_ogg",
+    "n4_model_score_batch", "f_str_to_map", "s_media_decode_stream",
+    "pipeline_media_end_to_end",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
-    missing = [n for n in _R06_WINDOW if n not in REGISTRY]
+    assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
+    missing = [n for n in _R07_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R06_WINDOW)}
-    ordered = {k: REGISTRY[k] for k in _R06_WINDOW}
+    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R07_WINDOW)}
+    ordered = {k: REGISTRY[k] for k in _R07_WINDOW}
     ordered.update(rest)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -821,7 +821,11 @@ def n4_model_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = d.select(
         "doc_id",
-        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("f_tokens"),
+        # filter empty tokens like the oracle's list_filter(...) does —
+        # split(trim(...)) alone yields 1 token for an empty document
+        F.size(
+            F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("f_tokens"),
         F.length(t).cast("long").alias("f_chars"),
         count_removed(r"[.,!?;]").alias("f_punct"),
         count_removed(r"[0-9]").alias("f_digits"),

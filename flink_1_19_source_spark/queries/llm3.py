@@ -213,21 +213,25 @@ def _dsir_scored(d: DataFrame) -> DataFrame:
         % _DSIR_BUCKETS
     )
     bt = tok.select("doc_id", "lang", bucket.alias("b"))
-    target = bt.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tt = target.agg(F.sum("tc")).collect()[0][0]
-    rt = raw.agg(F.sum("rc")).collect()[0][0]
-    weights = (
-        raw.join(target, "b", "left")
-        .select(
-            "b",
-            (
-                F.coalesce("tc", F.lit(0)) * F.lit(int(rt))
-                - F.col("rc") * F.lit(int(tt))
-            ).alias("w"),
+    # ONE stats pass over the corpus: raw AND target per-bucket counts
+    # in the same aggregation, collected once (≤ _DSIR_BUCKETS rows).
+    # tt/rt and the finished weights derive driver-side — the corpus is
+    # tokenized exactly twice total (stats pass + scoring pass), not
+    # once per collect()/action as the naive raw/target/totals DAG does.
+    stats = (
+        bt.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("tc"),
         )
+        .collect()
+    )
+    tt = sum(r["tc"] for r in stats)
+    rt = sum(r["rc"] for r in stats)
+    spark = d.sparkSession
+    weights = spark.createDataFrame(
+        [(r["b"], r["tc"] * rt - r["rc"] * tt) for r in stats],
+        "b long, w long",
     )
     return (
         bt.join(F.broadcast(weights), "b")
@@ -600,12 +604,24 @@ def pipeline_dsir_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text_analysis as ta
 
     d = load_table(spark, sf_dir, "documents")
-    keep = _dsir_scored(d).filter(F.col("score") > 0).select("doc_id", "lang")
+    # keep and fset each feed several DAG branches (attrition counts,
+    # anti-join, self-join, sizes); localCheckpoint materializes the
+    # doc-level intermediates ONCE so the corpus-wide scoring and
+    # winnowing passes don't re-run per branch — at 100 TB these are
+    # the two passes worth persisting (both outputs are doc-granular,
+    # orders of magnitude smaller than the corpus text)
+    keep = (
+        _dsir_scored(d)
+        .filter(F.col("score") > 0)
+        .select("doc_id", "lang")
+        .localCheckpoint()
+    )
     survivors = d.join(keep.select("doc_id"), "doc_id")
     fset = (
         ta.winnow_fingerprints(survivors, "doc_id", "text", k=8, w=16)
         .select("id", "fp")
         .distinct()
+        .localCheckpoint()
     )
     # stop-fingerprint cap: drop fps with df > 64 BEFORE the self-join
     # (semi-join on the same shuffle key) — bounds the pair fan-out at

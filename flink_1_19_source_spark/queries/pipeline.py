@@ -647,7 +647,9 @@ def pipeline_media_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer milli-unit gate (see llm2._QC_MILLI): boundary docs cannot
     # flip between engines' float/decimal literal semantics
     milli = (
-        w[0] * F.size(F.split(F.trim(t), r"\s+")).cast("long")
+        w[0] * F.size(
+            F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long")
         + w[1] * F.length(t).cast("long")
         + w[2] * count_removed(r"[.,!?;]")
         + w[3] * count_removed(r"[0-9]")

@@ -398,20 +398,30 @@ def decode_container_columns(data: bytes, schema: T.StructType):
     out = {}
     for f, col in zip(schema.fields, cols):
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            # Int64 (nullable), never float64: a float µs value above
+            # 2^53 would silently lose sub-µs precision
             out[f.name] = pd.to_datetime(
-                pd.Series(col, dtype="float64" if None in col else "int64"),
+                pd.Series(col, dtype="Int64" if None in col else "int64"),
                 unit="us",
             )
         elif isinstance(f.dataType, T.DateType):
             out[f.name] = pd.to_datetime(
-                pd.Series(col, dtype="float64" if None in col else "int64"),
+                pd.Series(col, dtype="Int64" if None in col else "int64"),
                 unit="D",
             ).dt.date
         elif isinstance(f.dataType, T.BinaryType):
             out[f.name] = pd.Series(col, dtype="object")
+        elif isinstance(
+            f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            # nullable integers must NOT promote to float64 (silent
+            # precision loss above 2^53) — use pandas' nullable Int64
+            out[f.name] = pd.Series(
+                col, dtype="Int64" if None in col else "int64"
+            )
         else:
-            # numerics/bools/strings: let pandas infer (int64/float64/
-            # bool/object) — Arrow conversion handles each natively
+            # floats/bools/strings: let pandas infer (float64/bool/
+            # object) — Arrow conversion handles each natively
             out[f.name] = pd.Series(col)
     return pd.DataFrame(out)
 

@@ -103,6 +103,17 @@ def aligned_consume(spark, topic, max_drift_ms: int, step_offsets: dict[int, int
                 ranges[-1] = (p, ranges[-1][1], stop)
             else:
                 ranges.append((p, start, stop))
+    if not ranges:
+        # Empty topic (all end offsets 0): the poll loop never ran, so an
+        # empty bounded read stands in for the zero fetched ranges.
+        empty = topic.read_batch(
+            spark,
+            starting_offsets={p: 0 for p in end},
+            ending_offsets={p: 0 for p in end},
+        )
+        return empty, {
+            "rounds": rounds, "paused_rounds": paused_rounds, "trace": trace,
+        }
     parts = [
         topic.read_batch(
             spark,
