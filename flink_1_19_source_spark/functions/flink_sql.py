@@ -127,9 +127,9 @@ def _rewrite_current_watermark(query: str, spark: SparkSession | None) -> str:
 # window_start / window_end / window_time columns.  TUMBLE maps to
 # Spark's window() expression; HOP/CUMULATE expand each row to its
 # covering windows with integer µs arithmetic (the same construction as
-# operators/cumulate.py — no double rounding).  SESSION TVF needs keyed
-# gap merging and is NOT textually translatable — use
-# queries/windows.w4_session / streaming/dynamic_session instead.
+# operators/cumulate.py — no double rounding).  SESSION TVF (agg shape,
+# the only one Flink supports) restructures onto Spark's
+# session_window() grouping expression — see _rewrite_session_tvf.
 # Positional-argument form only (the documented canonical shape).
 # ---------------------------------------------------------------------------
 _IVL = r"INTERVAL\s+'(\d+)'\s+(\w+)"
@@ -145,7 +145,16 @@ _CUMULATE_RE = re.compile(
     rf"TABLE\s*\(\s*CUMULATE\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)\s*\)",
     re.IGNORECASE,
 )
-_SESSION_TVF_RE = re.compile(r"TABLE\s*\(\s*SESSION\s*\(", re.IGNORECASE)
+_SESSION_TVF_RE = re.compile(
+    rf"TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(\w+)"
+    rf"(?:\s+PARTITION\s+BY\s+((?:\w+\s*,\s*)*\w+))?\s*,\s*"
+    rf"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_GROUP_BY_RE = re.compile(
+    r"(GROUP\s+BY\s+)(.*?)(?=\bORDER\s+BY\b|\bHAVING\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _US = {
     "second": 1_000_000,
@@ -213,12 +222,65 @@ def _rewrite_window_tvf(query: str) -> str:
     out = _TUMBLE_RE.sub(tumble, query)
     out = _HOP_RE.sub(hop, out)
     out = _CUMULATE_RE.sub(cumulate, out)
+    return _rewrite_session_tvf(out)
+
+
+def _rewrite_session_tvf(query: str) -> str:
+    """``TABLE(SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap))``
+    — the agg-on-TVF shape (the only one Flink 1.19 supports: session
+    TVFs must be aggregated) maps onto Spark's ``session_window(ts,
+    gap)`` grouping expression.  Unlike TUMBLE/HOP/CUMULATE, a session's
+    window_start/window_end are group-level facts (gap merge), so the
+    rewrite restructures the query instead of the FROM table alone:
+    the TVF becomes the bare table, the GROUP BY's window_start/
+    window_end pair collapses to the raw session_window() grouping
+    expression (gap merging happens THERE), and select-side
+    window_start/window_end/window_time references become field
+    extractions of that same expression (Spark resolves them
+    structurally against the grouping column)."""
+    m = _SESSION_TVF_RE.search(query)
+    if not m:
+        return query
+    _tbl, _keys, ts, n, unit = m.groups()
+    sw = f"session_window({ts}, '{int(n)} {unit.lower()}')"
+    # PARTITION BY keys stay as ordinary GROUP BY items — the canonical
+    # Flink shape already lists them in its GROUP BY clause.
+    out = _SESSION_TVF_RE.sub(m.group(1), query)
     if _SESSION_TVF_RE.search(out):
+        raise ValueError("only one SESSION TVF per statement is supported")
+
+    def fix_group(gm: re.Match) -> str:
+        items = [c.strip() for c in gm.group(2).split(",")]
+        kept = [
+            c for c in items
+            if c.lower() not in ("window_start", "window_end") and c
+        ]
+        trail = "\n" if gm.group(2).endswith("\n") else " "
+        return gm.group(1) + ", ".join([sw] + kept) + trail
+
+    fixed, n_sub = _GROUP_BY_RE.subn(fix_group, out, count=1)
+    if not n_sub:
         raise ValueError(
-            "SESSION window TVF is not textually translatable (keyed gap "
-            "merge); use the session-window operators instead"
+            "SESSION TVF requires an aggregation (GROUP BY window_start, "
+            "window_end[, keys]) — Flink 1.19 supports no other shape"
         )
-    return out
+    # SELECT list only: a bare window_start/window_end/window_time
+    # becomes the aliased field extraction, so ORDER BY / HAVING
+    # references (which run post-aggregation, where ts is gone) resolve
+    # against the output alias, not the raw expression.
+    head = re.match(r"(\s*SELECT\s+)(.*?)(\bFROM\b)", fixed, re.I | re.S)
+    sel = head.group(2)
+    for tok, expr in (
+        ("window_start", f"{sw}.start"),
+        ("window_end", f"{sw}.end"),
+        ("window_time", f"{sw}.end - INTERVAL 1 MILLISECOND"),
+    ):
+        # already-aliased form (window_start AS x) keeps the user alias
+        sel = re.sub(
+            rf"\b{tok}\b(\s+AS\s+\w+)", rf"{expr}\1", sel, flags=re.I
+        )
+        sel = re.sub(rf"\b{tok}\b", f"{expr} AS {tok}", sel, flags=re.I)
+    return head.group(1) + sel + fixed[head.start(3):]
 
 
 # ---------------------------------------------------------------------------
@@ -228,7 +290,7 @@ def _rewrite_window_tvf(query: str) -> str:
 #   GROUP BY HOP(ts, INTERVAL slide, INTERVAL size) + HOP_START/END
 # map 1:1 onto Spark's window() grouping expression (note HOP's argument
 # order flips: Flink is (slide, size), Spark window() is (size, slide)).
-# SESSION legacy group windows raise like the SESSION TVF.
+# SESSION legacy group windows map onto session_window() the same way.
 # ---------------------------------------------------------------------------
 _TUMBLE_ACC_RE = re.compile(
     rf"\bTUMBLE_(START|END)\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
@@ -243,8 +305,11 @@ _HOP_ACC_RE = re.compile(
 _HOP_GRP_RE = re.compile(
     rf"\bHOP\s*\(\s*(\w+)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)", re.IGNORECASE
 )
+_SESSION_ACC_RE = re.compile(
+    rf"\bSESSION_(START|END)\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
 _SESSION_GRP_RE = re.compile(
-    r"\bSESSION(_START|_END)?\s*\(\s*\w+\s*,\s*INTERVAL", re.IGNORECASE
+    rf"\bSESSION\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
 )
 
 
@@ -271,16 +336,24 @@ def _rewrite_legacy_group_windows(query: str) -> str:
         ts, sn, su, zn, zu = m.groups()
         return f"window({ts}, '{dur(zn, zu)}', '{dur(sn, su)}')"
 
+    def session_acc(m: re.Match) -> str:
+        which, ts, n, unit = m.groups()
+        return f"session_window({ts}, '{dur(n, unit)}').{which.lower()}"
+
+    def session_grp(m: re.Match) -> str:
+        ts, n, unit = m.groups()
+        return f"session_window({ts}, '{dur(n, unit)}')"
+
     out = _TUMBLE_ACC_RE.sub(tumble_acc, query)
     out = _TUMBLE_GRP_RE.sub(tumble_grp, out)
     out = _HOP_ACC_RE.sub(hop_acc, out)
     out = _HOP_GRP_RE.sub(hop_grp, out)
-    if _SESSION_GRP_RE.search(out):
-        raise ValueError(
-            "legacy SESSION group windows are not textually translatable "
-            "(keyed gap merge); use the session-window operators instead"
-        )
-    return out
+    # legacy SESSION group windows map 1:1 too: SESSION(ts, gap) in the
+    # GROUP BY is Spark's session_window(ts, gap) grouping expression,
+    # SESSION_START/SESSION_END are its struct fields (gap-merged end =
+    # last element + gap on both engines)
+    out = _SESSION_ACC_RE.sub(session_acc, out)
+    return _SESSION_GRP_RE.sub(session_grp, out)
 
 
 def translate(query: str, spark: SparkSession | None = None) -> str:

@@ -487,3 +487,74 @@ def sql_legacy_group_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     ).select(F.lit("hop").alias("win"), "ws", "we", "n", "s")
     return t.unionByName(h)
+
+
+@register(
+    "sql_session_tvf",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), merged AS (
+        SELECT user_id,
+               MIN(ts) AS window_start,
+               MAX(ts) + INTERVAL '30 minutes' AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT form, user_id, window_start, window_end, n
+    FROM merged CROSS JOIN (VALUES ('tvf'), ('legacy')) AS f(form)
+    """,
+    survey="S12 W4",
+)
+def sql_session_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.19's SESSION window TVF — ``TABLE(SESSION(TABLE events
+    PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '30' MINUTE))`` — AND
+    the legacy ``GROUP BY SESSION(ts, gap)`` + SESSION_START/SESSION_END
+    syntax, both running VERBATIM through the dialect layer [docs:
+    queries/window-tvf (session)].  Sessions gap-merge per key, so
+    unlike TUMBLE/HOP the rewrite restructures the aggregation onto
+    Spark's session_window() grouping expression (window_start/
+    window_end become field extractions of the grouping struct) rather
+    than rewriting only the FROM table.  Both syntaxes hash-match the
+    same DuckDB gap-merge replay — the headline 1.19 SQL feature a Flink
+    user pastes in unchanged."""
+    from ..functions.flink_sql import flink_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    tvf = flink_sql(
+        spark,
+        """
+        SELECT window_start, window_end, user_id, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        GROUP BY window_start, window_end, user_id
+        """,
+    ).select(
+        F.lit("tvf").alias("form"), "user_id", "window_start",
+        "window_end", "n",
+    )
+    legacy = flink_sql(
+        spark,
+        """
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '30' MINUTE) AS window_start,
+               SESSION_END(ts, INTERVAL '30' MINUTE) AS window_end,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
+        """,
+    ).select(
+        F.lit("legacy").alias("form"), "user_id", "window_start",
+        "window_end", "n",
+    )
+    return tvf.unionByName(legacy)

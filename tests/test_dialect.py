@@ -93,7 +93,8 @@ def test_dialect_shims_are_inlined_expressions_not_python_udfs(spark):
 
 def test_window_tvf_translation_shapes():
     """The Flink windowing-TVF rewrite: TUMBLE maps to window(), HOP and
-    CUMULATE to covering-window expansions, SESSION raises."""
+    CUMULATE to covering-window expansions, SESSION restructures the
+    aggregation onto session_window()."""
     import pytest
 
     from flink_1_19_source_spark.functions.flink_sql import translate
@@ -116,7 +117,22 @@ def test_window_tvf_translation_shapes():
     )
     assert "explode(sequence(1, 4))" in c
 
-    with pytest.raises(ValueError, match="SESSION"):
+    s = translate(
+        "SELECT window_start, window_end, user_id, COUNT(*) AS n"
+        " FROM TABLE(SESSION(TABLE events PARTITION BY user_id,"
+        " DESCRIPTOR(ts), INTERVAL '10' MINUTE))"
+        " GROUP BY window_start, window_end, user_id"
+        " ORDER BY window_start"
+    )
+    assert "GROUP BY session_window(ts, '10 minute'), user_id" in s
+    assert "session_window(ts, '10 minute').start AS window_start" in s
+    assert "session_window(ts, '10 minute').end AS window_end" in s
+    # ORDER BY resolves against the output alias, not the raw expr
+    assert "ORDER BY window_start" in s
+    assert "TABLE(" not in s
+
+    # the non-aggregated shape does not exist in Flink 1.19 — reject it
+    with pytest.raises(ValueError, match="GROUP BY"):
         translate(
             "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts),"
             " INTERVAL '10' MINUTE))"
@@ -124,8 +140,6 @@ def test_window_tvf_translation_shapes():
 
 
 def test_legacy_group_window_translation_shapes():
-    import pytest
-
     from flink_1_19_source_spark.functions.flink_sql import translate
 
     q = translate(
@@ -143,8 +157,9 @@ def test_legacy_group_window_translation_shapes():
     assert "window(ts, '1 hour', '15 minute').end" in q
     assert "GROUP BY window(ts, '1 hour', '15 minute')" in q
 
-    with pytest.raises(ValueError, match="SESSION"):
-        translate(
-            "SELECT COUNT(*) FROM events "
-            "GROUP BY SESSION(ts, INTERVAL '10' MINUTE)"
-        )
+    q = translate(
+        "SELECT SESSION_START(ts, INTERVAL '10' MINUTE) AS ws, COUNT(*) n "
+        "FROM events GROUP BY SESSION(ts, INTERVAL '10' MINUTE)"
+    )
+    assert "session_window(ts, '10 minute').start" in q
+    assert "GROUP BY session_window(ts, '10 minute')" in q
