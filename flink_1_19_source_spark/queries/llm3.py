@@ -799,3 +799,112 @@ def n2_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N2 — skew-guard certification: the band-bucket cap SEEN binding
+# --------------------------------------------------------------------------
+_SKEW_BOILER = (
+    "click here to accept all cookies and subscribe to our newsletter"
+    " for exclusive updates today"
+)
+_SKEW_CAP = 32
+
+
+def _lsh_capped_skew_oracle(
+    num_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> str:
+    pa, pb = dedup.minhash_perms(num_hashes, seed)
+    rpb = num_hashes // bands
+    perms = ", ".join(
+        f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb))
+    )
+    shingles = _SHINGLE_HASH_CTES.replace("FROM documents", "FROM adv")
+    return f"""
+    WITH adv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text
+                  ELSE '{_SKEW_BOILER}' END AS text
+      FROM documents
+    ), {shingles},
+    perms(k, a, b) AS (VALUES {perms}),
+    sig AS (
+      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
+      FROM hv CROSS JOIN perms GROUP BY doc_id, k
+    ), bandkey AS (
+      SELECT doc_id, k // {rpb} AS band,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
+      FROM sig GROUP BY doc_id, k // {rpb}
+    ), bsize AS (
+      SELECT band, key, COUNT(*) AS c FROM bandkey GROUP BY band, key
+    ), dropped AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+      FROM bsize WHERE c > {_SKEW_CAP}
+    ), ok AS (
+      SELECT bk.doc_id, bk.band, bk.key
+      FROM bandkey bk JOIN bsize
+        ON bsize.band = bk.band AND bsize.key = bk.key
+      WHERE bsize.c <= {_SKEW_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ok a JOIN ok b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS DOUBLE)
+             / {num_hashes} AS est_jaccard,
+           (SELECT n_dropped FROM dropped) AS n_dropped_buckets
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+    GROUP BY c.id_a, c.id_b
+    """
+
+
+@register(
+    "n2_lsh_capped_skew",
+    oracle=_lsh_capped_skew_oracle(),
+    survey="N2",
+    tags=("approx",),
+)
+def n2_lsh_capped_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-bucket skew cap OBSERVED binding — not merely neutral.
+
+    Adversarial corpus, derived deterministically from `documents` on
+    both engines: 4 of every 5 docs are replaced by one identical
+    boilerplate string, so every band bucket of the boilerplate set
+    goes hot (all 8 bands of an identical text share identical keys)
+    and exceeds the cap at every test SF (40 docs at sf0.001, 4000 at
+    sf0.1 — cap 32).  The capped join then proves BOTH halves of the
+    guard's contract at once:
+
+    - the cap ENGAGES: n_dropped_buckets (hot buckets excluded before
+      the self-join) is surfaced as a column and hash-checked — the
+      pytest pin asserts it is nonzero, so 'cap never seen working'
+      can't regress silently;
+    - the SAFE SUBSET is untouched: surviving pairs are exactly the
+      near-dup pairs among the 1-in-5 clean docs, value-hash-matching
+      DuckDB's identically-capped replay.
+
+    At 100 TB this is the degenerate shape that would otherwise send
+    one bucket's self-join quadratic (boilerplate-dense crawls); the
+    guard turns it into bounded work with explicit, countable loss.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    adv = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.lit(_SKEW_BOILER))
+        .alias("text"),
+    )
+    buckets = dedup.minhash_band_buckets(adv, "doc_id", "text")
+    over = (
+        buckets.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _SKEW_CAP)
+        .agg(F.count(F.lit(1)).alias("n_dropped_buckets"))
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        adv, "doc_id", "text", band_bucket_cap=_SKEW_CAP
+    )
+    return pairs.crossJoin(F.broadcast(over))
