@@ -490,3 +490,155 @@ def s_restart_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (src, ckpt, state):
         shutil.rmtree(p, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# §7.4-retract — retractable Top-N over a streaming aggregate's changelog
+# --------------------------------------------------------------------------
+_TOPN_K = 10
+_TOPN_SLACK = 6
+
+
+@register(
+    "s_topn_over_agg_retract",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
+        FROM per_user
+    )
+    SELECT CAST(rn AS BIGINT) AS rn, user_id, cnt
+    FROM ranked WHERE rn <= {_TOPN_K}
+    """,
+    survey="§7.4-retract O6-S X2 X4",
+    tags=("streaming",),
+)
+def s_topn_over_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's classic retractable Top-N OVER an unwindowed streaming
+    aggregate — the second canonical consume-a-retraction-stream shape
+    (SURVEY §7.4; `s_chained_agg_retract` proved agg→agg, this proves
+    agg→rank):
+
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) rn
+          FROM (SELECT user_id, COUNT(*) cnt FROM events GROUP BY user_id)
+        ) WHERE rn <= 10
+
+    Level 1 is Spark's NATIVE update-mode streaming aggregate; per
+    micro-batch foreachBatch (1) synthesizes the -U/+U changelog against
+    the keyed mirror (ChangelogNormalize), (2) MERGEs the +I/+U absolute
+    values into a BOUNDED Top-N candidate table and prunes everything
+    below rank K+slack with -D MERGE deletes (Flink's
+    UpdatableTopNFunction buffer, done set-based), (3) upserts the
+    mirror, (4) marks the batch ledger.
+
+    Eviction safety is an explicit precondition, stated and relied on:
+    the ranking value (COUNT over an append-only stream) is MONOTONE
+    non-decreasing, so an evicted row's rank can never improve without
+    its own +U (which re-enters through the changelog carrying the new
+    absolute count) — a retractable source (CDC deletes) would instead
+    re-rank from the keyed mirror, which this pipeline already
+    maintains.  State is O(K + slack + batch churn), never O(users):
+    the 100 TB shape, where the hot ranking state stays driver-scan
+    small while the mirror is a keyed MERGE table probed only on
+    changed keys.
+
+    All state mutations are ABSOLUTE-value MERGEs (idempotent), so a
+    crash between the state MERGE and the ledger mark converges on
+    replay — pinned by tests/test_r7_ops.py::
+    test_topn_over_agg_crash_replay_converges; chunk-count invariance
+    (3 vs 8 micro-batches) is pinned in test_chunk_invariance.py.
+    Drained result = rank snapshot of the candidate table, which must
+    hash-match the batch two-level SQL above (the DuckDB oracle).
+    """
+    return _topn_retract_run(spark, sf_dir)
+
+
+def _topn_retract_run(
+    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_topn_retract")
+    level1 = sdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    run = uuid.uuid4().hex[:8]
+    url = jdbc_mod.derby_url(os.path.join(wd, f"derby-{run}"))
+    mirror = jdbc_mod.JdbcTableSource(url, "TN_MIRROR")
+    state = jdbc_mod.JdbcTableSource(
+        url, "TN_TOPN", column_types={"_rowkind": "VARCHAR(8)"}
+    )
+    ledger = retract.BatchLedger(jdbc_mod.JdbcTableSource(url, "TN_LEDGER"))
+    mirror.ensure_table(
+        spark.createDataFrame([], "user_id long, cnt long"), overwrite=True
+    )
+    state.ensure_table(
+        spark.createDataFrame([], "user_id long, cnt long"), overwrite=True
+    )
+    ledger.init(spark)
+    crashed = {"done": False}
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(spark, batch_id):
+            return  # committed batch replayed after a crash: no-op
+        batch_df = batch_df.persist()
+        try:
+            changelog = retract.synthesize_retractions(
+                batch_df, mirror.scan(spark), ["user_id"], ["cnt"]
+            )
+            # +I/+U carry the new ABSOLUTE count: upsert into candidates
+            # (the -U needs no delete — its key's +U replaces it in the
+            # same MERGE, the set-based form of retract-then-add)
+            adds = changelog.filter(F.col("_rowkind") != "-U").select(
+                "user_id", "cnt"
+            )
+            state.upsert(adds, pk_cols=["user_id"])
+            # prune: everything below rank K+slack leaves the candidate
+            # table (monotone ranking value => safe, see docstring)
+            ranked = state.scan(spark).withColumn(
+                "rn", F.row_number().over(rank_w)
+            )
+            evict = (
+                ranked.filter(F.col("rn") > _TOPN_K + _TOPN_SLACK)
+                .select("user_id", "cnt")
+                .withColumn("_rowkind", F.lit("-D"))
+            )
+            if evict.count():
+                state.upsert(evict, pk_cols=["user_id"], op_col="_rowkind")
+            mirror.upsert(
+                batch_df.select("user_id", "cnt"), pk_cols=["user_id"]
+            )
+            if crash_once_at == batch_id and not crashed["done"]:
+                crashed["done"] = True
+                # worst spot: every state table mutated, ledger unmarked
+                raise RuntimeError("injected crash before ledger mark")
+            ledger.mark(spark, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    plan = sinks.plan_sink("chained_agg")  # update + keyed_merge (§7.4)
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(
+                    level1, fold, checkpoint_dir=ckpt,
+                    output_mode=plan.output_mode,
+                )
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(
+            level1, fold, checkpoint_dir=ckpt, output_mode=plan.output_mode
+        )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        state.scan(spark)
+        .withColumn("rn", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rn") <= _TOPN_K)
+        .select("rn", "user_id", "cnt")
+    )

@@ -87,6 +87,10 @@ INVARIANT_QUERIES = [
     # and idempotent (same algebra as the HLL register max-merge), so the
     # converged sample — and its estimates — are slicing-independent
     "s_quantile_sketch_stream",
+    # retractable Top-N over the agg changelog: absolute-value MERGEs +
+    # monotone-rank eviction — the converged candidate table holds the
+    # true top K+slack for any slicing
+    "s_topn_over_agg_retract",
 ]
 
 

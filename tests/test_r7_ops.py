@@ -24,3 +24,19 @@ def test_lsh_skew_cap_engages_and_spares_clean_docs(spark, sf_dir):
     assert dropped == {8}, dropped  # one hot bucket per band, all capped
     for r in rows:
         assert r.id_a % 5 == 0 and r.id_b % 5 == 0, r
+
+
+def test_topn_over_agg_crash_replay_converges(spark, sf_dir):
+    """Crash injected at the WORST point (all three state tables
+    mutated, ledger unmarked) — the availableNow restart replays the
+    batch, the absolute-value MERGEs absorb the double application, and
+    the drained Top-N equals the crash-free run bit for bit."""
+    from flink_1_19_source_spark.queries.streaming2 import _topn_retract_run
+
+    from .oracle import canon_rows
+
+    clean = canon_rows(_topn_retract_run(spark, sf_dir).toPandas())
+    crashed = canon_rows(
+        _topn_retract_run(spark, sf_dir, crash_once_at=1).toPandas()
+    )
+    assert clean == crashed
