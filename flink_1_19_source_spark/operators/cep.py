@@ -308,3 +308,101 @@ def classify(mapping: dict[str, str], other: str = "X") -> Callable[[Column], Co
         return expr.otherwise(other)
 
     return apply
+
+
+SKIP_TO_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("s_rows", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("s_first_ts", TimestampType()),
+        StructField("s_last_ts", TimestampType()),
+    ]
+)
+
+
+def match_recognize_skip_to(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    resume_group: str,
+    subset_groups: tuple[str, ...],
+) -> DataFrame:
+    """MATCH_RECOGNIZE with ``AFTER MATCH SKIP TO <variable>`` and a
+    ``SUBSET`` union measure [docs: match_recognize#after-match-strategy,
+    #define--measures (SUBSET)].
+
+    Pattern variables are regex NAMED GROUPS: ``resume_group`` names the
+    variable the scan resumes AT after each match (inclusive — Flink's
+    SKIP TO LAST <var>; the row can start the next match, which is how
+    chained matches share their boundary row).  ``subset_groups`` is the
+    SUBSET definition: the union of those variables' rows yields
+    ``s_rows`` (COUNT(S.*)), ``s_first_ts`` (FIRST(S.ts)) and
+    ``s_last_ts`` (LAST(S.ts)).
+
+    Flink raises when a skip target cannot advance the scan (SKIP TO
+    FIRST A on a match starting at A loops forever); the same guard
+    raises here if the resume position is not strictly after the
+    previous match's start.
+
+    Scale shape unchanged from match_recognize_skip: one shuffle on the
+    key, linear per-key scan, keys independent across executors."""
+    compiled = re.compile(pattern)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        s = "".join(pdf["__sym"])
+        ids = pdf[id_col].to_numpy()
+        tss = pdf[ts_col].to_numpy()
+        key = int(pdf[key_col].iloc[0])
+        out = []
+        pos = n = 0
+        while True:
+            m = compiled.search(s, pos)
+            if m is None:
+                break
+            a, b = m.start(), m.end() - 1
+            n += 1
+            spans = [
+                (m.start(g), m.end(g))
+                for g in subset_groups
+                if m.start(g) != -1 and m.end(g) > m.start(g)
+            ]
+            s_rows = sum(e - st for st, e in spans)
+            s_first = min(st for st, _ in spans) if spans else None
+            s_last = max(e for _, e in spans) - 1 if spans else None
+            out.append(
+                (
+                    key,
+                    n,
+                    int(ids[a]),
+                    int(ids[b]),
+                    b - a + 1,
+                    s_rows,
+                    tss[a],
+                    tss[b],
+                    tss[s_first] if s_first is not None else None,
+                    tss[s_last] if s_last is not None else None,
+                )
+            )
+            resume = m.start(resume_group)
+            if resume <= a:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {resume_group} cannot advance "
+                    f"past the match start (Flink raises here too)"
+                )
+            pos = resume
+        return pd.DataFrame(out, columns=[f.name for f in SKIP_TO_SCHEMA.fields])
+
+    prepared = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
+    )
+    return prepared.groupBy(key_col).applyInPandas(run, SKIP_TO_SCHEMA)

@@ -564,3 +564,106 @@ def s_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_no", "start_id", "end_id", "n_rows", "b_rows",
         "first_ts", "last_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# X5 — AFTER MATCH SKIP TO <variable> + SUBSET (the long-tail clauses)
+# --------------------------------------------------------------------------
+_SKIP_TO_PATTERN = "C(?P<b1>B*)(?P<mid>C)(?P<b2>B*)(?P<last>C)"
+
+_SKIP_TO_SELECT = """
+    , pairs AS (
+      SELECT a.user_id, a.srn, a.start_id, a.first_ts,
+             b.srn AS mid_rn, b.ern, b.end_id, b.last_ts
+      FROM pos a JOIN pos b
+        ON b.user_id = a.user_id AND b.chain_id = a.chain_id
+       AND b.p = a.p + 1
+      WHERE a.p % 2 = 1
+    )
+    SELECT p.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.srn)
+                AS BIGINT) AS match_no,
+           p.start_id, p.end_id,
+           CAST(p.ern - p.srn + 1 AS BIGINT) AS n_rows,
+           CAST(p.ern - p.mid_rn AS BIGINT) AS s_rows,
+           p.first_ts, p.last_ts,
+           sf.ts AS s_first_ts, p.last_ts AS s_last_ts
+    FROM pairs p
+    JOIN ev sf ON sf.user_id = p.user_id
+       AND sf.rn = CASE WHEN p.ern - p.mid_rn > 1
+                        THEN p.mid_rn + 1 ELSE p.ern END
+"""
+
+
+@register(
+    "x5_skip_to_variable",
+    oracle=_SKIP_ORACLE_BASE + _SKIP_TO_SELECT,
+    survey="X5",
+)
+def x5_skip_to_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``AFTER MATCH SKIP TO C3`` + ``SUBSET`` — the X5
+    long-tail clauses [docs: match_recognize#after-match-strategy]:
+
+        PATTERN (C1 B1* C2 B2* C3)
+        SUBSET S = (B2, C3)
+        MEASURES FIRST(ts), LAST(ts), COUNT(*), COUNT(S.*),
+                 FIRST(S.ts), LAST(S.ts)
+        AFTER MATCH SKIP TO C3
+
+    Three purchases separated by clicks; after a match the scan resumes
+    AT the third purchase, which becomes the next match's FIRST purchase
+    — chained purchase runs produce matches sharing their boundary row
+    (distinct from both PAST LAST ROW, which skips the shared row, and
+    TO NEXT ROW, which also admits the mid-purchase start — the fuzz
+    test pins all three apart).  The SUBSET measures aggregate the union
+    of the B2 and C3 variables' rows.  Oracle: the purchase-chain edge
+    table — a chain of k purchases yields matches at odd edge positions
+    (p, p+1), exactly the resume-at-boundary recurrence.  Pattern
+    variables are regex named groups; resume = SKIP TO <group>
+    (operators/cep.match_recognize_skip_to, one keyed shuffle + linear
+    scan).  Flink's cannot-advance guard (SKIP TO FIRST C1 would loop)
+    raises identically."""
+    e = load_table(spark, sf_dir, "events")
+    return cep.match_recognize_skip_to(
+        e, "user_id", "ts", "event_id", _skip_symbol(), _SKIP_TO_PATTERN,
+        resume_group="last", subset_groups=("b2", "last"),
+    ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "s_skip_to_variable_stream",
+    oracle=_SKIP_ORACLE_BASE + _SKIP_TO_SELECT,
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_skip_to_variable_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of x5_skip_to_variable: SKIP TO <variable> +
+    SUBSET measures on keyed state.  The buffer keeps from the resume
+    row (it starts the next match — SKIP TO LAST semantics), so a
+    chained run completes across micro-batches as its closing purchases
+    arrive.  Emission is prefix-stable because the quantified variables
+    (B*) exclude the boundary symbol C — a completed match can never be
+    extended by later rows, the same stability argument as
+    s_skip_modes_stream.  Converges to the batch twin's oracle at any
+    chunking."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import streaming_match_skip_to
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_skipto")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    out = streaming_match_skip_to(
+        sdf, "user_id", "ts", "event_id", _skip_symbol(), _SKIP_TO_PATTERN,
+        start_chars="C", resume_group="last", subset_groups=("b2", "last"),
+    )
+    res = _drain_to_memory(spark, out, "s_skipto_q", "append", wd)
+    return res.select(
+        F.col("key").alias("user_id"),
+        "match_no", "start_id", "end_id", "n_rows", "s_rows",
+        "first_ts", "last_ts", "s_first_ts", "s_last_ts",
+    )

@@ -341,3 +341,133 @@ def pattern_within_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# AFTER MATCH SKIP TO <variable> + SUBSET measures on keyed state
+# ---------------------------------------------------------------------------
+SKIP_TO_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("s_rows", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("s_first_ts", TimestampType()),
+        StructField("s_last_ts", TimestampType()),
+    ]
+)
+
+
+def _skip_to_factory(
+    pattern: str,
+    start_chars: str,
+    max_buffer: int,
+    resume_group: str,
+    subset_groups: tuple[str, ...],
+):
+    compiled = re.compile(pattern)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            syms, ids, tss, match_no = state.get
+            ids, tss = list(ids), list(tss)
+        else:
+            syms, ids, tss, match_no = "", [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            syms += "".join(pdf["sym"])
+            ids.extend(int(i) for i in pdf["id"])
+            tss.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+
+        out = []
+        pos = 0
+        while True:
+            m = compiled.search(syms, pos)
+            if m is None:
+                break
+            a, b = m.start(), m.end() - 1
+            match_no += 1
+            spans = [
+                (m.start(g), m.end(g))
+                for g in subset_groups
+                if m.start(g) != -1 and m.end(g) > m.start(g)
+            ]
+            s_rows = sum(e - st for st, e in spans)
+            s_first = min(st for st, _ in spans) if spans else None
+            s_last = max(e for _, e in spans) - 1 if spans else None
+            out.append(
+                (
+                    int(key[0]),
+                    match_no,
+                    ids[a],
+                    ids[b],
+                    b - a + 1,
+                    s_rows,
+                    pd.to_datetime(tss[a], unit="us"),
+                    pd.to_datetime(tss[b], unit="us"),
+                    pd.to_datetime(tss[s_first], unit="us")
+                    if s_first is not None else pd.NaT,
+                    pd.to_datetime(tss[s_last], unit="us")
+                    if s_last is not None else pd.NaT,
+                )
+            )
+            resume = m.start(resume_group)
+            if resume <= a:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {resume_group} cannot advance"
+                )
+            pos = resume
+
+        # the resume row itself may start the NEXT match (SKIP TO LAST
+        # semantics) — keep from pos, then prune to a possible start
+        rest = syms[pos:]
+        first_start = next(
+            (i for i, ch in enumerate(rest) if ch in start_chars), len(rest)
+        )
+        cut = pos + first_start
+        syms, ids, tss = syms[cut:], ids[cut:], tss[cut:]
+        if len(syms) > max_buffer:
+            syms, ids, tss = syms[-max_buffer:], ids[-max_buffer:], tss[-max_buffer:]
+        state.update((syms, ids, tss, match_no))
+        yield pd.DataFrame(out, columns=[f.name for f in SKIP_TO_OUTPUT.fields])
+
+    return fn
+
+
+def streaming_match_skip_to(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    start_chars: str,
+    resume_group: str,
+    subset_groups: tuple[str, ...],
+    max_buffer: int = 4096,
+) -> DataFrame:
+    """Streaming twin of operators/cep.match_recognize_skip_to: AFTER
+    MATCH SKIP TO <variable> (resume AT the resumed variable's row —
+    chained matches share their boundary row) with SUBSET union
+    measures, on keyed state.  The buffer keeps from the resume
+    position; a partial match's suffix survives across micro-batches
+    and completes when its closing row arrives."""
+    prepared = sdf.select(
+        sdf[key_col].alias("key"),
+        sdf[ts_col].alias("ts"),
+        sdf[id_col].alias("id"),
+        symbol.alias("sym"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _skip_to_factory(
+            pattern, start_chars, max_buffer, resume_group, subset_groups
+        ),
+        outputStructType=SKIP_TO_OUTPUT,
+        stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

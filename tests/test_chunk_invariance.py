@@ -91,6 +91,10 @@ INVARIANT_QUERIES = [
     # monotone-rank eviction — the converged candidate table holds the
     # true top K+slack for any slicing
     "s_topn_over_agg_retract",
+    # SKIP TO <variable>: emission is prefix-stable (quantified vars
+    # exclude the boundary symbol), so the match set and SUBSET
+    # measures cannot move with the chunking
+    "s_skip_to_variable_stream",
 ]
 
 

@@ -538,3 +538,48 @@ def test_quantifier_regex_equals_run_formulation(syms):
         if j < len(s) and s[j] == "P" and 2 <= j - i - 1 <= 3:
             rel_spans.append((i, j))
     assert regex_spans == rel_spans
+
+
+@given(
+    syms=st.lists(st.sampled_from("CBX"), min_size=0, max_size=60),
+)
+@_settings
+def test_skip_to_variable_regex_equals_edge_pair_formulation(syms):
+    """x5_skip_to_variable's equivalence proof, fuzzed: scanning
+    C B* C B* C with AFTER MATCH SKIP TO the final C (resume AT that
+    row) equals the relational odd-edge-pair formulation the DuckDB
+    oracle uses — and differs from both PAST LAST ROW and TO NEXT ROW
+    on chained runs."""
+    import re
+
+    s = "".join(syms)
+    pat = re.compile("C(?P<b1>B*)(?P<mid>C)(?P<b2>B*)(?P<last>C)")
+
+    # the operator's scan: resume at the last C of each match
+    got = []
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if m is None:
+            break
+        got.append((m.start(), m.end() - 1))
+        pos = m.start("last")
+
+    # relational replay: purchase-chain edges, matches at odd positions
+    cs = [i for i, ch in enumerate(s) if ch == "C"]
+    edges = [
+        (cs[i], cs[i + 1])
+        for i in range(len(cs) - 1)
+        if all(ch == "B" for ch in s[cs[i] + 1 : cs[i + 1]])
+    ]
+    chains: list[list[tuple[int, int]]] = []
+    for e in edges:
+        if chains and chains[-1][-1][1] == e[0]:
+            chains[-1].append(e)
+        else:
+            chains.append([e])
+    want = []
+    for ch_edges in chains:
+        for p in range(0, len(ch_edges) - 1, 2):
+            want.append((ch_edges[p][0], ch_edges[p + 1][1]))
+    assert got == sorted(want)
