@@ -667,3 +667,100 @@ def s_skip_to_variable_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_no", "start_id", "end_id", "n_rows", "s_rows",
         "first_ts", "last_ts", "s_first_ts", "s_last_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# X5 — reluctant (lazy) quantifiers vs greedy, side by side
+# --------------------------------------------------------------------------
+_RELUCTANT_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'view' THEN 'C'
+                             WHEN 'purchase' THEN 'P'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), cum AS (
+      SELECT *, SUM(CASE WHEN sym = 'C' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS cc
+      FROM ev
+    ), bound AS (
+      SELECT *, MIN(CASE WHEN sym NOT IN ('C', 'P') THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nb
+      FROM cum
+    ), ends AS (
+      SELECT s.user_id, s.rn AS srn, s.event_id AS start_id,
+             s.ts AS first_ts, s.cc AS scc,
+             MIN(p.rn) AS lazy_rn, MAX(p.rn) AS greedy_rn
+      FROM bound s JOIN ev p
+        ON p.user_id = s.user_id AND p.sym = 'P' AND p.rn > s.rn
+       AND p.rn < COALESCE(s.nb, 9223372036854775807)
+      WHERE s.sym = 'S'
+      GROUP BY s.user_id, s.rn, s.event_id, s.ts, s.cc
+    ), modes AS (
+      SELECT 'lazy' AS quantifier, user_id, srn, start_id, first_ts, scc,
+             lazy_rn AS ern
+      FROM ends
+      UNION ALL
+      SELECT 'greedy', user_id, srn, start_id, first_ts, scc, greedy_rn
+      FROM ends
+    )
+    SELECT m.quantifier, m.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY m.quantifier, m.user_id
+                                   ORDER BY m.srn) AS BIGINT) AS match_no,
+           m.start_id, pe.event_id AS end_id,
+           CAST(m.ern - m.srn + 1 AS BIGINT) AS n_rows,
+           CAST(pe.cc - m.scc AS BIGINT) AS b_rows,
+           m.first_ts, pe.ts AS last_ts
+    FROM modes m JOIN cum pe
+      ON pe.user_id = m.user_id AND pe.rn = m.ern
+"""
+
+
+def _reluctant_symbol():
+    return (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type").isin("click", "view"), "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("X")
+    )
+
+
+@register(
+    "x5_reluctant_quantifier",
+    oracle=_RELUCTANT_ORACLE,
+    survey="X5",
+)
+def x5_reluctant_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reluctant vs greedy quantifiers [docs: match_recognize#quantifiers
+    — `*?`/`+?` variants]: ``PATTERN (S M*? P)`` vs ``PATTERN (S M* P)``
+    where M matches clicks/views AND purchases — the class overlapping
+    the terminator is exactly when laziness matters: the reluctant match
+    ends at a signup's FIRST following purchase, the greedy one at the
+    LAST purchase of the same uninterrupted click/purchase run.  Both
+    policies run as plain regex laziness through the same keyed-scan
+    operator (the NFA engine implements `*?` natively — zero new
+    operator code), with MEASURES (COUNT(*), COUNT(click rows),
+    FIRST/LAST ts).  The oracle computes each signup's run boundary and
+    MIN/MAX purchase relationally; matches can never span another
+    signup (S terminates the quantified class), which is what makes the
+    per-signup formulation equal to the sequential scan."""
+    e = load_table(spark, sf_dir, "events")
+
+    def half(pattern: str, tag: str) -> DataFrame:
+        return cep.match_recognize_skip(
+            e, "user_id", "ts", "event_id", _reluctant_symbol(), pattern,
+            skip="past_last_row", count_sym="C",
+        ).select(
+            F.lit(tag).alias("quantifier"),
+            F.col("key").alias("user_id"),
+            "match_no", "start_id", "end_id", "n_rows", "b_rows",
+            "first_ts", "last_ts",
+        )
+
+    return half("S[CP]*?P", "lazy").unionByName(half("S[CP]*P", "greedy"))

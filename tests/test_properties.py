@@ -583,3 +583,41 @@ def test_skip_to_variable_regex_equals_edge_pair_formulation(syms):
         for p in range(0, len(ch_edges) - 1, 2):
             want.append((ch_edges[p][0], ch_edges[p + 1][1]))
     assert got == sorted(want)
+
+
+@given(
+    syms=st.lists(st.sampled_from("SCPX"), min_size=0, max_size=60),
+)
+@_settings
+def test_reluctant_quantifier_equals_run_formulation(syms):
+    """x5_reluctant_quantifier's equivalence proof, fuzzed: lazy
+    S[CP]*?P matches end at the signup's FIRST purchase inside its
+    [CP]-run, greedy S[CP]*P at the LAST — and because S terminates the
+    class, the per-signup relational formulation equals the sequential
+    non-overlapping scan for both."""
+    import re
+
+    s = "".join(syms)
+
+    def scan(pattern):
+        return [
+            (m.start(), m.end() - 1) for m in re.finditer(pattern, s)
+        ]
+
+    def relational(pick):
+        out = []
+        for i, ch in enumerate(s):
+            if ch != "S":
+                continue
+            j = i + 1
+            ps = []
+            while j < len(s) and s[j] in "CP":
+                if s[j] == "P":
+                    ps.append(j)
+                j += 1
+            if ps:
+                out.append((i, pick(ps)))
+        return out
+
+    assert scan(r"S[CP]*?P") == relational(min)
+    assert scan(r"S[CP]*P") == relational(max)
