@@ -1,0 +1,372 @@
+"""Minimal pure-stdlib+numpy baseline JPEG codec (SURVEY §2.11 N5).
+
+The container ships no imaging libraries, but baseline sequential JPEG
+is a public spec (ITU-T T.81) whose primitives — canonical Huffman
+coding, zigzag run-length coding, an 8×8 DCT — need nothing beyond the
+standard library and numpy.  So the N5 ``decode_image`` hook can be
+*real* for baseline JPEG too:
+
+- **Decoder** (the genuine article, general within its declared scope):
+  marker parse (SOI/DQT/SOF0/DHT/SOS/EOI), canonical Huffman tables
+  built from the stream's own DHT segments, entropy decode with byte
+  un-stuffing (FF 00), DC prediction + EXTEND, AC run/size with
+  EOB/ZRL, dequantization, zigzag de-scan, full floating-point 8×8
+  IDCT (numpy basis-matrix product), level shift and clamp.
+  Scope: 8-bit baseline sequential, single component (grayscale), no
+  restart markers — other shapes raise ``ValueError`` with the
+  offending field.  Chroma subsampling / progressive / arithmetic
+  coding remain environment-gapped (a real cluster swaps in
+  libjpeg-turbo behind the same hook; per-image Python Huffman decode
+  is a correctness reference, not the 100 TB throughput path).
+
+- **Encoder** (the oracle's instrument): emits standard-structure
+  baseline files — Annex K style Huffman tables written into DHT (the
+  decoder trusts only the stream, so the files stay valid JPEG for any
+  stock decoder), quantization table of all ones, one grayscale
+  component.  The certification images are built from CONSTANT 8×8
+  blocks: a constant block's FDCT is DC-only (DC = 8·(v−128), all AC
+  zero), which with a unit quantizer survives quantize→dequantize→IDCT
+  bit-exactly — so DuckDB can recompute every decoded pixel in closed
+  form without ever seeing a JPEG byte.  The AC path (run/size coding,
+  zigzag, EXTEND of negative coefficients) is exercised one-sided in
+  tests against a straight numpy IDCT reference.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index = zigzag position, value = raster position
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K luminance Huffman tables (bits per code length 1..16, values)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length), canonical Huffman per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# IDCT basis: M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); block = M.T @ S @ M
+_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    v = int(v)
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _code_value(v: int, size: int) -> int:
+    """The SSSS additional bits: negative values are encoded as
+    v - 1 + 2^size (one's-complement style, T.81 F.1.2.1)."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _segment(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg_gray(coeff_blocks: list[list[int]], blocks_w: int,
+                     blocks_h: int) -> bytes:
+    """Encode a grayscale baseline JPEG from per-block ZIGZAG-ordered
+    quantized coefficient lists (64 ints each; quant table = all ones).
+    Blocks are raster-ordered.  The standard-structure choice (Annex K
+    Huffman tables in DHT, SOF0, one component) keeps the output a
+    valid JPEG for any decoder."""
+    assert len(coeff_blocks) == blocks_w * blocks_h
+    w, h = blocks_w * 8, blocks_h * 8
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in coeff_blocks:
+        diff = blk[0] - prev_dc
+        prev_dc = blk[0]
+        size = _category(diff)
+        code, length = dc_codes[size]
+        bw.put(code, length)
+        if size:
+            bw.put(_code_value(diff, size), size)
+        # AC: run/size with ZRL and EOB
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if blk[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.put(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.put(code, length)
+            bw.put(_code_value(v, size), size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.put(code, length)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _segment(0xFFDB, bytes([0]) + bytes([1] * 64))  # DQT id0, unit
+    out += _segment(  # SOF0: 8-bit, h x w, 1 component, no subsampling
+        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _segment(
+        0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    )
+    out += _segment(
+        0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    out += _segment(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def constant_block_coeffs(value: int) -> list[int]:
+    """Zigzag coefficient list of a CONSTANT 8x8 block under a unit
+    quantizer: DC = 8*(value-128) exactly (FDCT of a constant), all AC
+    zero — the quantize/dequantize/IDCT round trip is bit-exact."""
+    blk = [0] * 64
+    blk[0] = 8 * (value - 128)
+    return blk
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_decode_table(bits: list[int], vals: list[int]):
+    """(code, length) -> value map for stream-driven Huffman decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map SSSS additional bits to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline sequential single-component JPEG.
+
+    Returns (width, height, row-major 8-bit luminance pixels).  Trusts
+    only the stream: quant + Huffman tables are read from DQT/DHT,
+    dimensions from SOF0.  Raises ValueError on multi-component images,
+    progressive frames, restart intervals, or 12-bit precision."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale)")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError(f"non-baseline frame marker FF{marker:02X}")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nval = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nval])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nval
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("interleaved multi-component scan")
+            td, ta = seg[2] >> 4, seg[2] & 0xF
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if scan_start is None or not w:
+        raise ValueError("missing SOS/SOF0")
+    dc_tab = htables[(0, td)]
+    ac_tab = htables[(1, ta)]
+    quant = np.array(qtables[0], dtype=np.float64)
+
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    br = _BitReader(data[scan_start:])
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.float64)
+            size = _huff_decode(br, dc_tab)
+            diff = _extend(br.bits(size), size)
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            S = np.zeros(64, dtype=np.float64)
+            S[ZIGZAG] = zz * quant  # dequant + de-zigzag
+            S = S.reshape(8, 8)
+            block = _M.T @ S @ _M
+            px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+    return w, h, img[:h, :w].tobytes()

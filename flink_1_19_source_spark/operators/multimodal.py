@@ -74,17 +74,30 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
 
     PNG decode is REAL — the pure-stdlib codec in ``png_codec`` (zlib +
     the public PNG spec: chunk CRCs, inflate, all five scanline filters).
-    JPEG/WebP/AVIF stay environment-gapped (no imaging library in this
-    container — PIL/cv2/imageio probed absent r6); swap in
-    PIL/torchvision behind this same signature on a real cluster."""
+    Baseline grayscale JPEG decode is REAL too — the pure
+    stdlib+numpy T.81 decoder in ``jpeg_codec`` (Huffman, zigzag,
+    dequant, full IDCT); its luminance replicates to RGB here.  Chroma
+    subsampling / progressive JPEG, WebP and AVIF stay
+    environment-gapped (no imaging library in this container —
+    PIL/cv2/imageio probed absent r6); swap in PIL/torchvision behind
+    this same signature on a real cluster."""
     if fmt.lower() == "png":
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if fmt.lower() in ("jpeg", "jpg"):
+        from .jpeg_codec import decode_jpeg_gray
+
+        w, h, lum = decode_jpeg_gray(payload)
+        rgb = bytearray(3 * len(lum))
+        rgb[0::3] = lum
+        rgb[1::3] = lum
+        rgb[2::3] = lum
+        return w, h, bytes(rgb)
     raise NotImplementedError(
         f"{fmt} decoding requires an imaging library not present in this "
-        "environment; png decodes natively, use fake_decode_features for "
-        "other formats"
+        "environment; png and baseline grayscale jpeg decode natively, "
+        "use fake_decode_features for other formats"
     )
 
 

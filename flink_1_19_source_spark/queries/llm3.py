@@ -908,3 +908,103 @@ def n2_lsh_capped_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         adv, "doc_id", "text", band_bucket_cap=_SKEW_CAP
     )
     return pairs.crossJoin(F.broadcast(over))
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL baseline JPEG decode end-to-end (DC-exact certification)
+# --------------------------------------------------------------------------
+@register(
+    "n5_jpeg_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 8 AS h
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((doc_id*37 + ((i // w) // 8)*19 + ((i % w) // 8)*11)
+                    % 256) AS BIGINT) AS sum_lum,
+           CAST(SUM((i + 1) * ((doc_id*37 + ((i // w) // 8)*19
+                               + ((i % w) // 8)*11) % 256))
+                AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end (N5) — the compressed-format
+    counterpart of n5_decode_real's PNG path: per-doc grayscale images
+    of constant 8x8 blocks are JPEG-ENCODED in one mapInPandas pass
+    (operators/jpeg_codec: Annex-K Huffman tables, unit quantizer,
+    byte-stuffed entropy stream) and DECODED in a second — marker
+    parse, stream-driven Huffman table build, DC prediction + EXTEND,
+    dequant, zigzag de-scan and the full floating-point IDCT all on the
+    hot path.
+
+    Certifiability trick: a constant block's FDCT is DC-only and a unit
+    quantizer keeps it integer, so quantize→dequantize→IDCT is
+    bit-exact and the oracle recomputes every decoded pixel in closed
+    form from (doc_id, block position) — DuckDB never sees a JPEG byte.
+    The AC/ZRL path (which the oracle can't reach — cosines) is pinned
+    one-sided in tests/test_r7_ops.py against a straight numpy IDCT
+    reference.  Both passes are map-only; per-image feature fold
+    happens inside the decode pass, the only shuffle is the final
+    per-doc agg.  (Per-image Python Huffman decode is the correctness
+    reference; at 100 TB the same hook swaps to libjpeg-turbo.)"""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import constant_block_coeffs, encode_jpeg_gray
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = did % 4 + 1, did % 3 + 1
+                blocks = [
+                    constant_block_coeffs(
+                        (did * 37 + by * 19 + bx * 11) % 256
+                    )
+                    for by in range(bh)
+                    for bx in range(bw)
+                ]
+                payloads.append(encode_jpeg_gray(blocks, bw, bh))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = ["doc_id", "width", "height", "n_px", "sum_lum", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(r.media_bytes), "jpeg"
+                )
+                lum = rgb[0::3]
+                s = ws = 0
+                for i, v in enumerate(lum):
+                    s += v
+                    ws += (i + 1) * v
+                rows.append((int(r.doc_id), w, h, w * h, s, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_lum long, wsum long",
+    )

@@ -40,3 +40,49 @@ def test_topn_over_agg_crash_replay_converges(spark, sf_dir):
         _topn_retract_run(spark, sf_dir, crash_once_at=1).toPandas()
     )
     assert clean == crashed
+
+
+def test_jpeg_codec_ac_path_matches_numpy_idct_reference():
+    """The oracle only reaches the DC-exact path (constant blocks); the
+    AC run/size + ZRL + EXTEND path is pinned here against a straight
+    numpy IDCT of the same coefficients — 50 random sparse spectra plus
+    the long-zero-run shape that forces two ZRL codes."""
+    import numpy as np
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    def ref(zz):
+        S = np.zeros(64)
+        S[jc.ZIGZAG] = np.asarray(zz, dtype=float)
+        out = jc._M.T @ S.reshape(8, 8) @ jc._M + 128.0
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    rng = np.random.default_rng(42)
+    for _ in range(50):
+        zz = [0] * 64
+        zz[0] = int(rng.integers(-1000, 1000))
+        for _ in range(int(rng.integers(0, 10))):
+            zz[int(rng.integers(1, 64))] = int(rng.integers(-200, 200))
+        w, h, px = jc.decode_jpeg_gray(jc.encode_jpeg_gray([zz], 1, 1))
+        got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8)
+        assert (got == ref(zz)).all()
+
+    zz = [0] * 64
+    zz[0], zz[40] = 8 * (200 - 128), 7  # two ZRLs before the AC code
+    w, h, px = jc.decode_jpeg_gray(jc.encode_jpeg_gray([zz], 1, 1))
+    assert (np.frombuffer(px, dtype=np.uint8).reshape(8, 8) == ref(zz)).all()
+
+
+def test_jpeg_decoder_rejects_unsupported_shapes():
+    """Declared scope is enforced, not silently mis-decoded."""
+    import pytest
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    with pytest.raises(ValueError, match="SOI"):
+        jc.decode_jpeg_gray(b"\x89PNG")
+    data = bytearray(jc.encode_jpeg_gray([jc.constant_block_coeffs(9)], 1, 1))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        jc.decode_jpeg_gray(bytes(data))
