@@ -44,7 +44,10 @@ def write_read_roundtrip(
         from . import avro_py
 
         avro_py.write_avro(df, path)
-        return avro_py.read_avro(spark, path, df.schema)
+        # block-parallel read (r7): sync-marker block index fans one
+        # container out across tasks — a big single file is no longer a
+        # serial decode unit
+        return avro_py.read_avro_blocks(spark, path, df.schema)
     w = df.write.mode("overwrite").format(fmt)
     for k, v in opts.items():
         w = w.option(k, v)

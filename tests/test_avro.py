@@ -126,3 +126,39 @@ def test_avro_container_decode_matches_encode_property():
         assert got == [tuple(r) for r in rows]
 
     roundtrip()
+
+
+def test_block_index_covers_file_exactly_and_block_read_matches(spark, work_dir):
+    """index_blocks' (offset, length) spans must tile the data section
+    exactly (header-only IO), and the block-parallel read must return
+    the same rows as the whole-file read for any blocks_per_task."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_1_19_source_spark.sources import avro_py
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        (F.col("id") * 1.5).alias("f"),
+    ).coalesce(1)
+    path = os.path.join(work_dir, "avro_blocks")
+    avro_py.write_avro(df, path)
+    fp = os.path.join(path, sorted(os.listdir(path))[0])
+    blocks, sync = avro_py.index_blocks(fp)
+    assert len(blocks) == (10_000 + avro_py._ROWS_PER_BLOCK - 1) // avro_py._ROWS_PER_BLOCK
+    data = open(fp, "rb").read()
+    data_start, hdr_sync = avro_py._skip_header(data)
+    assert sync == hdr_sync
+    assert blocks[0][0] == data_start
+    for (o1, l1), (o2, _) in zip(blocks, blocks[1:]):
+        assert o1 + l1 == o2  # contiguous tiling
+    assert blocks[-1][0] + blocks[-1][1] == len(data)
+
+    whole = avro_py.read_avro(spark, path, df.schema)
+    for bpt in (1, 3, 100):
+        blk = avro_py.read_avro_blocks(spark, path, df.schema, blocks_per_task=bpt)
+        assert blk.count() == 10_000
+        assert whole.exceptAll(blk).count() == 0
+        assert blk.exceptAll(whole).count() == 0
