@@ -437,3 +437,83 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def pack_sign_bits(vec: Column, dim: int) -> list[Column]:
+    """Sign-binarize an embedding into 32-bit words (bit j of word w =
+    1 iff component w*32+j > 0), returned as long columns ``w0..wN``.
+    32-bit words in longs sidestep sign-bit overflow on both engines."""
+    e = as_double(vec)
+    words = []
+    for w in range((dim + 31) // 32):
+        bits = None
+        for j in range(w * 32, min((w + 1) * 32, dim)):
+            b = F.when(e[j] > 0, F.lit(1 << (j - w * 32))).otherwise(F.lit(0))
+            bits = b if bits is None else bits + b
+        words.append(bits.cast("long").alias(f"w{w}"))
+    return words
+
+
+def binary_hamming_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 32,
+) -> DataFrame:
+    """Binary-quantization ANN with exact rerank — the 1-bit tier below
+    int8: embeddings binarize to sign bits (64x smaller than fp32), the
+    coarse pass ranks by Hamming distance on packed words (XOR +
+    POPCOUNT, whole-stage-codegen integer ops — no floats touched), and
+    only the top ``rerank`` candidates per query fetch their fp vectors
+    for the exact-cosine final ranking.
+
+    At 100 TB the corpus scan reads ONLY the packed words (a few longs
+    per row instead of a float array), queries broadcast, and the
+    rerank join touches `queries x rerank` embedding rows — the
+    standard two-stage retrieval shape (bit-vector prefilter + exact
+    rescore).  Output: (query_id, neighbor_id, hamming, cosine_sim,
+    rank) — rank by exact cosine among the Hamming candidates."""
+    words = [f"w{i}" for i in range((dim + 31) // 32)]
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), *pack_sign_bits(F.col(vec_col), dim)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[c.alias(f"q{w[1:]}") for c, w in zip(
+            pack_sign_bits(F.col(vec_col), dim), words)],
+    )
+    ham = None
+    for w in words:
+        h = F.bit_count(F.col(w).bitwiseXOR(F.col("q" + w[1:])))
+        ham = h if ham is None else ham + h
+    cand = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.cast("long").alias("hamming"))
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = cand.withColumn("crank", F.row_number().over(w_coarse)).filter(
+        F.col("crank") <= rerank
+    )
+    emb = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nvec")
+    )
+    qemb = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        cand.join(emb, "neighbor_id")
+        .join(F.broadcast(qemb), "query_id")
+        .select(
+            "query_id", "neighbor_id", "hamming",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cosine_sim"),
+        )
+    )
+    w_fine = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w_fine)).filter(
+        F.col("rank") <= k
+    )

@@ -1008,3 +1008,73 @@ def n5_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_px long, "
         "sum_lum long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N3 — binary-quantization ANN: sign bits + Hamming prefilter + rerank
+# --------------------------------------------------------------------------
+@register(
+    "n3_binary_hamming_topk",
+    oracle="""
+    WITH v0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), w AS (
+      SELECT vec_id, e,
+             CAST(list_sum(list_transform(range(0, 32),
+                  j -> CASE WHEN e[j + 1] > 0
+                            THEN CAST(1 AS BIGINT) << j ELSE 0 END))
+                  AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(32, 64),
+                  j -> CASE WHEN e[j + 1] > 0
+                            THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END))
+                  AS BIGINT) AS w1
+      FROM v0
+    ), q AS (SELECT * FROM w WHERE vec_id < 8),
+    cand AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.w0, w.w0))
+                    + bit_count(xor(q.w1, w.w1)) AS BIGINT) AS hamming,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.w0, w.w0))
+                          + bit_count(xor(q.w1, w.w1)), w.vec_id) AS crank
+        FROM w CROSS JOIN q WHERE q.vec_id <> w.vec_id
+      ) WHERE crank <= 32
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id, c.hamming,
+             ROUND(list_dot_product(qe.e, ne.e)
+                   / (SQRT(list_dot_product(qe.e, qe.e))
+                      * SQRT(list_dot_product(ne.e, ne.e))), 9) AS cosine_sim
+      FROM cand c
+      JOIN v0 qe ON qe.vec_id = c.query_id
+      JOIN v0 ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, hamming, cosine_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+)
+def n3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (the 1-bit tier below int8): embeddings
+    sign-binarize into packed words (64x smaller than fp32), the coarse
+    pass ranks by Hamming distance — XOR + POPCOUNT, pure
+    whole-stage-codegen integer ops — and only the top-32 candidates
+    per query are exact-cosine reranked for the final top-5.  The
+    standard two-stage retrieval shape: at 100 TB the corpus scan reads
+    two longs per row instead of a 64-float array, and the rerank join
+    touches queries x 32 embedding rows.  Fully oracled: DuckDB packs
+    the identical sign bits and replays both stages (coarse tie-break
+    by neighbor_id pinned on both engines); recall vs the exact fp32
+    path is additionally pinned in tests/test_r7_ops.py."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.binary_hamming_topk(e, q, dim=64, k=5, rerank=32)

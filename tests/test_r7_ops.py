@@ -86,3 +86,23 @@ def test_jpeg_decoder_rejects_unsupported_shapes():
     data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(ValueError, match="non-baseline"):
         jc.decode_jpeg_gray(bytes(data))
+
+
+def test_binary_hamming_recall_vs_exact(spark, sf_dir):
+    """1-bit quantization loses information by design; the gate is
+    recall@5 against the exact fp32 path — the rerank stage must
+    recover most of it (>= 0.6 at test SFs; int8's pin is 0.9)."""
+    from flink_1_19_source_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.binary_hamming_topk(e, q, dim=64, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
