@@ -1078,3 +1078,118 @@ def n3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.binary_hamming_topk(e, q, dim=64, k=5, rerank=32)
+
+
+# --------------------------------------------------------------------------
+# N4/N3 — BM25 more-like-this retrieval
+# --------------------------------------------------------------------------
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    from ..functions.exact import sql_dsum
+
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents WHERE doc_id < 300
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(27,6))) AS DOUBLE) / COUNT(dl)
+               AS avgdl
+      FROM dl
+    ), dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+    ), qt AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM ex WHERE doc_id < 5
+    ), term AS (
+      SELECT qt.query_id, tf.doc_id,
+             LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * (tf.tf * {_BM25_K1 + 1}) /
+               (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / stats.avgdl))
+               AS s
+      FROM qt
+      JOIN tf ON tf.tok = qt.tok AND tf.doc_id <> qt.query_id
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN dfreq ON dfreq.tok = qt.tok
+      CROSS JOIN stats
+    ), agg AS (
+      SELECT query_id, doc_id, ROUND({sql_dsum('s')}, 6) AS score
+      FROM term GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "n4_bm25_topk",
+    oracle=_bm25_oracle(),
+    survey="N4 N3",
+)
+def n4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 more-like-this retrieval (k1=1.2, b=0.75, Lucene's
+    always-positive idf): each of 5 query documents retrieves its top-5
+    BM25 neighbors — the lexical-retrieval counterpart of the N3 dense
+    tiers, and the standard pre-filter stage of a hybrid (BM25 + dense)
+    training-data retrieval pipeline.
+
+    Scale shape: tf stays partitioned by document; df, document-length
+    and corpus stats are the ONLY broadcasts (df table is vocabulary-
+    sized); the per-term scores aggregate through an exact DECIMAL sum
+    so the floating result is independent of Spark's partial-agg
+    ordering and equals DuckDB's replay bit-for-bit."""
+    from ..functions.exact import dsum
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ex = d.select("doc_id", F.explode(ta.tokens(F.col("text"))).alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    from ..functions.exact import davg
+
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        davg(F.col("dl")).alias("avgdl"),
+    )
+    dfreq = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    qt = ex.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    ).distinct()
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    s = idf * (F.col("tf") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (1 - _BM25_B + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    term = (
+        F.broadcast(qt)
+        .join(tf, (tf.tok == qt.tok) & (tf.doc_id != qt.query_id))
+        .drop(qt.tok)
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", s.alias("s"))
+    )
+    agg = term.groupBy("query_id", "doc_id").agg(
+        F.round(dsum(F.col("s")), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return agg.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 5
+    )
