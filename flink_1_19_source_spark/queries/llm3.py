@@ -1193,3 +1193,174 @@ def n4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# N4 — distributed BPE: merge-rule training + corpus encode
+# --------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+
+def _bpe_stages_sql(n: int) -> str:
+    """The shared unrolled-iteration CTE chain: words as
+    ``|s||y||m||s|`` strings (every symbol pipe-wrapped, so the merge
+    REPLACE is boundary-safe and left-to-right greedy like the fold),
+    n stages of pair-count → argmax → merge-apply."""
+    parts = [r"""
+    tok0 AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                    t -> t <> '' AND NOT contains(t, '|'))) AS w
+      FROM documents WHERE doc_id < 200
+    ), w0 AS (
+      SELECT w, regexp_replace(w, '(.)', '|\1|', 'g') AS s,
+             COUNT(*) AS freq
+      FROM tok0 GROUP BY 1, 2
+    )"""]
+    for i in range(n):
+        parts.append(f"""
+    , p{i} AS (
+      SELECT l, freq, UNNEST(range(1, len(l))) AS i
+      FROM (SELECT string_split(trim(s, '|'), '||') AS l, freq FROM w{i})
+    ), c{i} AS (
+      SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt FROM p{i} GROUP BY 1, 2
+    ), m{i} AS (
+      SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM c{i}
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{i + 1} AS (
+      SELECT w, replace(s, '|' || m.a || '||' || m.b || '|',
+                        '|' || m.a || m.b || '|') AS s, freq
+      FROM w{i} CROSS JOIN m{i} m
+    )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n: int = _BPE_MERGES) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_no, a AS pair_a,"
+        f" b AS pair_b, cnt AS pair_count FROM m{i}"
+        for i in range(n)
+    )
+    return f"WITH {_bpe_stages_sql(n)}\n    {union}"
+
+
+def _bpe_encode_oracle(n: int = _BPE_MERGES) -> str:
+    return f"""WITH {_bpe_stages_sql(n)}
+    SELECT t.doc_id,
+           CAST(SUM(len(string_split(trim(f.s, '|'), '||'))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM tok0 t JOIN w{n} f ON f.w = t.w
+    GROUP BY t.doc_id
+    """
+
+
+def _bpe_train_spark(spark: SparkSession, sf_dir: str, n: int = _BPE_MERGES):
+    """Run the distributed BPE trainer; returns (merges, words_df) where
+    words_df is the final (w, s, freq) vocabulary table."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id", F.explode(ta.tokens(F.col("text"))).alias("w")
+    ).filter(~F.col("w").contains("|"))
+    words = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            F.regexp_replace("w", "(.)", r"|$1|").alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(n):
+        pairs = (
+            words.select(
+                F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|").alias("l"),
+                "freq",
+            )
+            .filter(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(l) - 2),"
+                        " i -> struct(l[i] AS a, l[i + 1] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((i + 1, a, b, cnt))
+        words = words.select(
+            "w",
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("s"),
+            "freq",
+        )
+    return merges, words, tok
+
+
+@register(
+    "n4_bpe_train",
+    oracle=_bpe_train_oracle(),
+    survey="N4 X8",
+)
+def n4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule training [Sennrich et al. 2016] — the
+    real tokenizer-training loop, not a regex approximation: the corpus
+    folds once into a word-frequency vocabulary (the only corpus-sized
+    shuffle), then each of 8 iterations counts adjacent symbol pairs
+    weighted by word frequency, collects the single argmax pair
+    (count desc, pair lexicographic — the deterministic tie-break both
+    engines encode), and applies the merge to the vocabulary.
+
+    Words are ``|s||y||m|`` strings (every symbol pipe-wrapped), which
+    makes the merge a plain REPLACE that is boundary-safe (a pattern
+    can only match at symbol starts) and left-to-right greedy —
+    exactly the BPE fold, runnable identically in Spark and DuckDB
+    (whose oracle unrolls the 8 iterations as CTE stages).  At 100 TB
+    the iterations run on the vocabulary table — orders of magnitude
+    smaller than the corpus — so training cost is one corpus pass +
+    n_merges vocab passes, the same structure as x8's bounded loops.
+    Output: the learned merge table (merge_no, pair_a, pair_b,
+    pair_count)."""
+    merges, _, _ = _bpe_train_spark(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_no long, pair_a string, pair_b string, pair_count long"
+    )
+
+
+@register(
+    "n4_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    survey="N4",
+)
+def n4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode with the trained BPE merges: every document's
+    token count under the learned vocabulary — the number a sequence-
+    packing / budget-planning stage consumes.  The encode is a JOIN
+    against the final (word → merged symbols) vocabulary table, not a
+    per-document re-derivation: at 100 TB the vocabulary broadcasts
+    and the corpus is touched exactly once.  Oracle: the same 8
+    unrolled merge stages, then per-doc symbol counts through the
+    identical word join."""
+    merges, words, tok = _bpe_train_spark(spark, sf_dir)
+    n_syms = F.size(F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|"))
+    vocab = words.select("w", n_syms.alias("n_syms"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("long").alias("n_bpe_tokens"))
+    )
