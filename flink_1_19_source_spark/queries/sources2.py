@@ -1217,3 +1217,81 @@ def src_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+@register(
+    "src_snapshot_expire",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ), snaps AS (
+      SELECT 1 AS k,
+             (SELECT mn + 2 * ((mx - mn) // 3) FROM b) AS bound
+      UNION ALL SELECT 2, (SELECT mx FROM b)
+    ), ranked AS (
+      SELECT s.k, e.user_id, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY s.k, e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM events e JOIN snaps s ON epoch_us(e.ts) <= s.bound
+    )
+    SELECT CAST(k AS INTEGER) AS as_of_batch, user_id,
+           event_id AS last_event_id,
+           CAST(1 AS BIGINT) AS n_expired_snapshots
+    FROM ranked WHERE rn = 1
+    """,
+    survey="S11 X4",
+)
+def src_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION for the time-travel catalog (the other half of
+    `FOR SYSTEM_TIME AS OF`: Iceberg expireSnapshots / Delta VACUUM):
+    three commits land in the history-retaining MERGE table, then
+    snapshots older than commit 1 are expired — their manifests drop
+    and version directories no surviving snapshot references are
+    garbage-collected.  The oracle certifies the surviving history:
+    AS OF 1 and AS OF 2 must still equal the keep-last state of the
+    rows ingested up to each commit, with the expired count surfaced
+    (and hash-checked) as a column; the fail-on-expired-read and
+    version-GC behaviors are pinned in tests/test_r7_ops.py.  At 100 TB
+    this is the maintenance job that bounds table history — metadata-
+    only driver work, no data files rewritten."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import formats
+    from ..streaming import sinks as _sinks
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).first()
+    mn, mx = int(b.mn), int(b.mx)
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + 2 * ((mx - mn) // 3)
+
+    wd = formats.scratch(sf_dir, "snapshot_expire")
+    state = os.path.join(wd, f"tbl-{uuid.uuid4().hex[:8]}")
+    sink = _sinks.ParquetMergeSink(
+        spark, state, pk_cols=["user_id"], order_cols=["ts", "event_id"],
+        retain_history=True,
+    )
+    us = F.unix_micros("ts")
+    sink(e.filter(us <= t1), 0)
+    sink(e.filter((us > t1) & (us <= t2)), 1)
+    sink(e.filter(us > t2), 2)
+    n_expired, _ = _sinks.expire_snapshots(sink, older_than_batch=1)
+
+    parts = [
+        sink.snapshot_df(as_of_batch=k)
+        .select(
+            F.lit(k).alias("as_of_batch"),
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.lit(n_expired).cast("long").alias("n_expired_snapshots"),
+        )
+        for k in (1, 2)
+    ]
+    out = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+    shutil.rmtree(state, ignore_errors=True)
+    return out

@@ -307,6 +307,44 @@ class ParquetMergeSink:
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def expire_snapshots(
+    sink: "ParquetMergeSink", older_than_batch: int
+) -> tuple[int, int]:
+    """Snapshot retention (Iceberg ``expireSnapshots`` / Delta VACUUM for
+    the history-retaining sink): drop every per-commit snapshot manifest
+    with batch < ``older_than_batch``, then garbage-collect version
+    directories no surviving manifest (including ``_CURRENT``)
+    references.  Time-travel reads of an expired commit fail with a
+    clear error; surviving snapshots and the current table are
+    untouched — the retention contract a production table enforces so
+    history doesn't grow without bound.  Returns
+    (n_snapshots_expired, n_versions_removed); driver-side work is
+    manifest-file metadata only."""
+    import json
+    import os
+    import shutil
+
+    expired = 0
+    for d in sorted(os.listdir(sink.state_dir)):
+        if d.startswith("_SNAPSHOT_") and int(d.rsplit("_", 1)[1]) < older_than_batch:
+            os.remove(os.path.join(sink.state_dir, d))
+            expired += 1
+    keep: set[str] = set()
+    for d in os.listdir(sink.state_dir):
+        if d.startswith("_SNAPSHOT_"):
+            with open(os.path.join(sink.state_dir, d)) as f:
+                keep |= set(json.load(f)["buckets"].values())
+    man = sink._manifest()
+    if man:
+        keep |= set(man["buckets"].values())
+    removed = 0
+    for d in os.listdir(sink.state_dir):
+        if d.startswith("v") and d[1:].isdigit() and d not in keep:
+            shutil.rmtree(os.path.join(sink.state_dir, d), ignore_errors=True)
+            removed += 1
+    return expired, removed
+
+
 def snapshot_changes(
     sink: "ParquetMergeSink", from_batch: int, to_batch: int
 ) -> DataFrame:

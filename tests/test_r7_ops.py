@@ -106,3 +106,94 @@ def test_binary_hamming_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_bm25_joins_are_broadcast_only(spark, sf_dir):
+    """tf must stay partitioned by document; query terms, document
+    frequencies, lengths and corpus stats all broadcast — a sort-merge
+    join anywhere would reshuffle the corpus-sized tf table."""
+    from flink_1_19_source_spark.plans import audit
+
+    df = REGISTRY["n4_bm25_topk"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_binary_hamming_coarse_pass_is_codegen_integer_ops(spark, sf_dir):
+    """The Hamming prefilter must stay inside whole-stage codegen (XOR +
+    POPCOUNT expressions) with the query words broadcast — no Python
+    boundary anywhere in the coarse pass."""
+    from flink_1_19_source_spark.plans import audit
+
+    df = REGISTRY["n3_binary_hamming_topk"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt
+    assert audit.has_whole_stage_codegen(df)
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt
+
+
+def test_bpe_merge_fold_equals_reference_on_adversarial_words():
+    """The REPLACE-as-fold trick: pipe-wrapped replace must equal the
+    sequential greedy BPE fold, including overlap chains (aaaa) and
+    symbols that are prefixes/suffixes of each other (ba + b)."""
+
+    def fold(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    def via_replace(syms, a, b):
+        s = "".join(f"|{x}|" for x in syms)
+        s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+        return s.strip("|").split("||")
+
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["ba", "b"], "a", "b"),        # must NOT match inside 'ba'
+        (["a", "ab", "b"], "a", "b"),   # 'ab' symbol must not split
+        (["x", "a", "b", "a", "b", "y"], "a", "b"),
+        (["aa", "a", "a"], "a", "a"),
+    ]
+    for syms, a, b in cases:
+        assert via_replace(syms, a, b) == fold(syms, a, b), (syms, a, b)
+
+
+def test_expire_snapshots_blocks_expired_reads_and_gcs_versions(spark, tmp_path):
+    """After expiry: reading an expired commit raises, surviving
+    snapshots and the current table still read, and version dirs only
+    the expired snapshot referenced are gone from disk."""
+    import os
+
+    import pytest
+
+    from flink_1_19_source_spark.streaming import sinks as sk
+
+    state = os.path.join(str(tmp_path), "expire")
+    sink = sk.ParquetMergeSink(
+        spark, state, pk_cols=["k"], retain_history=True, num_buckets=4
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    sink(mk([(1, "a"), (2, "b"), (3, "c"), (4, "d")]), 0)
+    # batches 1-2 rewrite EVERY bucket so v0 becomes unreferenced once
+    # snapshot 0 expires
+    sink(mk([(1, "a2"), (2, "b2"), (3, "c2"), (4, "d2")]), 1)
+    sink(mk([(1, "a3"), (2, "b3"), (3, "c3"), (4, "d3")]), 2)
+    assert sink.snapshot_df(as_of_batch=0).count() == 4
+
+    n_exp, n_gc = sk.expire_snapshots(sink, older_than_batch=1)
+    assert n_exp == 1
+    assert n_gc >= 1 and not os.path.isdir(os.path.join(state, "v0"))
+    with pytest.raises(ValueError, match="no snapshot"):
+        sink.snapshot_df(as_of_batch=0)
+    assert {(r.k, r.v) for r in sink.snapshot_df(as_of_batch=1).collect()} == {
+        (1, "a2"), (2, "b2"), (3, "c2"), (4, "d2")
+    }
+    assert {(r.k, r.v) for r in sink.snapshot_df().collect()} == {
+        (1, "a3"), (2, "b3"), (3, "c3"), (4, "d3")
+    }
