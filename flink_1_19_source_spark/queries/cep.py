@@ -764,3 +764,85 @@ def x5_reluctant_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return half("S[CP]*?P", "lazy").unionByName(half("S[CP]*P", "greedy"))
+
+
+_RELUCTANT_LAZY_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'view' THEN 'C'
+                             WHEN 'purchase' THEN 'P'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), cum AS (
+      SELECT *, SUM(CASE WHEN sym = 'C' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS cc
+      FROM ev
+    ), bound AS (
+      SELECT *, MIN(CASE WHEN sym NOT IN ('C', 'P') THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nb
+      FROM cum
+    ), ends AS (
+      SELECT s.user_id, s.rn AS srn, s.event_id AS start_id,
+             s.ts AS first_ts, s.cc AS scc, MIN(p.rn) AS ern
+      FROM bound s JOIN ev p
+        ON p.user_id = s.user_id AND p.sym = 'P' AND p.rn > s.rn
+       AND p.rn < COALESCE(s.nb, 9223372036854775807)
+      WHERE s.sym = 'S'
+      GROUP BY s.user_id, s.rn, s.event_id, s.ts, s.cc
+    )
+    SELECT e.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.srn)
+                AS BIGINT) AS match_no,
+           e.start_id, pe.event_id AS end_id,
+           CAST(e.ern - e.srn + 1 AS BIGINT) AS n_rows,
+           CAST(pe.cc - e.scc AS BIGINT) AS b_rows,
+           e.first_ts, pe.ts AS last_ts
+    FROM ends e JOIN cum pe
+      ON pe.user_id = e.user_id AND pe.rn = e.ern
+"""
+
+
+@register(
+    "s_reluctant_quantifier_stream",
+    oracle=_RELUCTANT_LAZY_ORACLE,
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_reluctant_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING reluctant quantifier — ``PATTERN (S M*? P)`` on keyed
+    state: the lazy policy is the one that streams soundly, because a
+    match closes at the FIRST terminator and can never be extended by
+    later rows (prefix-stable emission — Flink's streaming CEP has the
+    same property for reluctant matches).  The greedy variant is
+    deliberately batch-only: its match end moves with every further
+    in-class row, so it is only decidable at the run boundary.  Emits
+    each signup's first-purchase match with measures as the purchase
+    arrives; converges to the lazy half of x5_reluctant_quantifier's
+    oracle at any chunking."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import streaming_match_skip
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_reluctant")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    out = streaming_match_skip(
+        sdf, "user_id", "ts", "event_id", _reluctant_symbol(), "S[CP]*?P",
+        start_chars="S", skip="past_last_row", count_sym="C",
+    )
+    res = _drain_to_memory(spark, out, "s_reluctant_q", "append", wd)
+    return res.select(
+        F.col("key").alias("user_id"),
+        "match_no", "start_id", "end_id", "n_rows", "b_rows",
+        "first_ts", "last_ts",
+    )

@@ -95,6 +95,9 @@ INVARIANT_QUERIES = [
     # exclude the boundary symbol), so the match set and SUBSET
     # measures cannot move with the chunking
     "s_skip_to_variable_stream",
+    # reluctant quantifier: lazy matches close at the FIRST terminator,
+    # so a completed match can never extend across a batch boundary
+    "s_reluctant_quantifier_stream",
 ]
 
 
