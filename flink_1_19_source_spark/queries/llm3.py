@@ -1086,11 +1086,12 @@ def n3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
+def _bm25_core_sql(k: int) -> str:
+    """CTE chain ending in ``lex`` = per-query BM25 top-``k`` with rank —
+    shared by n4_bm25_topk (k=5) and the hybrid RRF query (k=20)."""
     from ..functions.exact import sql_dsum
 
-    return f"""
-    WITH ex AS (
+    return f"""ex AS (
       SELECT doc_id,
              UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
                                 t -> t <> '')) AS tok
@@ -1123,13 +1124,20 @@ def _bm25_oracle() -> str:
     ), agg AS (
       SELECT query_id, doc_id, ROUND({sql_dsum('s')}, 6) AS score
       FROM term GROUP BY 1, 2
-    )
+    ), lex AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank
+        FROM agg
+      ) WHERE rank <= {k}
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_core_sql(5)}
     SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY score DESC, doc_id) AS rank
-      FROM agg
-    ) WHERE rank <= 5
+    FROM lex
     """
 
 
@@ -1150,6 +1158,10 @@ def n4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized); the per-term scores aggregate through an exact DECIMAL sum
     so the floating result is independent of Spark's partial-agg
     ordering and equals DuckDB's replay bit-for-bit."""
+    return _bm25_spark(spark, sf_dir, k=5)
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     from ..functions.exact import dsum
     from ..operators import text_analysis as ta
 
@@ -1191,7 +1203,7 @@ def n4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return agg.withColumn("rank", F.row_number().over(w).cast("int")).filter(
-        F.col("rank") <= 5
+        F.col("rank") <= k
     )
 
 
@@ -1363,4 +1375,96 @@ def n4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")
         .agg(F.sum("n_syms").cast("long").alias("n_bpe_tokens"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N3/N4 — hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion
+# --------------------------------------------------------------------------
+_RRF_K = 60
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+    WITH {_bm25_core_sql(20)},
+    dv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 300
+    ), dq AS (SELECT * FROM dv WHERE vec_id < 5),
+    den AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT dq.vec_id AS query_id, dv.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY dq.vec_id
+                 ORDER BY list_dot_product(dq.e, dv.e)
+                          / (SQRT(list_dot_product(dq.e, dq.e))
+                             * SQRT(list_dot_product(dv.e, dv.e))) DESC,
+                          dv.vec_id) AS rnk
+        FROM dv CROSS JOIN dq WHERE dq.vec_id <> dv.vec_id
+      ) WHERE rnk <= 20
+    ), fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.rank), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + d.rnk), 0), 9) AS rrf_score
+      FROM lex l FULL OUTER JOIN den d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+    """
+
+
+@register(
+    "n3_hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle(),
+    survey="N3 N4",
+)
+def n3_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical top-20 and dense-cosine top-20
+    fused by reciprocal-rank fusion (RRF, k=60): score(d) = sum over
+    retrievers of 1/(60 + rank_r(d)).  The standard production shape
+    for training-data retrieval and RAG candidate generation: both
+    stages are the independently certified operators (the BM25 core and
+    the brute-force cosine baseline over the id-aligned embeddings
+    table), and RRF is pure rank arithmetic — no score calibration
+    across modalities, deterministic on both engines.  The fusion join
+    is top-20 x queries rows (tiny); each retriever keeps its own scale
+    shape."""
+    from ..operators import similarity
+
+    lex = _bm25_spark(spark, sf_dir, k=20).select(
+        "query_id", "doc_id", F.col("rank").alias("lrank")
+    )
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.filter(F.col("vec_id") < 5)
+    den = similarity.cosine_topk(e, q, k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("drank"),
+    )
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(_RRF_K) + F.col("drank")), F.lit(0.0)
+                ),
+                9,
+            ).alias("rrf_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return fused.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 5
     )
