@@ -240,3 +240,107 @@ def bottomk_quantiles(
             F.element_at("__vs", idx).alias(f"est_p{int(q * 100)}")
         )
     return agg.select(*cols)
+
+
+# -- count-min sketch (mergeable frequency estimates) ----------------------
+
+def _cms_pos_spark(col: str, d: int, w: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('cms{d}:', CAST({col} AS STRING)))"
+        f",1,8),16,10) AS BIGINT) % {w}"
+    )
+
+
+def _cms_pos_duck(col: str, d: int, w: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('cms{d}:',"
+        f" CAST({col} AS VARCHAR))), 1, 8)) AS BIGINT) % {w}"
+    )
+
+
+def cms_cells(df: DataFrame, col: str, w: int = 256, d: int = 4) -> DataFrame:
+    """Count-min sketch [Cormode & Muthukrishnan 2005] as a relation:
+    (depth, bucket, c) with ≤ d·w rows — each row hashes into one bucket
+    per depth, cells count occurrences.  The sketch is MERGEABLE by
+    cell-wise SUM (the property the streaming rollup twin exploits) and
+    never under-estimates.  Same md5-portability trick as the Bloom/HLL
+    sketches so DuckDB replays the identical cells."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        F.expr(_cms_pos_spark(col, i, w)).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p")
+    )
+    return rows.groupBy("p.depth", "p.bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_estimate(
+    probe: DataFrame, col: str, cells: DataFrame, w: int = 256, d: int = 4
+) -> DataFrame:
+    """Point-frequency estimate per probe key: min over depths of the
+    key's cell — the count-min bound (est >= true, overestimate only
+    from hash collisions).  The sketch broadcasts (≤ d·w rows)."""
+    pos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.expr(_cms_pos_spark("key", i, w)).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    ppos = (
+        probe.select(F.col(col).alias("key"))
+        .distinct()
+        .select("key", F.explode(pos).alias("p"))
+        .select("key", "p.depth", "p.bucket")
+    )
+    return (
+        ppos.join(F.broadcast(cells), ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )
+
+
+def cms_oracle_sql(table: str, col: str, probe_where: str,
+                   w: int = 256, d: int = 4) -> str:
+    """DuckDB replay: identical cells, identical min-over-depths probe,
+    plus the true count for the certifiable overestimate column."""
+    cell_union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS depth, {_cms_pos_duck(col, i, w)} AS bucket"
+        f" FROM {table}"
+        for i in range(d)
+    )
+    probe_union = "\n      UNION ALL ".join(
+        f"SELECT key, {i} AS depth, {_cms_pos_duck('key', i, w)} AS bucket"
+        f" FROM probes"
+        for i in range(d)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT depth, bucket, COUNT(*) AS c FROM ({cell_union}) GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT {col} AS key FROM {table} WHERE {probe_where}
+    ), ppos AS ({probe_union}),
+    est AS (
+      SELECT ppos.key, MIN(COALESCE(cells.c, 0)) AS est
+      FROM ppos LEFT JOIN cells
+        ON cells.depth = ppos.depth AND cells.bucket = ppos.bucket
+      GROUP BY 1
+    ), truth AS (
+      SELECT {col} AS key, COUNT(*) AS true_count FROM {table} GROUP BY 1
+    )
+    SELECT est.key, CAST(est.est AS BIGINT) AS est,
+           CAST(truth.true_count AS BIGINT) AS true_count,
+           CAST(est.est - truth.true_count AS BIGINT) AS overestimate
+    FROM est JOIN truth ON truth.key = est.key
+    """

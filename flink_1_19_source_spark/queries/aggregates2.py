@@ -700,3 +700,100 @@ def s_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "a17_countmin_sketch",
+    oracle=sketches.cms_oracle_sql(
+        "events", "user_id", probe_where="user_id % 50 = 0"
+    ),
+    survey="A9",
+    tags=("approx",),
+)
+def a17_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch [Cormode & Muthukrishnan 2005] —
+    completing the mergeable-sketch quartet (HLL distincts a9c, Bloom
+    membership a14, bottom-k quantiles a16, CMS frequencies): events
+    hash into a 4x256 cell grid, a probe set of user ids reads back
+    min-over-depths estimates next to the exact counts, and the
+    certified ``overestimate`` column exhibits the one-sided error
+    bound (est >= true, always).  Cells are a <=d*w-row relation built
+    by ONE count aggregation and merged by cell-wise SUM — the algebra
+    the streaming rollup twin (s_countmin_stream) exploits; the probe
+    broadcast-joins the sketch.  Same md5-portability trick as the
+    other sketches, so DuckDB replays identical cells and estimates."""
+    e = load_table(spark, sf_dir, "events")
+    cells = sketches.cms_cells(e, "user_id")
+    probes = e.filter(F.col("user_id") % 50 == 0)
+    est = sketches.cms_estimate(probes, "user_id", cells)
+    truth = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return est.join(truth, "key").select(
+        "key",
+        F.col("est").cast("long").alias("est"),
+        F.col("true_count").cast("long").alias("true_count"),
+        (F.col("est") - F.col("true_count")).cast("long").alias("overestimate"),
+    )
+
+
+@register(
+    "s_countmin_stream",
+    oracle=sketches.cms_oracle_sql(
+        "events", "user_id", probe_where="user_id % 50 = 0"
+    ),
+    survey="A9 X2 X4",
+    tags=("streaming", "approx"),
+)
+def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min maintenance: each micro-batch folds its rows
+    into a <=d*w-cell partial sketch and lands it as an OVERWRITE-
+    idempotent per-batch segment (sum-merge is not idempotent, so
+    exactly-once rides on epoch segments, not the merge — the same
+    X4 pattern as the LSH/IVF ingest tier); the drained sketch is the
+    cell-wise SUM of segments, which by CMS mergeability equals the
+    one-shot batch sketch, so estimates hash-match the batch oracle at
+    any slicing.  The 100 TB continuous frequency dashboard: O(d*w)
+    state per segment, O(batch) work, no raw-data retention."""
+    import os
+    import uuid
+
+    from ..streaming import replay
+    from . import streaming_queries as _sq
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    wd = _work_dir(sf_dir, "s_cms")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+    )
+
+    def fold(batch, bid: int) -> None:
+        sketches.cms_cells(batch, "user_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seg_dir, f"seg-{bid:04d}"))
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    cells = (
+        spark.read.parquet(os.path.join(seg_dir, "seg-*"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    e = load_table(spark, sf_dir, "events")
+    probes = e.filter(F.col("user_id") % 50 == 0)
+    est = sketches.cms_estimate(probes, "user_id", cells)
+    truth = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return est.join(truth, "key").select(
+        "key",
+        F.col("est").cast("long").alias("est"),
+        F.col("true_count").cast("long").alias("true_count"),
+        (F.col("est") - F.col("true_count")).cast("long").alias("overestimate"),
+    )

@@ -98,6 +98,9 @@ INVARIANT_QUERIES = [
     # reluctant quantifier: lazy matches close at the FIRST terminator,
     # so a completed match can never extend across a batch boundary
     "s_reluctant_quantifier_stream",
+    # count-min: cell-wise SUM over overwrite-idempotent epoch segments
+    # is associative/commutative, so any slicing sums to the same cells
+    "s_countmin_stream",
 ]
 
 
