@@ -768,3 +768,74 @@ def n6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+@register(
+    "n6_temperature_mix",
+    oracle="""
+    WITH stats AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM stats),
+    temp AS (
+      SELECT lang, n, SQRT(n / t) AS w FROM stats, tot
+    ), z AS (SELECT SUM(w) AS z FROM temp),
+    rates AS (
+      -- target share p_l^0.5 / Z; keep rate scaled so the LARGEST
+      -- upsample factor is exactly 1 (pure downsampling, no repeats):
+      -- rate_l = (target_l / actual_l) / max_l(target_l / actual_l)
+      SELECT lang, n, (w / z) / (n / t) AS boost FROM temp, z, tot
+    ), mx AS (SELECT MAX(boost) AS mb FROM rates),
+    final AS (
+      SELECT lang, n, boost / mb AS rate FROM rates, mx
+    ),
+    gated AS (
+      SELECT d.doc_id, d.lang, f.rate
+      FROM documents d JOIN final f ON d.lang = f.lang
+      WHERE CAST(concat('0x', substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT)
+            < CAST(FLOOR(f.rate * 4294967296) AS BIGINT)
+    )
+    SELECT lang, ROUND(ANY_VALUE(rate), 9) AS rate, COUNT(*) AS n_kept
+    FROM gated GROUP BY lang
+    """,
+    survey="N6",
+)
+def n6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling [the mBERT/XLM-R
+    exponent-smoothing scheme]: target language shares are
+    p_l^(1/T) / Z with T=2 (i.e. sqrt — deliberately, since sqrt is
+    IEEE-exact and libm-free, so both engines derive bit-identical
+    rates), normalized so the most-boosted language keeps rate 1.0 —
+    pure deterministic downsampling of the over-represented languages,
+    no repeats.  Rates are data-derived (one broadcast row per
+    language), the gate is the same map-only 32-bit md5 hash used by
+    every sampling op, and the oracle recomputes rates AND the kept
+    set exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = stats.agg(F.sum("n").cast("double").alias("t"))
+    temp = stats.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", "t", F.sqrt(F.col("n") / F.col("t")).alias("w")
+    )
+    z = temp.agg(F.sum("w").alias("z"))
+    rates = temp.crossJoin(F.broadcast(z)).select(
+        "lang", "n",
+        ((F.col("w") / F.col("z")) / (F.col("n") / F.col("t"))).alias("boost"),
+    )
+    mx = rates.agg(F.max("boost").alias("mb"))
+    final = rates.crossJoin(F.broadcast(mx)).select(
+        "lang", (F.col("boost") / F.col("mb")).alias("rate")
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    gated = d.join(F.broadcast(final), "lang").filter(
+        h32 < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")
+    )
+    return gated.groupBy("lang").agg(
+        F.round(F.first("rate"), 9).alias("rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
