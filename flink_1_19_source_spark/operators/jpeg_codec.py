@@ -285,6 +285,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     w = h = 0
     scan_start = None
     while pos < len(data):
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: marker cut off at end of data")
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
         marker = data[pos + 1]

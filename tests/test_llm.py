@@ -153,11 +153,16 @@ def test_lsh_candidates_are_exactly_scored(spark, sf_dir):
         assert abs(exact[pair] - approx[pair]) < 1e-12
 
 
-def test_multimodal_decode_nonpng_formats_still_env_gapped(spark):
+def test_multimodal_decode_dispatch_and_remaining_env_gaps(spark):
+    """jpeg now dispatches to the real baseline decoder (r7) — truncated
+    input fails with a clear parse error, not NotImplementedError; the
+    genuinely library-bound formats still declare the env gap."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF....WEBP", "webp")
 
 
 def test_png_roundtrip_every_filter_type():
