@@ -470,12 +470,14 @@ def binary_hamming_topk(
     only the top ``rerank`` candidates per query fetch their fp vectors
     for the exact-cosine final ranking.
 
-    At 100 TB the corpus scan reads ONLY the packed words (a few longs
-    per row instead of a float array), queries broadcast, and the
-    rerank join touches `queries x rerank` embedding rows — the
-    standard two-stage retrieval shape (bit-vector prefilter + exact
-    rescore).  Output: (query_id, neighbor_id, hamming, cosine_sim,
-    rank) — rank by exact cosine among the Hamming candidates."""
+    At 100 TB the packed words are PERSISTED as columns (64x smaller
+    than fp32) so the coarse scan never touches the float arrays; here
+    they are derived inline from the embedding column (same plan shape,
+    one extra projection), queries broadcast, and the rerank join
+    touches `queries x rerank` embedding rows — the standard two-stage
+    retrieval shape (bit-vector prefilter + exact rescore).  Output:
+    (query_id, neighbor_id, hamming, cosine_sim, rank) — rank by exact
+    cosine among the Hamming candidates."""
     words = [f"w{i}" for i in range((dim + 31) // 32)]
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), *pack_sign_bits(F.col(vec_col), dim)

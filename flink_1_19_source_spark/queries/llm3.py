@@ -1067,9 +1067,11 @@ def n3_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass ranks by Hamming distance — XOR + POPCOUNT, pure
     whole-stage-codegen integer ops — and only the top-32 candidates
     per query are exact-cosine reranked for the final top-5.  The
-    standard two-stage retrieval shape: at 100 TB the corpus scan reads
-    two longs per row instead of a 64-float array, and the rerank join
-    touches queries x 32 embedding rows.  Fully oracled: DuckDB packs
+    standard two-stage retrieval shape: at 100 TB the packed words
+    persist as two long columns so the coarse scan skips the 64-float
+    array entirely (here they are derived inline — same plan, one extra
+    projection), and the rerank join touches queries x 32 embedding
+    rows.  Fully oracled: DuckDB packs
     the identical sign bits and replays both stages (coarse tie-break
     by neighbor_id pinned on both engines); recall vs the exact fp32
     path is additionally pinned in tests/test_r7_ops.py."""
