@@ -219,10 +219,87 @@ def _rewrite_window_tvf(query: str) -> str:
             f" WHERE window_end > {ts})"
         )
 
-    out = _TUMBLE_RE.sub(tumble, query)
-    out = _HOP_RE.sub(hop, out)
+    def tumble_win(m: re.Match) -> str:
+        _tbl, ts, n, unit = m.groups()
+        return f"window({ts}, '{n} {unit.lower()}')"
+
+    def hop_win(m: re.Match) -> str:
+        _tbl, ts, sn, su, zn, zu = m.groups()
+        if _dur_us(zn, zu) % _dur_us(sn, su):
+            raise ValueError("HOP size must be a multiple of slide")
+        # Spark window() is (size, slide) — Flink's argument order flips
+        return f"window({ts}, '{zn} {zu.lower()}', '{sn} {su.lower()}')"
+
+    # Agg-on-TVF (GROUP BY window_start, window_end[, keys]) collapses
+    # onto Spark's native window() grouping expression — the plan
+    # Catalyst wants, and the ONLY form Structured Streaming accepts in
+    # append mode (grouping on derived plain columns loses the
+    # watermark association).  The per-row covering-window subquery
+    # form remains the fallback for non-aggregated TVF scans.
+    out = query
+    for tvf_re, win_fn, row_fn in (
+        (_TUMBLE_RE, tumble_win, tumble),
+        (_HOP_RE, hop_win, hop),
+    ):
+        restructured = _restructure_agg_on_tvf(out, tvf_re, win_fn)
+        if restructured is not None:
+            out = restructured
+        else:
+            out = tvf_re.sub(row_fn, out)
     out = _CUMULATE_RE.sub(cumulate, out)
     return _rewrite_session_tvf(out)
+
+
+def _restructure_agg_on_tvf(query: str, tvf_re, win_fn):
+    """If ``query`` is the agg-on-TVF shape for ``tvf_re``, collapse the
+    GROUP BY onto the native grouping expression ``win_fn(match)`` and
+    alias select-side window_start/window_end/window_time to its struct
+    fields; returns the rewritten text, or None when not applicable."""
+    m = tvf_re.search(query)
+    if not m:
+        return None
+    gm = _GROUP_BY_RE.search(query)
+    if not gm:
+        return None
+    items = [c.strip().lower() for c in gm.group(2).split(",")]
+    if "window_start" not in items or "window_end" not in items:
+        return None
+    win = win_fn(m)
+    out = tvf_re.sub(m.group(1), query, count=1)
+    return _apply_window_restructure(out, win)
+
+
+def _apply_window_restructure(out: str, win: str) -> str:
+    """Shared GROUP BY collapse + SELECT-list field aliasing for the
+    window()/session_window() grouping-expression rewrites."""
+
+    def fix_group(gm: re.Match) -> str:
+        items = [c.strip() for c in gm.group(2).split(",")]
+        kept = [
+            c for c in items
+            if c.lower() not in ("window_start", "window_end") and c
+        ]
+        trail = "\n" if gm.group(2).endswith("\n") else " "
+        return gm.group(1) + ", ".join([win] + kept) + trail
+
+    fixed = _GROUP_BY_RE.sub(fix_group, out, count=1)
+    # SELECT list only: a bare window_start/window_end/window_time
+    # becomes the aliased field extraction, so ORDER BY / HAVING
+    # references (which run post-aggregation, where the raw event-time
+    # column is gone) resolve against the output alias.
+    head = re.match(r"(\s*SELECT\s+)(.*?)(\bFROM\b)", fixed, re.I | re.S)
+    sel = head.group(2)
+    for tok, expr in (
+        ("window_start", f"{win}.start"),
+        ("window_end", f"{win}.end"),
+        ("window_time", f"{win}.end - INTERVAL 1 MILLISECOND"),
+    ):
+        # already-aliased form (window_start AS x) keeps the user alias
+        sel = re.sub(
+            rf"\b{tok}\b(\s+AS\s+\w+)", rf"{expr}\1", sel, flags=re.I
+        )
+        sel = re.sub(rf"\b{tok}\b", f"{expr} AS {tok}", sel, flags=re.I)
+    return head.group(1) + sel + fixed[head.start(3):]
 
 
 def _rewrite_session_tvf(query: str) -> str:
@@ -248,39 +325,12 @@ def _rewrite_session_tvf(query: str) -> str:
     out = _SESSION_TVF_RE.sub(m.group(1), query)
     if _SESSION_TVF_RE.search(out):
         raise ValueError("only one SESSION TVF per statement is supported")
-
-    def fix_group(gm: re.Match) -> str:
-        items = [c.strip() for c in gm.group(2).split(",")]
-        kept = [
-            c for c in items
-            if c.lower() not in ("window_start", "window_end") and c
-        ]
-        trail = "\n" if gm.group(2).endswith("\n") else " "
-        return gm.group(1) + ", ".join([sw] + kept) + trail
-
-    fixed, n_sub = _GROUP_BY_RE.subn(fix_group, out, count=1)
-    if not n_sub:
+    if not _GROUP_BY_RE.search(out):
         raise ValueError(
             "SESSION TVF requires an aggregation (GROUP BY window_start, "
             "window_end[, keys]) — Flink 1.19 supports no other shape"
         )
-    # SELECT list only: a bare window_start/window_end/window_time
-    # becomes the aliased field extraction, so ORDER BY / HAVING
-    # references (which run post-aggregation, where ts is gone) resolve
-    # against the output alias, not the raw expression.
-    head = re.match(r"(\s*SELECT\s+)(.*?)(\bFROM\b)", fixed, re.I | re.S)
-    sel = head.group(2)
-    for tok, expr in (
-        ("window_start", f"{sw}.start"),
-        ("window_end", f"{sw}.end"),
-        ("window_time", f"{sw}.end - INTERVAL 1 MILLISECOND"),
-    ):
-        # already-aliased form (window_start AS x) keeps the user alias
-        sel = re.sub(
-            rf"\b{tok}\b(\s+AS\s+\w+)", rf"{expr}\1", sel, flags=re.I
-        )
-        sel = re.sub(rf"\b{tok}\b", f"{expr} AS {tok}", sel, flags=re.I)
-    return head.group(1) + sel + fixed[head.start(3):]
+    return _apply_window_restructure(out, sw)
 
 
 # ---------------------------------------------------------------------------

@@ -558,3 +558,58 @@ def sql_session_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_end", "n",
     )
     return tvf.unionByName(legacy)
+
+
+@register(
+    "s_sql_window_tvf_stream",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS s
+    FROM events
+    GROUP BY 1, 2
+    HAVING window_end <= (SELECT w FROM wm)
+    """,
+    survey="S12 W1-S X1",
+    tags=("streaming",),
+)
+def s_sql_window_tvf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's windowing-TVF SQL on a STREAMING source — the statement a
+    Flink user actually runs is stream-first, and it pastes in verbatim
+    here too: the replayed watermarked stream registers as a view, the
+    IDENTICAL ``TABLE(TUMBLE(TABLE events_stream, DESCRIPTOR(ts),
+    INTERVAL '1' HOUR))`` text goes through the same dialect rewrite as
+    the batch twin (sql_window_tvf), and Spark plans it as a streaming
+    window aggregate — append mode emits exactly the windows the final
+    watermark closes (Flink's emit-on-watermark).  One dialect layer,
+    both execution modes; the oracle is the closed-window batch
+    replay."""
+    import os
+
+    from ..functions.flink_sql import flink_sql
+    from ..streaming import replay
+    from .streaming_queries import (
+        _CHUNKS, _drain_to_memory, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_sqltvf")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+    )
+    sdf.withWatermark("ts", "10 minutes").createOrReplaceTempView(
+        "events_stream"
+    )
+    out = flink_sql(
+        spark,
+        """
+        SELECT window_start, window_end,
+               COUNT(*) AS n, SUM(user_id) AS s
+        FROM TABLE(TUMBLE(TABLE events_stream, DESCRIPTOR(ts),
+                          INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+        """,
+    )
+    return _drain_to_memory(spark, out, "s_sqltvf_q", "append", wd)

@@ -163,3 +163,39 @@ def test_legacy_group_window_translation_shapes():
     )
     assert "session_window(ts, '10 minute').start" in q
     assert "GROUP BY session_window(ts, '10 minute')" in q
+
+
+def test_agg_on_tvf_collapses_onto_native_window_expression():
+    """The agg-on-TVF shape must group by Spark's window() expression —
+    the plan Catalyst optimizes AND the only form Structured Streaming
+    accepts in append mode (plain derived columns lose the watermark);
+    the non-aggregated scan keeps the per-row covering-window form."""
+    from flink_1_19_source_spark.functions.flink_sql import translate
+
+    q = translate(
+        "SELECT window_start, window_end, COUNT(*) AS n"
+        " FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+        " GROUP BY window_start, window_end"
+    )
+    assert "GROUP BY window(ts, '1 hour')" in q
+    assert "window(ts, '1 hour').start AS window_start" in q
+    assert "LATERAL VIEW" not in q
+
+    h = translate(
+        "SELECT window_start, window_end, COUNT(*) AS n"
+        " FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),"
+        " INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+        " GROUP BY window_start, window_end"
+    )
+    # Spark window() is (size, slide): Flink's argument order flips
+    assert "GROUP BY window(ts, '1 hour', '15 minute')" in h
+    assert "explode" not in h
+
+    # CUMULATE has no native grouping expression: stays the explode form
+    c = translate(
+        "SELECT window_start, window_end, COUNT(*) AS n"
+        " FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),"
+        " INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+        " GROUP BY window_start, window_end"
+    )
+    assert "explode(sequence(1, 4))" in c
