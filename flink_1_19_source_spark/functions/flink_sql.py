@@ -251,13 +251,20 @@ def _rewrite_window_tvf(query: str) -> str:
 
 
 def _restructure_agg_on_tvf(query: str, tvf_re, win_fn):
-    """If ``query`` is the agg-on-TVF shape for ``tvf_re``, collapse the
-    GROUP BY onto the native grouping expression ``win_fn(match)`` and
-    alias select-side window_start/window_end/window_time to its struct
-    fields; returns the rewritten text, or None when not applicable."""
+    """If ``query`` is the canonical single-level agg-on-TVF shape for
+    ``tvf_re``, collapse the GROUP BY onto the native grouping
+    expression ``win_fn(match)`` and alias select-side window_start/
+    window_end/window_time to its struct fields; returns the rewritten
+    text, or None when not applicable (CTE/nested/multi-GROUP-BY
+    statements fall back to the per-row covering-window form, which
+    handles them)."""
     m = tvf_re.search(query)
     if not m:
         return None
+    if not re.match(r"\s*SELECT\b", query, re.I):
+        return None  # WITH-CTE prefix etc. — fall back
+    if len(re.findall(r"\bGROUP\s+BY\b", query, re.I)) != 1:
+        return None  # nested aggregations — fall back
     gm = _GROUP_BY_RE.search(query)
     if not gm:
         return None
@@ -267,6 +274,26 @@ def _restructure_agg_on_tvf(query: str, tvf_re, win_fn):
     win = win_fn(m)
     out = tvf_re.sub(m.group(1), query, count=1)
     return _apply_window_restructure(out, win)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split a select list on commas not inside parentheses/quotes."""
+    items, depth, start, in_str = [], 0, 0, False
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(text[start:i])
+            start = i + 1
+    items.append(text[start:])
+    return items
 
 
 def _apply_window_restructure(out: str, win: str) -> str:
@@ -283,22 +310,34 @@ def _apply_window_restructure(out: str, win: str) -> str:
         return gm.group(1) + ", ".join([win] + kept) + trail
 
     fixed = _GROUP_BY_RE.sub(fix_group, out, count=1)
-    # SELECT list only: a bare window_start/window_end/window_time
-    # becomes the aliased field extraction, so ORDER BY / HAVING
-    # references (which run post-aggregation, where the raw event-time
-    # column is gone) resolve against the output alias.
+    # SELECT list only: a BARE select item `window_start` (or
+    # `window_start AS x`) becomes the aliased field extraction, so
+    # ORDER BY / HAVING references resolve against the output alias;
+    # a token used INSIDE an expression (MAX(window_start),
+    # window_end - window_start) substitutes the raw field extraction —
+    # an alias mid-expression would be a parse error.
     head = re.match(r"(\s*SELECT\s+)(.*?)(\bFROM\b)", fixed, re.I | re.S)
-    sel = head.group(2)
-    for tok, expr in (
-        ("window_start", f"{win}.start"),
-        ("window_end", f"{win}.end"),
-        ("window_time", f"{win}.end - INTERVAL 1 MILLISECOND"),
-    ):
-        # already-aliased form (window_start AS x) keeps the user alias
-        sel = re.sub(
-            rf"\b{tok}\b(\s+AS\s+\w+)", rf"{expr}\1", sel, flags=re.I
-        )
-        sel = re.sub(rf"\b{tok}\b", f"{expr} AS {tok}", sel, flags=re.I)
+    exprs = {
+        "window_start": f"{win}.start",
+        "window_end": f"{win}.end",
+        "window_time": f"{win}.end - INTERVAL 1 MILLISECOND",
+    }
+    items = []
+    for item in _split_top_level(head.group(2)):
+        stripped = item.strip().rstrip()
+        bare = re.fullmatch(r"(\w+)(\s+AS\s+\w+)?", stripped, re.I)
+        if bare and bare.group(1).lower() in exprs:
+            expr = exprs[bare.group(1).lower()]
+            alias = bare.group(2) or f" AS {bare.group(1)}"
+            # preserve original whitespace envelope
+            lead = item[: len(item) - len(item.lstrip())]
+            trail = item[len(item.rstrip()):]
+            items.append(f"{lead}{expr}{alias}{trail}")
+        else:
+            for tok, expr in exprs.items():
+                item = re.sub(rf"\b{tok}\b", expr, item, flags=re.I)
+            items.append(item)
+    sel = ",".join(items)
     return head.group(1) + sel + fixed[head.start(3):]
 
 
@@ -318,18 +357,37 @@ def _rewrite_session_tvf(query: str) -> str:
     m = _SESSION_TVF_RE.search(query)
     if not m:
         return query
-    _tbl, _keys, ts, n, unit = m.groups()
-    sw = f"session_window({ts}, '{int(n)} {unit.lower()}')"
-    # PARTITION BY keys stay as ordinary GROUP BY items — the canonical
-    # Flink shape already lists them in its GROUP BY clause.
-    out = _SESSION_TVF_RE.sub(m.group(1), query)
-    if _SESSION_TVF_RE.search(out):
+    if len(_SESSION_TVF_RE.findall(query)) > 1:
         raise ValueError("only one SESSION TVF per statement is supported")
-    if not _GROUP_BY_RE.search(out):
+    if not re.match(r"\s*SELECT\b", query, re.I):
+        raise ValueError(
+            "SESSION TVF supports the canonical single-level aggregation "
+            "statement only (no WITH-CTE prefix); sessionize in a view "
+            "or use the session_window operators directly"
+        )
+    _tbl, keys, ts, n, unit = m.groups()
+    sw = f"session_window({ts}, '{int(n)} {unit.lower()}')"
+    out = _SESSION_TVF_RE.sub(m.group(1), query, count=1)
+    gm = _GROUP_BY_RE.search(out)
+    if not gm:
         raise ValueError(
             "SESSION TVF requires an aggregation (GROUP BY window_start, "
             "window_end[, keys]) — Flink 1.19 supports no other shape"
         )
+    # PARTITION BY keys stay as ordinary GROUP BY items — and must be
+    # there, or the rewrite would gap-merge ACROSS keys while Flink
+    # merges per key (silently different sessions)
+    if keys:
+        group_items = {c.strip().lower() for c in gm.group(2).split(",")}
+        missing = [
+            k.strip() for k in keys.split(",")
+            if k.strip().lower() not in group_items
+        ]
+        if missing:
+            raise ValueError(
+                f"SESSION TVF PARTITION BY key(s) {missing} must appear "
+                "in the GROUP BY — Flink gap-merges per key"
+            )
     return _apply_window_restructure(out, sw)
 
 

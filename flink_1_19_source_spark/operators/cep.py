@@ -326,6 +326,37 @@ SKIP_TO_SCHEMA = StructType(
 )
 
 
+def subset_measures(
+    m: "re.Match", subset_groups: tuple[str, ...]
+) -> tuple[int, int | None, int | None]:
+    """SUBSET union measures from a match's named-group spans:
+    (COUNT(S.*), index of FIRST(S) row, index of LAST(S) row) — shared
+    by the batch operator and the streaming keyed-state twin so the
+    semantics cannot diverge."""
+    spans = [
+        (m.start(g), m.end(g))
+        for g in subset_groups
+        if m.start(g) != -1 and m.end(g) > m.start(g)
+    ]
+    s_rows = sum(e - st for st, e in spans)
+    s_first = min(st for st, _ in spans) if spans else None
+    s_last = max(e for _, e in spans) - 1 if spans else None
+    return s_rows, s_first, s_last
+
+
+def skip_to_resume(m: "re.Match", resume_group: str) -> int:
+    """AFTER MATCH SKIP TO <variable> resume position (inclusive), with
+    Flink's cannot-advance guard: a target at or before the match start
+    (including a variable that did not participate) raises."""
+    resume = m.start(resume_group)
+    if resume <= m.start():
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {resume_group} cannot advance "
+            f"past the match start (Flink raises here too)"
+        )
+    return resume
+
+
 def match_recognize_skip_to(
     df: DataFrame,
     key_col: str,
@@ -371,14 +402,7 @@ def match_recognize_skip_to(
                 break
             a, b = m.start(), m.end() - 1
             n += 1
-            spans = [
-                (m.start(g), m.end(g))
-                for g in subset_groups
-                if m.start(g) != -1 and m.end(g) > m.start(g)
-            ]
-            s_rows = sum(e - st for st, e in spans)
-            s_first = min(st for st, _ in spans) if spans else None
-            s_last = max(e for _, e in spans) - 1 if spans else None
+            s_rows, s_first, s_last = subset_measures(m, subset_groups)
             out.append(
                 (
                     key,
@@ -393,13 +417,7 @@ def match_recognize_skip_to(
                     tss[s_last] if s_last is not None else None,
                 )
             )
-            resume = m.start(resume_group)
-            if resume <= a:
-                raise ValueError(
-                    f"AFTER MATCH SKIP TO {resume_group} cannot advance "
-                    f"past the match start (Flink raises here too)"
-                )
-            pos = resume
+            pos = skip_to_resume(m, resume_group)
         return pd.DataFrame(out, columns=[f.name for f in SKIP_TO_SCHEMA.fields])
 
     prepared = df.select(

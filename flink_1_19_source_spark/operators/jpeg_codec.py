@@ -225,6 +225,10 @@ class _BitReader:
                 raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
         self.acc = (self.acc << 8) | byte
         self.n += 8
+        # keep only the pending bits: without this mask the accumulator
+        # grows one byte per scan byte and every shift turns O(n) —
+        # quadratic decode on realistically sized scans
+        self.acc &= (1 << self.n) - 1
 
     def bit(self) -> int:
         if self.n == 0:

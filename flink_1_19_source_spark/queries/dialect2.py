@@ -493,7 +493,7 @@ def sql_legacy_group_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_session_tvf",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
                          <= INTERVAL '30 minutes'
@@ -501,7 +501,7 @@ def sql_legacy_group_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sess AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     ), merged AS (

@@ -112,14 +112,14 @@ def w3_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4_session",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          <= INTERVAL '30 minutes'
                     THEN 0 ELSE 1 END AS new_sess
         FROM events
     ), sess AS (
         SELECT user_id, ts, value,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )

@@ -462,8 +462,23 @@ def index_blocks(path: str) -> tuple[list[tuple[int, int]], bytes]:
     object storage the same seeks become ranged GETs."""
     blocks: list[tuple[int, int]] = []
     with open(path, "rb") as f:
-        head = f.read(1 << 16)
-        data_start, sync = _skip_header(head)
+        # header size is unbounded (schema JSON + metadata map): grow
+        # the read until the header parses instead of capping at 64 KiB
+        size = 1 << 16
+        while True:
+            f.seek(0)
+            head = f.read(size)
+            try:
+                data_start, sync = _skip_header(head)
+                # truncation can land exactly on the sync marker and
+                # parse "successfully" short — treat as incomplete too
+                if data_start <= len(head) and len(sync) == 16:
+                    break
+                raise IndexError("header larger than buffered read")
+            except (IndexError, AssertionError):
+                if size >= os.path.getsize(path):
+                    raise
+                size *= 2
         f.seek(0, 2)
         end = f.tell()
         pos = data_start

@@ -33,6 +33,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+
+from ..operators import cep as _cep_ops
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -391,14 +393,9 @@ def _skip_to_factory(
                 break
             a, b = m.start(), m.end() - 1
             match_no += 1
-            spans = [
-                (m.start(g), m.end(g))
-                for g in subset_groups
-                if m.start(g) != -1 and m.end(g) > m.start(g)
-            ]
-            s_rows = sum(e - st for st, e in spans)
-            s_first = min(st for st, _ in spans) if spans else None
-            s_last = max(e for _, e in spans) - 1 if spans else None
+            s_rows, s_first, s_last = _cep_ops.subset_measures(
+                m, subset_groups
+            )
             out.append(
                 (
                     int(key[0]),
@@ -415,12 +412,7 @@ def _skip_to_factory(
                     if s_last is not None else pd.NaT,
                 )
             )
-            resume = m.start(resume_group)
-            if resume <= a:
-                raise ValueError(
-                    f"AFTER MATCH SKIP TO {resume_group} cannot advance"
-                )
-            pos = resume
+            pos = _cep_ops.skip_to_resume(m, resume_group)
 
         # the resume row itself may start the NEXT match (SKIP TO LAST
         # semantics) — keep from pos, then prune to a possible start

@@ -324,14 +324,21 @@ def expire_snapshots(
     import os
     import shutil
 
+    import re as _re
+
+    # committed snapshots only: a leftover _SNAPSHOT_*.tmp from a crash
+    # mid-write (the exact window the tmp+os.replace protocol defends)
+    # must be ignored, not parsed or int()-ed
+    snap_re = _re.compile(r"^_SNAPSHOT_(\d+)$")
     expired = 0
     for d in sorted(os.listdir(sink.state_dir)):
-        if d.startswith("_SNAPSHOT_") and int(d.rsplit("_", 1)[1]) < older_than_batch:
+        sm = snap_re.match(d)
+        if sm and int(sm.group(1)) < older_than_batch:
             os.remove(os.path.join(sink.state_dir, d))
             expired += 1
     keep: set[str] = set()
     for d in os.listdir(sink.state_dir):
-        if d.startswith("_SNAPSHOT_"):
+        if snap_re.match(d):
             with open(os.path.join(sink.state_dir, d)) as f:
                 keep |= set(json.load(f)["buckets"].values())
     man = sink._manifest()
