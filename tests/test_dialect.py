@@ -199,3 +199,46 @@ def test_agg_on_tvf_collapses_onto_native_window_expression():
         " GROUP BY window_start, window_end"
     )
     assert "explode(sequence(1, 4))" in c
+
+
+def test_tvf_restructure_edge_shapes():
+    """r7 self-review pins: expression-embedded tokens substitute the
+    raw field extraction (no alias mid-expression), CTE/nested shapes
+    fall back to the per-row form, and the SESSION guards raise instead
+    of silently corrupting."""
+    from flink_1_19_source_spark.functions.flink_sql import translate
+
+    q = translate(
+        "SELECT window_start, window_end - window_start AS dur,"
+        " MAX(window_start) AS mx, COUNT(*) AS n"
+        " FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+        " GROUP BY window_start, window_end"
+    )
+    assert "AS window_end -" not in q and "AS window_start)" not in q
+    assert "window(ts, '1 hour').end - window(ts, '1 hour').start AS dur" in q
+    assert "MAX(window(ts, '1 hour').start) AS mx" in q
+
+    cte = translate(
+        "WITH e AS (SELECT * FROM events) SELECT window_start, window_end,"
+        " COUNT(*) AS n"
+        " FROM TABLE(TUMBLE(TABLE e, DESCRIPTOR(ts), INTERVAL '1' HOUR))"
+        " GROUP BY window_start, window_end"
+    )
+    assert cte.startswith("WITH e AS") and "window_start" in cte
+
+    with pytest.raises(ValueError, match="one SESSION TVF"):
+        translate(
+            "SELECT window_start, window_end, COUNT(*) n FROM"
+            " TABLE(SESSION(TABLE a, DESCRIPTOR(ts), INTERVAL '1' MINUTE))"
+            " GROUP BY window_start, window_end UNION ALL"
+            " SELECT window_start, window_end, COUNT(*) n FROM"
+            " TABLE(SESSION(TABLE b, DESCRIPTOR(ts), INTERVAL '1' MINUTE))"
+            " GROUP BY window_start, window_end"
+        )
+    with pytest.raises(ValueError, match="PARTITION BY key"):
+        translate(
+            "SELECT window_start, window_end, COUNT(*) n FROM"
+            " TABLE(SESSION(TABLE events PARTITION BY user_id,"
+            " DESCRIPTOR(ts), INTERVAL '30' MINUTE))"
+            " GROUP BY window_start, window_end"
+        )
