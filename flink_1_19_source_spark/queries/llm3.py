@@ -195,10 +195,9 @@ def _minhash_dedup_run(
 _DSIR_BUCKETS = 1024
 
 
-def _dsir_scored(d: DataFrame) -> DataFrame:
-    """The DSIR scoring core: (doc_id, lang, score, n_tokens) with the
-    exact-integer cross-difference weights — shared by n6_dsir_resample
-    and the pipeline composite."""
+def _dsir_bt(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): one row per token occurrence, hashed into its
+    DSIR bucket — the shared tokenize+bucket pass."""
     tok = d.select(
         "doc_id",
         "lang",
@@ -212,25 +211,26 @@ def _dsir_scored(d: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
         % _DSIR_BUCKETS
     )
-    bt = tok.select("doc_id", "lang", bucket.alias("b"))
-    # ONE stats pass over the corpus: raw AND target per-bucket counts
-    # in the same aggregation, collected once (≤ _DSIR_BUCKETS rows).
-    # tt/rt and the finished weights derive driver-side — the corpus is
-    # tokenized exactly twice total (stats pass + scoring pass), not
-    # once per collect()/action as the naive raw/target/totals DAG does.
-    stats = (
-        bt.groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("rc"),
-            F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("tc"),
-        )
-        .collect()
+    return tok.select("doc_id", "lang", bucket.alias("b"))
+
+
+def _dsir_bucket_stats(bt: DataFrame) -> DataFrame:
+    """Per-bucket (b, rc, tc) counts — ADDITIVE across any partition of
+    the corpus, which is what the streaming stats maintenance sums."""
+    return bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("tc"),
     )
-    tt = sum(r["tc"] for r in stats)
-    rt = sum(r["rc"] for r in stats)
-    spark = d.sparkSession
+
+
+def _dsir_score_with_stats(bt: DataFrame, stats_rows) -> DataFrame:
+    """Finish DSIR from collected bucket stats: derive tt/rt and the
+    integer cross-difference weights driver-side, broadcast, score."""
+    spark = bt.sparkSession
+    tt = sum(r["tc"] for r in stats_rows)
+    rt = sum(r["rc"] for r in stats_rows)
     weights = spark.createDataFrame(
-        [(r["b"], r["tc"] * rt - r["rc"] * tt) for r in stats],
+        [(r["b"], r["tc"] * rt - r["rc"] * tt) for r in stats_rows],
         "b long, w long",
     )
     return (
@@ -243,9 +243,38 @@ def _dsir_scored(d: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "n6_dsir_resample",
-    oracle=f"""
+def _dsir_rank(scored: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy(F.col("score") > 0).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        "n_tokens",
+        (F.col("score") > 0).alias("keep"),
+        F.when(
+            F.col("score") > 0, F.row_number().over(rank_w).cast("long")
+        ).alias("sample_rank"),
+    )
+
+
+def _dsir_scored(d: DataFrame) -> DataFrame:
+    """The DSIR scoring core: (doc_id, lang, score, n_tokens) with the
+    exact-integer cross-difference weights — shared by n6_dsir_resample
+    and the pipeline composite."""
+    bt = _dsir_bt(d)
+    # ONE stats pass over the corpus: raw AND target per-bucket counts
+    # in the same aggregation, collected once (≤ _DSIR_BUCKETS rows).
+    # tt/rt and the finished weights derive driver-side — the corpus is
+    # tokenized exactly twice total (stats pass + scoring pass), not
+    # once per collect()/action as the naive raw/target/totals DAG does.
+    return _dsir_score_with_stats(bt, _dsir_bucket_stats(bt).collect())
+
+
+_DSIR_RESAMPLE_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, lang,
              UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
@@ -282,7 +311,12 @@ def _dsir_scored(d: DataFrame) -> DataFrame:
                                      ORDER BY score DESC, doc_id)
                 ELSE NULL END AS BIGINT) AS sample_rank
     FROM scored
-    """,
+    """
+
+
+@register(
+    "n6_dsir_resample",
+    oracle=_DSIR_RESAMPLE_ORACLE,
     survey="N6 N4",
 )
 def n6_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,22 +341,7 @@ def n6_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshed per snapshot — no per-doc state anywhere.
     """
     d = load_table(spark, sf_dir, "documents")
-    scored = _dsir_scored(d)
-    from pyspark.sql import Window
-
-    rank_w = Window.partitionBy(F.col("score") > 0).orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return scored.select(
-        "doc_id",
-        "lang",
-        "score",
-        "n_tokens",
-        (F.col("score") > 0).alias("keep"),
-        F.when(
-            F.col("score") > 0, F.row_number().over(rank_w).cast("long")
-        ).alias("sample_rank"),
-    )
+    return _dsir_rank(_dsir_scored(d))
 
 
 # --------------------------------------------------------------------------
@@ -1470,3 +1489,58 @@ def n3_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= 5
     )
+
+
+@register(
+    "s_dsir_stats_stream",
+    oracle=_DSIR_RESAMPLE_ORACLE,
+    survey="N6 X2 X4",
+    tags=("streaming",),
+)
+def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR stats maintenance — the heaviest pipeline's stats
+    pass made incremental: each arriving micro-batch of documents folds
+    into per-bucket (rc, tc) counts and lands as an OVERWRITE-idempotent
+    epoch segment (counts are additive, not idempotent — exactly-once
+    rides on the per-batch segment paths, the same X4 pattern as the
+    CMS/LSH/IVF ingest tier).  The drained stats are the bucket-wise SUM
+    of segments, which equals the one-shot corpus aggregation for any
+    slicing, so the final scoring pass (weights derived driver-side,
+    broadcast, one corpus join) hash-matches n6_dsir_resample's batch
+    oracle verbatim.  The 100 TB shape: the importance-weight tables a
+    continuous ingest keeps fresh without ever re-reading history — new
+    data updates O(buckets) state, re-scoring is a separate batch job on
+    whatever snapshot needs it."""
+    import os
+    import uuid
+
+    from ..streaming import replay
+    from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
+
+    wd = _work_dir(sf_dir, "s_dsir")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+
+    def fold(batch, bid: int) -> None:
+        _dsir_bucket_stats(_dsir_bt(batch)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seg_dir, f"seg-{bid:04d}"))
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    stats = (
+        spark.read.parquet(os.path.join(seg_dir, "seg-*"))
+        .groupBy("b")
+        .agg(F.sum("rc").alias("rc"), F.sum("tc").alias("tc"))
+        .collect()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return _dsir_rank(_dsir_score_with_stats(_dsir_bt(d), stats))

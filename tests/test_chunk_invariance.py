@@ -101,6 +101,9 @@ INVARIANT_QUERIES = [
     # count-min: cell-wise SUM over overwrite-idempotent epoch segments
     # is associative/commutative, so any slicing sums to the same cells
     "s_countmin_stream",
+    # DSIR stats: per-bucket (rc, tc) counts are additive over any
+    # partition of the corpus — segment sums equal the one-shot agg
+    "s_dsir_stats_stream",
 ]
 
 
