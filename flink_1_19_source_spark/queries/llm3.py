@@ -1544,3 +1544,78 @@ def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     return _dsir_rank(_dsir_score_with_stats(_dsir_bt(d), stats))
+
+
+# --------------------------------------------------------------------------
+# N4 — overlapping chunk manifest (the RAG / context-window split)
+# --------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@register(
+    "n4_chunk_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= {_CHUNK_W} THEN 1
+                  ELSE CAST(CEIL((len(tk) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                       AS INT) + 1 END AS n_chunks
+      FROM toks WHERE len(tk) > 0
+    ), ex AS (
+      SELECT doc_id, tk, n, UNNEST(range(0, n_chunks)) AS k FROM counted
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+           CAST(LEAST({_CHUNK_W}, n - k * {_CHUNK_S}) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(tk, k * {_CHUNK_S} + 1,
+                            k * {_CHUNK_S} + {_CHUNK_W}), ' '))
+             AS chunk_hash
+    FROM ex
+    """,
+    survey="N4 R4",
+)
+def n4_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk manifest — the document split every RAG index
+    and context-window packer consumes: 64-token windows at stride 48
+    (16-token overlap), each chunk addressed by (doc_id, chunk_no) with
+    a content hash for downstream chunk-level dedup and incremental
+    re-embedding (only chunks whose hash changed re-embed).
+
+    Pure Catalyst: tokenize once, derive the chunk count per document
+    with the same integer/ceil arithmetic on both engines, posexplode
+    the chunk indices, slice the token array per chunk — map-only, no
+    shuffle at all (the explode is within-partition), which is the
+    100 TB shape: chunking is a projection of the corpus scan."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ta.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n = F.size("tk")
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("int") + 1
+    )
+    ex = toks.select(
+        "doc_id", "tk", n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_no"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("k") * _CHUNK_S)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("tk"), F.col("k") * _CHUNK_S + 1, _CHUNK_W),
+            )
+        ).alias("chunk_hash"),
+    )
