@@ -178,6 +178,7 @@ def pack_sequences(
     order_col: str,
     text_col: str,
     budget: int,
+    counts_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequential sequence packing: within each ``group_col``
     partition, walk documents in ``order_col`` order and assign each to
@@ -192,10 +193,15 @@ def pack_sequences(
     """
     from pyspark.sql import types as T
 
+    # counts_col: pack by a PRE-COMPUTED token count (e.g. real BPE
+    # counts from a trained vocabulary) instead of the regex estimate
+    counts = (
+        F.col(counts_col).cast("long")
+        if counts_col
+        else bpe_ish_token_count(F.col(text_col))
+    )
     base = df.select(
-        F.col(group_col),
-        F.col(order_col),
-        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+        F.col(group_col), F.col(order_col), counts.alias("n_tokens")
     )
     schema = T.StructType(
         [

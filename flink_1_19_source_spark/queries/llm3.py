@@ -1619,3 +1619,72 @@ def n4_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# N6/N4 — tokenizer-aware packing: pack by REAL trained-BPE counts
+# --------------------------------------------------------------------------
+_BPE_PACK_BUDGET = 512
+
+
+def _bpe_packing_oracle(n: int = _BPE_MERGES) -> str:
+    return f"""WITH RECURSIVE {_bpe_stages_sql(n)},
+    counts AS (
+      SELECT t.doc_id,
+             CAST(SUM(len(string_split(trim(f.s, '|'), '||'))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM tok0 t JOIN w{n} f ON f.w = t.w
+      GROUP BY t.doc_id
+    ), base AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, c.n_bpe_tokens,
+             ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY d.doc_id)
+               AS idx
+      FROM documents d JOIN counts c ON c.doc_id = d.doc_id
+      WHERE d.doc_id < 200
+    ), p AS (
+      SELECT lang, idx, doc_id, n_bpe_tokens, n_bpe_tokens AS run,
+             CAST(0 AS BIGINT) AS pack_id
+      FROM base WHERE idx = 1
+      UNION ALL
+      SELECT b.lang, b.idx, b.doc_id, b.n_bpe_tokens,
+             CASE WHEN p.run + b.n_bpe_tokens > {_BPE_PACK_BUDGET}
+                  THEN b.n_bpe_tokens ELSE p.run + b.n_bpe_tokens END,
+             CASE WHEN p.run + b.n_bpe_tokens > {_BPE_PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END
+      FROM p JOIN base b ON b.lang = p.lang AND b.idx = p.idx + 1
+    )
+    SELECT lang, doc_id, n_bpe_tokens AS n_tokens, pack_id FROM p
+    """
+
+
+@register(
+    "n6_bpe_packing",
+    oracle=_bpe_packing_oracle(),
+    survey="N6 N4",
+)
+def n6_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-AWARE sequence packing: documents pack into 512-token
+    training sequences by their REAL trained-BPE token counts (the
+    n4_bpe_train/encode vocabulary), not a whitespace/regex estimate —
+    the number that actually bounds what fits in a context window.
+    Composes two certified operators: the BPE encode join supplies
+    per-doc counts, the greedy per-language fold packs them (one
+    vocabulary broadcast + one corpus pass + one keyed Arrow fold);
+    the oracle replays BPE's 8 unrolled merge stages AND the packing
+    recursion in one statement."""
+    from ..operators import corpus as corpus_ops
+
+    merges, words, tok = _bpe_train_spark(spark, sf_dir)
+    n_syms = F.size(F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|"))
+    vocab = words.select("w", n_syms.alias("n_syms"))
+    counts = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("long").alias("n_bpe_tokens"))
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = d.select("doc_id", "lang").join(counts, "doc_id")
+    return corpus_ops.pack_sequences(
+        base, group_col="lang", order_col="doc_id", text_col="lang",
+        budget=_BPE_PACK_BUDGET, counts_col="n_bpe_tokens",
+    )
