@@ -1688,3 +1688,76 @@ def n6_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, group_col="lang", order_col="doc_id", text_col="lang",
         budget=_BPE_PACK_BUDGET, counts_col="n_bpe_tokens",
     )
+
+
+@register(
+    "pipeline_rag_index_end_to_end",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= {_CHUNK_W} THEN 1
+                  ELSE CAST(CEIL((len(tk) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                       AS INT) + 1 END AS n_chunks
+      FROM toks WHERE len(tk) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+             md5(array_to_string(
+                   list_slice(tk, k * {_CHUNK_S} + 1,
+                              k * {_CHUNK_S} + {_CHUNK_W}), ' '))
+               AS chunk_hash
+      FROM (SELECT doc_id, tk, n, UNNEST(range(0, n_chunks)) AS k
+            FROM counted)
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                   ORDER BY doc_id, chunk_no) AS rn
+      FROM chunks
+    )
+    SELECT d.lang,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_chunks,
+           ROUND(1.0 - CAST(SUM(CASE WHEN c.rn = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 9) AS dup_ratio
+    FROM ranked c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.lang
+    """,
+    survey="N7 N4 N1",
+)
+def pipeline_rag_index_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth end-to-end pipeline composite — the RAG INDEXING pass:
+    (1) overlapping chunk manifest (the certified n4_chunk_manifest
+    split), (2) corpus-level chunk dedup by content hash (keep the
+    first (doc_id, chunk_no) per hash — what keeps an index from
+    embedding the same boilerplate chunk a million times), (3) the
+    per-language index report (docs, chunks, unique chunks, duplicate
+    ratio) an indexing job emits before the embed stage.  Stage 1 is
+    map-only; stage 2 is ONE shuffle keyed on the chunk hash; stage 3
+    aggregates the survivors — the whole pipeline touches the corpus
+    text exactly once."""
+    chunks = n4_chunk_manifest(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_no")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        ranked.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_unique_chunks"),
+            F.round(
+                1.0
+                - F.sum((F.col("rn") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("dup_ratio"),
+        )
+    )
