@@ -613,3 +613,68 @@ def s_sql_window_tvf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return _drain_to_memory(spark, out, "s_sqltvf_q", "append", wd)
+
+
+@register(
+    "s_sql_session_tvf_stream",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), merged AS (
+        SELECT user_id,
+               MIN(ts) AS window_start,
+               MAX(ts) + INTERVAL '30 minutes' AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, window_start, window_end, n
+    FROM merged WHERE window_end <= (SELECT w FROM wm)
+    """,
+    survey="S12 W4-S X1",
+    tags=("streaming",),
+)
+def s_sql_session_tvf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's SESSION window TVF on a STREAMING source — the verbatim
+    ``TABLE(SESSION(TABLE events_stream PARTITION BY user_id,
+    DESCRIPTOR(ts), INTERVAL '30' MINUTE))`` statement through the same
+    dialect rewrite as the batch twin (sql_session_tvf), planned as
+    Spark's native streaming session_window aggregate: gap-merging
+    keyed state, append mode emitting exactly the sessions the final
+    watermark closes (a session ends at last event + gap; it emits once
+    the watermark passes that).  With s_sql_window_tvf_stream this
+    completes the claim: the 1.19 windowing-TVF SQL a Flink user runs
+    pastes in unchanged in BOTH execution modes."""
+    import os
+
+    from ..functions.flink_sql import flink_sql
+    from ..streaming import replay
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_sqlsess")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+    )
+    sdf.withWatermark("ts", "10 minutes").createOrReplaceTempView(
+        "events_stream"
+    )
+    out = flink_sql(
+        spark,
+        """
+        SELECT user_id, window_start, window_end, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE events_stream PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        GROUP BY user_id, window_start, window_end
+        """,
+    )
+    return _drain_to_memory(spark, out, "s_sqlsess_q", "append", wd)
