@@ -104,6 +104,10 @@ INVARIANT_QUERIES = [
     # DSIR stats: per-bucket (rc, tc) counts are additive over any
     # partition of the corpus — segment sums equal the one-shot agg
     "s_dsir_stats_stream",
+    # dialect-layer streaming TVFs: window/session closure depends only
+    # on the FINAL watermark, never on batch boundaries
+    "s_sql_window_tvf_stream",
+    "s_sql_session_tvf_stream",
 ]
 
 
