@@ -197,3 +197,33 @@ def test_expire_snapshots_blocks_expired_reads_and_gcs_versions(spark, tmp_path)
     assert {(r.k, r.v) for r in sink.snapshot_df().collect()} == {
         (1, "a3"), (2, "b3"), (3, "c3"), (4, "d3")
     }
+
+
+def test_chunk_manifest_is_map_only(spark, sf_dir):
+    """The chunking claim: a projection of the corpus scan — zero
+    shuffles anywhere in the plan (the explode is within-partition)."""
+    from flink_1_19_source_spark.plans import audit
+
+    df = REGISTRY["n4_chunk_manifest"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 0, audit.plan_text(df, "simple")
+
+
+def test_bpe_encode_vocabulary_broadcasts(spark, sf_dir):
+    """The encode join must broadcast the vocabulary — a shuffle there
+    would move the whole tokenized corpus for a vocab-sized table."""
+    from flink_1_19_source_spark.plans import audit
+
+    df = REGISTRY["n4_bpe_encode"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_hybrid_rrf_fusion_join_stays_small(spark, sf_dir):
+    """RRF fuses two top-20 lists: the fusion join must not reshuffle
+    either corpus — only broadcast joins below the final window."""
+    from flink_1_19_source_spark.plans import audit
+
+    df = REGISTRY["n3_hybrid_rrf_topk"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt
