@@ -1761,3 +1761,145 @@ def pipeline_rag_index_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "s_chunk_dedup_stream",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= {_CHUNK_W} THEN 1
+                  ELSE CAST(CEIL((len(tk) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                       AS INT) + 1 END AS n_chunks
+      FROM toks WHERE len(tk) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_no,
+             md5(array_to_string(
+                   list_slice(tk, k * {_CHUNK_S} + 1,
+                              k * {_CHUNK_S} + {_CHUNK_W}), ' '))
+               AS chunk_hash
+      FROM (SELECT doc_id, tk, n, UNNEST(range(0, n_chunks)) AS k
+            FROM counted)
+    ), firsts AS (
+      SELECT chunk_hash,
+             MIN(doc_id * 1000000 + chunk_no) AS first_key
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id, c.chunk_no,
+           (c.doc_id * 1000000 + c.chunk_no) > f.first_key AS is_dup,
+           CASE WHEN (c.doc_id * 1000000 + c.chunk_no) > f.first_key
+                THEN f.first_key // 1000000 END AS dup_doc_id,
+           CASE WHEN (c.doc_id * 1000000 + c.chunk_no) > f.first_key
+                THEN f.first_key % 1000000 END AS dup_chunk_no
+    FROM chunks c JOIN firsts f ON f.chunk_hash = c.chunk_hash
+    """,
+    survey="N1-S N4 X2 X4",
+    tags=("streaming",),
+)
+def s_chunk_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING chunk-level dedup at ingest — the online gate of the
+    RAG-indexing pipeline (its batch composite is
+    pipeline_rag_index_end_to_end): each arriving micro-batch of
+    documents chunks map-only (the certified n4_chunk_manifest split),
+    probes the accumulated chunk-hash index PLUS its own earlier chunks
+    (one join keyed on the hash), and appends its own O(batch) segment
+    to the append-only index — overwrite-idempotent per batch id, the
+    same X4 crash-replay contract as the MinHash/IVF/CMS ingest tier.
+
+    Verdict per chunk: is_dup and the FIRST (doc_id, chunk_no) carrying
+    the same content hash, strict-< on the composite key so replayed
+    batches that see their own rows in the index converge.  Drained
+    verdicts hash-match the one-shot whole-corpus keep-first replay
+    (the oracle).  At 100 TB this is what keeps an embedding job from
+    re-encoding boilerplate: only never-seen chunk hashes proceed."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from ..streaming import replay
+    from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
+
+    wd = _work_dir(sf_dir, "s_chunkdedup")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    out_dir = os.path.join(wd, f"out-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(seg_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    key = (F.col("doc_id") * 1000000 + F.col("chunk_no")).alias("ckey")
+
+    def chunk_batch(batch) -> DataFrame:
+        toks = batch.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            ).alias("tk"),
+        ).filter(F.size("tk") > 0)
+        n = F.size("tk")
+        n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+            F.ceil((n - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("int") + 1
+        )
+        ex = toks.select(
+            "doc_id", "tk",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+        )
+        return ex.select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_no"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("tk"), F.col("k") * _CHUNK_S + 1, _CHUNK_W),
+                )
+            ).alias("chunk_hash"),
+        )
+
+    def fold(batch, bid: int) -> None:
+        chunks = chunk_batch(batch).select(
+            "doc_id", "chunk_no", "chunk_hash", key
+        ).localCheckpoint(eager=True)
+        earlier = chunks.select("chunk_hash", F.col("ckey").alias("ekey"))
+        segs = sorted(_glob.glob(os.path.join(seg_dir, "seg-*")))
+        if segs:
+            hist = spark.read.parquet(*segs)
+            earlier = earlier.unionByName(
+                hist.select("chunk_hash", F.col("ckey").alias("ekey"))
+            )
+        hits = (
+            chunks.join(earlier, "chunk_hash")
+            .filter(F.col("ekey") < F.col("ckey"))
+            .groupBy("ckey")
+            .agg(F.min("ekey").alias("dup_key"))
+        )
+        verdicts = chunks.join(hits, "ckey", "left").select(
+            "doc_id",
+            "chunk_no",
+            F.col("dup_key").isNotNull().alias("is_dup"),
+            # integer div, not float: exact for arbitrarily large keys
+            F.expr("dup_key div 1000000").alias("dup_doc_id"),
+            F.when(
+                F.col("dup_key").isNotNull(), F.col("dup_key") % 1000000
+            ).cast("long").alias("dup_chunk_no"),
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"out-{bid:04d}")
+        )
+        chunks.select("chunk_hash", "ckey").write.mode("overwrite").parquet(
+            os.path.join(seg_dir, f"seg-{bid:04d}")
+        )
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    return spark.read.parquet(os.path.join(out_dir, "out-*")).localCheckpoint(
+        eager=True
+    )

@@ -108,6 +108,9 @@ INVARIANT_QUERIES = [
     # on the FINAL watermark, never on batch boundaries
     "s_sql_window_tvf_stream",
     "s_sql_session_tvf_stream",
+    # chunk-hash dedup: dup target = min earlier composite key sharing
+    # the hash (strict <) — a pure function of (doc_id, chunk_no) order
+    "s_chunk_dedup_stream",
 ]
 
 
