@@ -296,6 +296,31 @@ def _split_top_level(text: str) -> list[str]:
     return items
 
 
+def _top_level_from_index(text: str) -> int:
+    """Index of the first top-level ``FROM`` keyword — the same
+    paren/quote-aware scan as ``_split_top_level``, so ``EXTRACT(HOUR
+    FROM x)`` (inside parens) and a ``'FROM'`` string literal never
+    terminate the SELECT list.  Returns -1 if absent."""
+    depth, in_str = 0, False
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in "fF":
+            if (
+                re.match(r"FROM\b", text[i:], re.I)
+                and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            ):
+                return i
+    return -1
+
+
 def _apply_window_restructure(out: str, win: str) -> str:
     """Shared GROUP BY collapse + SELECT-list field aliasing for the
     window()/session_window() grouping-expression rewrites."""
@@ -316,14 +341,18 @@ def _apply_window_restructure(out: str, win: str) -> str:
     # a token used INSIDE an expression (MAX(window_start),
     # window_end - window_start) substitutes the raw field extraction —
     # an alias mid-expression would be a parse error.
-    head = re.match(r"(\s*SELECT\s+)(.*?)(\bFROM\b)", fixed, re.I | re.S)
+    sel_head = re.match(r"\s*SELECT\s+", fixed, re.I)
+    from_idx = _top_level_from_index(fixed)
+    if sel_head is None or from_idx < sel_head.end():
+        raise ValueError("window TVF rewrite: no top-level FROM found")
+    sel_list = fixed[sel_head.end():from_idx]
     exprs = {
         "window_start": f"{win}.start",
         "window_end": f"{win}.end",
         "window_time": f"{win}.end - INTERVAL 1 MILLISECOND",
     }
     items = []
-    for item in _split_top_level(head.group(2)):
+    for item in _split_top_level(sel_list):
         stripped = item.strip().rstrip()
         bare = re.fullmatch(r"(\w+)(\s+AS\s+\w+)?", stripped, re.I)
         if bare and bare.group(1).lower() in exprs:
@@ -338,7 +367,7 @@ def _apply_window_restructure(out: str, win: str) -> str:
                 item = re.sub(rf"\b{tok}\b", expr, item, flags=re.I)
             items.append(item)
     sel = ",".join(items)
-    return head.group(1) + sel + fixed[head.start(3):]
+    return fixed[: sel_head.end()] + sel + fixed[from_idx:]
 
 
 def _rewrite_session_tvf(query: str) -> str:

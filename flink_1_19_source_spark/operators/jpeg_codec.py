@@ -287,6 +287,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = 0
+    comp_tq = 0
     scan_start = None
     while pos < len(data):
         if pos + 1 >= len(data):
@@ -317,6 +318,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("only single-component (grayscale)")
             if seg[7] != 0x11:
                 raise ValueError("subsampling unsupported")
+            comp_tq = seg[8]  # per-component quant-table selector (Tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(f"non-baseline frame marker FF{marker:02X}")
         elif marker == 0xC4:  # DHT
@@ -342,7 +344,9 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing SOS/SOF0")
     dc_tab = htables[(0, td)]
     ac_tab = htables[(1, ta)]
-    quant = np.array(qtables[0], dtype=np.float64)
+    if comp_tq not in qtables:
+        raise ValueError(f"SOF0 references missing quant table {comp_tq}")
+    quant = np.array(qtables[comp_tq], dtype=np.float64)
 
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
     img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)

@@ -1,18 +1,18 @@
 """Importing this package registers every coverage query (SURVEY.md §2).
 
 WINDOW ORDER IS LOAD-BEARING: the driver certifies only the FIRST 50
-registry entries.  Import order seeds the registry, then ``_R07_WINDOW``
+registry entries.  Import order seeds the registry, then ``_R08_WINDOW``
 below reorders it explicitly so the certification window is an exact,
-named set rather than a module-prefix accident.  Round-7 window = the
-first 50 of the 77 registered queries that have NEVER carried a driver
-CORRECTNESS row, in the exact order STATUS.md's r07 ledger plans them:
-the 35 r5 leftovers (recall reports, lookup streams, band joins,
-pipeline composite, HLL/Bloom streams, CDC canal/debezium-stream,
-collection/map/temporal families), then the first 15 r6 additions
-(real codecs, CEP skip modes/permute, schema-evolution restart,
-substring spans, PQ ANN, maxwell/ogg CDC, model scoring, media
-pipeline).  The remaining 27 never-certified queries head r08.  See
-STATUS.md "driver certification window" for the per-round ledger.
+named set rather than a module-prefix accident.  Round-8 window = the
+first 50 of the 51 registered queries that have NEVER carried a driver
+CORRECTNESS row, in the exact order STATUS.md's r08 ledger plans them:
+the 27 r6-overflow queries (quantile sketches, DSIR, window-join
+variants, snapshot/time-travel, math/try families, winnowing), then
+23 of the 24 r7 additions (BPE train/encode/packing, hybrid RRF,
+binary-Hamming ANN, count-min, SESSION TVF batch+stream, CEP
+skip-to-variable and reluctant quantifiers, real JPEG decode,
+temperature mixing, RAG pipeline).  ``s_chunk_dedup_stream`` overflows
+to r09.  See STATUS.md "driver certification window" for the ledger.
 """
 
 from . import windows  # noqa: F401
@@ -43,44 +43,45 @@ from . import llm3  # noqa: F401  (streaming LSH dedup, DSIR resampling)
 
 from ..registry import REGISTRY
 
-# The exact round-7 certification window (first 50 registry entries):
-# all never-certified, in STATUS.md r07-ledger order.
-_R07_WINDOW = [
-    # r5 leftovers (35): sampling/lookup/recall/stream blocks
-    "n6_curriculum_order", "j7b_lookup_partial_cache",
-    "n2_lsh_recall_report", "s_lookup_enrich_stream",
-    "f_string4_family", "w4c_global_session", "t6_null_ordering",
-    "src_cdc_canal", "w5b_hop_offset", "j4b_band_join",
-    "src_dynamic_partition_pruning", "r8_table_api_columns",
-    "r9_connect_comap", "pipeline_corpus_end_to_end",
-    "x7b_broadcast_rules_update_stream", "n4_boilerplate_strip",
-    "s_pattern_within_stream", "sql_computed_columns",
-    "f_temporal3_family", "s_crash_resume_exactly_once",
-    "a9d_hll_merge_rollup", "n3_ivf_recall_report",
-    "s_hll_stream_rollup", "s_bloom_stream_filter",
-    "src_csv_malformed", "t4c_union_type_coercion",
-    "n2_simhash_pairs", "o2b_lead_lag_offsets", "src_agg_pushdown",
-    "j8b_window_join_outer", "s_window_join_outer_stream",
-    "s_cdc_debezium_stream", "f_collection2_family", "f_map_family2",
-    "a7b_listagg_distinct",
-    # first 15 r6 additions: codecs, CEP skip/permute, restart
-    # evolution, substring spans, PQ ANN, maxwell/ogg CDC, model
-    # scoring, str_to_map, media stream + pipeline
-    "n5_decode_real", "n5_audio_decode_real", "n5_video_decode_real",
-    "x5_skip_modes", "s_skip_modes_stream", "x5_permute",
-    "s_restart_schema_evolution", "n2_substring_dup_spans",
-    "n3_pq_topk", "src_cdc_maxwell", "src_cdc_ogg",
-    "n4_model_score_batch", "f_str_to_map", "s_media_decode_stream",
-    "pipeline_media_end_to_end",
+# The exact round-8 certification window (first 50 registry entries):
+# all never-certified, in STATUS.md r08-ledger order: the 27 r6-overflow
+# queries, then the r7 wave (BPE, RRF, binary ANN, count-min, SESSION
+# TVF, skip-to-variable, reluctant quantifiers, JPEG, RAG pipeline).
+# ``s_chunk_dedup_stream`` overflows to r09.
+_R08_WINDOW = [
+    # r6 overflow (27)
+    "n6_epoch_shuffle", "src_time_travel", "src_snapshot_diff",
+    "sql_window_tvf", "sql_legacy_group_windows",
+    "j8c_window_join_full", "s_window_join_full_stream",
+    "s_minhash_dedup_stream", "n6_dsir_resample",
+    "x5_quantifier_alternation", "f_math2_family",
+    "j8d_hop_window_join", "o6b_topn_with_ties",
+    "s_three_way_interval_join_stream", "a16_quantile_sketch",
+    "s_quantile_sketch_stream", "sql_view_lifecycle",
+    "s_ivf_ingest_stream", "f_try_family", "j5c_interval_join_sym",
+    "n2_winnow_overlap_pairs", "j8e_cumulate_window_join",
+    "pipeline_dsir_end_to_end", "s_quantifier_stream",
+    "n4_char_diversity", "sql_set_reset", "n2_cluster_canonical",
+    # r7 additions (23 of 24)
+    "sql_session_tvf", "n2_lsh_capped_skew",
+    "s_topn_over_agg_retract", "x5_skip_to_variable",
+    "s_skip_to_variable_stream", "x5_reluctant_quantifier",
+    "s_reluctant_quantifier_stream", "n5_jpeg_decode_real",
+    "n3_binary_hamming_topk", "n4_bm25_topk", "n4_bpe_train",
+    "n4_bpe_encode", "src_snapshot_expire", "n3_hybrid_rrf_topk",
+    "a17_countmin_sketch", "s_countmin_stream", "n6_temperature_mix",
+    "s_sql_window_tvf_stream", "s_dsir_stats_stream",
+    "n4_chunk_manifest", "n6_bpe_packing",
+    "pipeline_rag_index_end_to_end", "s_sql_session_tvf_stream",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R07_WINDOW) == 50, len(_R07_WINDOW)
-    missing = [n for n in _R07_WINDOW if n not in REGISTRY]
+    assert len(_R08_WINDOW) == 50, len(_R08_WINDOW)
+    missing = [n for n in _R08_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R07_WINDOW)}
-    ordered = {k: REGISTRY[k] for k in _R07_WINDOW}
+    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R08_WINDOW)}
+    ordered = {k: REGISTRY[k] for k in _R08_WINDOW}
     ordered.update(rest)
     REGISTRY.clear()
     REGISTRY.update(ordered)

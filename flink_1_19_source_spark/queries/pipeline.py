@@ -785,7 +785,10 @@ def n6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, n, (w / z) / (n / t) AS boost FROM temp, z, tot
     ), mx AS (SELECT MAX(boost) AS mb FROM rates),
     final AS (
-      SELECT lang, n, boost / mb AS rate FROM rates, mx
+      -- quantize to 9 dp BEFORE the gate: z and mb come from
+      -- order-dependent double sums, so a last-ulp spread between
+      -- engines could otherwise flip boundary docs
+      SELECT lang, n, ROUND(boost / mb, 9) AS rate FROM rates, mx
     ),
     gated AS (
       SELECT d.doc_id, d.lang, f.rate
@@ -822,8 +825,12 @@ def n6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("w") / F.col("z")) / (F.col("n") / F.col("t"))).alias("boost"),
     )
     mx = rates.agg(F.max("boost").alias("mb"))
+    # Quantize the rate to 9 dp BEFORE the hash gate: z (and mb) are
+    # order-dependent double SUMs, so Spark and DuckDB could disagree in
+    # the last ulp; the gate threshold floor(rate * 2^32) must be derived
+    # from a bit-identical rate in both engines.
     final = rates.crossJoin(F.broadcast(mx)).select(
-        "lang", (F.col("boost") / F.col("mb")).alias("rate")
+        "lang", F.round(F.col("boost") / F.col("mb"), 9).alias("rate")
     )
     h32 = F.conv(
         F.substring(

@@ -139,6 +139,27 @@ def test_window_tvf_translation_shapes():
         )
 
 
+def test_window_restructure_survives_embedded_from_tokens():
+    """The SELECT-list/FROM split must be paren/quote-aware: a FROM
+    inside EXTRACT(... FROM ...) or a 'FROM' string literal is not the
+    statement's FROM and must not truncate the rewrite."""
+    from flink_1_19_source_spark.functions.flink_sql import translate
+
+    s = translate(
+        "SELECT window_start, EXTRACT(HOUR FROM window_start) AS hr,"
+        " ' FROM ' AS lit, user_id, COUNT(*) AS n"
+        " FROM TABLE(SESSION(TABLE events PARTITION BY user_id,"
+        " DESCRIPTOR(ts), INTERVAL '10' MINUTE))"
+        " GROUP BY window_start, window_end, user_id"
+    )
+    # the embedded tokens survive and window_start resolves in BOTH
+    # the bare item and inside EXTRACT
+    assert "EXTRACT(HOUR FROM session_window(ts, '10 minute').start)" in s
+    assert "' FROM '" in s
+    assert "session_window(ts, '10 minute').start AS window_start" in s
+    assert "GROUP BY session_window(ts, '10 minute'), user_id" in s
+
+
 def test_legacy_group_window_translation_shapes():
     from flink_1_19_source_spark.functions.flink_sql import translate
 

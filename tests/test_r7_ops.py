@@ -88,6 +88,34 @@ def test_jpeg_decoder_rejects_unsupported_shapes():
         jc.decode_jpeg_gray(bytes(data))
 
 
+def test_jpeg_decoder_honors_sof0_quant_table_selector():
+    """A conforming baseline JPEG may store its quant table under id 1
+    (SOF0 Tq selector); the decoder must index qtables by Tq rather
+    than assuming id 0, and fail cleanly when Tq references a missing
+    table."""
+    import numpy as np
+    import pytest
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    zz = jc.constant_block_coeffs(77)
+    data = bytearray(jc.encode_jpeg_gray([zz], 1, 1))
+    # retag the (sole) quant table as id 1 and point SOF0's Tq at it
+    dqt = bytes(data).find(b"\xff\xdb")
+    assert data[dqt + 4] == 0x00  # Pq=0/Tq=0 byte
+    data[dqt + 4] = 0x01
+    sof = bytes(data).find(b"\xff\xc0")
+    assert data[sof + 12] == 0x00  # component Tq byte (C, HV, Tq)
+    data[sof + 12] = 0x01
+    w, h, px = jc.decode_jpeg_gray(bytes(data))
+    assert (np.frombuffer(px, dtype=np.uint8) == 77).all()
+
+    # Tq referencing an absent table is an error, not qtables[0]
+    data[sof + 12] = 0x02
+    with pytest.raises(ValueError, match="quant table"):
+        jc.decode_jpeg_gray(bytes(data))
+
+
 def test_binary_hamming_recall_vs_exact(spark, sf_dir):
     """1-bit quantization loses information by design; the gate is
     recall@5 against the exact fp32 path — the rerank stage must
