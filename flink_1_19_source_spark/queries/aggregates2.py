@@ -754,11 +754,16 @@ def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-wise SUM of segments, which by CMS mergeability equals the
     one-shot batch sketch, so estimates hash-match the batch oracle at
     any slicing.  The 100 TB continuous frequency dashboard: O(d*w)
-    state per segment, O(batch) work, no raw-data retention."""
+    state per segment, O(batch) work, no raw-data retention.  Epoch
+    segments fold through a SegmentStore every 2 batches with a
+    cell-wise re-SUM, so live state stays O(d*w) — one sketch — over
+    arbitrary uptime (the store's skip-on-replayed-compacted-batch
+    rule keeps the non-idempotent sums exactly-once under replay)."""
     import os
     import uuid
 
     from ..streaming import replay
+    from ..streaming.segments import SegmentStore
     from . import streaming_queries as _sq
     from .streaming_queries import _stream_shuffle_partitions, _work_dir
 
@@ -766,22 +771,25 @@ def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     seg_dir = os.path.join(wd, f"segs-{run}")
     ckpt = os.path.join(wd, f"ckpt-{run}")
-    os.makedirs(seg_dir, exist_ok=True)
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("depth", "bucket").agg(
+            F.sum("c").alias("c")
+        ),
+    )
 
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
     )
 
     def fold(batch, bid: int) -> None:
-        sketches.cms_cells(batch, "user_id").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(seg_dir, f"seg-{bid:04d}"))
+        store.append(sketches.cms_cells(batch, "user_id").coalesce(1), bid)
 
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
     cells = (
-        spark.read.parquet(os.path.join(seg_dir, "seg-*"))
+        store.read()
         .groupBy("depth", "bucket")
         .agg(F.sum("c").alias("c"))
     )

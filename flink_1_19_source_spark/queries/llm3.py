@@ -103,6 +103,7 @@ def _minhash_dedup_run(
     import uuid
 
     from ..streaming import replay
+    from ..streaming.segments import SegmentStore
     from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
 
     wd = _work_dir(sf_dir, "s_mhdedup")
@@ -110,8 +111,16 @@ def _minhash_dedup_run(
     state_dir = os.path.join(wd, f"state-{run}")
     out_dir = os.path.join(wd, f"out-{run}")
     ckpt = os.path.join(wd, f"ckpt-{run}")
-    os.makedirs(state_dir, exist_ok=True)
     os.makedirs(out_dir, exist_ok=True)
+    # self-compacting band-bucket index: fold every 2 batches, keeping
+    # only the MIN doc per (band, key) — exactly what the strict-< probe
+    # consumes — so the index is bounded by DISTINCT buckets, not uptime
+    store = SegmentStore(
+        spark, state_dir, compact_every=2,
+        merge=lambda df: df.groupBy("band", "key")
+        .agg(F.min("id").alias("id"))
+        .select("id", "band", "key"),
+    )
 
     sdf = replay.replay_table(
         spark, sf_dir, "documents", os.path.join(wd, "src"),
@@ -127,9 +136,8 @@ def _minhash_dedup_run(
             "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         ).localCheckpoint(eager=True)
         earlier = flat.select(F.col("id").alias("eid"), "band", "key")
-        segs = sorted(_glob.glob(os.path.join(state_dir, "seg-*")))
-        if segs:
-            hist = spark.read.parquet(*segs)
+        hist = store.read()
+        if hist is not None:
             earlier = earlier.unionByName(
                 hist.select(F.col("id").alias("eid"), "band", "key")
             )
@@ -164,9 +172,7 @@ def _minhash_dedup_run(
         verdicts.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"out-{bid:04d}")
         )
-        flat.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"seg-{bid:04d}")
-        )
+        store.append(flat, bid)
 
     with _stream_shuffle_partitions(spark):
         if crash_once_at is not None:
@@ -359,13 +365,15 @@ def s_ivf_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest coarse centroid (the fixed codebook broadcasts with the
     Arrow UDF) and APPENDED to the inverted-file index as an O(batch)
     segment — per-batch overwrite paths make crash replay idempotent,
-    and history is never rewritten (at 100 TB the list_id is the table's
-    partition key and each day adds files under it).  After the drain,
+    and history is never REWRITTEN, only periodically FOLDED: a
+    SegmentStore compaction every 2 batches bounds the live file count
+    so probe-side listing stays O(1) over arbitrary uptime (at 100 TB
+    the list_id is the table's partition key and the fold is per-day
+    file consolidation under it).  After the drain,
     the standard probe path (operators/similarity.ivf_probe — the same
     code the one-shot build uses) answers top-5 queries against the
     accumulated index, hash-matching the batch IVF build (the oracle is
     n3_ivf_topk's SQL replay)."""
-    import glob as _glob
     import os
     import shutil
     import uuid
@@ -374,6 +382,7 @@ def s_ivf_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import similarity
     from ..streaming import replay
+    from ..streaming.segments import SegmentStore
     from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -387,7 +396,7 @@ def s_ivf_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     state_dir = os.path.join(wd, f"index-{run}")
     ckpt = os.path.join(wd, f"ckpt-{run}")
-    os.makedirs(state_dir, exist_ok=True)
+    store = SegmentStore(spark, state_dir, compact_every=2)
 
     sdf = replay.replay_table(
         spark, sf_dir, "embeddings", os.path.join(wd, "src"),
@@ -399,15 +408,12 @@ def s_ivf_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             similarity.as_double(F.col("embedding")).alias("nvec"),
         ).withColumn("list_id", F.explode(corpus_assign(F.col("nvec"))))
-        seg.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"seg-{bid:04d}")
-        )
+        store.append(seg, bid)
 
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
-    segs = sorted(_glob.glob(os.path.join(state_dir, "seg-*")))
-    index = spark.read.parquet(*segs)
+    index = store.read()
     q = e.filter(F.col("vec_id") < 8)
     out = similarity.ivf_probe(
         index, q, centroids, k=5, nprobe=3
@@ -1510,18 +1516,28 @@ def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verbatim.  The 100 TB shape: the importance-weight tables a
     continuous ingest keeps fresh without ever re-reading history — new
     data updates O(buckets) state, re-scoring is a separate batch job on
-    whatever snapshot needs it."""
+    whatever snapshot needs it.  Epoch segments fold through a
+    SegmentStore every 2 batches with a bucket-wise re-SUM, so live
+    state is O(buckets) files-and-rows regardless of uptime (sums are
+    additive; the store's skip-on-replayed-compacted-batch rule keeps
+    them exactly-once under crash replay)."""
     import os
     import uuid
 
     from ..streaming import replay
+    from ..streaming.segments import SegmentStore
     from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
 
     wd = _work_dir(sf_dir, "s_dsir")
     run = uuid.uuid4().hex[:8]
     seg_dir = os.path.join(wd, f"segs-{run}")
     ckpt = os.path.join(wd, f"ckpt-{run}")
-    os.makedirs(seg_dir, exist_ok=True)
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("b").agg(
+            F.sum("rc").alias("rc"), F.sum("tc").alias("tc")
+        ),
+    )
 
     sdf = replay.replay_table(
         spark, sf_dir, "documents", os.path.join(wd, "src"),
@@ -1529,15 +1545,13 @@ def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch, bid: int) -> None:
-        _dsir_bucket_stats(_dsir_bt(batch)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(seg_dir, f"seg-{bid:04d}"))
+        store.append(_dsir_bucket_stats(_dsir_bt(batch)).coalesce(1), bid)
 
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
     stats = (
-        spark.read.parquet(os.path.join(seg_dir, "seg-*"))
+        store.read()
         .groupBy("b")
         .agg(F.sum("rc").alias("rc"), F.sum("tc").alias("tc"))
         .collect()
@@ -1787,15 +1801,15 @@ def pipeline_rag_index_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM counted)
     ), firsts AS (
       SELECT chunk_hash,
-             MIN(doc_id * 1000000 + chunk_no) AS first_key
+             MIN(doc_id * 4294967296 + chunk_no) AS first_key
       FROM chunks GROUP BY chunk_hash
     )
     SELECT c.doc_id, c.chunk_no,
-           (c.doc_id * 1000000 + c.chunk_no) > f.first_key AS is_dup,
-           CASE WHEN (c.doc_id * 1000000 + c.chunk_no) > f.first_key
-                THEN f.first_key // 1000000 END AS dup_doc_id,
-           CASE WHEN (c.doc_id * 1000000 + c.chunk_no) > f.first_key
-                THEN f.first_key % 1000000 END AS dup_chunk_no
+           (c.doc_id * 4294967296 + c.chunk_no) > f.first_key AS is_dup,
+           CASE WHEN (c.doc_id * 4294967296 + c.chunk_no) > f.first_key
+                THEN f.first_key // 4294967296 END AS dup_doc_id,
+           CASE WHEN (c.doc_id * 4294967296 + c.chunk_no) > f.first_key
+                THEN f.first_key % 4294967296 END AS dup_chunk_no
     FROM chunks c JOIN firsts f ON f.chunk_hash = c.chunk_hash
     """,
     survey="N1-S N4 X2 X4",
@@ -1816,12 +1830,27 @@ def s_chunk_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches that see their own rows in the index converge.  Drained
     verdicts hash-match the one-shot whole-corpus keep-first replay
     (the oracle).  At 100 TB this is what keeps an embedding job from
-    re-encoding boilerplate: only never-seen chunk hashes proceed."""
-    import glob as _glob
+    re-encoding boilerplate: only never-seen chunk hashes proceed.
+
+    The index is a SegmentStore (streaming/segments.py): every 2
+    batches the seg files fold into one keep-first compact (min ckey
+    per chunk_hash), so per-batch listing and probe-read stay bounded
+    by the fold interval — and by DISTINCT hashes, not stream length —
+    over arbitrary uptime.  Batch-slicing invariance post-compaction
+    is pinned by tests/test_r8_ops.py."""
+    return _chunk_dedup_run(spark, sf_dir)
+
+
+def _chunk_dedup_run(
+    spark: SparkSession, sf_dir: str, chunks: int | None = None
+) -> DataFrame:
+    """The streaming chunk-dedup core; ``chunks`` controls the replay
+    slicing so tests can pin slicing-invariance of the verdicts."""
     import os
     import uuid
 
     from ..streaming import replay
+    from ..streaming.segments import SegmentStore
     from .streaming_queries import _CHUNKS, _stream_shuffle_partitions, _work_dir
 
     wd = _work_dir(sf_dir, "s_chunkdedup")
@@ -1829,14 +1858,26 @@ def s_chunk_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_dir = os.path.join(wd, f"segs-{run}")
     out_dir = os.path.join(wd, f"out-{run}")
     ckpt = os.path.join(wd, f"ckpt-{run}")
-    os.makedirs(seg_dir, exist_ok=True)
     os.makedirs(out_dir, exist_ok=True)
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("chunk_hash").agg(
+            F.min("ckey").alias("ckey")
+        ),
+    )
 
     sdf = replay.replay_table(
         spark, sf_dir, "documents", os.path.join(wd, "src"),
-        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+        ts_col="doc_id", chunks=chunks if chunks is not None else _CHUNKS,
+        order_by=["doc_id"],
     )
-    key = (F.col("doc_id") * 1000000 + F.col("chunk_no")).alias("ckey")
+    # 2^32 multiplier: chunk_no derives from an array index, so it is
+    # < 2^31 structurally (Spark arrays are int32-indexed) and the
+    # composite (doc_id << 32) | chunk_no is collision-free for any
+    # doc_id < 2^31 — no aliasing between documents at corpus scale
+    key = (F.col("doc_id") * F.lit(4294967296) + F.col("chunk_no")).alias(
+        "ckey"
+    )
 
     def chunk_batch(batch) -> DataFrame:
         toks = batch.select(
@@ -1869,9 +1910,8 @@ def s_chunk_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_no", "chunk_hash", key
         ).localCheckpoint(eager=True)
         earlier = chunks.select("chunk_hash", F.col("ckey").alias("ekey"))
-        segs = sorted(_glob.glob(os.path.join(seg_dir, "seg-*")))
-        if segs:
-            hist = spark.read.parquet(*segs)
+        hist = store.read()
+        if hist is not None:
             earlier = earlier.unionByName(
                 hist.select("chunk_hash", F.col("ckey").alias("ekey"))
             )
@@ -1886,17 +1926,15 @@ def s_chunk_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_no",
             F.col("dup_key").isNotNull().alias("is_dup"),
             # integer div, not float: exact for arbitrarily large keys
-            F.expr("dup_key div 1000000").alias("dup_doc_id"),
+            F.expr("dup_key div 4294967296").alias("dup_doc_id"),
             F.when(
-                F.col("dup_key").isNotNull(), F.col("dup_key") % 1000000
+                F.col("dup_key").isNotNull(), F.col("dup_key") % 4294967296
             ).cast("long").alias("dup_chunk_no"),
         )
         verdicts.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"out-{bid:04d}")
         )
-        chunks.select("chunk_hash", "ckey").write.mode("overwrite").parquet(
-            os.path.join(seg_dir, f"seg-{bid:04d}")
-        )
+        store.append(chunks.select("chunk_hash", "ckey"), bid)
 
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)

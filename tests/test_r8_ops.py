@@ -1,0 +1,117 @@
+"""Round-8 additions: SegmentStore compaction for the streaming ingest
+indexes — crash-safe folding bounds per-batch listing/read over
+arbitrary uptime — plus the slicing-invariance pin post-compaction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from flink_1_19_source_spark.registry import REGISTRY, queries
+from flink_1_19_source_spark.streaming.segments import SegmentStore
+
+queries()
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_segment_store_bounds_live_files_and_preserves_rows(spark, tmp_path):
+    """Live file count never exceeds the fold interval, and reads see
+    exactly the appended multiset (merge=None keeps raw rows)."""
+    base = str(tmp_path / "segs")
+    store = SegmentStore(spark, base, compact_every=2)
+    total = []
+    for bid in range(6):
+        rows = [(f"k{bid}", bid), (f"k{bid}b", bid * 10)]
+        total += rows
+        store.append(_mk(spark, rows), bid)
+        assert store.live_file_count() <= 2, store.paths()
+    got = sorted((r.k, r.v) for r in store.read().collect())
+    assert got == sorted(total)
+    # after the bid=5 boundary fold everything lives in ONE compact
+    assert len(store.paths()) == 1 and "compact-0005" in store.paths()[0]
+
+
+def test_segment_store_merge_keeps_state_domain_bounded(spark, tmp_path):
+    """A summing merge folds segments into one row per key — sketch
+    state stays O(domain) regardless of batch count."""
+    base = str(tmp_path / "segs")
+    store = SegmentStore(
+        spark, base, compact_every=2,
+        merge=lambda df: df.groupBy("k").agg(F.sum("v").alias("v")),
+    )
+    for bid in range(4):
+        store.append(_mk(spark, [("a", 1), ("b", 2)]), bid)
+    got = {r.k: r.v for r in store.read().collect()}
+    assert got == {"a": 4, "b": 8}
+    # the compacted file holds exactly the merged domain
+    assert spark.read.parquet(store.paths()[0]).count() == 2
+
+
+def test_segment_store_replayed_compacted_batch_is_not_double_counted(
+    spark, tmp_path
+):
+    """X4: a crash after the fold commits but before the checkpoint
+    advances replays the folded batch — its rows already live in the
+    compact, so the append must be a no-op (fatal otherwise for summing
+    merges)."""
+    base = str(tmp_path / "segs")
+    store = SegmentStore(
+        spark, base, compact_every=2,
+        merge=lambda df: df.groupBy("k").agg(F.sum("v").alias("v")),
+    )
+    store.append(_mk(spark, [("a", 1)]), 0)
+    store.append(_mk(spark, [("a", 1)]), 1)  # folds 0-1 into compact-0001
+    # replay of batch 1 (same bid, same rows)
+    store.append(_mk(spark, [("a", 1)]), 1)
+    got = {r.k: r.v for r in store.read().collect()}
+    assert got == {"a": 2}, got
+
+
+def test_segment_store_torn_compaction_is_invisible_and_rebuilt(
+    spark, tmp_path
+):
+    """A compaction dir without _SUCCESS (crash mid-write) must be
+    ignored by readers and rebuilt from its still-present inputs when
+    the boundary batch replays; a committed fold whose input sweep was
+    interrupted must finish the sweep on replay."""
+    base = str(tmp_path / "segs")
+    store = SegmentStore(spark, base, compact_every=2)
+    store.append(_mk(spark, [("a", 1)]), 0)
+    # fake a torn fold: parquet content without the commit mark
+    torn = os.path.join(base, "compact-0001")
+    _mk(spark, [("junk", 99)]).write.parquet(torn)
+    os.remove(os.path.join(torn, "_SUCCESS"))
+    assert store.paths() == [os.path.join(base, "seg-0000")]
+    # the boundary batch lands → fold rebuilds compact-0001 for real
+    store.append(_mk(spark, [("b", 2)]), 1)
+    got = sorted((r.k, r.v) for r in store.read().collect())
+    assert got == [("a", 1), ("b", 2)]
+    assert store.live_file_count() == 1
+    # interrupted sweep: a stale input survives next to the commit mark
+    stale = os.path.join(base, "seg-0000")
+    _mk(spark, [("stale", 0)]).write.parquet(stale)
+    store.append(_mk(spark, [("ignored", 0)]), 1)  # replayed boundary bid
+    got = sorted((r.k, r.v) for r in store.read().collect())
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_chunk_dedup_stream_slicing_invariant_post_compaction(spark, sf_dir):
+    """3-chunk and 8-chunk replays cross compaction boundaries at
+    different batches; the drained verdicts must be identical (and equal
+    to the registered 4-chunk run's oracle-certified output)."""
+    from flink_1_19_source_spark.queries.llm3 import _chunk_dedup_run
+
+    def snap(chunks):
+        return sorted(
+            (r.doc_id, r.chunk_no, r.is_dup, r.dup_doc_id, r.dup_chunk_no)
+            for r in _chunk_dedup_run(spark, sf_dir, chunks=chunks).collect()
+        )
+
+    a, b = snap(3), snap(8)
+    assert a, "no verdicts drained — test is vacuous"
+    assert a == b
