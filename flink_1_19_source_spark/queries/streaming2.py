@@ -642,3 +642,139 @@ def _topn_retract_run(
         .filter(F.col("rn") <= _TOPN_K)
         .select("rn", "user_id", "cnt")
     )
+
+
+@register(
+    "s_join_over_agg_retract",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, u.cnt
+    FROM events e JOIN per_user u ON e.user_id = u.user_id
+    """,
+    survey="§7.4-retract J1 X2 X4",
+    tags=("streaming",),
+)
+def s_join_over_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JOIN consuming an unwindowed aggregate's changelog —
+    Flink's enrich-against-aggregate, the THIRD canonical
+    consume-a-retraction-stream shape (SURVEY §7.4; agg→agg and
+    agg→rank are s_chained_agg_retract / s_topn_over_agg_retract):
+
+        SELECT e.event_id, e.user_id, u.cnt
+        FROM events e
+        JOIN (SELECT user_id, COUNT(*) cnt FROM events GROUP BY user_id) u
+          ON e.user_id = u.user_id
+
+    In Flink the join's right input is an updating table: every +U on a
+    user's count retracts ALL previously-emitted join rows for that user
+    and re-emits them with the new count.  Here, per micro-batch,
+    foreachBatch (1) appends the batch's events to the join's LEFT-side
+    state (a self-compacting SegmentStore — the join operator's keyed
+    left state, bounded files over any uptime), (2) recomputes the new
+    ABSOLUTE count for exactly the touched users from that log and
+    synthesizes the ``-U/+U`` changelog against the keyed mirror
+    (ChangelogNormalize), (3) re-emits every logged event of a changed
+    user with its +U count and MERGEs by event_id into the sink —
+    the set-based form of Flink's join-state re-emission, and (4)
+    upserts the mirror and marks the batch ledger.
+
+    The ``-U`` rows need no sink deletes: the join key set never
+    shrinks (counts grow monotonically; an inner-join match can't
+    disappear), so each -U's rows are replaced by its +U's in the same
+    MERGE — the precondition is stated and relied on exactly as in the
+    Top-N eviction rule; a retractable source would add -D MERGEs keyed
+    by event_id.  Per-batch work ∝ logged events of users TOUCHED in
+    the batch (Flink's own re-emission cost), never untouched history.
+
+    Every state mutation is an absolute-value MERGE or an idempotent
+    log append, so a crash at ANY point between them converges on
+    replay (the recomputed counts are absolute, from the log, not
+    mirror+delta) — pinned by tests/test_r8_ops.py; chunk-slicing
+    invariance likewise.  Drained sink = every event enriched with its
+    user's final count = the batch join (the DuckDB oracle)."""
+    return _join_retract_run(spark, sf_dir)
+
+
+def _join_retract_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    chunks: int | None = None,
+) -> DataFrame:
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import _CHUNKS, _FILES_PER_TRIGGER, _work_dir
+
+    wd = _work_dir(sf_dir, "s_join_retract")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=chunks if chunks is not None else _CHUNKS,
+        files_per_trigger=_FILES_PER_TRIGGER,
+    )
+    run = uuid.uuid4().hex[:8]
+    url = jdbc_mod.derby_url(os.path.join(wd, f"derby-{run}"))
+    mirror = jdbc_mod.JdbcTableSource(url, "JR_MIRROR")
+    out = jdbc_mod.JdbcTableSource(url, "JR_OUT")
+    ledger = retract.BatchLedger(jdbc_mod.JdbcTableSource(url, "JR_LEDGER"))
+    mirror.ensure_table(
+        spark.createDataFrame([], "user_id long, cnt long"), overwrite=True
+    )
+    out.ensure_table(
+        spark.createDataFrame([], "event_id long, user_id long, cnt long"),
+        overwrite=True,
+    )
+    ledger.init(spark)
+    log = SegmentStore(
+        spark, os.path.join(wd, f"evlog-{run}"), compact_every=2
+    )
+    crashed = {"done": False}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(spark, batch_id):
+            return  # committed batch replayed after a crash: no-op
+        batch_df = batch_df.persist()
+        try:
+            # (1) left-side join state: append this batch's events
+            log.append(batch_df.select("event_id", "user_id"), batch_id)
+            changed = batch_df.select("user_id").distinct()
+            affected = log.read().join(changed, "user_id")
+            # (2) new ABSOLUTE counts for touched users, from the log
+            # (absolute ⇒ every downstream MERGE is idempotent under
+            # crash replay, unlike mirror+delta)
+            batch_l1 = affected.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            changelog = retract.synthesize_retractions(
+                batch_l1, mirror.scan(spark), ["user_id"], ["cnt"]
+            )
+            upserts = changelog.filter(F.col("_rowkind") != "-U").select(
+                "user_id", "cnt"
+            )
+            # (3) join-state re-emission: every logged event of a
+            # changed user pairs with its +U count
+            joined = affected.join(upserts, "user_id").select(
+                "event_id", "user_id", "cnt"
+            )
+            out.upsert(joined, pk_cols=["event_id"])
+            if crash_once_at == batch_id and not crashed["done"]:
+                crashed["done"] = True
+                # worst spot: sink mutated, mirror/ledger uncommitted
+                raise RuntimeError("injected crash before ledger mark")
+            mirror.upsert(upserts, pk_cols=["user_id"])
+            ledger.mark(spark, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.scan(spark).select("event_id", "user_id", "cnt")

@@ -115,3 +115,37 @@ def test_chunk_dedup_stream_slicing_invariant_post_compaction(spark, sf_dir):
     a, b = snap(3), snap(8)
     assert a, "no verdicts drained — test is vacuous"
     assert a == b
+
+
+def test_join_over_agg_retract_crash_replay_converges(spark, sf_dir):
+    """§7.4 shape 3 (agg→join): a crash injected AFTER the sink MERGE
+    but BEFORE the mirror/ledger commit, then a restart on the same
+    checkpoint, must converge — the replayed batch recomputes ABSOLUTE
+    counts from the event log, so every MERGE re-applies identically."""
+    from flink_1_19_source_spark.queries.streaming2 import _join_retract_run
+
+    clean = sorted(
+        (r.event_id, r.user_id, r.cnt)
+        for r in _join_retract_run(spark, sf_dir).collect()
+    )
+    crashed = sorted(
+        (r.event_id, r.user_id, r.cnt)
+        for r in _join_retract_run(spark, sf_dir, crash_once_at=1).collect()
+    )
+    assert clean and crashed == clean
+
+
+def test_join_over_agg_retract_slicing_invariant(spark, sf_dir):
+    """3-chunk vs 8-chunk replays emit different intermediate
+    enrichments (counts mid-stream differ) but identical drained sinks
+    — the retraction-consuming join converges for any slicing."""
+    from flink_1_19_source_spark.queries.streaming2 import _join_retract_run
+
+    def snap(chunks):
+        return sorted(
+            (r.event_id, r.user_id, r.cnt)
+            for r in _join_retract_run(spark, sf_dir, chunks=chunks).collect()
+        )
+
+    a, b = snap(3), snap(8)
+    assert a and a == b
