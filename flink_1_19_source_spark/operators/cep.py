@@ -424,3 +424,114 @@ def match_recognize_skip_to(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
     return prepared.groupBy(key_col).applyInPandas(run, SKIP_TO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Row-pattern exclusions: PATTERN (A {- B -} C)  [ISO SQL:2016 R020]
+# ---------------------------------------------------------------------------
+
+_EXCL_SECTION = re.compile(r"\{-\s*(.*?)\s*-\}")
+
+EXCL_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("excl_rows", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def compile_exclusions(pattern: str) -> tuple["re.Pattern", list[str]]:
+    """Translate row-pattern exclusion syntax ``{- sub -}`` into named
+    groups so the matched-but-excluded spans can be subtracted from the
+    measures.  Returns (compiled regex, exclusion group names).
+
+    Documented limitation: an exclusion nested under an OUTER quantifier
+    keeps only its final iteration's span (regex group semantics); the
+    supported surface is exclusions at pattern top level — every shape
+    the SQL:2016 examples and Flink's MATCH_RECOGNIZE docs show."""
+    names: list[str] = []
+
+    def repl(m: "re.Match") -> str:
+        name = f"xcl{len(names)}"
+        names.append(name)
+        return f"(?P<{name}>{m.group(1)})"
+
+    return re.compile(_EXCL_SECTION.sub(repl, pattern)), names
+
+
+def exclusion_matches(
+    compiled: "re.Pattern", names: list[str], s: str
+) -> list[tuple[int, int, list[int]]]:
+    """Non-overlapping scan (AFTER MATCH SKIP PAST LAST ROW): per match
+    yields (start, end_inclusive, included_positions) with the excluded
+    groups' spans subtracted — shared by the batch operator, the
+    streaming keyed-state twin, and the fuzz tests so the semantics
+    cannot diverge."""
+    out = []
+    for m in compiled.finditer(s):
+        a, b = m.start(), m.end() - 1
+        spans = [m.span(n) for n in names if m.span(n) != (-1, -1)]
+        included = [
+            i for i in range(a, b + 1)
+            if not any(lo <= i < hi for lo, hi in spans)
+        ]
+        out.append((a, b, included))
+    return out
+
+
+def match_recognize_exclusion(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE with row-pattern exclusions — ``{- B -}`` rows
+    advance the automaton (they MUST be present for the match) but are
+    dropped from the output/measures [ISO SQL:2016 row-pattern
+    exclusion; the one MATCH_RECOGNIZE clause Flink 1.19's docs list as
+    unsupported — implemented here to the standard's semantics].
+
+    start_id/end_id/first_ts/last_ts/n_rows are computed over the
+    INCLUDED rows only; ``excl_rows`` reports how many matched rows the
+    exclusion removed.  A match whose rows are ALL excluded emits
+    nothing (it still consumes its span — SKIP PAST LAST ROW).  Same
+    scale shape as every batch CEP operator here: one shuffle on the
+    key, linear per-key scan, Arrow transfer."""
+    compiled, names = compile_exclusions(pattern)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        s = "".join(pdf["__sym"])
+        ids = pdf[id_col].to_numpy()
+        tss = pdf[ts_col].to_numpy()
+        key = int(pdf[key_col].iloc[0])
+        out = []
+        for a, b, inc in exclusion_matches(compiled, names, s):
+            if not inc:
+                continue
+            out.append(
+                (
+                    key,
+                    len(out) + 1,
+                    int(ids[inc[0]]),
+                    int(ids[inc[-1]]),
+                    len(inc),
+                    (b - a + 1) - len(inc),
+                    tss[inc[0]],
+                    tss[inc[-1]],
+                )
+            )
+        return pd.DataFrame(out, columns=[f.name for f in EXCL_SCHEMA.fields])
+
+    prepared = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
+    )
+    return prepared.groupBy(key_col).applyInPandas(run, EXCL_SCHEMA)

@@ -846,3 +846,113 @@ def s_reluctant_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         "match_no", "start_id", "end_id", "n_rows", "b_rows",
         "first_ts", "last_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# X5 — row-pattern exclusions: PATTERN (A {- B+ -} C)
+# --------------------------------------------------------------------------
+_EXCLUSION_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'A'
+                             WHEN 'click' THEN 'B'
+                             WHEN 'view' THEN 'B'
+                             WHEN 'purchase' THEN 'C'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), nxt AS (
+      SELECT *, MIN(CASE WHEN sym <> 'B' THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nb
+      FROM ev
+    ), m AS (
+      -- a match per signup whose following B-run (>= 1 row) ends at a
+      -- purchase; matches are structurally disjoint (the run contains
+      -- no A), so non-overlapping scan = all qualifying signups
+      SELECT s.user_id, s.rn AS srn, s.event_id AS start_id,
+             s.ts AS first_ts, s.nb
+      FROM nxt s
+      WHERE s.sym = 'A' AND s.nb IS NOT NULL AND s.nb >= s.rn + 2
+    )
+    SELECT m.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.srn)
+                AS BIGINT) AS match_no,
+           m.start_id, e.event_id AS end_id,
+           CAST(2 AS BIGINT) AS n_rows,
+           CAST(m.nb - m.srn - 1 AS BIGINT) AS excl_rows,
+           m.first_ts, e.ts AS last_ts
+    FROM m JOIN ev e
+      ON e.user_id = m.user_id AND e.rn = m.nb AND e.sym = 'C'
+"""
+
+
+@register(
+    "x5_exclusion",
+    oracle=_EXCLUSION_ORACLE,
+    survey="X5",
+)
+def x5_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE row-pattern exclusion [ISO SQL:2016; the one
+    MATCH_RECOGNIZE clause Flink 1.19 documents as unsupported —
+    surfaced here to the standard's semantics, closing the X5 syntax
+    table]:
+
+        PATTERN (A {- B+ -} C)
+        MEASURES FIRST(ts), LAST(ts), COUNT(*)   -- included rows only
+
+    The click/view run B+ is REQUIRED for the match (the automaton
+    advances through it) but its rows drop from the output: n_rows is
+    always 2 (the signup + the purchase), first/last span the included
+    rows, and excl_rows counts what the exclusion removed.  Oracle: the
+    relational formulation — a signup qualifies iff its following
+    B-run has length >= 1 and terminates at a purchase (window-function
+    run arithmetic, no regex).  Engine: operators/cep.
+    match_recognize_exclusion — exclusion sections become named regex
+    groups whose spans are subtracted; one keyed shuffle, linear scan.
+    Fuzzed against a reference scan in tests/test_properties.py."""
+    e = load_table(spark, sf_dir, "events")
+    return cep.match_recognize_exclusion(
+        e, "user_id", "ts", "event_id",
+        cep.classify(_SYMBOLS)(F.col("event_type")), "A{-B+-}C",
+    ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "s_exclusion_stream",
+    oracle=_EXCLUSION_ORACLE,
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_exclusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of x5_exclusion: the same exclusion engine
+    (shared ``exclusion_matches`` scan) over keyed incremental state —
+    a match completes when its purchase arrives, the excluded click run
+    having advanced the NFA across micro-batches without ever being
+    buffered into the emitted measures.  Emission is prefix-stable (B+
+    cannot extend past the closing C), so the drained stream converges
+    to the batch twin's oracle at any chunking."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import streaming_match_exclusion
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_exclusion")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    out = streaming_match_exclusion(
+        sdf, "user_id", "ts", "event_id",
+        cep.classify(_SYMBOLS)(F.col("event_type")), "A{-B+-}C",
+        start_chars="A",
+    )
+    res = _drain_to_memory(spark, out, "s_exclusion_q", "append", wd)
+    return res.select(
+        F.col("key").alias("user_id"),
+        "match_no", "start_id", "end_id", "n_rows", "excl_rows",
+        "first_ts", "last_ts",
+    )

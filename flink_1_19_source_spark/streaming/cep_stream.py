@@ -463,3 +463,97 @@ def streaming_match_skip_to(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EXCL_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("excl_rows", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _excl_factory(pattern: str, start_chars: str, max_buffer: int):
+    compiled, names = _cep_ops.compile_exclusions(pattern)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            syms, ids, tss, match_no = state.get
+            ids, tss = list(ids), list(tss)
+        else:
+            syms, ids, tss, match_no = "", [], [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            syms += "".join(pdf["sym"])
+            ids.extend(int(i) for i in pdf["id"])
+            tss.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+
+        out, consumed = [], 0
+        for a, b, inc in _cep_ops.exclusion_matches(compiled, names, syms):
+            consumed = b + 1
+            if not inc:
+                continue  # fully-excluded match: consumes, emits nothing
+            match_no += 1
+            out.append(
+                (
+                    int(key[0]),
+                    match_no,
+                    ids[inc[0]],
+                    ids[inc[-1]],
+                    len(inc),
+                    (b - a + 1) - len(inc),
+                    pd.to_datetime(tss[inc[0]], unit="us"),
+                    pd.to_datetime(tss[inc[-1]], unit="us"),
+                )
+            )
+
+        rest = syms[consumed:]
+        first_start = next(
+            (i for i, ch in enumerate(rest) if ch in start_chars), len(rest)
+        )
+        cut = consumed + first_start
+        syms, ids, tss = syms[cut:], ids[cut:], tss[cut:]
+        if len(syms) > max_buffer:
+            syms, ids, tss = (
+                syms[-max_buffer:], ids[-max_buffer:], tss[-max_buffer:]
+            )
+        state.update((syms, ids, tss, match_no))
+        yield pd.DataFrame(out, columns=[f.name for f in EXCL_OUTPUT.fields])
+
+    return fn
+
+
+def streaming_match_exclusion(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    symbol: Column,
+    pattern: str,
+    start_chars: str,
+    max_buffer: int = 4096,
+) -> DataFrame:
+    """Keyed streaming MATCH_RECOGNIZE with row-pattern exclusions: the
+    ``{- sub -}`` rows advance the incremental NFA but are dropped from
+    the emitted measures (the exact engine batch twin
+    operators/cep.match_recognize_exclusion shares via
+    ``exclusion_matches``)."""
+    prepared = sdf.select(
+        sdf[key_col].alias("key"),
+        sdf[ts_col].alias("ts"),
+        sdf[id_col].alias("id"),
+        symbol.alias("sym"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _excl_factory(pattern, start_chars, max_buffer),
+        outputStructType=EXCL_OUTPUT,
+        stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -621,3 +621,59 @@ def test_reluctant_quantifier_equals_run_formulation(syms):
 
     assert scan(r"S[CP]*?P") == relational(min)
     assert scan(r"S[CP]*P") == relational(max)
+
+
+@given(
+    syms=st.lists(st.sampled_from("ABCX"), min_size=0, max_size=60),
+)
+@_settings
+def test_exclusion_scan_equals_run_formulation(syms):
+    """x5_exclusion's equivalence proof, fuzzed: the named-group
+    exclusion scan of A{-B+-}C (rows match, measures drop the B run)
+    equals the relational formulation the DuckDB oracle uses — a signup
+    qualifies iff its following B-run has length >= 1 and ends at a C;
+    included rows are exactly the A and the C."""
+    from flink_1_19_source_spark.operators.cep import (
+        compile_exclusions,
+        exclusion_matches,
+    )
+
+    s = "".join(syms)
+    compiled, names = compile_exclusions("A{-B+-}C")
+    got = [
+        (a, b, inc) for a, b, inc in exclusion_matches(compiled, names, s)
+    ]
+
+    want = []
+    for i, ch in enumerate(s):
+        if ch != "A":
+            continue
+        j = i + 1
+        while j < len(s) and s[j] == "B":
+            j += 1
+        if j < len(s) and s[j] == "C" and j >= i + 2:
+            want.append((i, j, [i, j]))
+    assert got == want
+
+
+def test_exclusion_multiple_and_optional_groups():
+    """Two exclusions in one pattern subtract independently; an
+    optional exclusion that matched zero width excludes nothing; a
+    fully-excluded match still consumes its span."""
+    from flink_1_19_source_spark.operators.cep import (
+        compile_exclusions,
+        exclusion_matches,
+    )
+
+    c, n = compile_exclusions("A{-B+-}C{-D*-}E")
+    assert n == ["xcl0", "xcl1"]
+    # with D-run: both exclusions bite
+    (a, b, inc), = exclusion_matches(c, n, "ABBCDDE")
+    assert (a, b) == (0, 6) and inc == [0, 3, 6]
+    # optional D* empty: only the B exclusion bites
+    (a, b, inc), = exclusion_matches(c, n, "ABCE")
+    assert (a, b) == (0, 3) and inc == [0, 2, 3]
+    # a fully-excluded pattern consumes but includes nothing
+    c2, n2 = compile_exclusions("{-B+-}")
+    (a, b, inc), = exclusion_matches(c2, n2, "XBBBX")
+    assert (a, b) == (1, 3) and inc == []
