@@ -12,12 +12,17 @@ standard library and numpy.  So the N5 ``decode_image`` hook can be
   un-stuffing (FF 00), DC prediction + EXTEND, AC run/size with
   EOB/ZRL, dequantization, zigzag de-scan, full floating-point 8×8
   IDCT (numpy basis-matrix product), level shift and clamp.
-  Scope: 8-bit baseline sequential, single component (grayscale), no
-  restart markers — other shapes raise ``ValueError`` with the
-  offending field.  Chroma subsampling / progressive / arithmetic
-  coding remain environment-gapped (a real cluster swaps in
-  libjpeg-turbo behind the same hook; per-image Python Huffman decode
-  is a correctness reference, not the 100 TB throughput path).
+  Scope: 8-bit baseline sequential, one GRAYSCALE component in a
+  sequential scan or three YCbCr components in ONE interleaved scan
+  with integer-ratio sampling factors (4:4:4 / 4:2:2 / 4:2:0 —
+  per-component quant/Huffman selectors, per-component DC predictors,
+  MCU interleave order per T.81 A.2.3, chroma upsample by sample
+  replication, YCbCr→RGB in exact int64 arithmetic so an SQL oracle
+  can replay every output pixel); no restart markers — other shapes
+  raise ``ValueError`` with the offending field.  Progressive /
+  arithmetic coding remain environment-gapped (a real cluster swaps
+  in libjpeg-turbo behind the same hook; per-image Python Huffman
+  decode is a correctness reference, not the 100 TB throughput path).
 
 - **Encoder** (the oracle's instrument): emits standard-structure
   baseline files — Annex K style Huffman tables written into DHT (the
@@ -67,6 +72,55 @@ AC_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+
+# Annex K chrominance Huffman tables (K.3.3.2)
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Exact-integer YCbCr -> RGB (JFIF constants scaled by 10^6; round-half-up
+# via +500000 then floor division).  The +_YCC_OFF shift keeps every
+# numerator positive so floor division == truncating division and Python,
+# numpy int64, Spark `div` and DuckDB `//` all agree bit-for-bit — the
+# property the SQL oracle relies on.
+_YCC_SCALE = 1_000_000
+_YCC_OFF = 512
+
+
+def ycbcr_to_rgb_exact(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray"):
+    """Vectorized exact-integer color conversion (int64 in, uint8 out)."""
+    y = y.astype(np.int64)
+    d_cb = cb.astype(np.int64) - 128
+    d_cr = cr.astype(np.int64) - 128
+    off = _YCC_OFF * _YCC_SCALE + 500_000
+    r = (_YCC_SCALE * y + 1_402_000 * d_cr + off) // _YCC_SCALE - _YCC_OFF
+    g = (
+        _YCC_SCALE * y - 344_136 * d_cb - 714_136 * d_cr + off
+    ) // _YCC_SCALE - _YCC_OFF
+    b = (_YCC_SCALE * y + 1_772_000 * d_cb + off) // _YCC_SCALE - _YCC_OFF
+    return (
+        np.clip(r, 0, 255).astype(np.uint8),
+        np.clip(g, 0, 255).astype(np.uint8),
+        np.clip(b, 0, 255).astype(np.uint8),
+    )
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -134,6 +188,43 @@ def _segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _encode_block(bw: _BitWriter, blk: list[int], prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one zigzag-ordered quantized block; returns the new
+    DC predictor (T.81 F.1.2: DC diff category + additional bits, AC
+    run/size with ZRL and EOB)."""
+    diff = blk[0] - prev_dc
+    size = _category(diff)
+    code, length = dc_codes[size]
+    bw.put(code, length)
+    if size:
+        bw.put(_code_value(diff, size), size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = blk[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.put(code, length)
+        bw.put(_code_value(v, size), size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return blk[0]
+
+
 def encode_jpeg_gray(coeff_blocks: list[list[int]], blocks_w: int,
                      blocks_h: int) -> bytes:
     """Encode a grayscale baseline JPEG from per-block ZIGZAG-ordered
@@ -149,37 +240,7 @@ def encode_jpeg_gray(coeff_blocks: list[list[int]], blocks_w: int,
     bw = _BitWriter()
     prev_dc = 0
     for blk in coeff_blocks:
-        diff = blk[0] - prev_dc
-        prev_dc = blk[0]
-        size = _category(diff)
-        code, length = dc_codes[size]
-        bw.put(code, length)
-        if size:
-            bw.put(_code_value(diff, size), size)
-        # AC: run/size with ZRL and EOB
-        run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if blk[k]:
-                last_nz = k
-                break
-        for k in range(1, last_nz + 1):
-            v = blk[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.put(code, length)
-                run -= 16
-            size = _category(v)
-            code, length = ac_codes[(run << 4) | size]
-            bw.put(code, length)
-            bw.put(_code_value(v, size), size)
-            run = 0
-        if last_nz < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw.put(code, length)
+        prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _segment(0xFFDB, bytes([0]) + bytes([1] * 64))  # DQT id0, unit
@@ -205,6 +266,72 @@ def constant_block_coeffs(value: int) -> list[int]:
     blk = [0] * 64
     blk[0] = 8 * (value - 128)
     return blk
+
+
+def encode_jpeg_color_420(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    mcus_w: int,
+    mcus_h: int,
+    width: int | None = None,
+    height: int | None = None,
+) -> bytes:
+    """Encode a 4:2:0 YCbCr baseline JPEG with ONE interleaved scan.
+
+    Inputs are zigzag-ordered quantized coefficient lists (quant tables
+    all ones): ``y_blocks`` has 4 per MCU in T.81 A.2.3 order
+    (``mcu*4 + v*2 + h``), ``cb_blocks``/``cr_blocks`` one per MCU.
+    Standard structure throughout — Annex K luma tables as DC0/AC0,
+    Annex K chroma tables as DC1/AC1, component ids 1/2/3 with sampling
+    0x22/0x11/0x11 — so the output is a valid JPEG for any stock
+    decoder.  ``width``/``height`` default to the full MCU grid
+    (16*mcus) but may be smaller to exercise decoder cropping."""
+    assert len(y_blocks) == 4 * mcus_w * mcus_h
+    assert len(cb_blocks) == mcus_w * mcus_h
+    assert len(cr_blocks) == mcus_w * mcus_h
+    w = width if width is not None else 16 * mcus_w
+    h = height if height is not None else 16 * mcus_h
+    assert 16 * (mcus_w - 1) < w <= 16 * mcus_w
+    assert 16 * (mcus_h - 1) < h <= 16 * mcus_h
+    dc_y = _canonical_codes(DC_BITS, DC_VALS)
+    ac_y = _canonical_codes(AC_BITS, AC_VALS)
+    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
+
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}  # per-component DC predictors
+    for mcu in range(mcus_w * mcus_h):
+        for i in range(4):
+            pred[1] = _encode_block(bw, y_blocks[mcu * 4 + i], pred[1],
+                                    dc_y, ac_y)
+        pred[2] = _encode_block(bw, cb_blocks[mcu], pred[2], dc_c, ac_c)
+        pred[3] = _encode_block(bw, cr_blocks[mcu], pred[3], dc_c, ac_c)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # both unit quant tables in one DQT segment
+    out += _segment(
+        0xFFDB, bytes([0]) + bytes([1] * 64) + bytes([1]) + bytes([1] * 64)
+    )
+    out += _segment(  # SOF0: Y 2x2 Tq0, Cb/Cr 1x1 Tq1
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _segment(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _segment(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _segment(
+        0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+    )
+    out += _segment(
+        0xFFC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)
+    )
+    out += _segment(  # SOS: 3 components, Y->tables 0, chroma->tables 1
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 class _BitReader:
@@ -274,20 +401,56 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline sequential single-component JPEG.
+def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
+                  quant: "np.ndarray") -> tuple[int, "np.ndarray"]:
+    """Entropy-decode one block; returns (new DC predictor, 8x8 uint8
+    pixels after dequant + de-zigzag + IDCT + level shift)."""
+    zz = np.zeros(64, dtype=np.float64)
+    size = _huff_decode(br, dc_tab)
+    diff = _extend(br.bits(size), size)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_tab)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    S = np.zeros(64, dtype=np.float64)
+    S[ZIGZAG] = zz * quant  # dequant + de-zigzag
+    block = _M.T @ S.reshape(8, 8) @ _M
+    px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+    return pred, px
 
-    Returns (width, height, row-major 8-bit luminance pixels).  Trusts
-    only the stream: quant + Huffman tables are read from DQT/DHT,
-    dimensions from SOF0.  Raises ValueError on multi-component images,
-    progressive frames, restart intervals, or 12-bit precision."""
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG (grayscale or YCbCr color).
+
+    Returns (width, height, ncomp, pixels): row-major 8-bit luminance
+    for ncomp=1, row-major interleaved RGB for ncomp=3 (chroma
+    upsampled by sample replication, color-converted with the exact
+    int64 arithmetic of :func:`ycbcr_to_rgb_exact`).  Trusts only the
+    stream: quant + Huffman tables from DQT/DHT, dimensions and
+    per-component sampling/quant selectors from SOF0, scan component
+    order and table selectors from SOS.  Raises ValueError on
+    progressive frames, restart intervals, 12-bit precision,
+    non-integer sampling ratios, or partially-interleaved scans."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = 0
-    comp_tq = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, Hi, Vi, Tq)
+    scan: list[tuple[int, int, int]] = []  # (cid, Td, Ta)
     scan_start = None
     while pos < len(data):
         if pos + 1 >= len(data):
@@ -314,11 +477,11 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale)")
-            if seg[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_tq = seg[8]  # per-component quant-table selector (Tq)
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component images unsupported")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(f"non-baseline frame marker FF{marker:02X}")
         elif marker == 0xC4:  # DHT
@@ -334,49 +497,88 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise ValueError("interleaved multi-component scan")
-            td, ta = seg[2] >> 4, seg[2] & 0xF
+            if ns != len(comps):
+                raise ValueError(
+                    "partially-interleaved scans unsupported "
+                    f"(scan has {ns} of {len(comps)} components)"
+                )
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0xF))
             scan_start = pos + seglen
             break
         pos += seglen
     if scan_start is None or not w:
         raise ValueError("missing SOS/SOF0")
-    dc_tab = htables[(0, td)]
-    ac_tab = htables[(1, ta)]
-    if comp_tq not in qtables:
-        raise ValueError(f"SOF0 references missing quant table {comp_tq}")
-    quant = np.array(qtables[comp_tq], dtype=np.float64)
 
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    if len(comps) == 1:
+        # A single-component scan is NON-interleaved (T.81 A.2.2): data
+        # units are pure raster over the component's own block grid and
+        # sampling factors play no role — normalize them away.
+        cid0, _, _, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for cid, hi, vi, tq in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer sampling ratio for component {cid}"
+            )
+        if tq not in qtables:
+            raise ValueError(f"SOF0 references missing quant table {tq}")
+    mcus_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_h = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes: dict[int, np.ndarray] = {}
+    tabs: dict[int, tuple] = {}
+    for cid, td, ta in scan:
+        hi, vi, tq = by_id[cid]
+        planes[cid] = np.zeros(
+            (mcus_h * vi * 8, mcus_w * hi * 8), dtype=np.uint8
+        )
+        dc_tab = htables.get((0, td))
+        ac_tab = htables.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError(f"SOS references missing Huffman table for "
+                             f"component {cid}")
+        tabs[cid] = (dc_tab, ac_tab,
+                     np.array(qtables[tq], dtype=np.float64))
+
     br = _BitReader(data[scan_start:])
-    pred = 0
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.float64)
-            size = _huff_decode(br, dc_tab)
-            diff = _extend(br.bits(size), size)
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_tab)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            S = np.zeros(64, dtype=np.float64)
-            S[ZIGZAG] = zz * quant  # dequant + de-zigzag
-            S = S.reshape(8, 8)
-            block = _M.T @ S @ _M
-            px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
-            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
-    return w, h, img[:h, :w].tobytes()
+    pred = {cid: 0 for cid, _, _ in scan}
+    for my in range(mcus_h):
+        for mx in range(mcus_w):
+            for cid, _, _ in scan:  # T.81 A.2.3 interleave order
+                hi, vi, _ = by_id[cid]
+                dc_tab, ac_tab, quant = tabs[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        pred[cid], px = _decode_block(
+                            br, dc_tab, ac_tab, pred[cid], quant
+                        )
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hh) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+
+    if len(comps) == 1:
+        return w, h, 1, planes[comps[0][0]][:h, :w].tobytes()
+
+    # upsample chroma by sample replication, crop, exact color convert
+    full = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    r, g, b = ycbcr_to_rgb_exact(full[0], full[1], full[2])
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, 3, rgb.tobytes()
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Back-compat wrapper: decode a single-component baseline JPEG,
+    returning (width, height, luminance bytes); ValueError on color."""
+    w, h, ncomp, px = decode_jpeg(data)
+    if ncomp != 1:
+        raise ValueError("only single-component (grayscale)")
+    return w, h, px

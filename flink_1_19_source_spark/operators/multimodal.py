@@ -74,25 +74,28 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
 
     PNG decode is REAL — the pure-stdlib codec in ``png_codec`` (zlib +
     the public PNG spec: chunk CRCs, inflate, all five scanline filters).
-    Baseline grayscale JPEG decode is REAL too — the pure
-    stdlib+numpy T.81 decoder in ``jpeg_codec`` (Huffman, zigzag,
-    dequant, full IDCT); its luminance replicates to RGB here.  Chroma
-    subsampling / progressive JPEG, WebP and AVIF stay
-    environment-gapped (no imaging library in this container —
-    PIL/cv2/imageio probed absent r6); swap in PIL/torchvision behind
-    this same signature on a real cluster."""
+    Baseline JPEG decode is REAL too — the pure stdlib+numpy T.81
+    decoder in ``jpeg_codec`` handles grayscale (luminance replicated
+    to RGB here) AND interleaved YCbCr color with 4:4:4/4:2:2/4:2:0
+    chroma subsampling (replication upsample + exact-int64 YCbCr→RGB).
+    Progressive JPEG, WebP and AVIF stay environment-gapped (no
+    imaging library in this container — PIL/cv2/imageio probed absent
+    r6); swap in PIL/torchvision behind this same signature on a real
+    cluster."""
     if fmt.lower() == "png":
         from .png_codec import decode_png
 
         return decode_png(payload)
     if fmt.lower() in ("jpeg", "jpg"):
-        from .jpeg_codec import decode_jpeg_gray
+        from .jpeg_codec import decode_jpeg
 
-        w, h, lum = decode_jpeg_gray(payload)
-        rgb = bytearray(3 * len(lum))
-        rgb[0::3] = lum
-        rgb[1::3] = lum
-        rgb[2::3] = lum
+        w, h, ncomp, px = decode_jpeg(payload)
+        if ncomp == 3:
+            return w, h, px
+        rgb = bytearray(3 * len(px))
+        rgb[0::3] = px
+        rgb[1::3] = px
+        rgb[2::3] = px
         return w, h, bytes(rgb)
     raise NotImplementedError(
         f"{fmt} decoding requires an imaging library not present in this "

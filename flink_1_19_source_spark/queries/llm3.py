@@ -1036,6 +1036,146 @@ def n5_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# N5 — REAL 4:2:0 COLOR baseline JPEG decode (exact-pixel certification)
+# --------------------------------------------------------------------------
+@register(
+    "n5_jpeg_color_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 3 + 1 AS mw,
+             16*(doc_id % 3 + 1) - (doc_id % 5) AS w,
+             16*(doc_id % 2 + 1) - (doc_id % 3) AS h
+      FROM documents WHERE doc_id < 96
+    ), px AS (
+      SELECT doc_id, mw, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), ycc AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*37 + (((i // w) // 16)*mw + (i % w) // 16)*29
+              + ((((i // w) % 16) // 8)*2 + ((i % w) % 16) // 8)*7)
+               % 256 AS yv,
+             (doc_id*11 + (((i // w) // 16)*mw + (i % w) // 16)*5 + 40)
+               % 256 AS cbv,
+             (doc_id*23 + (((i // w) // 16)*mw + (i % w) // 16)*3 + 90)
+               % 256 AS crv
+      FROM px
+    ), rgb AS (
+      SELECT doc_id, w, h, i,
+             LEAST(255, GREATEST(0,
+               (1000000*yv + 1402000*(crv-128) + 512500000)
+                 // 1000000 - 512)) AS r,
+             LEAST(255, GREATEST(0,
+               (1000000*yv - 344136*(cbv-128) - 714136*(crv-128)
+                + 512500000) // 1000000 - 512)) AS g,
+             LEAST(255, GREATEST(0,
+               (1000000*yv + 1772000*(cbv-128) + 512500000)
+                 // 1000000 - 512)) AS b
+      FROM ycc
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * (r + 2*g + 3*b)) AS BIGINT) AS wsum
+    FROM rgb GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 COLOR baseline JPEG decode end-to-end (N5) — closes
+    the chroma-subsampling half of the r7-declared JPEG gap.  Per-doc
+    YCbCr images (Y quadrant constants per MCU, constant chroma per
+    MCU) are encoded as interleaved 4:2:0 baseline JPEG in one
+    mapInPandas pass (operators/jpeg_codec.encode_jpeg_color_420:
+    Annex-K luma AND chroma Huffman tables, per-component DC
+    predictors, T.81 A.2.3 MCU interleave, non-MCU-aligned crop dims)
+    and decoded in a second via the general decoder — per-component
+    quant/Huffman selectors, interleaved entropy decode, replication
+    chroma upsample and the exact-int64 YCbCr->RGB conversion.
+
+    Certifiability: constant blocks keep quantize/dequantize/IDCT
+    bit-exact (DC-only FDCT), and the color convert is defined in
+    integer arithmetic (JFIF constants x 10^6, round-half-up, +512
+    shift keeping numerators positive so floor==truncate in every
+    engine) — DuckDB recomputes each decoded RGB pixel in closed form
+    without seeing a JPEG byte.  The color AC path is pinned in tests
+    against a straight numpy IDCT reference.  Both passes map-only;
+    the only shuffle is the final per-doc agg (at 100 TB the decode
+    hook swaps to libjpeg-turbo behind the same signature)."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import (
+        constant_block_coeffs,
+        encode_jpeg_color_420,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mw_, mh_ = did % 3 + 1, did % 2 + 1
+                yb, cbb, crb = [], [], []
+                for my in range(mh_):
+                    for mx in range(mw_):
+                        m = my * mw_ + mx
+                        for q in range(4):
+                            yb.append(constant_block_coeffs(
+                                (did * 37 + m * 29 + q * 7) % 256))
+                        cbb.append(constant_block_coeffs(
+                            (did * 11 + m * 5 + 40) % 256))
+                        crb.append(constant_block_coeffs(
+                            (did * 23 + m * 3 + 90) % 256))
+                payloads.append(encode_jpeg_color_420(
+                    yb, cbb, crb, mw_, mh_,
+                    width=16 * mw_ - did % 5,
+                    height=16 * mh_ - did % 3,
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = ["doc_id", "width", "height", "n_px",
+            "sum_r", "sum_g", "sum_b", "wsum"]
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(rec.media_bytes), "jpeg"
+                )
+                a = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                rch, gch, bch = a[0::3], a[1::3], a[2::3]
+                idx = np.arange(w * h, dtype=np.int64)
+                wsum = int(((idx + 1) * (rch + 2 * gch + 3 * bch)).sum())
+                rows.append((int(rec.doc_id), w, h, w * h,
+                             int(rch.sum()), int(gch.sum()),
+                             int(bch.sum()), wsum))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_r long, sum_g long, sum_b long, wsum long",
+    )
+
+
+# --------------------------------------------------------------------------
 # N3 — binary-quantization ANN: sign bits + Hamming prefilter + rerank
 # --------------------------------------------------------------------------
 @register(

@@ -149,3 +149,92 @@ def test_join_over_agg_retract_slicing_invariant(spark, sf_dir):
 
     a, b = snap(3), snap(8)
     assert a and a == b
+
+
+def test_jpeg_color_420_ac_path_matches_numpy_reference():
+    """n5_jpeg_color_decode's oracle reaches only the DC-exact path
+    (constant blocks); the full color path — interleaved entropy decode
+    with per-component predictors, chroma AC spectra, replication
+    upsample, exact-int64 color convert — is pinned here against a
+    straight numpy reference of the same coefficients."""
+    import numpy as np
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    def blk_px(zz):
+        S = np.zeros(64)
+        S[jc.ZIGZAG] = np.asarray(zz, dtype=float)
+        out = jc._M.T @ S.reshape(8, 8) @ jc._M + 128.0
+        return np.clip(np.round(out), 0, 255).astype(np.int64)
+
+    rng = np.random.default_rng(7)
+
+    def mkblk():
+        return [
+            int(rng.integers(-40, 40)) if rng.random() < 0.2 else 0
+            for _ in range(64)
+        ]
+
+    mw, mh = 3, 2
+    yb = [mkblk() for _ in range(4 * mw * mh)]
+    cbb = [mkblk() for _ in range(mw * mh)]
+    crb = [mkblk() for _ in range(mw * mh)]
+    data = jc.encode_jpeg_color_420(yb, cbb, crb, mw, mh,
+                                    width=41, height=27)
+    w, h, nc, px = jc.decode_jpeg(data)
+    assert (w, h, nc) == (41, 27, 3)
+    img = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+
+    Y = np.zeros((32, 48), dtype=np.int64)
+    Cbp = np.zeros((16, 24), dtype=np.int64)
+    Crp = np.zeros_like(Cbp)
+    for my in range(mh):
+        for mx in range(mw):
+            m = my * mw + mx
+            for v in range(2):
+                for hh in range(2):
+                    Y[my*16+v*8:my*16+v*8+8, mx*16+hh*8:mx*16+hh*8+8] = \
+                        blk_px(yb[m*4 + v*2 + hh])
+            Cbp[my*8:my*8+8, mx*8:mx*8+8] = blk_px(cbb[m])
+            Crp[my*8:my*8+8, mx*8:mx*8+8] = blk_px(crb[m])
+    Cb = np.repeat(np.repeat(Cbp, 2, 0), 2, 1)
+    Cr = np.repeat(np.repeat(Crp, 2, 0), 2, 1)
+    r, g, b = jc.ycbcr_to_rgb_exact(Y, Cb, Cr)
+    exp = np.stack([r, g, b], -1)[:27, :41]
+    assert np.array_equal(img, exp)
+
+
+def test_jpeg_color_decoder_error_paths_and_gray_compat():
+    """Color files keep failing CLEANLY through the gray wrapper; the
+    single-component path is unchanged by the generalization; exotic
+    sampling in a single-component frame is normalized away (T.81
+    A.2.2: ns=1 scans are non-interleaved raster)."""
+    import numpy as np
+    import pytest
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    yb = [jc.constant_block_coeffs(100 + i) for i in range(4)]
+    color = jc.encode_jpeg_color_420(
+        yb, [jc.constant_block_coeffs(90)], [jc.constant_block_coeffs(70)],
+        1, 1,
+    )
+    with pytest.raises(ValueError, match="single-component"):
+        jc.decode_jpeg_gray(color)
+
+    blocks = [jc.constant_block_coeffs(v) for v in (10, 200, 128, 55)]
+    gray = jc.encode_jpeg_gray(blocks, 2, 2)
+    w, h, lum = jc.decode_jpeg_gray(gray)
+    a = np.frombuffer(lum, np.uint8).reshape(16, 16)
+    assert (w, h) == (16, 16)
+    assert (a[0, 0], a[0, 8], a[8, 0], a[8, 8]) == (10, 200, 128, 55)
+
+    # a single-component frame claiming 2x2 sampling still decodes as
+    # plain raster: patch the SOF0 sampling byte (offset: SOI(2) +
+    # DQT(2+2+65) + SOF0 marker+len(4) + prec/h/w/ncomp(6) + cid(1))
+    exotic = bytearray(gray)
+    off = 2 + 69 + 4 + 6 + 1
+    assert exotic[off] == 0x11
+    exotic[off] = 0x22
+    w2, h2, lum2 = jc.decode_jpeg_gray(bytes(exotic))
+    assert (w2, h2, lum2) == (w, h, lum)
