@@ -439,6 +439,164 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_coarse: int = 8,
+    nprobe: int = 3,
+    n_subspaces: int = 4,
+    codebook_ids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 64,
+) -> DataFrame:
+    """IVF-PQ composite ANN (Jégou et al. 2011 §IV; the structure behind
+    FAISS ``IndexIVFPQ``) — coarse inverted lists + product-quantized
+    RESIDUALS + asymmetric distance + exact rerank, fully relational so
+    both engines run the same plan:
+
+    1. UNIT-NORMALIZE the corpus (cosine ≡ monotone in squared L2 on
+       the unit sphere, so the PQ distance surrogate ranks the metric
+       the exact path actually uses — skipping this collapses recall);
+    2. coarse codebook = the first ``n_coarse`` normalized corpus
+       vectors; every corpus vector lands in its nearest list by cosine
+       (ties → lower centroid id), queries probe ``nprobe`` lists;
+    3. residual r = v̂ − ĉ(list) — PQ encodes what the coarse
+       quantizer MISSED, the precision trick that separates IVF-PQ from
+       naive IVF∘PQ composition;
+    4. residual PQ codebook = the residuals of the first
+       ``codebook_ids`` corpus vectors, sliced per subspace; encode =
+       per-(vector, subspace) argmin squared distance (ties → lower
+       codeword id) over one broadcast join;
+    5. ADC: each (query, probed list) forms its OWN lookup table from
+       the query's residual against that list's centroid; approximate
+       distance = Σ_m lut[q, list][m][code(v, m)], folded through
+       DECIMAL(27,6) so the 4-term sum is order-exact on every engine;
+    6. the top ``rerank`` candidates per query by (approx_dist,
+       neighbor_id) fetch their full vectors for the exact round-9
+       cosine final ranking — the FAISS refine step.
+
+    At 100 TB: list_id is the partition key (probe = partition pruning),
+    the corpus stores ``n_subspaces`` bytes per vector plus the fp rows
+    only the rerank touches, both codebooks broadcast, and ADC scoring
+    shuffles code rows — never embeddings.
+    Output: (query_id, neighbor_id, cosine_sim, rank)."""
+    ds = dim // n_subspaces
+    subs = F.explode(
+        F.array(*[F.lit(m) for m in range(n_subspaces)])
+    ).alias("m")
+
+    raw = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("ev")
+    )
+    v = raw.withColumn(
+        "nrm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
+    ).select(
+        "vid",
+        F.transform(F.col("ev"), lambda x: x / F.col("nrm")).alias("e"),
+    )
+    cent = v.filter(F.col("vid") < n_coarse).select(
+        F.col("vid").alias("cid"), F.col("e").alias("ce")
+    )
+    # coarse assignment by cosine, ties toward the lower centroid id
+    cos = cosine(F.col("e"), F.col("ce"))
+    w_assign = Window.partitionBy("vid").orderBy(
+        cos.desc(), F.col("cid")
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    resid = F.zip_with(
+        F.col("e"), F.col("ce"), lambda x, y: x - y
+    ).alias("r")
+    corpus_r = assign.filter(F.col("rk") == 1).select(
+        "vid", F.col("cid").alias("list_id"), resid
+    )
+    # residual PQ codebook: (m, cb_k, cw) — tiny, broadcast
+    cb = (
+        corpus_r.filter(F.col("vid") < codebook_ids)
+        .select(F.col("vid").alias("cb_k"), "r", subs)
+        .select("m", "cb_k", F.slice(F.col("r"), F.col("m") * ds + 1, ds).alias("cw"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sub = corpus_r.select("vid", "list_id", "r", subs).select(
+        "vid", "list_id", "m",
+        F.slice(F.col("r"), F.col("m") * ds + 1, ds).alias("sv"),
+    )
+    dist = sub.join(F.broadcast(cb), "m").select(
+        "vid", "list_id", "m", "cb_k", d2.alias("d2")
+    )
+    w_code = Window.partitionBy("vid", "m").orderBy("d2", "cb_k")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vid").alias("neighbor_id"), "list_id", "m",
+            F.col("cb_k").alias("code"),
+        )
+    )
+    # per-(query, probed list) residual → ADC lookup table
+    q_r = (
+        assign.join(
+            queries.select(F.col(id_col).alias("vid")), "vid", "left_semi"
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("cid").alias("list_id"),
+            resid,
+        )
+    )
+    qsub = q_r.select("query_id", "list_id", "r", subs).select(
+        "query_id", "list_id", "m",
+        F.slice(F.col("r"), F.col("m") * ds + 1, ds).alias("sv"),
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "list_id", "m", F.col("cb_k").alias("code"),
+        d2.alias("d2"),
+    )
+    score = (
+        codes.join(F.broadcast(lut), ["list_id", "m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.round(F.col("d2"), 6).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("ad")
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    cand = (
+        score.withColumn("crank", F.row_number().over(w_adc))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank on the ORIGINAL vectors (round-9 cosine, N3 house rule)
+    qv = raw.select(F.col("vid").alias("query_id"), F.col("ev").alias("qv"))
+    nv = raw.select(
+        F.col("vid").alias("neighbor_id"), F.col("ev").alias("nv")
+    )
+    exact = cand.join(qv, "query_id").join(nv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 9).alias("cosine_sim"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pack_sign_bits(vec: Column, dim: int) -> list[Column]:
     """Sign-binarize an embedding into 32-bit words (bit j of word w =
     1 iff component w*32+j > 0), returned as long columns ``w0..wN``.

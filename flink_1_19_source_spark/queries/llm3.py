@@ -2081,3 +2081,124 @@ def _chunk_dedup_run(
     return spark.read.parquet(os.path.join(out_dir, "out-*")).localCheckpoint(
         eager=True
     )
+
+
+# --------------------------------------------------------------------------
+# N3 — IVF-PQ composite: coarse lists + residual PQ + ADC (FAISS IndexIVFPQ)
+# --------------------------------------------------------------------------
+@register(
+    "n3_ivfpq_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), u AS (
+      SELECT vec_id, list_transform(e, x -> x / nrm) AS e FROM vn
+    ), un AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM u
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM un WHERE vec_id < 8
+    ), assign AS (
+      SELECT un.vec_id, un.e, cn.cid, cn.ce,
+             ROW_NUMBER() OVER (PARTITION BY un.vec_id
+               ORDER BY list_dot_product(un.e, cn.ce) / (un.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM un CROSS JOIN cn
+    ), corpus_r AS (
+      SELECT vec_id AS vid, cid AS list_id,
+             list_transform(range(1, 65), j -> e[j] - ce[j]) AS r
+      FROM assign WHERE rk = 1
+    ), ms AS (SELECT UNNEST(range(0, 4)) AS m),
+    cb AS (
+      SELECT ms.m, c.vid AS cb_k,
+             list_slice(c.r, ms.m*16 + 1, ms.m*16 + 16) AS cw
+      FROM corpus_r c, ms WHERE c.vid < 8
+    ), sub AS (
+      SELECT c.vid, c.list_id, ms.m,
+             list_slice(c.r, ms.m*16 + 1, ms.m*16 + 16) AS sv
+      FROM corpus_r c, ms
+    ), dist AS (
+      SELECT s.vid, s.list_id, s.m, cb.cb_k,
+             list_sum(list_transform(range(1, 17),
+                      j -> (s.sv[j] - cb.cw[j]) * (s.sv[j] - cb.cw[j])))
+               AS d2
+      FROM sub s JOIN cb ON s.m = cb.m
+    ), codes AS (
+      SELECT vid AS neighbor_id, list_id, m, cb_k AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, m
+                                     ORDER BY d2, cb_k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), q_r AS (
+      SELECT vec_id AS query_id, cid AS list_id,
+             list_transform(range(1, 65), j -> e[j] - ce[j]) AS r
+      FROM assign WHERE vec_id < 8 AND rk <= 3
+    ), qsub AS (
+      SELECT q.query_id, q.list_id, ms.m,
+             list_slice(q.r, ms.m*16 + 1, ms.m*16 + 16) AS sv
+      FROM q_r q, ms
+    ), lut AS (
+      SELECT q.query_id, q.list_id, q.m, cb.cb_k AS code,
+             list_sum(list_transform(range(1, 17),
+                      j -> (q.sv[j] - cb.cw[j]) * (q.sv[j] - cb.cw[j])))
+               AS d2
+      FROM qsub q JOIN cb ON q.m = cb.m
+    ), score AS (
+      SELECT l.query_id, c.neighbor_id,
+             CAST(SUM(CAST(ROUND(l.d2, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS ad
+      FROM codes c
+      JOIN lut l ON l.list_id = c.list_id AND l.m = c.m AND l.code = c.code
+      WHERE l.query_id <> c.neighbor_id
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ad, neighbor_id) AS crank
+        FROM score
+      ) WHERE crank <= 64
+    ), rr AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9)
+               AS cosine_sim
+      FROM cand
+      JOIN vn a ON a.vec_id = cand.query_id
+      JOIN vn b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER)
+                  AS rank
+      FROM rr
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+    tags=("approx",),
+)
+def n3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.ivfpq_topk) — the
+    FAISS-IndexIVFPQ structure the r7 N3 tier still lacked: the corpus
+    is unit-normalized (PQ's L2 surrogate then ranks cosine, the metric
+    the exact path uses), bucketed into 8 coarse inverted lists
+    (first-8-vectors codebook, like the other N3 oracles), and PQ
+    encodes the RESIDUAL v̂ - ĉ(list) into 4 one-byte codes against an
+    8-codeword residual codebook; per-(query, probed-list) ADC lookup
+    tables fold through DECIMAL(27,6) so the subspace sum is
+    order-exact on both engines; the top-64 ADC candidates fetch their
+    full vectors for the exact round-9 cosine rerank (the FAISS refine
+    step).  Queries probe their 3 nearest lists; candidates surface
+    only through the list-aligned code join.  DuckDB replays the entire
+    chain — normalize, coarse assign, residuals, codebook, encode
+    argmin, LUT, fold, candidate cut, rerank — in one statement.
+    Recall vs the exact path is pinned in tests/test_r8_ops.py.  At
+    100 TB: list_id is the partition key (probing = partition pruning),
+    codes are 4 bytes/vector plus fp rows only the rerank touches, both
+    codebooks broadcast; ADC scoring shuffles code rows, never
+    embeddings."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_topk(e, q, dim=64, k=5)
