@@ -1295,3 +1295,111 @@ def src_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
     shutil.rmtree(state, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# WARC/WET ingest — the Common Crawl format (S1 x N4: crawl -> corpus)
+# --------------------------------------------------------------------------
+@register(
+    "src_warc_wet_scan",
+    oracle="""
+    SELECT doc_id,
+           'http://corpus.local/doc/' || doc_id AS target_uri,
+           'conversion' AS warc_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < 200
+    """,
+    survey="S1 N4",
+)
+def src_warc_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET roundtrip (sources/warc.py) — the ingest format a
+    100 TB training-data pipeline actually starts from (Common Crawl
+    WET: one ``warcinfo`` record then one ``conversion`` record per
+    page, ISO 28500 framing).  documents rows are sharded into 8 .warc
+    files by one applyInPandas pass (strict CRLF framing,
+    Content-Length payloads, UTF-8 text), then read back DISTRIBUTED
+    through the binaryFile source + a mapInPandas parse — version-line
+    and terminator validation on the hot path, one output row per
+    conversion record with the payload md5 computed from the raw
+    bytes.  The oracle recomputes uri/length/md5 straight from
+    `documents` — any framing, header, length or encoding bug breaks
+    the hash.  At 100 TB: .warc.gz is per-record gzip members, so the
+    same parse fans out per member; files here shard by hash for the
+    same per-task parallelism shape."""
+    import hashlib
+    import os as _os
+
+    import pandas as pd
+
+    from ..sources import formats, warc
+
+    out_dir = formats.scratch(sf_dir, "warc")
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", (F.col("doc_id") % 8).alias("fid"))
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fid"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        records = [
+            {
+                "warc_type": "conversion",
+                "record_id": f"<urn:uuid:{int(r.doc_id):032d}>",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "target_uri": f"http://corpus.local/doc/{int(r.doc_id)}",
+                "content_type": "text/plain",
+                "payload": str(r.text),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+        data = warc.write_warc(records)
+        path = _os.path.join(out_dir, f"shard-{fid:04d}.warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        _os.replace(tmp, path)  # atomic publish, rerun-idempotent
+        return pd.DataFrame({"fid": [fid], "n": [len(records)]})
+
+    shards = docs.groupBy("fid").applyInPandas(
+        write_shard, "fid int, n long"
+    )
+    shards.collect()  # materialize the write stage before the read
+
+    raw = spark.read.format("binaryFile").load(
+        _os.path.join(out_dir, "shard-*.warc")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                for r in warc.parse_warc(bytes(rec.content)):
+                    if r["warc_type"] != "conversion":
+                        continue
+                    uri = r["target_uri"] or ""
+                    rows.append(
+                        (
+                            int(uri.rsplit("/", 1)[1]),
+                            uri,
+                            r["warc_type"],
+                            r["content_length"],
+                            hashlib.md5(r["payload"]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "target_uri", "warc_type",
+                    "content_length", "payload_md5",
+                ],
+            )
+
+    return raw.select("content").mapInPandas(
+        parse,
+        "doc_id long, target_uri string, warc_type string, "
+        "content_length long, payload_md5 string",
+    )

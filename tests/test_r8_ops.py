@@ -264,3 +264,49 @@ def test_ivfpq_recall_vs_exact_cosine(spark, sf_dir):
         len(got.get(qid, set()) & nb) / len(nb) for qid, nb in want.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_warc_parser_is_strict_and_roundtrips():
+    """ISO 28500 framing: roundtrip preserves every field byte-for-byte,
+    and each malformation class raises instead of resyncing silently
+    (a corrupt crawl segment must surface, not skip)."""
+    import pytest
+
+    from flink_1_19_source_spark.sources import warc
+
+    recs = [
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:1>",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "target_uri": "http://x/1",
+            "payload": "héllo\r\nworld",  # CRLF INSIDE a payload is legal
+        },
+        {
+            "warc_type": "metadata",
+            "record_id": "<urn:uuid:2>",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "payload": b"\x00\xffbinary",
+        },
+    ]
+    data = warc.write_warc(recs)
+    got = warc.parse_warc(data)
+    assert [r["warc_type"] for r in got] == [
+        "warcinfo", "conversion", "metadata",
+    ]
+    assert got[1]["payload"] == "héllo\r\nworld".encode()
+    assert got[1]["target_uri"] == "http://x/1"
+    assert got[2]["payload"] == b"\x00\xffbinary"
+    assert got[2]["target_uri"] is None
+    assert all(r["content_length"] == len(r["payload"]) for r in got)
+
+    with pytest.raises(ValueError, match="version"):
+        warc.parse_warc(b"WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        warc.parse_warc(data[:-10])
+    with pytest.raises(ValueError, match="terminator"):
+        warc.parse_warc(data[:-2])  # clip half the final CRLF CRLF
+    with pytest.raises(ValueError, match="malformed header"):
+        warc.parse_warc(b"WARC/1.0\r\nnocolon\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc.parse_warc(b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\n")
