@@ -107,15 +107,21 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
 def decode_audio(payload: bytes, fmt: str) -> tuple[int, int, list]:
     """Audio codec hook: returns (sample_rate, channels, pcm samples).
 
-    WAV/PCM-16 decode is REAL (pure-stdlib RIFF codec in ``wav_codec``);
-    compressed codecs (mp3/aac/flac) are environment-gapped like JPEG."""
+    WAV/PCM-16 decode is REAL (pure-stdlib RIFF codec in ``wav_codec``)
+    and so is subset-profile FLAC (``flac_codec``: rice-coded residuals,
+    fixed predictors, CRC-verified frames — 16-bit mono); lossy codecs
+    (mp3/aac) remain environment-gapped like progressive JPEG."""
     if fmt.lower() in ("wav", "wave"):
         from .wav_codec import decode_wav
 
         return decode_wav(payload)
+    if fmt.lower() == "flac":
+        from .flac_codec import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
         f"{fmt} decoding requires an audio library not present in this "
-        "environment; wav decodes natively"
+        "environment; wav and subset FLAC decode natively"
     )
 
 

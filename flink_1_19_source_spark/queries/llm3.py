@@ -2202,3 +2202,112 @@ def n3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.ivfpq_topk(e, q, dim=64, k=5)
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL compressed-audio decode: subset-profile FLAC end-to-end
+# --------------------------------------------------------------------------
+@register(
+    "n5_flac_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 60 + 30 AS n
+      FROM documents WHERE doc_id < 120
+    ), sam AS (
+      SELECT doc_id, n, UNNEST(range(0, n)) AS i FROM dims
+    ), vals AS (
+      SELECT doc_id, n,
+             CASE doc_id % 3
+               WHEN 0 THEN doc_id % 200 - 100
+               WHEN 1 THEN (doc_id + 7*i) % 4001 - 2000
+               ELSE (doc_id*53 + i*29) % 4001 - 2000
+             END AS s
+      FROM sam
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_amp,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM vals GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_flac_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode end-to-end (N5) — the FLAC
+    counterpart of n5_audio_decode_real's WAV path, narrowing the
+    'compressed audio env-gapped' declaration: deterministic per-doc
+    waveforms (one class per predictor tier — constant, linear ramp,
+    pseudo-noise) are FLAC-ENCODED in one mapInPandas pass
+    (operators/flac_codec: rice-coded residuals, best fixed predictor
+    by summed |residual|, CRC-8/16 framing) and FLAC-DECODED in a
+    second — bit-level frame parse, UTF-8 frame numbers, unary+rice
+    residual decode, predictor reconstruction and BOTH CRC checks on
+    the hot path — then folded to per-clip features.  The oracle never
+    sees a FLAC byte: samples are a closed form of (doc_id, i), so any
+    bitstream bug breaks the hash.  Lossless means EXACT equality, not
+    tolerance.  Map-only until the per-doc fold; at 100 TB the decode
+    hook swaps to libFLAC behind the same signature."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.flac_codec import encode_flac
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 60 + 30
+                cls = did % 3
+                if cls == 0:
+                    samples = [did % 200 - 100] * n
+                elif cls == 1:
+                    samples = [(did + 7 * i) % 4001 - 2000
+                               for i in range(n)]
+                else:
+                    samples = [(did * 53 + i * 29) % 4001 - 2000
+                               for i in range(n)]
+                payloads.append(
+                    encode_flac(samples, sample_rate=8000, block_size=64)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = [
+        "doc_id", "sample_rate", "channels", "n_samples",
+        "sum_amp", "sum_abs", "peak",
+    ]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                rate, ch, samples = multimodal.decode_audio(
+                    bytes(rec.media_bytes), "flac"
+                )
+                rows.append(
+                    (
+                        int(rec.doc_id), rate, ch, len(samples),
+                        sum(samples), sum(abs(s) for s in samples),
+                        max(abs(s) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, sample_rate int, channels int, n_samples long, "
+        "sum_amp long, sum_abs long, peak long",
+    )
