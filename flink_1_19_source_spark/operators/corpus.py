@@ -226,3 +226,29 @@ def pack_sequences(
         return pdf[[group_col, order_col, "n_tokens", "pack_id"]]
 
     return base.groupBy(group_col).applyInPandas(pack, schema)
+
+
+def wordpiece_segment(
+    word: str,
+    start_vocab: "set[str]",
+    cont_vocab: "set[str]",
+    max_piece: int = 4,
+    unk: str = "[UNK]",
+) -> list[str]:
+    """WordPiece greedy longest-match-first segmentation (Wu et al.
+    2016 §4.1): repeatedly take the LONGEST vocab piece at the cursor
+    (``start_vocab`` at position 0, ``cont_vocab`` — emitted with the
+    '##' prefix — after); a word with no match at any position
+    collapses to ``[unk]`` WHOLE, discarding earlier pieces — the real
+    WordPiece failure mode, not a partial fallback."""
+    pos, toks = 0, []
+    while pos < len(word):
+        for length in range(min(max_piece, len(word) - pos), 0, -1):
+            piece = word[pos:pos + length]
+            if piece in (start_vocab if pos == 0 else cont_vocab):
+                toks.append(piece if pos == 0 else "##" + piece)
+                pos += length
+                break
+        else:
+            return [unk]
+    return toks

@@ -2311,3 +2311,150 @@ def n5_flac_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, channels int, n_samples long, "
         "sum_amp long, sum_abs long, peak long",
     )
+
+
+# --------------------------------------------------------------------------
+# N4 — WordPiece greedy longest-match-first encode (BERT tokenizer family)
+# --------------------------------------------------------------------------
+@register(
+    "n4_wordpiece_encode",
+    oracle=r"""
+    WITH RECURSIVE tok AS (
+      SELECT UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                    t -> t <> '')) AS w
+      FROM documents WHERE doc_id < 200
+    ), words AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq, LEN(w) AS wl FROM tok GROUP BY 1
+    ), startc AS (
+      SELECT piece, SUM(freq) AS cnt FROM (
+        SELECT substr(w, 1, L) AS piece, freq
+        FROM words, (SELECT UNNEST(range(1, 5)) AS L)
+        WHERE wl >= L
+      ) GROUP BY 1
+    ), starts AS (
+      SELECT piece FROM startc ORDER BY cnt DESC, piece LIMIT 200
+    ), wpos AS (
+      SELECT w, freq, wl, UNNEST(range(1, wl)) AS p FROM words
+    ), contc AS (
+      SELECT piece, SUM(freq) AS cnt FROM (
+        SELECT substr(w, p + 1, L) AS piece, freq
+        FROM wpos, (SELECT UNNEST(range(1, 5)) AS L)
+        WHERE p + L <= wl
+      ) GROUP BY 1
+    ), conts AS (
+      SELECT piece FROM contc ORDER BY cnt DESC, piece LIMIT 200
+    ), vocab AS MATERIALIZED (
+      SELECT piece, true AS is_start FROM starts
+      UNION ALL SELECT piece, false FROM conts
+    ), seg AS (
+      SELECT w, freq, wl, 0 AS pos,
+             CAST([] AS VARCHAR[]) AS toks, false AS failed
+      FROM words
+      UNION ALL
+      SELECT w, freq, wl,
+             CASE WHEN best IS NULL THEN wl ELSE pos + LEN(best) END,
+             CASE WHEN best IS NULL THEN ['[UNK]']
+                  ELSE toks || [CASE WHEN pos = 0 THEN best
+                                ELSE '##' || best END] END,
+             best IS NULL
+      FROM (
+        SELECT s.w, s.freq, s.wl, s.pos, s.toks,
+               COALESCE(v4.piece, v3.piece, v2.piece, v1.piece) AS best
+        FROM seg s
+        LEFT JOIN vocab v4 ON s.pos + 4 <= s.wl
+          AND v4.piece = substr(s.w, s.pos + 1, 4)
+          AND v4.is_start = (s.pos = 0)
+        LEFT JOIN vocab v3 ON s.pos + 3 <= s.wl
+          AND v3.piece = substr(s.w, s.pos + 1, 3)
+          AND v3.is_start = (s.pos = 0)
+        LEFT JOIN vocab v2 ON s.pos + 2 <= s.wl
+          AND v2.piece = substr(s.w, s.pos + 1, 2)
+          AND v2.is_start = (s.pos = 0)
+        LEFT JOIN vocab v1 ON s.pos + 1 <= s.wl
+          AND v1.piece = substr(s.w, s.pos + 1, 1)
+          AND v1.is_start = (s.pos = 0)
+        WHERE s.pos < s.wl AND NOT s.failed
+      )
+    )
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST(toks) AS token, freq FROM seg WHERE pos >= wl
+    ) GROUP BY token
+    """,
+    survey="N4",
+)
+def n4_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encode (the BERT tokenizer;
+    Wu et al. 2016 §4.1) — the third member of the tokenizer family
+    next to the trained BPE pair: a data-derived vocabulary (top-200
+    word-initial pieces + top-200 '##' continuation pieces of length
+    ≤ 4, frequency-ranked with lexicographic tie-break) segments every
+    corpus word by repeatedly taking the LONGEST matching piece; a word
+    with no match at any position collapses to [UNK] whole — the real
+    WordPiece failure mode, exercised by rare characters falling
+    outside the top-K vocabulary.
+
+    Scale shape mirrors n4_bpe_encode: ONE corpus pass builds the
+    word-frequency table, piece counting is vocabulary-sized, the
+    ≤ 401-entry vocab is bounded metadata (collected + closure-
+    broadcast), and the encode itself is map-only over distinct words.
+    DuckDB replays the segmentation as a recursive CTE whose step
+    LEFT-JOINs the vocab at lengths 4..1 and COALESCEs — the same
+    longest-match the Python loop takes, so the token histogram
+    hash-matches exactly."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    words = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.withColumn("wl", F.length("w"))
+
+    lens = F.array(*[F.lit(i) for i in (1, 2, 3, 4)])
+    starts = (
+        words.select(F.explode(lens).alias("L"), "w", "freq", "wl")
+        .filter(F.col("wl") >= F.col("L"))
+        .select(F.expr("substring(w, 1, L)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(200)
+    )
+    conts = (
+        # wl >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so
+        # single-char words would sneak a p=0 row past the p+L filter
+        # and count their first char as a continuation piece — a vocab
+        # the DuckDB range(1, wl) replay (empty for wl=1) never builds
+        words.filter(F.col("wl") >= 2)
+        .select(
+            "w", "freq", "wl",
+            F.explode(F.expr("sequence(1, wl - 1)")).alias("p"),
+        )
+        .select("w", "freq", "wl", "p", F.explode(lens).alias("L"))
+        .filter(F.col("p") + F.col("L") <= F.col("wl"))
+        .select(F.expr("substring(w, p + 1, L)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(200)
+    )
+    # vocabulary-sized metadata: <= 401 entries, the one legitimate
+    # collect (same contract as the BPE merge-rule broadcast)
+    svoc = {r.piece for r in starts.collect()}
+    cvoc = {r.piece for r in conts.collect()}
+
+    def segment(batches):
+        from ..operators.corpus import wordpiece_segment
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                toks = wordpiece_segment(str(rec.w), svoc, cvoc)
+                out.extend((t, int(rec.freq)) for t in toks)
+            yield pd.DataFrame(out, columns=["token", "freq"])
+
+    pieces = words.select("w", "freq").mapInPandas(
+        segment, "token string, freq long"
+    )
+    return pieces.groupBy("token").agg(F.sum("freq").alias("cnt"))

@@ -348,3 +348,29 @@ def test_flac_codec_roundtrips_compresses_and_rejects_corruption():
         fc.decode_flac(fc.encode_flac(cases["ramp"])[:-5])
     with pytest.raises(ValueError, match="16-bit range"):
         fc.encode_flac([40000])
+
+
+def test_wordpiece_segment_greedy_and_unk_semantics():
+    """The corpus never triggers [UNK] at test SFs, so the failure mode
+    is pinned here: longest-match-first (not shortest, not best-
+    coverage), '##' continuations, and whole-word collapse to [UNK]
+    when ANY position has no match — including after pieces were
+    already consumed."""
+    from flink_1_19_source_spark.operators.corpus import wordpiece_segment
+
+    sv = {"un", "u", "run", "runn"}
+    cv = {"ning", "n", "ing", "ni"}
+    # greedy takes runn (longest), then ##ing
+    assert wordpiece_segment("running", sv, cv) == ["runn", "##ing"]
+    # greedy prefers the 4-char continuation over n+ing
+    assert wordpiece_segment("runnning", sv, cv) == ["runn", "##ning"]
+    # and is NOT globally optimal: run+##ni would cover 'runni', but
+    # greedy consumes runn first and dead-ends on the leftover 'i'
+    assert wordpiece_segment("runni", sv, cv) == ["[UNK]"]
+    # mid-word dead end discards consumed pieces
+    assert wordpiece_segment("runx", sv, cv) == ["[UNK]"]
+    # no start piece at all
+    assert wordpiece_segment("xyz", sv, cv) == ["[UNK]"]
+    # start piece only valid at position 0
+    assert wordpiece_segment("unun", sv, cv) == ["[UNK]"]
+    assert wordpiece_segment("unn", sv, cv) == ["un", "##n"]
