@@ -18,11 +18,16 @@ standard library and numpy.  So the N5 ``decode_image`` hook can be
   per-component quant/Huffman selectors, per-component DC predictors,
   MCU interleave order per T.81 A.2.3, chroma upsample by sample
   replication, YCbCr→RGB in exact int64 arithmetic so an SQL oracle
-  can replay every output pixel); no restart markers — other shapes
-  raise ``ValueError`` with the offending field.  Progressive /
-  arithmetic coding remain environment-gapped (a real cluster swaps
-  in libjpeg-turbo behind the same hook; per-image Python Huffman
-  decode is a correctness reference, not the 100 TB throughput path).
+  can replay every output pixel); PLUS grayscale PROGRESSIVE frames
+  (SOF2, spectral selection with any band tiling, Ah=Al=0, per-scan
+  Huffman tables, general cross-block EOBRUN) via a dedicated
+  multi-scan path that accumulates coefficients and reconstructs at
+  EOI.  No restart markers — other shapes raise ``ValueError`` with
+  the offending field.  Successive approximation, color progressive
+  and arithmetic coding remain environment-gapped (a real cluster
+  swaps in libjpeg-turbo behind the same hook; per-image Python
+  Huffman decode is a correctness reference, not the 100 TB
+  throughput path).
 
 - **Encoder** (the oracle's instrument): emits standard-structure
   baseline files — Annex K style Huffman tables written into DHT (the
@@ -95,6 +100,20 @@ AC_VALS_C = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Progressive AC table: baseline Annex K has no EOBn symbols (0x10..0xE0),
+# which progressive band scans need for cross-block EOB runs — so the
+# progressive encoder writes its own canonical table into DHT (the decoder
+# trusts only the stream): every symbol at length 9, codes 0..n-1, the
+# all-ones word unused.  176 symbols = EOB0 + EOB1..EOB14 + ZRL + all
+# (run, size) pairs with size 1..10.
+AC_PROG_VALS = (
+    [0x00]
+    + [r << 4 for r in range(1, 15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+AC_PROG_BITS = [0] * 8 + [len(AC_PROG_VALS)] + [0] * 7
 
 # Exact-integer YCbCr -> RGB (JFIF constants scaled by 10^6; round-half-up
 # via +500000 then floor division).  The +_YCC_OFF shift keeps every
@@ -401,6 +420,237 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def encode_jpeg_gray_progressive(
+    coeff_blocks: list[list[int]],
+    blocks_w: int,
+    blocks_h: int,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode a grayscale PROGRESSIVE (spectral-selection) JPEG: an SOF2
+    frame whose first scan carries every block's DC coefficient and each
+    subsequent scan one AC band [Ss, Se] — T.81 G.1, with Ah=Al=0 (no
+    successive approximation).  Per-block end-of-band is coded as EOB0
+    (EOBRUN=1); the decoder handles general EOBRUN.  Bands must tile
+    1..63 in order."""
+    assert len(coeff_blocks) == blocks_w * blocks_h
+    flat = [b for (a, b) in bands]
+    assert [a for (a, _) in bands] == [1] + [x + 1 for x in flat[:-1]]
+    assert flat[-1] == 63
+    w, h = blocks_w * 8, blocks_h * 8
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += _segment(  # SOF2: progressive DCT
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _segment(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _segment(
+        0xFFC4, bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS)
+    )
+
+    # scan 1: DC, Ss=Se=0
+    bw = _BitWriter()
+    prev = 0
+    for blk in coeff_blocks:
+        diff = blk[0] - prev
+        prev = blk[0]
+        size = _category(diff)
+        code, length = dc_codes[size]
+        bw.put(code, length)
+        if size:
+            bw.put(_code_value(diff, size), size)
+    out += _segment(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += bw.flush()
+
+    # one AC scan per band (AC scans are always single-component);
+    # consecutive end-of-band events batch into EOBn codes spanning
+    # blocks (T.81 G.1.2.2, what libjpeg emits) — the decoder's
+    # cross-block EOBRUN path is the one real streams exercise
+    def flush_eobrun(bw: _BitWriter, n: int) -> None:
+        while n:
+            r = min(14, n.bit_length() - 1)
+            take = min(n, (1 << r) + (1 << r) - 1)
+            code, length = ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(take - (1 << r), r)
+            n -= take
+
+    for ss, se in bands:
+        bw = _BitWriter()
+        eobrun = 0
+        for blk in coeff_blocks:
+            last_nz = 0
+            for k in range(se, ss - 1, -1):
+                if blk[k]:
+                    last_nz = k
+                    break
+            if last_nz == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun(bw, eobrun)
+                    eobrun = 0
+                continue
+            flush_eobrun(bw, eobrun)
+            eobrun = 0
+            run = 0
+            for k in range(ss, last_nz + 1):
+                v = blk[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.put(code, length)
+                bw.put(_code_value(v, size), size)
+                run = 0
+            if last_nz < se:
+                eobrun += 1
+        flush_eobrun(bw, eobrun)
+        out += _segment(0xFFDA, bytes([1, 1, 0x00, ss, se, 0]))
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a single-component progressive (spectral-selection) JPEG:
+    SOF2, Ah=Al=0, any band tiling, general EOBRUN (EOBn = 2^n + n
+    extra bits, spanning blocks).  Coefficients accumulate across scans;
+    dequant + IDCT run once at EOI."""
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    raw_huff: dict[tuple[int, int], tuple] = {}
+    w = h = 0
+    comp_tq = 0
+    coeffs = None
+    bw_ = bh_ = 0
+    seen_dc = False
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1:p + 65])
+                p += 65
+            pos += seglen
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if ncomp != 1:
+                raise ValueError(
+                    "progressive decoder handles grayscale only "
+                    "(color progressive env-gapped)"
+                )
+            comp_tq = seg[8]
+            bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+            coeffs = np.zeros((bh_ * bw_, 64), dtype=np.int64)
+            pos += seglen
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nval = sum(bits)
+                raw_huff[(tc, th)] = _build_decode_table(
+                    bits, list(seg[p + 17:p + 17 + nval])
+                )
+                p += 17 + nval
+            pos += seglen
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if coeffs is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("progressive scans here are grayscale")
+            td, ta = seg[2] >> 4, seg[2] & 0xF
+            ss, se, ahal = seg[3], seg[4], seg[5]
+            if ahal != 0:
+                raise ValueError(
+                    "successive approximation (Ah/Al != 0) unsupported"
+                )
+            br = _BitReader(data[pos + seglen:])
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                dc_tab = raw_huff[(0, td)]
+                pred = 0
+                for b in range(bh_ * bw_):
+                    size = _huff_decode(br, dc_tab)
+                    pred += _extend(br.bits(size), size)
+                    coeffs[b, 0] = pred
+                seen_dc = True
+            else:  # AC band scan
+                if not seen_dc:
+                    raise ValueError("AC scan before DC scan")
+                ac_tab = raw_huff[(1, ta)]
+                eobrun = 0
+                for b in range(bh_ * bw_):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(br, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + (
+                                br.bits(r) if r else 0
+                            )
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        coeffs[b, k] = _extend(br.bits(s), s)
+                        k += 1
+                if eobrun:
+                    raise ValueError("EOBRUN past last block")
+            # resume marker parse after the entropy bytes this scan used
+            pos = pos + seglen + br.pos
+        else:
+            raise ValueError(f"unexpected marker FF{marker:02X} "
+                             "in progressive stream")
+    if coeffs is None or not seen_dc:
+        raise ValueError("missing SOF2/DC scan")
+    if comp_tq not in qtables:
+        raise ValueError(f"SOF2 references missing quant table {comp_tq}")
+    quant = np.array(qtables[comp_tq], dtype=np.float64)
+    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    for b in range(bh_ * bw_):
+        S = np.zeros(64, dtype=np.float64)
+        S[ZIGZAG] = coeffs[b].astype(np.float64) * quant
+        block = _M.T @ S.reshape(8, 8) @ _M
+        px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+        by, bx = divmod(b, bw_)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+    return w, h, 1, img[:h, :w].tobytes()
+
+
 def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
                   quant: "np.ndarray") -> tuple[int, "np.ndarray"]:
     """Entropy-decode one block; returns (new DC predictor, 8x8 uint8
@@ -482,7 +732,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker == 0xC2:  # SOF2: progressive — dedicated multi-scan path
+            return _decode_progressive_gray(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(f"non-baseline frame marker FF{marker:02X}")
         elif marker == 0xC4:  # DHT
             p = 0

@@ -76,9 +76,11 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
     the public PNG spec: chunk CRCs, inflate, all five scanline filters).
     Baseline JPEG decode is REAL too — the pure stdlib+numpy T.81
     decoder in ``jpeg_codec`` handles grayscale (luminance replicated
-    to RGB here) AND interleaved YCbCr color with 4:4:4/4:2:2/4:2:0
-    chroma subsampling (replication upsample + exact-int64 YCbCr→RGB).
-    Progressive JPEG, WebP and AVIF stay environment-gapped (no
+    to RGB here), interleaved YCbCr color with 4:4:4/4:2:2/4:2:0
+    chroma subsampling (replication upsample + exact-int64 YCbCr→RGB),
+    and grayscale progressive (spectral selection, general EOBRUN).
+    Successive approximation, color progressive, WebP and AVIF stay
+    environment-gapped (no
     imaging library in this container — PIL/cv2/imageio probed absent
     r6); swap in PIL/torchvision behind this same signature on a real
     cluster."""

@@ -2458,3 +2458,106 @@ def n4_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment, "token string, freq long"
     )
     return pieces.groupBy("token").agg(F.sum("freq").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL progressive (spectral-selection) JPEG decode
+# --------------------------------------------------------------------------
+@register(
+    "n5_jpeg_progressive_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 1) * 8 AS w, (doc_id % 4 + 1) * 8 AS h
+      FROM documents WHERE doc_id < 120
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM((doc_id*41 + ((i // w) // 8)*23 + ((i % w) // 8)*13)
+                    % 256) AS BIGINT) AS sum_lum,
+           CAST(SUM((i + 1) * ((doc_id*41 + ((i // w) // 8)*23
+                               + ((i % w) // 8)*13) % 256))
+                AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (spectral-selection) JPEG decode end-to-end —
+    the multi-scan half of the r7-declared JPEG gap: per-doc grayscale
+    images are encoded as SOF2 streams (operators/jpeg_codec.
+    encode_jpeg_gray_progressive: a DC scan then AC band scans 1-5 and
+    6-63, cross-block EOB runs batched into EOBn codes against a
+    stream-written progressive AC table — the Annex-K baseline table
+    has no EOBn symbols) and decoded by the dedicated multi-scan path:
+    coefficients accumulate across scans, general EOBRUN, per-scan
+    Huffman tables, dequant + IDCT once at EOI.
+
+    Same DC-exact certification as the baseline twin: constant blocks
+    put everything in the DC scan, so DuckDB recomputes every decoded
+    pixel in closed form; the AC-band + EOBRUN paths (unreachable by a
+    closed-form oracle — cosines) are pinned in tests against a numpy
+    IDCT reference with long cross-block EOB runs.  Both passes
+    map-only; successive approximation (Ah/Al) and color progressive
+    remain declared env gaps."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import (
+        constant_block_coeffs,
+        encode_jpeg_gray_progressive,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = did % 5 + 1, did % 4 + 1
+                blocks = [
+                    constant_block_coeffs(
+                        (did * 41 + by * 23 + bx * 13) % 256
+                    )
+                    for by in range(bh)
+                    for bx in range(bw)
+                ]
+                payloads.append(
+                    encode_jpeg_gray_progressive(blocks, bw, bh)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+
+    cols = ["doc_id", "width", "height", "n_px", "sum_lum", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(rec.media_bytes), "jpeg"
+                )
+                lum = rgb[0::3]
+                s = ws = 0
+                for i, v in enumerate(lum):
+                    s += v
+                    ws += (i + 1) * v
+                rows.append((int(rec.doc_id), w, h, w * h, s, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_lum long, wsum long",
+    )

@@ -374,3 +374,71 @@ def test_wordpiece_segment_greedy_and_unk_semantics():
     # start piece only valid at position 0
     assert wordpiece_segment("unun", sv, cv) == ["[UNK]"]
     assert wordpiece_segment("unn", sv, cv) == ["un", "##n"]
+
+
+def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
+    """The progressive oracle reaches only the DC scan (constant
+    blocks); the AC band scans — spectral selection tiling, per-scan
+    tables, ZRL inside a band, and EOBn runs SPANNING blocks — are
+    pinned here against a straight numpy IDCT of the same coefficients,
+    and the progressive stream must decode identically to the baseline
+    encoding of the same blocks."""
+    import numpy as np
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    def ref(zz):
+        S = np.zeros(64)
+        S[jc.ZIGZAG] = np.asarray(zz, dtype=float)
+        out = jc._M.T @ S.reshape(8, 8) @ jc._M + 128.0
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    rng = np.random.default_rng(11)
+    mw, mh = 5, 4
+    blocks = []
+    for i in range(mw * mh):
+        if i % 3 == 0:
+            blocks.append(jc.constant_block_coeffs((i * 37) % 256))
+        elif i % 3 == 1:
+            blocks.append([
+                int(rng.integers(-60, 60)) if rng.random() < 0.3 else 0
+                for _ in range(64)
+            ])
+        else:
+            b = [0] * 64
+            b[0], b[60] = 40, -5  # forces ZRL runs inside the band
+            blocks.append(b)
+
+    exp = np.zeros((mh * 8, mw * 8), np.uint8)
+    for i, blk in enumerate(blocks):
+        by, bx = divmod(i, mw)
+        exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = ref(blk)
+
+    for bands in (((1, 5), (6, 63)), ((1, 2), (3, 10), (11, 63))):
+        data = jc.encode_jpeg_gray_progressive(blocks, mw, mh, bands=bands)
+        w, h, nc, px = jc.decode_jpeg(data)
+        assert (w, h, nc) == (40, 32, 1)
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(h, w), exp
+        ), bands
+
+    # progressive and baseline encodings of the same blocks agree
+    _, _, _, base = jc.decode_jpeg(jc.encode_jpeg_gray(blocks, mw, mh))
+    _, _, _, prog = jc.decode_jpeg(
+        jc.encode_jpeg_gray_progressive(blocks, mw, mh)
+    )
+    assert base == prog
+
+    # a 60-block EOB run spanning the whole scan body
+    first = [0] * 64
+    first[0], first[3] = 8, 12
+    last = [0] * 64
+    last[0], last[63] = -16, -3
+    blocks2 = [first] + [jc.constant_block_coeffs(100)] * 58 + [last]
+    data = jc.encode_jpeg_gray_progressive(blocks2, 10, 6, bands=((1, 63),))
+    w, h, nc, px = jc.decode_jpeg(data)
+    exp2 = np.zeros((48, 80), np.uint8)
+    for i, blk in enumerate(blocks2):
+        by, bx = divmod(i, 10)
+        exp2[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = ref(blk)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), exp2)
