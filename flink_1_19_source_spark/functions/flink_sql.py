@@ -493,6 +493,53 @@ def _rewrite_legacy_group_windows(query: str) -> str:
     return _SESSION_GRP_RE.sub(session_grp, out)
 
 
+# Flink 1.19 FLIP-373: per-operator state TTL via query hint —
+# SELECT /*+ STATE_TTL('alias1'='2s', 'alias2'='4h') */ ...  The hint
+# names table aliases of a regular (unwindowed) streaming join or
+# group aggregation; state for that side expires after the duration of
+# PROCESSING time.  Our proc-time clock is the micro-batch tick (the
+# repo-wide W7 convention), declared as 1 tick == 1s, so '3s' = 3
+# ticks; at deploy the trigger interval makes ticks wall-clock-spaced.
+_STATE_TTL_HINT_RE = re.compile(
+    r"/\*\+\s*STATE_TTL\s*\(([^)]*)\)\s*\*/", re.IGNORECASE
+)
+_STATE_TTL_ITEM_RE = re.compile(
+    r"'([^']+)'\s*=\s*'(\d+)\s*"
+    r"(s|sec|second|seconds|min|minute|minutes|h|hour|hours|d|day|days)'",
+    re.IGNORECASE,
+)
+_TTL_UNIT_SECONDS = {
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+}
+
+
+def parse_state_ttl(query: str) -> tuple[str, dict[str, int]]:
+    """Extract a FLIP-373 ``STATE_TTL`` hint: returns (query with the
+    hint removed, {alias: ttl_seconds}).  Raises on a hint whose items
+    don't parse — a malformed TTL silently defaulting to infinite
+    retention is exactly the bug the hint exists to prevent."""
+    m = _STATE_TTL_HINT_RE.search(query)
+    if not m:
+        return query, {}
+    body = m.group(1)
+    ttls: dict[str, int] = {}
+    consumed = 0
+    for item in _STATE_TTL_ITEM_RE.finditer(body):
+        alias, num, unit = item.groups()
+        ttls[alias] = int(num) * _TTL_UNIT_SECONDS[unit.lower()]
+        consumed += item.end() - item.start()
+    leftovers = re.sub(_STATE_TTL_ITEM_RE, "", body).strip(" ,\t\n")
+    if leftovers or not ttls:
+        raise ValueError(f"malformed STATE_TTL hint: {body!r}")
+    return (
+        query[: m.start()] + query[m.end():],
+        ttls,
+    )
+
+
 def translate(query: str, spark: SparkSession | None = None) -> str:
     """Rewrite the Flink dialect onto Spark SQL: window TVFs, legacy
     group windows, name aliases, SIMILAR TO, CURRENT_WATERMARK."""

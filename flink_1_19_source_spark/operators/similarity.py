@@ -542,14 +542,28 @@ def ivfpq_topk(
             F.col("cb_k").alias("code"),
         )
     )
-    # per-(query, probed list) residual → ADC lookup table
+    # per-(query, probed list) residual → ADC lookup table.  The query
+    # side runs its OWN normalize + assign chain (no corpus-membership
+    # precondition — the r6 pq_topk lesson): any vector of the right
+    # dim probes its nprobe nearest lists.
+    qraw = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("ev")
+    )
+    qn = qraw.withColumn(
+        "nrm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
+    ).select(
+        "qid",
+        F.transform(F.col("ev"), lambda x: x / F.col("nrm")).alias("e"),
+    )
+    w_qassign = Window.partitionBy("qid").orderBy(
+        cos.desc(), F.col("cid")
+    )
     q_r = (
-        assign.join(
-            queries.select(F.col(id_col).alias("vid")), "vid", "left_semi"
-        )
+        qn.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_qassign))
         .filter(F.col("rk") <= nprobe)
         .select(
-            F.col("vid").alias("query_id"),
+            F.col("qid").alias("query_id"),
             F.col("cid").alias("list_id"),
             resid,
         )
@@ -579,7 +593,7 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     # exact rerank on the ORIGINAL vectors (round-9 cosine, N3 house rule)
-    qv = raw.select(F.col("vid").alias("query_id"), F.col("ev").alias("qv"))
+    qv = qraw.select(F.col("qid").alias("query_id"), F.col("ev").alias("qv"))
     nv = raw.select(
         F.col("vid").alias("neighbor_id"), F.col("ev").alias("nv")
     )

@@ -349,3 +349,114 @@ def x8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select(F.col("v").alias("node"), F.col("pr").cast("long").alias("pr"))
+
+
+@register(
+    "s_state_ttl_hint_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ), ticks AS (
+      SELECT event_id, user_id, event_type,
+             CAST(rn // ((n + 7) // 8) AS BIGINT) AS tick
+      FROM ordered
+    ), a AS (
+      SELECT event_id AS a_event_id, user_id, tick AS a_tick
+      FROM ticks WHERE event_type = 'view'
+    ), b AS (
+      SELECT event_id AS b_event_id, user_id, tick AS b_tick
+      FROM ticks WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a_event_id, b_event_id,
+           CAST(a_tick AS INTEGER) AS a_tick,
+           CAST(b_tick AS INTEGER) AS b_tick
+    FROM a JOIN b ON a.user_id = b.user_id
+    WHERE (b_tick <= a_tick AND b_tick >= a_tick - 1)
+       OR (a_tick < b_tick AND a_tick >= b_tick - 2)
+    """,
+    survey="S12 X3",
+    tags=("streaming",),
+)
+def s_state_ttl_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.19 FLIP-373: per-operator state TTL via the STATE_TTL
+    query hint — the VERBATIM Flink statement
+
+        SELECT /*+ STATE_TTL('v'='3s', 'p'='2s') */ ...
+        FROM views v JOIN purchases p ON v.user_id = p.user_id
+
+    parses through the dialect layer (functions/flink_sql.
+    parse_state_ttl — malformed items raise, they don't default to
+    infinite retention) and drives a regular UNWINDOWED stream-stream
+    join whose sides expire INDEPENDENTLY: view-side state lives 3
+    processing-time ticks, purchase-side 2 (streaming/state_ttl_join
+    .py; micro-batch tick = the repo-wide deterministic proc-time
+    clock, 1 tick == 1s declared).  A view matches purchases that
+    arrive while it is live and vice versa — the asymmetric retention
+    FLIP-373 added over the pipeline-wide TTL.  The replay is
+    (ts, event_id)-ordered into 8 single-file batches, so the oracle
+    reproduces tick assignment arithmetically (rn // chunk) and
+    replays the live-range condition as a plain inequality join.
+    State on disk is bounded by max(ttl) ticks — eviction runs every
+    batch, which at 100 TB is the entire point of the hint."""
+    return _state_ttl_run(spark, sf_dir)
+
+
+def _state_ttl_run(
+    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None
+) -> DataFrame:
+    import shutil
+
+    from ..functions.flink_sql import parse_state_ttl
+    from ..streaming.state_ttl_join import StateTtlJoin
+
+    sql = (
+        "SELECT /*+ STATE_TTL('v'='3s', 'p'='2s') */ "
+        "v.event_id AS a_event_id, p.event_id AS b_event_id, v.user_id "
+        "FROM views v JOIN purchases p ON v.user_id = p.user_id"
+    )
+    _, ttls = parse_state_ttl(sql)
+    assert ttls == {"v": 3, "p": 2}, ttls
+
+    run = "crash" if crash_once_at is not None else "clean"
+    wd = _work_dir(sf_dir, f"s_state_ttl_{run}")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=8, files_per_trigger=1, order_by=["ts", "event_id"],
+    )
+    join = StateTtlJoin(
+        spark, wd, "user_id",
+        left_pred=F.col("event_type") == "view",
+        right_pred=F.col("event_type") == "purchase",
+        ttl_left=ttls["v"], ttl_right=ttls["p"],
+        left_cols=[F.col("event_id").alias("a_event_id")],
+        right_cols=[F.col("event_id").alias("b_event_id")],
+    )
+    crashed = {"done": False}
+
+    def fold(df: DataFrame, batch_id: int) -> None:
+        join(df, batch_id)
+        if crash_once_at == int(batch_id) and not crashed["done"]:
+            crashed["done"] = True
+            # worst spot: state dirs, output dir AND eviction all
+            # applied, checkpoint unmarked — the replay re-runs the
+            # whole batch on top of the mutated disk state
+            raise RuntimeError("injected crash after full batch effects")
+
+    ckpt = os.path.join(wd, "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    for d in ("stateL", "stateR", "out"):
+        shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return join.result_df()

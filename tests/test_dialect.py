@@ -263,3 +263,29 @@ def test_tvf_restructure_edge_shapes():
             " DESCRIPTOR(ts), INTERVAL '30' MINUTE))"
             " GROUP BY window_start, window_end"
         )
+
+
+def test_state_ttl_hint_parse_strict():
+    """FLIP-373 hint extraction: aliases map to seconds, the hint is
+    stripped from the statement, absent hint returns {}, and malformed
+    items RAISE — a TTL typo silently meaning 'infinite retention' is
+    the failure mode the hint exists to prevent."""
+    import pytest
+
+    from flink_1_19_source_spark.functions.flink_sql import parse_state_ttl
+
+    q = ("SELECT /*+ STATE_TTL('o'='4h', 'l'='90 s') */ o.id "
+         "FROM orders o JOIN lineitem l ON o.id = l.oid")
+    clean, ttls = parse_state_ttl(q)
+    assert ttls == {"o": 4 * 3600, "l": 90}
+    assert "STATE_TTL" not in clean and clean.startswith("SELECT  o.id")
+
+    assert parse_state_ttl("SELECT 1") == ("SELECT 1", {})
+
+    with pytest.raises(ValueError, match="malformed STATE_TTL"):
+        parse_state_ttl("SELECT /*+ STATE_TTL('o'='forever') */ 1")
+    with pytest.raises(ValueError, match="malformed STATE_TTL"):
+        parse_state_ttl("SELECT /*+ STATE_TTL() */ 1")
+    with pytest.raises(ValueError, match="malformed STATE_TTL"):
+        # one good item + one broken one must still raise
+        parse_state_ttl("SELECT /*+ STATE_TTL('a'='2s', 'b'=bogus) */ 1")

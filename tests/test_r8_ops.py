@@ -442,3 +442,86 @@ def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
         by, bx = divmod(i, 10)
         exp2[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = ref(blk)
     assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), exp2)
+
+
+def test_ivfpq_accepts_non_corpus_query_vectors(spark, sf_dir):
+    """The r6 pq_topk lesson, re-applied: the query side must run its
+    own normalize/assign chain, so a probe vector that is NOT a corpus
+    row still retrieves — and a query that IS a corpus row returns the
+    same neighbors whether it arrives via the corpus or as an external
+    vector."""
+    from pyspark.sql import functions as F2
+
+    from flink_1_19_source_spark.operators import similarity
+    from flink_1_19_source_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # external query: corpus vector 3 perturbed, under a fresh id
+    base = e.filter(F2.col("vec_id") == 3).select("embedding").collect()
+    pert = [x * 1.01 + 0.001 for x in base[0].embedding]
+    ext = spark.createDataFrame(
+        [(100000, pert)], "vec_id long, embedding array<double>"
+    )
+    got = similarity.ivfpq_topk(e, ext, dim=64, k=5).collect()
+    assert len(got) == 5
+    assert {r.query_id for r in got} == {100000}
+    # vec 3 itself should be its perturbed twin's nearest neighbor
+    assert got[0].neighbor_id == 3 or any(r.neighbor_id == 3 for r in got)
+
+    # corpus-member query via the external path == via the corpus path
+    q3 = e.filter(F2.col("vec_id") == 3)
+    via_corpus = {
+        (r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_topk(e, q3, dim=64, k=5).collect()
+    }
+    ext3 = spark.createDataFrame(
+        [(3, list(base[0].embedding))], "vec_id long, embedding array<float>"
+    )
+    via_ext = {
+        (r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_topk(e, ext3, dim=64, k=5).collect()
+    }
+    assert via_corpus == via_ext
+
+
+def test_state_ttl_join_crash_replay_converges(spark, sf_dir):
+    """FLIP-373 join under the X4 contract: a crash injected after ALL
+    batch effects (state writes, output write, eviction) but before the
+    checkpoint commit replays the batch onto mutated disk state — the
+    overwrite-per-tick layout and range-defined reads must absorb it
+    bit for bit."""
+    from flink_1_19_source_spark.queries.feedback import _state_ttl_run
+
+    clean = sorted(
+        (r.user_id, r.a_event_id, r.b_event_id, r.a_tick, r.b_tick)
+        for r in _state_ttl_run(spark, sf_dir).collect()
+    )
+    crashed = sorted(
+        (r.user_id, r.a_event_id, r.b_event_id, r.a_tick, r.b_tick)
+        for r in _state_ttl_run(spark, sf_dir, crash_once_at=3).collect()
+    )
+    assert clean, "no matches drained — test is vacuous"
+    assert crashed == clean
+
+
+def test_state_ttl_join_evicts_expired_state(spark, sf_dir):
+    """The bounded-state guarantee is the point of the hint: after the
+    stream drains, each side's live tick dirs number at most its OWN
+    ttl — view side 3, purchase side 2 — and a view/purchase pair
+    farther apart than the TTL window never matched."""
+    import os
+
+    from flink_1_19_source_spark.queries.feedback import _state_ttl_run
+    from flink_1_19_source_spark.queries.streaming_queries import _work_dir
+
+    rows = _state_ttl_run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.b_tick <= r.a_tick:
+            assert r.a_tick - r.b_tick <= 1  # purchase ttl 2
+        else:
+            assert r.b_tick - r.a_tick <= 2  # view ttl 3
+    wd = _work_dir(sf_dir, "s_state_ttl_clean")
+    n_l = len(os.listdir(os.path.join(wd, "stateL")))
+    n_r = len(os.listdir(os.path.join(wd, "stateR")))
+    assert n_l <= 3 and n_r <= 2, (n_l, n_r)
