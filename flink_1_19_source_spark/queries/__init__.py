@@ -39,7 +39,11 @@ from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 from . import llm2  # noqa: F401  (PII, contamination, repetition, packing)
 from . import aggregates2  # noqa: F401  (JSON_OBJECTAGG family, portable Bloom)
 from . import dialect3  # noqa: F401  (ALTER/TRUNCATE/LIKE, SQL UDFs, ANALYZE)
-from . import llm3  # noqa: F401  (streaming LSH dedup, DSIR resampling)
+from . import llm_tokenize  # noqa: F401  (BPE/WordPiece, chunking, RAG)
+from . import llm_dedup  # noqa: F401  (streaming LSH/chunk dedup, winnow)
+from . import llm_dsir  # noqa: F401  (DSIR resampling + pipeline)
+from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
+from . import llm_media  # noqa: F401  (real JPEG/FLAC codec queries)
 
 from ..registry import REGISTRY
 

@@ -184,7 +184,7 @@ def test_minhash_dedup_stream_crash_replay(spark, sf_dir):
     run's verdicts — the replayed batch sees its own torn rows in the
     index, which the strict doc_id ordering and MIN/COUNT(DISTINCT)
     aggregates absorb."""
-    from flink_1_19_source_spark.queries.llm3 import _minhash_dedup_run
+    from flink_1_19_source_spark.queries.llm_dedup import _minhash_dedup_run
 
     clean = {
         r.doc_id: (r.dup_of, r.is_dup, r.n_dup_bands)

@@ -104,7 +104,7 @@ def test_chunk_dedup_stream_slicing_invariant_post_compaction(spark, sf_dir):
     """3-chunk and 8-chunk replays cross compaction boundaries at
     different batches; the drained verdicts must be identical (and equal
     to the registered 4-chunk run's oracle-certified output)."""
-    from flink_1_19_source_spark.queries.llm3 import _chunk_dedup_run
+    from flink_1_19_source_spark.queries.llm_dedup import _chunk_dedup_run
 
     def snap(chunks):
         return sorted(
