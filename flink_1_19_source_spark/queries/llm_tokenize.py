@@ -15,21 +15,32 @@ from ..tables import load_table
 # --------------------------------------------------------------------------
 # N4 — distributed BPE: merge-rule training + corpus encode
 # --------------------------------------------------------------------------
-_BPE_MERGES = 8
+_BPE_MERGES = 32
+#: deterministic training-sample rate — the md5 hash-gate keeps ~40% of
+#: documents at every SF (house sampling convention, operators/sampling):
+#: scale-proportional, engine-reproducible, no magic id slice.
+_BPE_SAMPLE_RATE = 0.4
 
 
 def _bpe_stages_sql(n: int) -> str:
     """The shared unrolled-iteration CTE chain: words as
     ``|s||y||m||s|`` strings (every symbol pipe-wrapped, so the merge
     REPLACE is boundary-safe and left-to-right greedy like the fold),
-    n stages of pair-count → argmax → merge-apply."""
-    parts = [r"""
-    tok0 AS (
+    n stages of pair-count → argmax → merge-apply.  Every vocabulary
+    stage is MATERIALIZED: w{i} and m{i} are each referenced twice, so
+    without the hint DuckDB's inlining re-derives the whole prefix per
+    reference — exponential in n (the n6_bpe_packing 53→13s lesson)."""
+    from ..operators.sampling import threshold_hex
+
+    thr = threshold_hex(_BPE_SAMPLE_RATE)
+    parts = [rf"""
+    tok0 AS MATERIALIZED (
       SELECT doc_id,
              UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
                     t -> t <> '' AND NOT contains(t, '|'))) AS w
-      FROM documents WHERE doc_id < 200
-    ), w0 AS (
+      FROM documents
+      WHERE substr(md5('bpe:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{thr}'
+    ), w0 AS MATERIALIZED (
       SELECT w, regexp_replace(w, '(.)', '|\1|', 'g') AS s,
              COUNT(*) AS freq
       FROM tok0 GROUP BY 1, 2
@@ -41,10 +52,10 @@ def _bpe_stages_sql(n: int) -> str:
       FROM (SELECT string_split(trim(s, '|'), '||') AS l, freq FROM w{i})
     ), c{i} AS (
       SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt FROM p{i} GROUP BY 1, 2
-    ), m{i} AS (
+    ), m{i} AS MATERIALIZED (
       SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM c{i}
       ORDER BY cnt DESC, a, b LIMIT 1
-    ), w{i + 1} AS (
+    ), w{i + 1} AS MATERIALIZED (
       SELECT w, replace(s, '|' || m.a || '||' || m.b || '|',
                         '|' || m.a || m.b || '|') AS s, freq
       FROM w{i} CROSS JOIN m{i} m
@@ -75,8 +86,11 @@ def _bpe_train_spark(spark: SparkSession, sf_dir: str, n: int = _BPE_MERGES):
     """Run the distributed BPE trainer; returns (merges, words_df) where
     words_df is the final (w, s, freq) vocabulary table."""
     from ..operators import text_analysis as ta
+    from ..operators.sampling import keep
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(
+        keep(F.col("doc_id"), "bpe", _BPE_SAMPLE_RATE)
+    )
     tok = d.select(
         "doc_id", F.explode(ta.tokens(F.col("text"))).alias("w")
     ).filter(~F.col("w").contains("|"))
@@ -126,6 +140,10 @@ def _bpe_train_spark(spark: SparkSession, sf_dir: str, n: int = _BPE_MERGES):
             ).alias("s"),
             "freq",
         )
+        # cap plan depth: 32 stacked REPLACE projections are cheap to
+        # run but quadratic to re-analyze every iteration
+        if (i + 1) % 8 == 0:
+            words = words.localCheckpoint()
     return merges, words, tok
 
 
@@ -137,8 +155,10 @@ def _bpe_train_spark(spark: SparkSession, sf_dir: str, n: int = _BPE_MERGES):
 def n4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-rule training [Sennrich et al. 2016] — the
     real tokenizer-training loop, not a regex approximation: the corpus
+    is hash-sampled at a documented 40% (md5 gate — deterministic,
+    engine-reproducible, scale-proportional; no magic id slice) and
     folds once into a word-frequency vocabulary (the only corpus-sized
-    shuffle), then each of 8 iterations counts adjacent symbol pairs
+    shuffle), then each of 32 iterations counts adjacent symbol pairs
     weighted by word frequency, collects the single argmax pair
     (count desc, pair lexicographic — the deterministic tie-break both
     engines encode), and applies the merge to the vocabulary.
@@ -147,7 +167,7 @@ def n4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the merge a plain REPLACE that is boundary-safe (a pattern
     can only match at symbol starts) and left-to-right greedy —
     exactly the BPE fold, runnable identically in Spark and DuckDB
-    (whose oracle unrolls the 8 iterations as CTE stages).  At 100 TB
+    (whose oracle unrolls the 32 iterations as MATERIALIZED CTE stages).  At 100 TB
     the iterations run on the vocabulary table — orders of magnitude
     smaller than the corpus — so training cost is one corpus pass +
     n_merges vocab passes, the same structure as x8's bounded loops.
@@ -170,7 +190,7 @@ def n4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing / budget-planning stage consumes.  The encode is a JOIN
     against the final (word → merged symbols) vocabulary table, not a
     per-document re-derivation: at 100 TB the vocabulary broadcasts
-    and the corpus is touched exactly once.  Oracle: the same 8
+    and the corpus is touched exactly once.  Oracle: the same 32
     unrolled merge stages, then per-doc symbol counts through the
     identical word join."""
     merges, words, tok = _bpe_train_spark(spark, sf_dir)
@@ -307,7 +327,7 @@ def n6_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes two certified operators: the BPE encode join supplies
     per-doc counts, the greedy per-language fold packs them (one
     vocabulary broadcast + one corpus pass + one keyed Arrow fold);
-    the oracle replays BPE's 8 unrolled merge stages AND the packing
+    the oracle replays BPE's 32 unrolled merge stages AND the packing
     recursion in one statement."""
     from ..operators import corpus as corpus_ops
 
