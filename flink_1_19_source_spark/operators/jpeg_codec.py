@@ -22,8 +22,9 @@ standard library and numpy.  So the N5 ``decode_image`` hook can be
   (SOF2, spectral selection with any band tiling, Ah=Al=0, per-scan
   Huffman tables, general cross-block EOBRUN) via a dedicated
   multi-scan path that accumulates coefficients and reconstructs at
-  EOI.  No restart markers — other shapes raise ``ValueError`` with
-  the offending field.  Successive approximation, color progressive
+  EOI; PLUS restart markers in sequential scans (DRI cadence, RSTm
+  sequence-checked, DC predictors reset — T.81 E.2.4).  Other shapes
+  raise ``ValueError`` with the offending field.  Successive approximation, color progressive
   and arithmetic coding remain environment-gapped (a real cluster
   swaps in libjpeg-turbo behind the same hook; per-image Python
   Huffman decode is a correctness reference, not the 100 TB
@@ -191,6 +192,15 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Emit RSTm: 1-fill to a byte boundary (stuffed like any other
+        entropy byte), then the bare FFD0+m marker — markers are never
+        stuffed (T.81 B.1.1.5 / E.2.4)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _category(v: int) -> int:
     v = int(v)
@@ -245,12 +255,14 @@ def _encode_block(bw: _BitWriter, blk: list[int], prev_dc: int,
 
 
 def encode_jpeg_gray(coeff_blocks: list[list[int]], blocks_w: int,
-                     blocks_h: int) -> bytes:
+                     blocks_h: int, restart_interval: int = 0) -> bytes:
     """Encode a grayscale baseline JPEG from per-block ZIGZAG-ordered
     quantized coefficient lists (64 ints each; quant table = all ones).
     Blocks are raster-ordered.  The standard-structure choice (Annex K
     Huffman tables in DHT, SOF0, one component) keeps the output a
-    valid JPEG for any decoder."""
+    valid JPEG for any decoder.  ``restart_interval`` > 0 writes a DRI
+    segment and an RSTm marker (m cycling 0-7) between every interval
+    of MCUs, resetting the DC predictor — T.81 E.2.4."""
     assert len(coeff_blocks) == blocks_w * blocks_h
     w, h = blocks_w * 8, blocks_h * 8
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
@@ -258,11 +270,16 @@ def encode_jpeg_gray(coeff_blocks: list[list[int]], blocks_w: int,
 
     bw = _BitWriter()
     prev_dc = 0
-    for blk in coeff_blocks:
+    for i, blk in enumerate(coeff_blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart((i // restart_interval - 1) & 7)
+            prev_dc = 0
         prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _segment(0xFFDB, bytes([0]) + bytes([1] * 64))  # DQT id0, unit
+    if restart_interval:
+        out += _segment(0xFFDD, struct.pack(">H", restart_interval))
     out += _segment(  # SOF0: 8-bit, h x w, 1 component, no subsampling
         0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     )
@@ -375,6 +392,22 @@ class _BitReader:
         # grows one byte per scan byte and every shift turns O(n) —
         # quadratic decode on realistically sized scans
         self.acc &= (1 << self.n) - 1
+
+    def restart(self, m: int) -> None:
+        """Consume an expected RSTm marker at an MCU boundary: discard
+        the current byte's padding bits, then require FFD0+m verbatim —
+        a missing or out-of-sequence restart marker means the entropy
+        stream is corrupt (T.81 E.2.4)."""
+        self.acc = 0
+        self.n = 0
+        if (self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (m & 7)):
+            got = self.data[self.pos:self.pos + 2].hex()
+            raise ValueError(
+                f"expected RST{m & 7} at scan offset {self.pos}, got {got}"
+            )
+        self.pos += 2
 
     def bit(self) -> int:
         if self.n == 0:
@@ -690,12 +723,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     int64 arithmetic of :func:`ycbcr_to_rgb_exact`).  Trusts only the
     stream: quant + Huffman tables from DQT/DHT, dimensions and
     per-component sampling/quant selectors from SOF0, scan component
-    order and table selectors from SOS.  Raises ValueError on
-    progressive frames, restart intervals, 12-bit precision,
+    order and table selectors from SOS, restart cadence from DRI
+    (RSTm markers are sequence-checked and reset all DC predictors).
+    Raises ValueError on progressive frames, 12-bit precision,
     non-integer sampling ratios, or partially-interleaved scans."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
+    restart_interval = 0
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = 0
@@ -745,8 +780,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17:p + 17 + nval])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nval
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != len(comps):
@@ -799,8 +834,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     br = _BitReader(data[scan_start:])
     pred = {cid: 0 for cid, _, _ in scan}
+    mcu_no = 0
     for my in range(mcus_h):
         for mx in range(mcus_w):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                br.restart((mcu_no // restart_interval - 1) & 7)
+                pred = {cid: 0 for cid, _, _ in scan}
+            mcu_no += 1
             for cid, _, _ in scan:  # T.81 A.2.3 interleave order
                 hi, vi, _ = by_id[cid]
                 dc_tab, ac_tab, quant = tabs[cid]

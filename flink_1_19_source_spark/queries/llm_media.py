@@ -463,3 +463,110 @@ def n5_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_px long, "
         "sum_lum long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — baseline JPEG with RESTART MARKERS (DRI / RSTm, T.81 E.2.4)
+# --------------------------------------------------------------------------
+@register(
+    "n5_jpeg_restart",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 5 + 2) * 8 AS w,
+             (doc_id % 3 + 2) * 8 AS h
+      FROM documents WHERE doc_id < 96
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(MAX(doc_id % 3 + 1) AS INTEGER) AS restart_interval,
+           CAST(SUM((doc_id*41 + ((i // w) // 8)*23 + ((i % w) // 8)*13)
+                    % 256) AS BIGINT) AS sum_lum,
+           CAST(SUM((i + 1) * ((doc_id*41 + ((i // w) // 8)*23
+                               + ((i % w) // 8)*13) % 256))
+                AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode across RESTART MARKERS (T.81 E.2.4) — the
+    last sequential-JPEG syntax the decoder lacked, and the one real
+    crawl images use most (cameras emit DRI so a bit error loses one
+    interval, not the image).  Per doc: a (doc_id%5+2) x (doc_id%3+2)
+    block grayscale image is encoded with DRI = doc_id%3+1 MCUs
+    (always < the block count, so every file restarts at least once), so
+    every file contains RSTm markers with m cycling 0-7, padding bits
+    before each, and a DC-predictor reset after — the decoder
+    sequence-checks every marker (an out-of-order RSTm raises, pinned
+    in tests/test_r8_ops.py) and restarts DC prediction.  Encode and
+    decode are each one map-only mapInPandas pass; the only shuffle is
+    the driver comparator's own sort.  Certifiability: constant 8x8
+    blocks under a unit quantizer decode bit-exactly, so the oracle
+    recomputes every pixel in closed form from (doc_id, block position)
+    without seeing a JPEG byte."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import constant_block_coeffs, encode_jpeg_gray
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads, rin = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = did % 5 + 2, did % 3 + 2
+                ri = did % 3 + 1
+                blocks = [
+                    constant_block_coeffs(
+                        (did * 41 + by * 23 + bx * 13) % 256
+                    )
+                    for by in range(bh)
+                    for bx in range(bw)
+                ]
+                data = encode_jpeg_gray(blocks, bw, bh, restart_interval=ri)
+                assert b"\xff\xdd" in data and b"\xff\xd0" in data
+                payloads.append(data)
+                rin.append(ri)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads,
+                 "restart_interval": rin}
+            )
+
+    media = d.mapInPandas(
+        encode, "doc_id long, media_bytes binary, restart_interval int"
+    )
+
+    cols = ["doc_id", "width", "height", "restart_interval",
+            "sum_lum", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(r.media_bytes), "jpeg"
+                )
+                lum = rgb[0::3]
+                s = ws = 0
+                for i, v in enumerate(lum):
+                    s += v
+                    ws += (i + 1) * v
+                rows.append((int(r.doc_id), w, h,
+                             int(r.restart_interval), s, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, restart_interval int, "
+        "sum_lum long, wsum long",
+    )

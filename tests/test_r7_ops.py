@@ -83,8 +83,15 @@ def test_jpeg_decoder_rejects_unsupported_shapes():
         jc.decode_jpeg_gray(b"\x89PNG")
     data = bytearray(jc.encode_jpeg_gray([jc.constant_block_coeffs(9)], 1, 1))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    # SOF2 (progressive) gained a real path in r8, so the unsupported
+    # frame check uses SOF3 (lossless) instead
+    data[i + 1] = 0xC3
     with pytest.raises(ValueError, match="non-baseline"):
+        jc.decode_jpeg_gray(bytes(data))
+    # a baseline-structured file mutated to SOF2 enters the progressive
+    # path and must still fail loudly (its scan header is sequential)
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         jc.decode_jpeg_gray(bytes(data))
 
 

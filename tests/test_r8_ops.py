@@ -525,3 +525,37 @@ def test_state_ttl_join_evicts_expired_state(spark, sf_dir):
     n_l = len(os.listdir(os.path.join(wd, "stateL")))
     n_r = len(os.listdir(os.path.join(wd, "stateR")))
     assert n_l <= 3 and n_r <= 2, (n_l, n_r)
+
+
+def test_jpeg_restart_markers_roundtrip_and_sequence_check():
+    """DRI/RSTm (T.81 E.2.4): intervals from every-MCU to longer-than-
+    the-image round-trip bit-exactly (the DC predictor reset is load-
+    bearing — block values differ so predictors diverge across runs),
+    and an out-of-sequence RSTm raises instead of silently desyncing."""
+    import numpy as np
+    import pytest
+
+    from flink_1_19_source_spark.operators.jpeg_codec import (
+        constant_block_coeffs,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    blocks = [constant_block_coeffs((10 + 37 * i) % 256) for i in range(20)]
+    exp = np.zeros((16, 80), np.uint8)
+    for i in range(20):
+        by, bx = divmod(i, 10)
+        exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (10 + 37 * i) % 256
+    for ri in (1, 3, 7, 8, 19, 25):
+        data = encode_jpeg_gray(blocks, 10, 2, restart_interval=ri)
+        assert (b"\xff\xd0" in data) == (ri < 20)
+        w, h, nc, px = decode_jpeg(data)
+        assert (w, h, nc) == (80, 16, 1)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(h, w), exp)
+
+    # RST1 where RST0 belongs -> ValueError, not garbage pixels
+    data = bytearray(encode_jpeg_gray(blocks, 10, 2, restart_interval=3))
+    i = data.find(b"\xff\xd0")
+    data[i + 1] = 0xD1
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg(bytes(data))
