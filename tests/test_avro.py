@@ -162,3 +162,56 @@ def test_block_index_covers_file_exactly_and_block_read_matches(spark, work_dir)
         assert blk.count() == 10_000
         assert whole.exceptAll(blk).count() == 0
         assert blk.exceptAll(whole).count() == 0
+
+
+def test_numpy_varint_fast_path_matches_compiled_loop(spark, work_dir):
+    """All-varint non-nullable schemas take the vectorized boundary-scan
+    decoder (r8): values — including multi-byte negative zigzags and
+    date/timestamp micros — must match the compiled per-row loop bit
+    for bit, and the distributed read must return the exact rows."""
+    import glob
+    import random
+    import struct
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from flink_1_19_source_spark.sources import avro_py as ap
+
+    random.seed(11)
+    rows = [
+        (random.randint(-2**50, 2**50), random.randint(-2**20, 2**20), i % 7)
+        for i in range(20_000)
+    ]
+    schema = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("c", T.IntegerType(), False),
+    ])
+    assert ap._varint_only(schema)
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    path = f"{work_dir}/avro_np"
+    ap.write_avro(df, path)
+    data = open(glob.glob(path + "/*.avro")[0], "rb").read()
+    pos, sync = ap._skip_header(data)
+
+    fast = ap._decode_blocks_numpy(data, pos, sync, schema)
+    dec = ap._compile_block_decoder(schema)
+    slow = [[] for _ in schema.fields]
+    mv, p = memoryview(data), pos
+    while p < len(data):
+        count, p = ap._dec_long(mv, p)
+        _, p = ap._dec_long(mv, p)
+        p = dec(data, p, count, slow, struct.unpack_from)
+        p += 16
+    for f, s in zip(fast, slow):
+        assert np.array_equal(f, np.array(s, np.int64))
+
+    got = sorted(ap.read_avro(spark, path, schema).collect())
+    assert got == sorted(rows)
+
+    # nullable or string-bearing schemas must NOT take the fast path
+    assert not ap._varint_only(T.StructType([
+        T.StructField("a", T.LongType(), True)]))
+    assert not ap._varint_only(T.StructType([
+        T.StructField("s", T.StringType(), False)]))
