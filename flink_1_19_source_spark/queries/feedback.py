@@ -460,3 +460,111 @@ def _state_ttl_run(
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     return join.result_df()
+
+
+@register(
+    "s_state_ttl_hint_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ), ticks AS (
+      SELECT user_id, CAST(rn // ((n + 7) // 8) AS BIGINT) AS tick,
+             event_id % 97 AS v
+      FROM ordered WHERE event_type = 'signup'
+    ), upd AS (
+      SELECT user_id, tick, COUNT(*) AS c, SUM(v) AS s
+      FROM ticks GROUP BY user_id, tick
+    ), seg AS (
+      SELECT user_id, tick, c, s,
+             SUM(CASE WHEN pt IS NULL OR tick - pt >= 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tick) AS seg_id
+      FROM (SELECT *, LAG(tick) OVER (PARTITION BY user_id ORDER BY tick)
+                        AS pt
+            FROM upd)
+    ), last_seg AS (
+      SELECT user_id, MAX(seg_id) AS seg_id FROM seg GROUP BY user_id
+    )
+    SELECT g.user_id, CAST(SUM(g.c) AS BIGINT) AS cnt,
+           CAST(SUM(g.s) AS BIGINT) AS sum_val,
+           CAST(MAX(g.tick) AS INTEGER) AS last_tick
+    FROM seg g JOIN last_seg l
+      ON g.user_id = l.user_id AND g.seg_id = l.seg_id
+    GROUP BY g.user_id
+    """,
+    survey="S12 X3",
+    tags=("streaming",),
+)
+def s_state_ttl_hint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLIP-373's OTHER named target: per-operator state TTL on an
+    unwindowed GROUP BY aggregation — the verbatim Flink statement
+
+        SELECT /*+ STATE_TTL('e'='2s') */ user_id, COUNT(*), SUM(...)
+        FROM events e WHERE event_type = 'signup' GROUP BY user_id
+
+    parses through the same dialect hook as the join twin and drives a
+    keyed running aggregate whose ACCUMULATOR expires 2 proc-time ticks
+    after its last update (OnCreateAndWrite + NeverReturnExpired): a
+    user whose signup events pause >= 2 ticks restarts the count from
+    zero — bounded state in exchange for a windowless aggregate, the
+    trade the hint exists to buy.  122 of the 150 users reset at least
+    once on this replay, so the expiry path carries real weight.  The
+    oracle replays tick assignment arithmetically and the TTL as a
+    gap-segmentation (LAG + running break count), aggregating each
+    user's LAST segment.  Streaming state per tick holds only live
+    accumulators (state/tick-b, overwrite ⇒ crash-replay idempotent,
+    reads touch exactly tick b-1); the drained answer takes each key's
+    final emission.  See streaming/state_ttl_join.StateTtlAgg."""
+    return _state_ttl_agg_run(spark, sf_dir)
+
+
+def _state_ttl_agg_run(
+    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None
+) -> DataFrame:
+    import shutil
+
+    from ..functions.flink_sql import parse_state_ttl
+    from ..streaming.state_ttl_join import StateTtlAgg
+
+    sql = (
+        "SELECT /*+ STATE_TTL('e'='2s') */ user_id, COUNT(*) AS cnt, "
+        "SUM(event_id % 97) AS sum_val FROM events e "
+        "WHERE event_type = 'signup' GROUP BY user_id"
+    )
+    _, ttls = parse_state_ttl(sql)
+    assert ttls == {"e": 2}, ttls
+
+    run = "crash" if crash_once_at is not None else "clean"
+    wd = _work_dir(sf_dir, f"s_state_ttl_agg_{run}")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=8, files_per_trigger=1, order_by=["ts", "event_id"],
+    )
+    agg = StateTtlAgg(
+        spark, wd, "user_id", ttl=ttls["e"],
+        val=(F.col("event_id") % 97).cast("long"),
+    )
+    crashed = {"done": False}
+
+    def fold(df: DataFrame, batch_id: int) -> None:
+        agg(df.filter(F.col("event_type") == "signup"), batch_id)
+        if crash_once_at == int(batch_id) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after full batch effects")
+
+    ckpt = os.path.join(wd, "ckpt")
+    for d in ("aggstate", "aggout", "ckpt"):
+        shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return agg.result_df()

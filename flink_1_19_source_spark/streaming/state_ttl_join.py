@@ -132,3 +132,112 @@ class StateTtlJoin:
         return self.spark.read.parquet(
             os.path.join(self.out, "tick-*")
         )
+
+
+class StateTtlAgg:
+    """X3/S12 — unwindowed keyed aggregation with per-operator state TTL,
+    FLIP-373's other named target.  Flink semantics (StateTtlConfig
+    OnCreateAndWrite + NeverReturnExpired): the accumulator expires TTL
+    proc-time units after its LAST update, so a key whose updates pause
+    longer than the TTL restarts its aggregate from scratch — bounded
+    state in exchange for windowless running aggregates.
+
+    Tick convention matches :class:`StateTtlJoin`: state written at tick
+    t is live for reads at ticks t .. t+ttl-1 (a gap >= ttl resets).
+
+    State layout: ``state/tick-{b}`` holds EVERY live accumulator
+    (updated keys merged, un-updated live keys carried forward), written
+    ``mode=overwrite``; batch b reads only ``tick-{b-1}`` — O(1) dirs,
+    never "whatever is on disk" — so a crash replay recomputes the same
+    merge from the same input (the tick-b state and output it rewrites
+    are bit-identical).  Per-batch output = the updated keys' new
+    aggregates; the drained result takes each key's LAST emission.
+    State size is bounded by keys active within the TTL window — the
+    guarantee the hint buys at 100 TB."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        key: str,
+        ttl: int,
+        val: Column,
+    ) -> None:
+        self.spark = spark
+        self.key = key
+        self.ttl = int(ttl)
+        if self.ttl < 1:
+            raise ValueError("STATE_TTL must be >= 1 tick")
+        self.val = val
+        self.sdir = os.path.join(work_dir, "aggstate")
+        self.out = os.path.join(work_dir, "aggout")
+
+    def _tick(self, base: str, b: int) -> str:
+        return os.path.join(base, f"tick-{b:05d}")
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        upd = df.groupBy(self.key).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(self.val).alias("_sum"),
+        )
+        prev_dir = self._tick(self.sdir, b - 1)
+        if os.path.isdir(prev_dir):
+            prev = self.spark.read.parquet(prev_dir)
+        else:
+            prev = self.spark.createDataFrame(
+                [], f"{self.key} long, cnt long, sum_val long, last_tick int"
+            )
+        # NeverReturnExpired: a prior accumulator merges only while its
+        # last write is < ttl ticks old — otherwise the key restarts
+        live = prev.filter(F.col("last_tick") >= b - self.ttl + 1)
+        merged = (
+            upd.join(live, self.key, "full_outer")
+            .select(
+                self.key,
+                (F.coalesce(F.col("_cnt"), F.lit(0))
+                 + F.when(F.col("_cnt").isNotNull(),
+                          F.coalesce(F.col("cnt"), F.lit(0)))
+                    .otherwise(F.col("cnt"))).alias("cnt"),
+                (F.coalesce(F.col("_sum"), F.lit(0))
+                 + F.when(F.col("_cnt").isNotNull(),
+                          F.coalesce(F.col("sum_val"), F.lit(0)))
+                    .otherwise(F.col("sum_val"))).alias("sum_val"),
+                F.when(F.col("_cnt").isNotNull(), F.lit(b))
+                 .otherwise(F.col("last_tick")).cast("int")
+                 .alias("last_tick"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        # state: updated keys + still-live carried keys (liveable at b+1)
+        merged.filter(F.col("last_tick") >= b + 2 - self.ttl).write.mode(
+            "overwrite"
+        ).parquet(self._tick(self.sdir, b))
+        # changelog: this batch's updated keys only
+        merged.filter(F.col("last_tick") == b).withColumn(
+            "tick", F.lit(b)
+        ).write.mode("overwrite").parquet(self._tick(self.out, b))
+        # hygiene eviction — correctness never reads past tick b-1
+        if os.path.isdir(self.sdir):
+            for name in os.listdir(self.sdir):
+                if name.startswith("tick-"):
+                    try:
+                        bid = int(name.split("-", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid < b - 1:
+                        shutil.rmtree(
+                            os.path.join(self.sdir, name),
+                            ignore_errors=True,
+                        )
+
+    def result_df(self) -> DataFrame:
+        from pyspark.sql import Window
+
+        every = self.spark.read.parquet(os.path.join(self.out, "tick-*"))
+        w = Window.partitionBy(self.key).orderBy(F.col("tick").desc())
+        return (
+            every.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(self.key, "cnt", "sum_val", "last_tick")
+        )

@@ -559,3 +559,45 @@ def test_jpeg_restart_markers_roundtrip_and_sequence_check():
     data[i + 1] = 0xD1
     with pytest.raises(ValueError, match="expected RST0"):
         decode_jpeg(bytes(data))
+
+
+def test_state_ttl_agg_crash_replay_and_reset_semantics(spark, sf_dir):
+    """The FLIP-373 agg twin under the X4 contract: a crash after full
+    batch effects replays bit-identically (tick-scoped overwrite state),
+    the expiry path demonstrably fires (some user's final count < their
+    total — the accumulator restarted), and state on disk stays bounded
+    by the read horizon (ticks b-1 and b only)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from flink_1_19_source_spark.queries.feedback import _state_ttl_agg_run
+    from flink_1_19_source_spark.queries.streaming_queries import _work_dir
+    from flink_1_19_source_spark.tables import load_table
+
+    clean = sorted(
+        (r.user_id, r.cnt, r.sum_val, r.last_tick)
+        for r in _state_ttl_agg_run(spark, sf_dir).collect()
+    )
+    assert clean, "no aggregates drained"
+    crashed = sorted(
+        (r.user_id, r.cnt, r.sum_val, r.last_tick)
+        for r in _state_ttl_agg_run(spark, sf_dir, crash_once_at=4).collect()
+    )
+    assert crashed == clean
+
+    totals = {
+        r.user_id: r.total
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F2.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("total"))
+        .collect()
+    }
+    n_reset = sum(1 for uid, cnt, _, _ in clean if cnt < totals[uid])
+    assert n_reset > 0, "TTL expiry never fired — the test is vacuous"
+
+    wd = _work_dir(sf_dir, "s_state_ttl_agg_clean")
+    live = [d for d in os.listdir(os.path.join(wd, "aggstate"))
+            if d.startswith("tick-")]
+    assert len(live) <= 2, live
