@@ -44,6 +44,7 @@ from . import llm_dedup  # noqa: F401  (streaming LSH/chunk dedup, winnow)
 from . import llm_dsir  # noqa: F401  (DSIR resampling + pipeline)
 from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
 from . import llm_media  # noqa: F401  (real JPEG/FLAC codec queries)
+from . import cdc_scd  # noqa: F401  (SCD2 history from CDC, batch + stream)
 
 from ..registry import REGISTRY
 

@@ -1,0 +1,194 @@
+"""X6 continuation — SCD2 (slowly-changing-dimension type 2) history
+materialization from a Debezium changelog, batch and streaming.
+
+The standard warehouse landing pattern for CDC streams: every
+insert/update opens a version, the next change on the same key closes
+it, deletes close without opening — so the table answers "what was this
+row's value at time T" with a BETWEEN on (valid_from, valid_to).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+_SCD2_ORACLE = """
+    WITH ch AS (
+      SELECT user_id, event_id, ROUND(value, 6) AS value,
+             CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error' THEN 'd'
+                  ELSE 'u' END AS op
+      FROM events
+    ), seq AS (
+      SELECT *, LEAD(ms) OVER (PARTITION BY user_id
+                               ORDER BY ms, event_id) AS next_ms
+      FROM ch
+    )
+    SELECT user_id, event_id AS version_event_id, value,
+           ms AS valid_from_ms, next_ms AS valid_to_ms,
+           next_ms IS NULL AS is_current
+    FROM seq WHERE op <> 'd'
+    """
+
+
+def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → real Debezium envelope strings (same rendering as
+    src_cdc_debezium: signup=c, error=d, else=u)."""
+    e = load_table(spark, sf_dir, "events")
+    row = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    return e.select(
+        F.to_json(
+            F.struct(
+                F.when(op != "c", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            )
+        ).alias("env")
+    )
+
+
+_ENV_SCHEMA = (
+    "before struct<user_id: bigint, event_id: bigint, value: double>,"
+    " after struct<user_id: bigint, event_id: bigint, value: double>,"
+    " op string, ts_ms bigint"
+)
+
+
+def _parse_changes(env: DataFrame) -> DataFrame:
+    """Envelope strings → (user_id, version_event_id, value, op, ms)."""
+    return env.select(F.from_json("env", _ENV_SCHEMA).alias("m")).select(
+        F.coalesce(F.col("m.after.user_id"), F.col("m.before.user_id"))
+        .alias("user_id"),
+        F.coalesce(F.col("m.after.event_id"), F.col("m.before.event_id"))
+        .alias("version_event_id"),
+        F.round(F.col("m.after.value"), 6).alias("value"),
+        F.col("m.op").alias("op"),
+        F.col("m.ts_ms").alias("ms"),
+    )
+
+
+@register(
+    "x6_scd2_history",
+    oracle=_SCD2_ORACLE,
+    survey="X6",
+)
+def x6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from a Debezium changelog, batch: envelopes are
+    parsed with the typed from_json decoder (a wrong image choice or
+    precision loss in the JSON round trip diverges the hash), then ONE
+    window pass per key assigns each c/u version its validity interval
+    — valid_to = LEAD(change ms), is_current = no successor — and
+    deletes close the predecessor by simply existing in the LEAD
+    sequence.  100 TB shape: a single (key)-partitioned window over the
+    changelog (changelogs are small relative to the corpus they
+    describe); no self-join, no history rewrite."""
+    changes = _parse_changes(_envelopes(spark, sf_dir))
+    w = Window.partitionBy("user_id").orderBy("ms", "version_event_id")
+    return (
+        changes.withColumn("next_ms", F.lead("ms").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "user_id",
+            "version_event_id",
+            "value",
+            F.col("ms").alias("valid_from_ms"),
+            F.col("next_ms").alias("valid_to_ms"),
+            F.col("next_ms").isNull().alias("is_current"),
+        )
+    )
+
+
+@register(
+    "s_scd2_stream",
+    oracle=_SCD2_ORACLE,
+    survey="X6 X4",
+    tags=("streaming",),
+)
+def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 materialization — the CDC landing job a warehouse
+    actually runs: each micro-batch of Debezium envelopes closes the
+    open versions of keys it touches (valid_to = the batch's first
+    change per key), chains intra-batch versions with one window pass,
+    and writes the new open set; untouched keys carry forward.  The
+    drained history (closed log + final open set) hash-matches the
+    one-shot batch rewrite — slicing-invariant because intervals are
+    defined by change timestamps, never by batch boundaries (pinned
+    across 3-vs-8 slicings in tests).  Crash contract: state and closed
+    log are per-tick overwrite dirs read strictly at b-1, so a replayed
+    batch is bit-identical (tests inject the crash after all effects).
+    See streaming/scd2.Scd2Sink for the 100 TB state story."""
+    return _scd2_run(spark, sf_dir)
+
+
+def _scd2_run(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: int = 8,
+    crash_once_at: int | None = None,
+) -> DataFrame:
+    import shutil
+
+    from ..streaming import replay
+    from ..streaming.scd2 import Scd2Sink
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    run = "crash" if crash_once_at is not None else f"clean{chunks}"
+    wd = _work_dir(sf_dir, f"s_scd2_{run}")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=chunks, files_per_trigger=1, order_by=["ts", "event_id"],
+    )
+    sink = Scd2Sink(
+        spark, wd, "user_id", seq_cols=["ms", "version_event_id"]
+    )
+    crashed = {"done": False}
+
+    def fold(df: DataFrame, batch_id: int) -> None:
+        row = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
+        op = (
+            F.when(F.col("event_type") == "signup", "c")
+            .when(F.col("event_type") == "error", "d")
+            .otherwise("u")
+        )
+        env = df.select(
+            F.to_json(
+                F.struct(
+                    F.when(op != "c", row).alias("before"),
+                    F.when(op != "d", row).alias("after"),
+                    op.alias("op"),
+                    F.unix_millis("ts").alias("ts_ms"),
+                )
+            ).alias("env")
+        )
+        sink(_parse_changes(env), batch_id)
+        if crash_once_at == int(batch_id) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after full batch effects")
+
+    ckpt = os.path.join(wd, "ckpt")
+    for d in ("scdstate", "scdout", "ckpt"):
+        shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return sink.history_df()
