@@ -192,3 +192,196 @@ def _scd2_run(
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     return sink.history_df()
+
+
+@register(
+    "s_window_agg_over_retract",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, ts, event_id % 1000 AS val,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+      FROM events
+    ), seq AS (
+      SELECT *, LAG(op) OVER w AS prev_op, LAG(val) OVER w AS prev_val
+      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), d AS (
+      SELECT date_trunc('day', ts) AS window_start,
+        CASE WHEN op = 'd'
+             THEN CASE WHEN prev_op IS NULL OR prev_op = 'd'
+                       THEN 0 ELSE -prev_val END
+             ELSE val - (CASE WHEN prev_op IS NULL OR prev_op = 'd'
+                              THEN 0 ELSE prev_val END)
+        END AS delta,
+        CASE WHEN op = 'd'
+             THEN CASE WHEN prev_op IS NULL OR prev_op = 'd'
+                       THEN 0 ELSE -1 END
+             ELSE CASE WHEN prev_op IS NULL OR prev_op = 'd'
+                       THEN 1 ELSE 0 END
+        END AS cd
+      FROM seq
+    )
+    SELECT window_start, CAST(SUM(delta) AS BIGINT) AS sum_val,
+           CAST(SUM(cd) AS BIGINT) AS net_keys
+    FROM d GROUP BY window_start
+    """,
+    survey="W1 X6 X4",
+    tags=("streaming",),
+)
+def s_window_agg_over_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.19: window TVF aggregation over a CHANGELOG input — the
+    TUMBLE aggregate consumes retractions instead of an append stream.
+    Upstream, events form a keyed upsert/delete changelog (every event
+    upserts its user's value, 'error' deletes the key); the windowed
+    SUM/COUNT folds each change's -U/+U pair into the window of the
+    CHANGE's rowtime: SUM accumulates (new - old), COUNT accumulates
+    +1 only on +I and -1 on -D.  Per day-window the aggregate is the
+    NET effect of that day's changes — what Flink's changelog-aware
+    TUMBLE emits, and meaningless to compute from the raw append stream.
+
+    Streaming state: a per-key mirror (the ChangelogNormalize state —
+    current value per live key, deleted keys absent) and the window
+    accumulator table (~30 day rows), both tick-dir overwrite parquet
+    read strictly at b-1, so crash replays are bit-identical and the
+    drained result is slicing-invariant (intervals bind to change
+    rowtimes, pinned 3-vs-8 in tests).  At 100 TB the mirror is O(live
+    keys) and each batch shuffles only (batch ∪ touched-mirror ∪
+    window table) — the window table never re-reads history."""
+    return _window_retract_run(spark, sf_dir)
+
+
+def _window_retract_run(
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: int = 8,
+    crash_once_at: int | None = None,
+) -> DataFrame:
+    import shutil
+
+    from ..streaming import replay
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    run = "crash" if crash_once_at is not None else f"clean{chunks}"
+    wd = _work_dir(sf_dir, f"s_winretract_{run}")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=chunks, files_per_trigger=1, order_by=["ts", "event_id"],
+    )
+    mdir = os.path.join(wd, "mirror")
+    wdir = os.path.join(wd, "winstate")
+
+    def tick(base: str, b: int) -> str:
+        return os.path.join(base, f"tick-{b:05d}")
+
+    def read_or_empty(base: str, b: int, schema: str) -> DataFrame:
+        d = tick(base, b)
+        if os.path.isdir(d):
+            return spark.read.parquet(d)
+        return spark.createDataFrame([], schema)
+
+    crashed = {"done": False}
+
+    def fold(df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        mirror = read_or_empty(mdir, b - 1, "user_id long, cur_val long")
+        ch = df.select(
+            "user_id", "event_id", "ts",
+            (F.col("event_id") % 1000).alias("val"),
+            F.when(F.col("event_type") == "error", "d")
+            .otherwise("u").alias("op"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = (
+            ch.join(mirror, "user_id", "left")
+            .withColumn("prev_op_b", F.lag("op").over(w))
+            .withColumn("prev_val_b", F.lag("val").over(w))
+            .withColumn(
+                "prev_val",
+                F.when(F.col("prev_op_b").isNull(), F.col("cur_val"))
+                .when(F.col("prev_op_b") == "d", F.lit(None))
+                .otherwise(F.col("prev_val_b")),
+            )
+            .localCheckpoint(eager=True)
+        )
+        absent = F.col("prev_val").isNull()
+        delta = F.when(
+            F.col("op") == "d",
+            F.when(absent, F.lit(0)).otherwise(-F.col("prev_val")),
+        ).otherwise(F.col("val") - F.coalesce("prev_val", F.lit(0)))
+        cd = F.when(
+            F.col("op") == "d",
+            F.when(absent, F.lit(0)).otherwise(F.lit(-1)),
+        ).otherwise(F.when(absent, F.lit(1)).otherwise(F.lit(0)))
+        wdelta = seq.groupBy(
+            F.date_trunc("day", "ts").alias("window_start")
+        ).agg(
+            F.sum(delta).alias("d_sum"), F.sum(cd).alias("d_cnt")
+        )
+        prev_win = read_or_empty(
+            wdir, b - 1,
+            "window_start timestamp, sum_val long, net_keys long",
+        )
+        merged = (
+            prev_win.join(wdelta, "window_start", "full_outer")
+            .select(
+                "window_start",
+                (F.coalesce("sum_val", F.lit(0))
+                 + F.coalesce("d_sum", F.lit(0))).alias("sum_val"),
+                (F.coalesce("net_keys", F.lit(0))
+                 + F.coalesce("d_cnt", F.lit(0))).alias("net_keys"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(tick(wdir, b))
+        # mirror update: last state per touched key, deletes drop out
+        last = (
+            seq.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+        )
+        touched = last.select("user_id")
+        new_mirror = (
+            mirror.join(touched, "user_id", "left_anti")
+            .unionByName(
+                last.filter(F.col("op") != "d").select(
+                    "user_id", F.col("val").alias("cur_val")
+                )
+            )
+        )
+        new_mirror.write.mode("overwrite").parquet(tick(mdir, b))
+        for base in (mdir, wdir):
+            for name in os.listdir(base):
+                if name.startswith("tick-"):
+                    try:
+                        bid = int(name.split("-", 1)[1])
+                    except ValueError:
+                        continue
+                    if bid < b - 1:
+                        shutil.rmtree(
+                            os.path.join(base, name), ignore_errors=True
+                        )
+        if crash_once_at == int(batch_id) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after full batch effects")
+
+    ckpt = os.path.join(wd, "ckpt")
+    for d in ("mirror", "winstate", "ckpt"):
+        shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ticks = sorted(
+        d for d in os.listdir(wdir) if d.startswith("tick-")
+    )
+    return spark.read.parquet(os.path.join(wdir, ticks[-1]))

@@ -631,3 +631,28 @@ def test_scd2_stream_slicing_invariant_and_crash_safe(spark, sf_dir):
         else:
             assert vt is not None and vt >= vf
     assert cur and all(v == 1 for v in cur.values())
+
+
+def test_window_agg_over_retract_slicing_invariant(spark, sf_dir):
+    """The changelog-consuming TUMBLE agg (Flink 1.19 'window TVF over
+    changelog'): 3-vs-8 slicings drain identical window tables, a crash
+    after full batch effects replays bit-identically, and retractions
+    demonstrably fire (some window has negative net_keys or a negative
+    sum delta is folded — deletes retract prior inserts)."""
+    from flink_1_19_source_spark.queries.cdc_scd import _window_retract_run
+
+    def canon(df):
+        return sorted(
+            (r.window_start.isoformat(), r.sum_val, r.net_keys)
+            for r in df.collect()
+        )
+
+    w8 = canon(_window_retract_run(spark, sf_dir, chunks=8))
+    assert w8, "no windows drained"
+    assert canon(_window_retract_run(spark, sf_dir, chunks=3)) == w8
+    assert canon(
+        _window_retract_run(spark, sf_dir, chunks=8, crash_once_at=4)
+    ) == w8
+    assert any(nk < 0 for _, _, nk in w8) or any(
+        sv < 0 for _, sv, _ in w8
+    ), "no retraction ever outweighed inserts — changelog fold untested"
