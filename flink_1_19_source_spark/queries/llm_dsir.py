@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from ..registry import register
 from ..tables import load_table
 
@@ -480,3 +481,107 @@ def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     return _dsir_rank(_dsir_score_with_stats(_dsir_bt(d), stats))
+
+
+# --------------------------------------------------------------------------
+# N6 — largest-remainder quota mixing (Hare apportionment)
+# --------------------------------------------------------------------------
+@register(
+    "n6_quota_mix",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, cnt, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS wt FROM c
+    ), tot AS (
+      SELECT SUM(wt) AS tw,
+             (SELECT COUNT(*) // 2 FROM documents) AS budget
+      FROM w
+    ), q AS (
+      SELECT lang, cnt, (budget * wt) // tw AS q0,
+             (budget * wt) % tw AS rem, budget
+      FROM w, tot
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+             budget - SUM(q0) OVER () AS leftover
+      FROM q
+    ), quota AS (
+      SELECT lang,
+             LEAST(q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                   cnt) AS quota
+      FROM r
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))) AS hrk
+      FROM documents
+    )
+    SELECT ranked.doc_id, ranked.lang
+    FROM ranked JOIN quota ON ranked.lang = quota.lang
+    WHERE hrk <= quota
+    """,
+    survey="N6",
+)
+def n6_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hare) quota apportionment for corpus mixing —
+    the EXACT-count counterpart of n6_temperature_mix's rate gates: a
+    fixed token/doc budget (here corpus//2, data-derived) is split
+    across languages proportionally to sqrt(count) weights using pure
+    integer arithmetic — floor quotas, then the leftover seats go to
+    the largest remainders (tie-break lang asc) — so the output sizes
+    are bit-determined, never rate-rounded.  FLOOR(SQRT(n)) is safe
+    cross-engine: IEEE 754 requires sqrt correctly rounded, so both
+    engines floor the same double.  Selection within a language is the
+    quota smallest md5('mix:'||doc_id) hashes — deterministic,
+    engine-reproducible, no RNG.  100 TB shape: the apportionment runs
+    on the per-language count table (5 rows here, thousands at worst);
+    the corpus pays one lang-partitioned hash-rank window — and when
+    quotas are per-partition writable, even that collapses to a
+    hash-threshold gate refined per language."""
+    d = load_table(spark, sf_dir, "documents")
+    total = d.groupBy().agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("budget")
+    )
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = c.select(
+        "lang", "cnt", F.floor(F.sqrt("cnt")).cast("long").alias("wt")
+    )
+    q = (
+        w.crossJoin(F.broadcast(total))
+        .withColumn("tw", F.sum("wt").over(Window.partitionBy()))
+        .select(
+            "lang", "cnt",
+            F.expr("(budget * wt) div tw").alias("q0"),
+            ((F.col("budget") * F.col("wt")) % F.col("tw")).alias("rem"),
+            "budget",
+        )
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang"))
+        .alias("rk"),
+        (F.col("budget") - F.sum("q0").over(Window.partitionBy()))
+        .alias("leftover"),
+    )
+    quota = r.select(
+        "lang",
+        F.least(
+            F.col("q0")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0),
+            F.col("cnt"),
+        ).alias("quota"),
+    )
+    hrk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("hrk", hrk)
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("hrk") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )

@@ -656,3 +656,26 @@ def test_window_agg_over_retract_slicing_invariant(spark, sf_dir):
     assert any(nk < 0 for _, _, nk in w8) or any(
         sv < 0 for _, sv, _ in w8
     ), "no retraction ever outweighed inserts — changelog fold untested"
+
+
+def test_quota_mix_apportionment_is_exact(spark, sf_dir):
+    """Largest-remainder apportionment: selected counts per language sum
+    EXACTLY to the budget (corpus//2) — the property rate-gate sampling
+    cannot give — and every language's output size equals its integer
+    quota (> 0 for all languages present)."""
+    from collections import Counter
+
+    from flink_1_19_source_spark.registry import REGISTRY
+    from flink_1_19_source_spark.tables import load_table
+
+    rows = REGISTRY["n6_quota_mix"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    per_lang = Counter(r.lang for r in rows)
+    assert sum(per_lang.values()) == total // 2
+    assert len(rows) == len({r.doc_id for r in rows})
+    langs = {
+        r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang").distinct().collect()
+    }
+    assert set(per_lang) == langs and all(v > 0 for v in per_lang.values())
