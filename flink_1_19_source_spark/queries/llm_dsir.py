@@ -585,3 +585,124 @@ def n6_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hrk") <= F.col("quota"))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# N4 — integer-surprisal bigram LM quality gate (the CCNet perplexity
+# filter, exact-arithmetic edition)
+# --------------------------------------------------------------------------
+@register(
+    "n4_lm_surprisal_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(*) AS nv FROM (
+        SELECT DISTINCT w1 AS w FROM big
+        UNION SELECT DISTINCT w2 FROM big)
+    ), scored AS (
+      SELECT b.doc_id,
+             LENGTH(bin((c1.n1 + v.nv) // (c2.n2 + 1))) - 1 AS bits
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+             COUNT(*) AS n_bigrams
+      FROM scored GROUP BY doc_id
+    ), thr AS (
+      SELECT (1000 * SUM(sum_bits)) // SUM(n_bigrams) AS t FROM agg
+    )
+    SELECT doc_id, sum_bits, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST((1000 * sum_bits) // n_bigrams AS BIGINT)
+             AS mean_millibits,
+           (1000 * sum_bits) // n_bigrams <= t AS keep
+    FROM agg, thr
+    """,
+    survey="N4",
+)
+def n4_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality gate [CCNet, Wenzek et al. 2020
+    run perplexity filters over crawl text; this is the exact-integer
+    edition an SQL oracle can replay bit-for-bit]: train add-one-
+    smoothed bigram counts on the corpus, score every document by its
+    total SURPRISAL measured in whole bits — per bigram occurrence,
+    floor(log2((c(w1)+V) / (c(w1,w2)+1))), computed exactly as
+    bit_length((c1+V) // (c2+1)) - 1 (floor-div then bit-length equals
+    the real floor(log2) because A//B <= A/B < A//B + 1) — and keep
+    documents whose mean surprisal (millibits, integer division) is at
+    most the corpus mean.  High-surprisal docs are the gibberish /
+    boilerplate tail a perplexity gate drops; no log(), no float, no
+    engine drift.
+
+    100 TB shape: one corpus pass explodes bigrams; counts are ONE
+    bigram-keyed shuffle; scoring joins corpus bigrams against the
+    count tables co-partitioned on the same keys (never broadcast —
+    bigram vocab outgrows memory); the vocab size and the global
+    threshold are the only scalars."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", ta.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    big = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    v = (
+        big.select(F.col("w1").alias("w"))
+        .union(big.select("w2"))
+        .distinct()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    bits = (
+        F.length(
+            F.bin(
+                F.expr("(n1 + nv) div (n2 + 1)")
+            )
+        )
+        - 1
+    )
+    agg = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(bits).cast("long").alias("sum_bits"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    thr = agg.groupBy().agg(
+        F.expr("(1000 * SUM(sum_bits)) div SUM(n_bigrams)").alias("t")
+    )
+    mean_mb = F.expr("(1000 * sum_bits) div n_bigrams")
+    return (
+        agg.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id", "sum_bits", "n_bigrams",
+            mean_mb.cast("long").alias("mean_millibits"),
+            (mean_mb <= F.col("t")).alias("keep"),
+        )
+    )

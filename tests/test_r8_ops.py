@@ -679,3 +679,28 @@ def test_quota_mix_apportionment_is_exact(spark, sf_dir):
         .select("lang").distinct().collect()
     }
     assert set(per_lang) == langs and all(v > 0 for v in per_lang.values())
+
+
+def test_lm_surprisal_bits_identity_and_gate_splits(spark, sf_dir):
+    """bit_length(A//B) - 1 == floor(log2(A/B)) for every A >= B >= 1
+    (the exactness claim the operator's docstring makes), and the gate
+    actually separates: both keep=True and keep=False docs exist."""
+    import math
+    import random
+
+    random.seed(3)
+    for _ in range(2000):
+        b = random.randint(1, 10**6)
+        a = random.randint(b, 10**9)
+        assert (a // b).bit_length() - 1 == math.floor(math.log2(a / b)), (
+            a, b,
+        )
+
+    from flink_1_19_source_spark.registry import REGISTRY
+
+    rows = REGISTRY["n4_lm_surprisal_filter"].fn(spark, sf_dir).collect()
+    assert rows
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}
+    for r in rows:
+        assert r.mean_millibits * r.n_bigrams <= 1000 * r.sum_bits
