@@ -570,3 +570,264 @@ def n5_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, restart_interval int, "
         "sum_lum long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL pipeline stages over decoded media: resize / frame-sample /
+# audio feature-extract (the stages that were digest-stubs before the
+# real codecs landed)
+# --------------------------------------------------------------------------
+@register(
+    "n5_image_resize_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 4 + 1) * 8 AS w, (doc_id % 3 + 1) * 8 AS h
+      FROM documents WHERE doc_id < 120
+    ), opx AS (
+      SELECT doc_id, w, h, UNNEST(range(0, 192)) AS o FROM dims
+    ), mapped AS (
+      SELECT doc_id, o,
+             ((o % 16) * w // 16) AS sx, ((o // 16) * h // 12) AS sy,
+             w, h
+      FROM opx
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS out_w, CAST(12 AS INTEGER) AS out_h,
+           CAST(SUM((doc_id*37 + (sy // 8)*19 + (sx // 8)*11) % 256)
+                AS BIGINT) AS sum_lum,
+           CAST(SUM((o + 1) * ((doc_id*37 + (sy // 8)*19 + (sx // 8)*11)
+                               % 256)) AS BIGINT) AS wsum
+    FROM mapped GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (N5) — the stage that was a digest-stub before
+    the codecs landed: per doc, a baseline JPEG is decoded (real T.81
+    path) and nearest-neighbor resampled to a fixed 16x12 thumbnail —
+    out[y][x] = in[y*h//12][x*w//16], the exact integer mapping PIL's
+    NEAREST uses — all inside one mapInPandas pass (decode + resample
+    per Arrow batch, no shuffle).  The oracle replays the coordinate
+    arithmetic and the constant-block pixel formula; a resampler that
+    rounds instead of floors, or transposes axes, breaks the hash."""
+    import pandas as pd
+
+    import numpy as np
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import constant_block_coeffs, encode_jpeg_gray
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = did % 4 + 1, did % 3 + 1
+                blocks = [
+                    constant_block_coeffs((did * 37 + by * 19 + bx * 11) % 256)
+                    for by in range(bh)
+                    for bx in range(bw)
+                ]
+                payloads.append(encode_jpeg_gray(blocks, bw, bh))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    ow, oh = 16, 12
+    cols = ["doc_id", "out_w", "out_h", "sum_lum", "wsum"]
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(r.media_bytes), "jpeg"
+                )
+                lum = np.frombuffer(rgb, np.uint8)[0::3].reshape(h, w)
+                sy = (np.arange(oh) * h) // oh
+                sx = (np.arange(ow) * w) // ow
+                thumb = lum[np.ix_(sy, sx)].astype(np.int64)
+                flat = thumb.reshape(-1)
+                ws = int(((np.arange(flat.size) + 1) * flat).sum())
+                rows.append((int(r.doc_id), ow, oh, int(flat.sum()), ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        resize, "doc_id long, out_w int, out_h int, sum_lum long, wsum long"
+    )
+
+
+@register(
+    "n5_video_frame_sample_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 5 + 3 AS h,
+             doc_id % 4 + 2 AS nf
+      FROM documents WHERE doc_id < 120
+    ), fr AS (
+      SELECT doc_id, w, h, UNNEST(range(0, nf)) AS f FROM dims
+    ), keep AS (
+      SELECT * FROM fr WHERE f % 2 = 0
+    ), px AS (
+      SELECT doc_id, w, h, f, UNNEST(range(0, w * h)) AS i FROM keep
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+           CAST(f * 40 AS INTEGER) AS frame_ts_ms,
+           CAST(SUM((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7) % 256)
+                AS BIGINT) AS sum_r
+    FROM px GROUP BY doc_id, f
+    """,
+    survey="N5",
+)
+def n5_video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (N5): decode the AVI container (RIFF
+    walk, DIB un-flip + BGR swap on the hot path), keep every 2nd frame
+    with its timestamp (25 fps → 40 ms/frame), and fold each SAMPLED
+    frame to its red-channel sum — one output row per kept frame, the
+    1→N fan-out happening inside the Arrow batch, no shuffle and no
+    driver involvement.  Oracle replays the closed-form frame pixels
+    for even frame numbers only; sampling the wrong parity or
+    timestamping by frame index instead of 1000*f//fps breaks it."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.avi_codec import encode_avi
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 9 + 4, did % 5 + 3, did % 4 + 2
+                frames = []
+                for f in range(nf):
+                    px = bytearray()
+                    for i in range(w * h):
+                        base = did * 31 + f * 11 + (i // w) * 17 + (i % w) * 7
+                        px += bytes(((base + c * 5) % 256) for c in range(3))
+                    frames.append(bytes(px))
+                payloads.append(encode_avi(frames, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "frame_no", "frame_ts_ms", "sum_r"]
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, fps, frames = multimodal.decode_video(
+                    bytes(r.media_bytes), "avi"
+                )
+                for f in range(0, len(frames), 2):
+                    pix = frames[f]
+                    sr = sum(pix[3 * i] for i in range(w * h))
+                    rows.append(
+                        (int(r.doc_id), f, 1000 * f // fps, sr)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        sample,
+        "doc_id long, frame_no int, frame_ts_ms int, sum_r long",
+    )
+
+
+@register(
+    "n5_audio_features_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 50 + 20 AS n
+      FROM documents WHERE doc_id < 150
+    ), sam AS (
+      SELECT doc_id, n, UNNEST(range(0, n)) AS i FROM dims
+    ), vals AS (
+      SELECT doc_id, i, i // 16 AS frame_no,
+             (doc_id*37 + i*13) % 4001 - 2000 AS s,
+             CASE WHEN i % 16 = 0 THEN NULL
+                  ELSE (doc_id*37 + (i-1)*13) % 4001 - 2000 END AS prev_s
+      FROM sam
+    )
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(COUNT(*) FILTER (WHERE prev_s IS NOT NULL
+                                   AND prev_s * s < 0) AS BIGINT)
+             AS zero_crossings
+    FROM vals GROUP BY doc_id, frame_no
+    """,
+    survey="N5",
+)
+def n5_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (N5): decode PCM-16 WAV (RIFF walk
+    on the hot path), frame into 16-sample windows, and emit per-frame
+    energy (sum of squares — integer-exact, no float RMS) and in-frame
+    zero-crossing counts — the two features every VAD / silence-trim
+    stage starts from.  One row per (clip, frame), fan-out inside the
+    Arrow batch.  The oracle replays the closed-form waveform; a
+    framing off-by-one or a crossing counted across a frame boundary
+    breaks the hash."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.wav_codec import encode_wav
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 50 + 20
+                samples = [(did * 37 + i * 13) % 4001 - 2000 for i in range(n)]
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "frame_no", "n_in_frame", "sum_sq", "zero_crossings"]
+
+    def features(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                _, _, samples = multimodal.decode_audio(
+                    bytes(r.media_bytes), "wav"
+                )
+                for f0 in range(0, len(samples), 16):
+                    fr = samples[f0:f0 + 16]
+                    zc = sum(
+                        1 for a, b in zip(fr, fr[1:]) if a * b < 0
+                    )
+                    rows.append(
+                        (int(r.doc_id), f0 // 16, len(fr),
+                         sum(s * s for s in fr), zc)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        features,
+        "doc_id long, frame_no int, n_in_frame long, sum_sq long, "
+        "zero_crossings long",
+    )
