@@ -385,3 +385,69 @@ def _window_retract_run(
         d for d in os.listdir(wdir) if d.startswith("tick-")
     )
     return spark.read.parquet(os.path.join(wdir, ticks[-1]))
+
+
+@register(
+    "x6_scd2_asof_lookup",
+    oracle=f"""
+    WITH ch AS (
+      SELECT user_id, event_id, ROUND(value, 6) AS value,
+             CAST(epoch_ms(ts) AS BIGINT) AS ms,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error' THEN 'd'
+                  ELSE 'u' END AS op
+      FROM events
+    ), seq AS (
+      SELECT *, LEAD(ms) OVER (PARTITION BY user_id
+                               ORDER BY ms, event_id) AS next_ms
+      FROM ch
+    ), hist AS (
+      SELECT user_id, event_id AS version_event_id, value,
+             ms AS valid_from_ms, next_ms AS valid_to_ms
+      FROM seq WHERE op <> 'd'
+    ), probes AS (
+      SELECT u.user_id,
+             1704153600000 + d * 86400000 AS probe_ms
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT UNNEST(range(0, 29)) AS d)
+    )
+    SELECT p.user_id, p.probe_ms, h.version_event_id, h.value
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from_ms <= p.probe_ms
+     AND (h.valid_to_ms IS NULL OR p.probe_ms < h.valid_to_ms)
+    """,
+    survey="X6 J6",
+)
+def x6_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history — the query the
+    history table exists to answer (Flink's FOR SYSTEM_TIME AS OF over
+    a versioned table, here materialized): for every (user, day
+    boundary) probe over the event month, return the version valid AT
+    that instant (valid_from <= t < valid_to, open intervals unbounded)
+    — users deleted at t simply produce no row, which a latest-value
+    table gets WRONG (it would resurrect them).  Composes the certified
+    x6_scd2_history stage; the join is key-equi + interval filter, so
+    at 100 TB it shuffles on user_id and each key scans only its own
+    few versions — never a cross of probes x history."""
+    hist = x6_scd2_history(spark, sf_dir).select(
+        "user_id", "version_event_id", "value",
+        "valid_from_ms", "valid_to_ms",
+    )
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    probes = users.crossJoin(
+        spark.range(0, 29).select(
+            (F.lit(1704153600000) + F.col("id") * 86400000).alias("probe_ms")
+        )
+    )
+    return (
+        probes.join(hist, "user_id")
+        .filter(
+            (F.col("valid_from_ms") <= F.col("probe_ms"))
+            & (
+                F.col("valid_to_ms").isNull()
+                | (F.col("probe_ms") < F.col("valid_to_ms"))
+            )
+        )
+        .select("user_id", "probe_ms", "version_event_id", "value")
+    )
