@@ -539,7 +539,12 @@ def n6_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus pays one lang-partitioned hash-rank window — and when
     quotas are per-partition writable, even that collapses to a
     hash-threshold gate refined per language."""
-    d = load_table(spark, sf_dir, "documents")
+    return _hare_quota_select(load_table(spark, sf_dir, "documents"))
+
+
+def _hare_quota_select(d: DataFrame) -> DataFrame:
+    """Hare apportionment + md5 hash-rank selection over any
+    (doc_id, lang) DataFrame; budget = rows // 2."""
     total = d.groupBy().agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("budget")
     )
@@ -652,6 +657,10 @@ def n4_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables co-partitioned on the same keys (never broadcast —
     bigram vocab outgrows memory); the vocab size and the global
     threshold are the only scalars."""
+    return _surprisal_scores(spark, sf_dir)
+
+
+def _surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text_analysis as ta
 
     d = load_table(spark, sf_dir, "documents")
@@ -704,5 +713,122 @@ def n4_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "sum_bits", "n_bigrams",
             mean_mb.cast("long").alias("mean_millibits"),
             (mean_mb <= F.col("t")).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# N7 — fifth composite: quality gate -> quota apportionment, attrition
+# visible per language
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_quality_mix_end_to_end",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(*) AS nv FROM (
+        SELECT DISTINCT w1 AS w FROM big
+        UNION SELECT DISTINCT w2 FROM big)
+    ), scoredoc AS (
+      SELECT b.doc_id,
+             SUM(LENGTH(bin((c1.n1 + v.nv) // (c2.n2 + 1))) - 1)
+               AS sum_bits,
+             COUNT(*) AS n_bigrams
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ), thr AS (
+      SELECT (1000 * SUM(sum_bits)) // SUM(n_bigrams) AS t FROM scoredoc
+    ), kd AS (
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN scoredoc s ON d.doc_id = s.doc_id
+      CROSS JOIN thr
+      WHERE (1000 * s.sum_bits) // s.n_bigrams <= thr.t
+    ), c AS (
+      SELECT lang, COUNT(*) AS cnt FROM kd GROUP BY lang
+    ), w AS (
+      SELECT lang, cnt, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS wt FROM c
+    ), tot AS (
+      SELECT SUM(wt) AS tw, (SELECT COUNT(*) // 2 FROM kd) AS budget
+      FROM w
+    ), q AS (
+      SELECT lang, cnt, (budget * wt) // tw AS q0,
+             (budget * wt) % tw AS rem, budget
+      FROM w, tot
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+             budget - SUM(q0) OVER () AS leftover
+      FROM q
+    ), quota AS (
+      SELECT lang,
+             LEAST(q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                   cnt) AS quota
+      FROM r
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))) AS hrk
+      FROM kd
+    ), sel AS (
+      SELECT ranked.lang, COUNT(*) AS n_selected
+      FROM ranked JOIN quota ON ranked.lang = quota.lang
+      WHERE hrk <= quota GROUP BY ranked.lang
+    ), alls AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), qual AS (
+      SELECT lang, COUNT(*) AS n_quality FROM kd GROUP BY lang
+    )
+    SELECT a.lang, a.n_docs,
+           COALESCE(qual.n_quality, 0) AS n_quality,
+           COALESCE(sel.n_selected, 0) AS n_selected
+    FROM alls a
+    LEFT JOIN qual ON a.lang = qual.lang
+    LEFT JOIN sel ON a.lang = sel.lang
+    """,
+    survey="N7 N4 N6",
+)
+def pipeline_quality_mix_end_to_end(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIFTH end-to-end composite (N7): the r8 stages chained — the
+    exact-integer bigram SURPRISAL gate (n4_lm_surprisal_filter) drops
+    high-perplexity documents, then Hare QUOTA apportionment
+    (n6_quota_mix) rebalances the survivors across languages with a
+    budget of kept//2 — per-language attrition visible at every stage
+    (n_docs → n_quality → n_selected), the report a data-mixing run
+    actually ships.  Both stages are the individually-certified
+    operators called through their shared cores, so the composite
+    cannot drift from them; corpus text is touched once (the bigram
+    pass), everything after runs on per-language counts."""
+    scores = _surprisal_scores(spark, sf_dir)
+    kept = scores.filter(F.col("keep")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    kd = d.join(kept, "doc_id").select("doc_id", "lang")
+    sel = _hare_quota_select(kd)
+    alls = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    qual = kd.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    chosen = sel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected"))
+    return (
+        alls.join(qual, "lang", "left")
+        .join(chosen, "lang", "left")
+        .select(
+            "lang", "n_docs",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
         )
     )
