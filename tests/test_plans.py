@@ -353,3 +353,36 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_media_stage_queries_are_map_only(spark, sf_dir):
+    """The r8 real media STAGES (resize / frame-sample / audio features)
+    are encode->decode->fold chains inside mapInPandas: zero shuffles —
+    the fan-out happens inside the Arrow batch, never via exchange."""
+    for name in (
+        "n5_image_resize_real",
+        "n5_video_frame_sample_real",
+        "n5_audio_features_real",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert audit.shuffle_count(df) == 0, (
+            name, audit.plan_text(df, "simple"),
+        )
+
+
+def test_quota_mix_broadcasts_quota_table(spark, sf_dir):
+    """Hare apportionment runs on the per-language count table; the
+    corpus-sized side joins the 5-row quota table by BROADCAST, never a
+    shuffled join of corpus x quotas."""
+    df = REGISTRY["n6_quota_mix"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt, txt
+
+
+def test_scd2_history_single_window_pass(spark, sf_dir):
+    """SCD2 batch materialization is ONE key-partitioned window over the
+    changelog: exactly one hash exchange (the window's), no self-join."""
+    df = REGISTRY["x6_scd2_history"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert audit.shuffle_count(df) <= 1, txt
+    assert "SortMergeJoin" not in txt and "HashJoin" not in txt, txt
