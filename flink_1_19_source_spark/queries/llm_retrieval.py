@@ -497,3 +497,87 @@ def n3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.ivfpq_topk(e, q, dim=64, k=5)
+
+
+# --------------------------------------------------------------------------
+# N3 — FILTERED ANN: metadata predicate pushed into the IVF probe
+# --------------------------------------------------------------------------
+@register(
+    "n3_filtered_ivf_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+      FROM v WHERE vec_id < 16
+    ), assign AS (
+      SELECT vn.vec_id, cn.cid,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM vn CROSS JOIN cn
+    ), corpus_list AS (
+      SELECT a.vec_id AS neighbor_id, a.cid AS list_id
+      FROM assign a JOIN documents d
+        ON d.doc_id = a.vec_id AND d.lang = 'en'
+      WHERE a.rk = 1
+    ), q_list AS (
+      SELECT vec_id AS query_id, cid AS list_id
+      FROM assign WHERE vec_id < 8 AND rk <= 3
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM q_list q JOIN corpus_list c ON q.list_id = c.list_id
+      WHERE q.query_id <> c.neighbor_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9)
+               AS cosine_sim
+      FROM cand
+      JOIN vn a ON a.vec_id = cand.query_id
+      JOIN vn b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+    tags=("approx",),
+)
+def n3_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — the retrieval shape RAG stacks actually run
+    ("nearest English documents", "nearest docs from source X"): a
+    metadata predicate composes with the IVF index instead of
+    post-filtering the top-k (which silently returns < k when the
+    filter is selective).  The lang = 'en' predicate joins the index
+    side BEFORE candidate generation, so at 100 TB BOTH prunings
+    compose at the scan: partition pruning on list_id (nprobe/K of the
+    data) AND the parquet predicate on the metadata column — the
+    "pre-filtered search" mode of FAISS/IVF-based stores.  Queries are
+    unrestricted; ranks re-pack among the filtered candidates (an
+    en-doc ranked 7th unfiltered can be 1st here).  Oracle replays
+    codebook build, filtered assignment, probe and rerank."""
+    import numpy as np
+
+    from ..operators import similarity
+    from ..tables import load_table as _lt
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    en = (
+        _lt(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    filtered = e.join(en, "vec_id")
+    return similarity.ivf_topk(filtered, q, centroids, k=5, nprobe=3)
