@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import sketches
 from ..registry import register
@@ -804,4 +805,138 @@ def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("long").alias("est"),
         F.col("true_count").cast("long").alias("true_count"),
         (F.col("est") - F.col("true_count")).cast("long").alias("overestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — theta (KMV bottom-k) sketch: set-INTERSECTION estimation
+# --------------------------------------------------------------------------
+_THETA_K = 64
+_TWO60 = 1 << 60
+
+
+def _theta_oracle(k: int = _THETA_K) -> str:
+    side = """
+    {name} AS (
+      SELECT DISTINCT CAST(CONCAT('0x',
+               SUBSTRING(md5(CONCAT('th:', CAST(user_id AS VARCHAR))), 1, 15))
+             AS BIGINT) AS h
+      FROM events WHERE event_type = '{et}'
+    ), {name}r AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+             COUNT(*) OVER () AS n
+      FROM {name}
+    ), {name}th AS (
+      SELECT CASE WHEN MAX(n) > {k}
+                  THEN MAX(CASE WHEN rk = {k} + 1 THEN h END)
+                  ELSE {two60} END AS theta
+      FROM {name}r
+    ), {name}keep AS (
+      SELECT h FROM {name}r WHERE rk <= {k}
+    )"""
+    a = side.format(name="sa", et="view", k=k, two60=_TWO60)
+    b = side.format(name="sb", et="purchase", k=k, two60=_TWO60)
+    return f"""
+    WITH {a}, {b},
+    th AS (
+      SELECT LEAST(sath.theta, sbth.theta) AS theta
+      FROM sath, sbth
+    ), inter AS (
+      SELECT COUNT(*) AS m
+      FROM sakeep JOIN sbkeep ON sakeep.h = sbkeep.h, th
+      WHERE sakeep.h < th.theta
+    ), exact AS (
+      SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events
+          WHERE event_type = 'view') AS n_a,
+        (SELECT COUNT(DISTINCT user_id) FROM events
+          WHERE event_type = 'purchase') AS n_b,
+        (SELECT COUNT(*) FROM (
+           SELECT user_id FROM events WHERE event_type = 'view'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase')) AS n_i
+    )
+    SELECT exact.n_a, exact.n_b, exact.n_i,
+           CAST(inter.m AS BIGINT) AS sample_size,
+           th.theta,
+           ROUND(inter.m * {float(_TWO60)!r} / th.theta, 4) AS est_i
+    FROM exact, inter, th
+    """
+
+
+@register(
+    "a18_theta_sketch_intersect",
+    oracle=_theta_oracle(),
+    survey="A9",
+    tags=("approx",),
+)
+def a18_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV bottom-k) sketch intersection [Dasgupta et al. 2016,
+    the Apache DataSketches theta family] — the operation HLL cannot do:
+    estimate |A ∩ B| from two mergeable sketches without rescanning
+    either side.  Each side keeps its k=64 smallest 60-bit md5 hashes
+    of DISTINCT user ids with theta = the (k+1)-th minimum (2^60 when
+    the side fits entirely); the intersection estimator counts common
+    retained hashes below min(thetaA, thetaB) and scales by 2^60/theta.
+    Every intermediate is integer-exact and engine-identical (same
+    md5-portability trick as HLL/Bloom/CMS); the only float op is the
+    final one-multiply-one-divide, IEEE-identical, rounded to 4dp.
+    100 TB shape: per side ONE distinct pass + a rank-limit (k rows
+    survive); sketches merge by union-then-re-take-k — the mergeable
+    rollup that makes theta the set-algebra workhorse next to HLL's
+    pure counts."""
+    e = load_table(spark, sf_dir, "events")
+
+    def sketch(et: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("th:"), F.col("user_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long").alias("h")
+        d = (
+            e.filter(F.col("event_type") == et)
+            .select("user_id").distinct().select(h)
+        )
+        r = d.select(
+            "h",
+            F.row_number().over(Window.orderBy("h")).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        theta = r.groupBy().agg(
+            F.when(
+                F.max("n") > _THETA_K,
+                F.max(F.when(F.col("rk") == _THETA_K + 1, F.col("h"))),
+            ).otherwise(F.lit(_TWO60)).alias("theta")
+        )
+        return r.filter(F.col("rk") <= _THETA_K).select("h"), theta
+
+    ka, ta = sketch("view")
+    kb, tb = sketch("purchase")
+    th = ta.crossJoin(tb.withColumnRenamed("theta", "theta_b")).select(
+        F.least("theta", "theta_b").alias("theta")
+    )
+    inter = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy().agg(F.count(F.lit(1)).alias("m"))
+    )
+    va = e.filter(F.col("event_type") == "view").select("user_id")
+    vb = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = spark.createDataFrame(
+        [(va.distinct().count(), vb.distinct().count(),
+          va.intersect(vb).count())],
+        "n_a long, n_b long, n_i long",
+    )
+    return (
+        exact.crossJoin(inter).crossJoin(th)
+        .select(
+            "n_a", "n_b", "n_i",
+            F.col("m").cast("long").alias("sample_size"),
+            "theta",
+            F.round(
+                F.col("m") * F.lit(float(_TWO60)) / F.col("theta"), 4
+            ).alias("est_i"),
+        )
     )

@@ -704,3 +704,31 @@ def test_lm_surprisal_bits_identity_and_gate_splits(spark, sf_dir):
     assert keeps == {True, False}
     for r in rows:
         assert r.mean_millibits * r.n_bigrams <= 1000 * r.sum_bits
+
+
+def test_theta_sketch_binds_and_estimates(spark, sf_dir):
+    """With enough distinct users both sides exceed k=64, so theta <
+    2^60 (the sketch genuinely samples rather than degenerating to
+    exact), and the intersection estimate lands within 4 relative
+    standard errors (RSE ~ 1/sqrt(k)) of the true intersection.  The
+    fixture SF has < k users per side (degenerate-exact, itself worth
+    asserting), so the binding claim runs at sf0.01."""
+    import os
+
+    import pytest
+
+    from flink_1_19_source_spark.registry import REGISTRY
+
+    small = REGISTRY["a18_theta_sketch_intersect"].fn(spark, sf_dir).collect()[0]
+    if small.n_a <= 64:
+        # degenerate regime: sketch must be EXACT
+        assert small.theta == (1 << 60) and small.est_i == small.n_i
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 fixture not present")
+    r = REGISTRY["a18_theta_sketch_intersect"].fn(spark, sf01).collect()[0]
+    assert r.theta < (1 << 60)
+    assert r.n_a > 64 and r.n_b > 64
+    rse = 1 / 64 ** 0.5
+    assert abs(r.est_i - r.n_i) <= 4 * rse * r.n_i + 1, (r.est_i, r.n_i)
