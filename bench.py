@@ -72,6 +72,11 @@ HEADLINE = [
     "pipeline_corpus_end_to_end",
     "x8_pagerank",
     "s_pattern_within_stream",
+    # r8 representatives (join the median-of-3 tier from BENCH_r08 on)
+    "n4_lm_surprisal_filter",
+    "x6_scd2_history",
+    "n6_quota_mix",
+    "n3_ivfpq_topk",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,
