@@ -886,42 +886,67 @@ def a18_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup that makes theta the set-algebra workhorse next to HLL's
     pure counts."""
     e = load_table(spark, sf_dir, "events")
+    return _theta_result(spark, sf_dir, _theta_side_hashes(e))
 
-    def sketch(et: str):
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("th:"), F.col("user_id").cast("string"))),
-                1, 15,
-            ), 16, 10,
-        ).cast("long").alias("h")
-        d = (
-            e.filter(F.col("event_type") == et)
-            .select("user_id").distinct().select(h)
-        )
-        r = d.select(
-            "h",
-            F.row_number().over(Window.orderBy("h")).alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
-        theta = r.groupBy().agg(
-            F.when(
-                F.max("n") > _THETA_K,
-                F.max(F.when(F.col("rk") == _THETA_K + 1, F.col("h"))),
-            ).otherwise(F.lit(_TWO60)).alias("theta")
-        )
-        return r.filter(F.col("rk") <= _THETA_K).select("h"), theta
 
-    ka, ta = sketch("view")
-    kb, tb = sketch("purchase")
-    th = ta.crossJoin(tb.withColumnRenamed("theta", "theta_b")).select(
-        F.least("theta", "theta_b").alias("theta")
+def _theta_side_hashes(e: DataFrame) -> DataFrame:
+    """(side, h) distinct 60-bit hashes: side 'a' = view users,
+    'b' = purchase users — the rows a theta sketch retains bottom-k of."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("th:"), F.col("user_id").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long").alias("h")
+    sides = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.when(F.col("event_type") == "view", "a").otherwise("b").alias(
+            "side"
+        ),
+        "user_id",
     )
+    return sides.distinct().select("side", h)
+
+
+def _theta_retain(hashes: DataFrame) -> DataFrame:
+    """Bottom-(k+1) distinct hashes per side — the sketch state.
+    Mergeable: bottom-(k+1) of a union == bottom-(k+1) of the unioned
+    bottom-(k+1)s, which is what the streaming twin's segment
+    compaction exploits."""
+    w = Window.partitionBy("side").orderBy("h")
+    return (
+        hashes.dropDuplicates(["side", "h"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _THETA_K + 1)
+    )
+
+
+def _theta_result(
+    spark: SparkSession, sf_dir: str, hashes: DataFrame
+) -> DataFrame:
+    r = _theta_retain(hashes).localCheckpoint(eager=True)
+
+    def theta_of(side: str):
+        return r.filter(F.col("side") == side).groupBy().agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") == _THETA_K + 1, F.col("h"))),
+                F.lit(_TWO60),
+            ).alias("theta")
+        )
+
+    th = (
+        theta_of("a")
+        .crossJoin(theta_of("b").withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    keep = r.filter(F.col("rk") <= _THETA_K)
     inter = (
-        ka.join(kb, "h")
+        keep.filter(F.col("side") == "a").select("h")
+        .join(keep.filter(F.col("side") == "b").select("h"), "h")
         .crossJoin(F.broadcast(th))
         .filter(F.col("h") < F.col("theta"))
         .groupBy().agg(F.count(F.lit(1)).alias("m"))
     )
+    e = load_table(spark, sf_dir, "events")
     va = e.filter(F.col("event_type") == "view").select("user_id")
     vb = e.filter(F.col("event_type") == "purchase").select("user_id")
     exact = spark.createDataFrame(
@@ -940,3 +965,51 @@ def a18_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_i"),
         )
     )
+
+
+@register(
+    "s_theta_sketch_stream",
+    oracle=_theta_oracle(),
+    survey="A9 A15 X4",
+    tags=("streaming", "approx"),
+)
+def s_theta_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING theta-sketch maintenance: each micro-batch appends its
+    sides' distinct bottom-(k+1) hashes as an overwrite-idempotent
+    segment; compaction re-takes the bottom-(k+1) per side — valid
+    because bottom-(k+1) of a union equals bottom-(k+1) of the unioned
+    bottom-(k+1)s (the KMV mergeability that makes theta sketches the
+    cross-day set-algebra tool: yesterday's sketch + today's ingest,
+    never a rescan).  Live state is O(k) rows per side over arbitrary
+    uptime; idempotent-by-distinctness segments make crash replay free
+    (unlike the CMS twin's non-idempotent sums).  Drained estimate
+    hash-matches the one-shot batch sketch at any slicing."""
+    import os
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from . import streaming_queries as _sq
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    wd = _work_dir(sf_dir, "s_theta")
+    run = uuid.uuid4().hex[:8]
+    store = SegmentStore(
+        spark, os.path.join(wd, f"segs-{run}"), compact_every=2,
+        merge=lambda df: _theta_retain(df).drop("rk"),
+    )
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+    )
+
+    def fold(batch, bid: int) -> None:
+        store.append(
+            _theta_retain(_theta_side_hashes(batch)).drop("rk").coalesce(1),
+            bid,
+        )
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(
+            sdf, fold, checkpoint_dir=os.path.join(wd, f"ckpt-{run}")
+        )
+    return _theta_result(spark, sf_dir, store.read().select("side", "h"))
