@@ -202,6 +202,31 @@ HEADLINERS = {
         "time-interval RANGE frames: one sort exchange per partition "
         "spec, peers aggregate together"
     ),
+    # r8 additions
+    "n4_lm_surprisal_filter": (
+        "bigram LM gate: one bigram-keyed count shuffle, scoring joins "
+        "co-partitioned on the same keys — bigram vocab never broadcast"
+    ),
+    "n6_quota_mix": (
+        "Hare apportionment on the 5-row language table, corpus pays one "
+        "lang-partitioned hash-rank window + a broadcast quota join"
+    ),
+    "x6_scd2_history": (
+        "SCD2 from changelog: ONE key-partitioned window pass, no "
+        "self-join, no history rewrite"
+    ),
+    "n3_ivfpq_topk": (
+        "IVF-PQ: coarse-list pruning + broadcast codebooks, ADC folds "
+        "per (query, probed list), exact rerank on the top-64 only"
+    ),
+    "n3_filtered_ivf_topk": (
+        "filtered ANN: metadata predicate joins the index BEFORE "
+        "candidate generation — list pruning and parquet filter compose"
+    ),
+    "a18_theta_sketch_intersect": (
+        "theta sketch: per side one distinct pass + rank-limit to k+1 "
+        "rows; intersection joins two k-row sets under a broadcast theta"
+    ),
 }
 
 
