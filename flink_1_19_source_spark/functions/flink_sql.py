@@ -542,8 +542,14 @@ def parse_state_ttl(query: str) -> tuple[str, dict[str, int]]:
 
 def translate(query: str, spark: SparkSession | None = None) -> str:
     """Rewrite the Flink dialect onto Spark SQL: window TVFs, legacy
-    group windows, name aliases, SIMILAR TO, CURRENT_WATERMARK."""
-    out = _rewrite_window_tvf(query)
+    group windows, name aliases, SIMILAR TO, CURRENT_WATERMARK.  A
+    FLIP-373 STATE_TTL hint is validated and STRIPPED: Spark's hint
+    grammar rejects the quoted k='v' form outright, and TTL is a
+    streaming-state concern with no batch semantics — the streaming
+    runners consume the parsed TTLs through parse_state_ttl instead
+    (s_state_ttl_hint_join / s_state_ttl_hint_agg)."""
+    out, _ = parse_state_ttl(query)
+    out = _rewrite_window_tvf(out)
     out = _rewrite_legacy_group_windows(out)
     for flink_name, spark_name in NAME_ALIASES.items():
         out = re.sub(

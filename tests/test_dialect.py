@@ -289,3 +289,20 @@ def test_state_ttl_hint_parse_strict():
     with pytest.raises(ValueError, match="malformed STATE_TTL"):
         # one good item + one broken one must still raise
         parse_state_ttl("SELECT /*+ STATE_TTL('a'='2s', 'b'=bogus) */ 1")
+
+
+def test_translate_strips_state_ttl_hint(spark):
+    """Spark's hint grammar rejects STATE_TTL's quoted k='v' items, so a
+    verbatim Flink 1.19 hinted statement must run through translate():
+    the hint is validated + stripped (TTL has no batch semantics), and a
+    malformed hint still raises rather than translating to silence."""
+    import pytest
+
+    from flink_1_19_source_spark.functions.flink_sql import translate
+
+    got = spark.sql(
+        translate("SELECT /*+ STATE_TTL('v'='3s') */ 1 AS x")
+    ).collect()
+    assert got[0].x == 1
+    with pytest.raises(ValueError, match="malformed STATE_TTL"):
+        translate("SELECT /*+ STATE_TTL('v'=bogus) */ 1 AS x")
