@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from ..operators import dedup
 from ..registry import register
 from ..tables import load_table
@@ -618,4 +619,56 @@ def _chunk_dedup_run(
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     return spark.read.parquet(os.path.join(out_dir, "out-*")).localCheckpoint(
         eager=True
+    )
+
+
+# --------------------------------------------------------------------------
+# N1 — priority dedup: keep the BEST duplicate, not the first
+# --------------------------------------------------------------------------
+@register(
+    "n1_priority_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY fp
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM fp
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rk = 1
+    """,
+    survey="N1",
+)
+def n1_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority (keep-BEST) exact dedup — the C4 rule: among documents
+    sharing a normalized-text fingerprint, keep the one a quality
+    criterion prefers (here longest n_chars, doc_id tiebreak), not
+    whichever arrived first.  Corpus-first dedup silently biases toward
+    early crawls; keep-best needs the whole group visible, which is why
+    it is a SEPARATE operator from n1_exact_dedup's MIN fold.  One
+    fingerprint-keyed window pass — same single-shuffle shape as exact
+    dedup (the rank and the copy count ride one exchange); at 100 TB
+    the fingerprint is the shuffle key either way, so keep-best costs
+    nothing extra over keep-first."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(ta.normalize(F.col("text"))).alias("fp")
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", fp)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
     )
