@@ -45,6 +45,7 @@ from . import llm_dsir  # noqa: F401  (DSIR resampling + pipeline)
 from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
 from . import llm_media  # noqa: F401  (real JPEG/FLAC codec queries)
 from . import cdc_scd  # noqa: F401  (SCD2 history from CDC, batch + stream)
+from . import sketches2  # noqa: F401  (theta KMV sketch family)
 
 from ..registry import REGISTRY
 
