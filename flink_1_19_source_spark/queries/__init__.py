@@ -46,6 +46,7 @@ from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
 from . import llm_media  # noqa: F401  (real JPEG/FLAC codec queries)
 from . import cdc_scd  # noqa: F401  (SCD2 history from CDC, batch + stream)
 from . import sketches2  # noqa: F401  (theta KMV sketch family)
+from . import llm_text  # noqa: F401  (trained trigram NB lang-id)
 
 from ..registry import REGISTRY
 

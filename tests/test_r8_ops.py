@@ -732,3 +732,36 @@ def test_theta_sketch_binds_and_estimates(spark, sf_dir):
     assert r.n_a > 64 and r.n_b > 64
     rse = 1 / 64 ** 0.5
     assert abs(r.est_i - r.n_i) <= 4 * rse * r.n_i + 1, (r.est_i, r.n_i)
+
+
+def test_trigram_nb_langid_separates_planted_languages(spark):
+    """The fixture corpus's lang labels are independent of its text (the
+    stopword heuristic scores at chance there — verified), so the
+    classifier's discriminative power is pinned on a PLANTED corpus:
+    three synthetic languages with disjoint character inventories, 60
+    docs each from a deterministic generator. Self-classification
+    through the same core must exceed 90%."""
+    from flink_1_19_source_spark.queries.llm_text import trigram_nb_classify
+
+    alph = {
+        "aa": "etaoinshr ",
+        "bb": "uvwxyzklm ",
+        "cc": "0123456789 ",
+    }
+
+    def text(lang, i):
+        a = alph[lang]
+        return "".join(
+            a[(i * 7 + j * 11 + (j * j) % 13) % len(a)] for j in range(120)
+        )
+
+    rows = [
+        (lang_i * 60 + i, lang, text(lang, i))
+        for lang_i, lang in enumerate(sorted(alph))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = trigram_nb_classify(d).collect()
+    assert len(got) == 180
+    acc = sum(r.correct for r in got) / len(got)
+    assert acc > 0.9, acc
