@@ -381,9 +381,7 @@ def n3_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N3 — IVF-PQ composite: coarse lists + residual PQ + ADC (FAISS IndexIVFPQ)
 # --------------------------------------------------------------------------
-@register(
-    "n3_ivfpq_topk",
-    oracle="""
+_IVFPQ_ORACLE = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
@@ -468,7 +466,12 @@ def n3_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS rank
       FROM rr
     ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "n3_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
     survey="N3",
     tags=("approx",),
 )
@@ -581,3 +584,71 @@ def n3_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filtered = e.join(en, "vec_id")
     return similarity.ivf_topk(filtered, q, centroids, k=5, nprobe=3)
+
+
+@register(
+    "n3_ivfpq_recall_report",
+    oracle=f"""
+    WITH approx AS (
+      SELECT query_id, neighbor_id FROM ({_IVFPQ_ORACLE}) t
+    ), v2 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn2 AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v2
+    ), q2 AS (SELECT * FROM vn2 WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q2.vec_id AS query_id, vn2.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+                 ORDER BY list_dot_product(q2.e, vn2.e) / (q2.nrm * vn2.nrm)
+                          DESC, vn2.vec_id) AS rk
+        FROM vn2 CROSS JOIN q2 WHERE q2.vec_id <> vn2.vec_id
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_recovered,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 9)
+             AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    survey="N3",
+)
+def n3_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quality evaluation AS DATA (completing the recall-report
+    family for the composite index): per query, how many of the exact
+    cosine top-5 survive the full coarse-list -> PQ-residual-ADC ->
+    rerank pipeline into the FINAL top-5 — the recall@k the index's
+    nprobe/M/nbits get tuned against.  Both the exact and approximate
+    sides run in-engine and the whole report is value-hash-oracled
+    (the oracle nests the certified IVF-PQ replay as a derived table)."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        similarity.ivfpq_topk(e, q, dim=64, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_f", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_f").alias("n_recovered"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_recovered").cast("double") / F.col("n_exact"), 9
+            ),
+        )
+    )
