@@ -158,6 +158,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    stop_shingle_df_cap: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |A ∩ B| / |A| — the
+    measure that catches a small document embedded in a big one, which
+    symmetric Jaccard structurally misses (|A|/|B| bounds the Jaccard of
+    a perfect subset).  Same inverted shingle index and df-cap rule as
+    ngram_jaccard_pairs; each unordered intersection yields up to two
+    directed rows.  Output: (contained_id, container_id, containment,
+    jaccard) with containment >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if stop_shingle_df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= stop_shingle_df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    jac = F.col("n_inter") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    )
+    d1 = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("n_inter") / F.col("sz_a")).alias("containment"),
+        jac.alias("jaccard"),
+    )
+    d2 = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("n_inter") / F.col("sz_b")).alias("containment"),
+        jac.alias("jaccard"),
+    )
+    return (
+        d1.unionByName(d2)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "contained_id", "container_id",
+            F.round("containment", 9).alias("containment"),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -672,3 +672,69 @@ def n1_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N2 — asymmetric containment pairs (the subset-dup Jaccard misses)
+# --------------------------------------------------------------------------
+@register(
+    "n2_containment_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), joined AS (
+      SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ), directed AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             CAST(n_inter AS DOUBLE) / sz_a AS containment,
+             CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS jaccard
+      FROM joined
+      UNION ALL
+      SELECT id_b, id_a,
+             CAST(n_inter AS DOUBLE) / sz_b,
+             CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter)
+      FROM joined
+    )
+    SELECT contained_id, container_id,
+           ROUND(containment, 9) AS containment,
+           ROUND(jaccard, 9) AS jaccard
+    FROM directed WHERE containment >= 0.5
+    """,
+    survey="N2",
+)
+def n2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs — |A ∩ B| / |A|, the
+    subset-duplicate measure [Broder 1997's "resemblance vs containment"
+    distinction]: a 50-shingle doc fully embedded in a 5000-shingle doc
+    has Jaccard ~= 0.01 (invisible to every symmetric threshold) but
+    containment 1.0 — exactly the quote-inflation / boilerplate-wrapper
+    shape a crawl dedup must catch.  Same inverted shingle index, sizes
+    and intersection counts as the Jaccard operator (one extra
+    projection per direction, no new shuffle); the df-cap rule applies
+    unchanged at 100 TB.  Output keeps the Jaccard column beside
+    containment so the MISSED-by-Jaccard rows are visible as data."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5
+    )
