@@ -630,7 +630,7 @@ def _chunk_dedup_run(
     oracle=r"""
     WITH fp AS (
       SELECT doc_id, lang, n_chars,
-             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+             MD5(substring(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), 1, 100)) AS fp
       FROM documents
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (
@@ -646,12 +646,14 @@ def _chunk_dedup_run(
     survey="N1",
 )
 def n1_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Priority (keep-BEST) exact dedup — the C4 rule: among documents
-    sharing a normalized-text fingerprint, keep the one a quality
-    criterion prefers (here longest n_chars, doc_id tiebreak), not
-    whichever arrived first.  Corpus-first dedup silently biases toward
-    early crawls; keep-best needs the whole group visible, which is why
-    it is a SEPARATE operator from n1_exact_dedup's MIN fold.  One
+    """Priority (keep-BEST) dedup — the C4 rule applied to PREFIX
+    duplicates: documents sharing their first 100 normalized chars are
+    truncated/extended variants of one page (crawl re-fetches), and the
+    keeper is the most COMPLETE one (longest n_chars, doc_id tiebreak),
+    not whichever arrived first.  On full-text-fingerprint groups the
+    criterion would be vacuous (identical text ⇒ identical length) —
+    prefix groups are exactly where keep-best and keep-first genuinely
+    diverge (they do, on 9 of this corpus's 19 multi-groups).  One
     fingerprint-keyed window pass — same single-shuffle shape as exact
     dedup (the rank and the copy count ride one exchange); at 100 TB
     the fingerprint is the shuffle key either way, so keep-best costs
@@ -659,7 +661,7 @@ def n1_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text_analysis as ta
 
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(ta.normalize(F.col("text"))).alias("fp")
+    fp = F.md5(F.substring(ta.normalize(F.col("text")), 1, 100)).alias("fp")
     w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
     return (
         d.select("doc_id", "lang", "n_chars", fp)
@@ -737,4 +739,161 @@ def n2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.ngram_containment_pairs(
         d, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register(
+    "s_priority_dedup_stream",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             MD5(substring(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), 1, 100)) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY fp
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM fp
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rk = 1
+    """,
+    survey="N1 X4",
+    tags=("streaming",),
+)
+def s_priority_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING keep-BEST dedup — unlike keep-first (which only ever
+    APPENDS a winner), keep-best RETRACTS: a later, longer duplicate
+    demotes the incumbent, so the operator is inherently an updating
+    table (Flink would emit -U old winner / +U new winner).  Per batch:
+    candidates fold to their per-fingerprint best, merge against the
+    incumbent mirror (longer n_chars wins, doc_id tiebreak), copy
+    counts accumulate additively; the mirror is a per-tick overwrite
+    dir read strictly at b-1 (crash-replay bit-identical).  Drained
+    winners hash-match the one-shot batch window — slicing-invariant
+    because max(n_chars) and SUM(copies) are order-free.  At 100 TB
+    state is one row per distinct fingerprint — identical to the
+    keep-first footprint; retraction costs nothing extra."""
+    return _priority_dedup_run(spark, sf_dir)
+
+
+def _priority_dedup_run(
+    spark: SparkSession, sf_dir: str, chunks: int = 8,
+    crash_once_at: int | None = None,
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators import text_analysis as ta
+    from ..streaming import replay
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    run = "crash" if crash_once_at is not None else f"clean{chunks}"
+    wd = _work_dir(sf_dir, f"s_priodedup_{run}")
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=chunks, files_per_trigger=1,
+        order_by=["doc_id"],
+    )
+    mdir = os.path.join(wd, "mirror")
+    schema = "fp string, doc_id long, lang string, n_chars long, n_copies long"
+    crashed = {"done": False}
+
+    def tick(b: int) -> str:
+        return os.path.join(mdir, f"tick-{b:05d}")
+
+    def fold(df, batch_id: int) -> None:
+        b = int(batch_id)
+        prev = (
+            spark.read.parquet(tick(b - 1))
+            if os.path.isdir(tick(b - 1))
+            else spark.createDataFrame([], schema)
+        )
+        w = Window.partitionBy("fp").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        cand = (
+            df.select(
+                F.md5(F.substring(ta.normalize(F.col("text")), 1, 100)).alias("fp"),
+                "doc_id", "lang",
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn(
+                "n_copies",
+                F.count(F.lit(1)).over(Window.partitionBy("fp")),
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        merged = (
+            prev.withColumnRenamed("doc_id", "p_doc")
+            .withColumnRenamed("lang", "p_lang")
+            .withColumnRenamed("n_chars", "p_chars")
+            .withColumnRenamed("n_copies", "p_copies")
+            .join(cand, "fp", "full_outer")
+            .select(
+                "fp",
+                # keep-best: longer wins, doc_id tiebreak — the -U/+U
+                F.when(
+                    F.col("doc_id").isNull(), F.col("p_doc")
+                ).when(
+                    F.col("p_doc").isNull(), F.col("doc_id")
+                ).when(
+                    (F.col("n_chars") > F.col("p_chars"))
+                    | ((F.col("n_chars") == F.col("p_chars"))
+                       & (F.col("doc_id") < F.col("p_doc"))),
+                    F.col("doc_id"),
+                ).otherwise(F.col("p_doc")).alias("doc_id"),
+                F.when(
+                    F.col("doc_id").isNull(), F.col("p_lang")
+                ).when(
+                    F.col("p_doc").isNull(), F.col("lang")
+                ).when(
+                    (F.col("n_chars") > F.col("p_chars"))
+                    | ((F.col("n_chars") == F.col("p_chars"))
+                       & (F.col("doc_id") < F.col("p_doc"))),
+                    F.col("lang"),
+                ).otherwise(F.col("p_lang")).alias("lang"),
+                F.greatest(
+                    F.coalesce("n_chars", F.lit(-1)),
+                    F.coalesce("p_chars", F.lit(-1)),
+                ).alias("n_chars"),
+                (F.coalesce("n_copies", F.lit(0))
+                 + F.coalesce("p_copies", F.lit(0))).alias("n_copies"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(tick(b))
+        for name in os.listdir(mdir):
+            if name.startswith("tick-"):
+                try:
+                    bid = int(name.split("-", 1)[1])
+                except ValueError:
+                    continue
+                if bid < b - 1:
+                    shutil.rmtree(
+                        os.path.join(mdir, name), ignore_errors=True
+                    )
+        if crash_once_at == int(batch_id) and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after full batch effects")
+
+    ckpt = os.path.join(wd, "ckpt")
+    for d in ("mirror", "ckpt"):
+        shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ticks = sorted(d for d in os.listdir(mdir) if d.startswith("tick-"))
+    return spark.read.parquet(os.path.join(mdir, ticks[-1])).select(
+        "doc_id", "lang", "n_chars", "n_copies"
     )

@@ -765,3 +765,52 @@ def test_trigram_nb_langid_separates_planted_languages(spark):
     assert len(got) == 180
     acc = sum(r.correct for r in got) / len(got)
     assert acc > 0.9, acc
+
+
+def test_priority_dedup_stream_retracts_and_converges(spark, sf_dir):
+    """Keep-best streaming dedup: 3-vs-8 slicings and a crash replay
+    drain identical winner sets, and at least one incumbent was DEMOTED
+    by a later batch (the retraction path carried weight) — pinned by
+    comparing against a keep-FIRST fold of the same stream order."""
+    from flink_1_19_source_spark.queries.llm_dedup import (
+        _priority_dedup_run,
+    )
+    from flink_1_19_source_spark.registry import REGISTRY
+
+    def snap(chunks, crash=None):
+        return sorted(
+            (r.doc_id, r.lang, r.n_chars, r.n_copies)
+            for r in _priority_dedup_run(
+                spark, sf_dir, chunks=chunks, crash_once_at=crash
+            ).collect()
+        )
+
+    s8 = snap(8)
+    assert s8 and snap(3) == s8 and snap(8, crash=4) == s8
+    batch = sorted(
+        (r.doc_id, r.lang, r.n_chars, r.n_copies)
+        for r in REGISTRY["n1_priority_dedup"].fn(spark, sf_dir).collect()
+    )
+    assert s8 == batch
+    # retraction carried weight: some group's winner is NOT its
+    # first-arriving member (doc_id order == arrival order here)
+    keep_first = {}
+    from flink_1_19_source_spark.tables import load_table
+    from pyspark.sql import functions as F2
+    from flink_1_19_source_spark.operators import text_analysis as ta
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F2.md5(
+                F2.substring(ta.normalize(F2.col("text")), 1, 100)
+            ).alias("fp"),
+            "doc_id",
+        )
+        .collect()
+    ):
+        keep_first.setdefault(r.fp, r.doc_id)
+        keep_first[r.fp] = min(keep_first[r.fp], r.doc_id)
+    winners = {d for d, _, _, _ in s8}
+    assert winners != set(keep_first.values()), (
+        "keep-best never differed from keep-first — retraction untested"
+    )
