@@ -553,6 +553,230 @@ def encode_jpeg_gray_progressive(
     return bytes(out)
 
 
+def _pt(v: int, al: int) -> int:
+    """T.81 point transform for AC coefficients: magnitude shift toward
+    zero, sign preserved (G.1.2.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_gray_progressive_sa(
+    coeff_blocks: list[list[int]],
+    blocks_w: int,
+    blocks_h: int,
+    al: int = 1,
+    coarse_only: bool = False,
+) -> bytes:
+    """Encode a grayscale progressive JPEG with SUCCESSIVE APPROXIMATION
+    (T.81 G.1.2): four scans — DC first at precision ``Al`` (values
+    sent as DC >> Al), a DC refinement appending the low bit raw, the
+    full 1..63 AC band at ``Al`` (point-transformed magnitudes), and an
+    AC refinement whose (r, s=1) symbols mark NEWLY-significant ±2^Al'
+    coefficients while correction bits refine already-nonzero history —
+    buffered and flushed after the next symbol / ZRL / EOBn exactly as
+    the decoder consumes them.  ``al`` refinement steps of one bit each
+    (al=1 → one refinement per DC/AC).  Requires |coeff| < 2^10 so the
+    first-scan categories fit the stream-written table."""
+    assert len(coeff_blocks) == blocks_w * blocks_h
+    assert al >= 1
+    w, h = blocks_w * 8, blocks_h * 8
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += _segment(
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _segment(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _segment(
+        0xFFC4, bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS)
+    )
+
+    # scan 1: DC first, Ah=0 Al=al — DPCM over DC >> al
+    bw = _BitWriter()
+    prev = 0
+    for blk in coeff_blocks:
+        v = blk[0] >> al  # DC point transform is an arithmetic shift
+        diff = v - prev
+        prev = v
+        size = _category(diff)
+        code, length = dc_codes[size]
+        bw.put(code, length)
+        if size:
+            bw.put(_code_value(diff, size), size)
+    out += _segment(0xFFDA, bytes([1, 1, 0x00, 0, 0, al]))
+    out += bw.flush()
+
+    # DC refinement scans: one raw bit per block per level
+    for lvl in ([] if coarse_only else range(al - 1, -1, -1)):
+        bw = _BitWriter()
+        for blk in coeff_blocks:
+            bw.put((blk[0] >> lvl) & 1, 1)
+        out += _segment(
+            0xFFDA, bytes([1, 1, 0x00, 0, 0, ((lvl + 1) << 4) | lvl])
+        )
+        out += bw.flush()
+
+    # scan: AC first, band 1..63, Ah=0 Al=al
+    def flush_eobrun(bw: _BitWriter, n: int, corr: list[int]) -> None:
+        while n:
+            r = min(14, n.bit_length() - 1)
+            take = min(n, (1 << r) + (1 << r) - 1)
+            code, length = ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(take - (1 << r), r)
+            n -= take
+        for bit in corr:
+            bw.put(bit, 1)
+        corr.clear()
+
+    bw = _BitWriter()
+    eobrun = 0
+    no_corr: list[int] = []
+    for blk in coeff_blocks:
+        pt = [_pt(blk[k], al) for k in range(64)]
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if pt[k]:
+                last_nz = k
+                break
+        if last_nz == 0:
+            eobrun += 1
+            continue
+        flush_eobrun(bw, eobrun, no_corr)
+        eobrun = 0
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = pt[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.put(code, length)
+            bw.put(_code_value(v, size), size)
+            run = 0
+        if last_nz < 63:
+            eobrun += 1
+    flush_eobrun(bw, eobrun, no_corr)
+    out += _segment(0xFFDA, bytes([1, 1, 0x00, 1, 63, al]))
+    out += bw.flush()
+
+    # AC refinement scans (Ah = lvl+1, Al = lvl), T.81 G.1.2.3.  The
+    # encoder MIRRORS the decoder's walk exactly: correction bits for
+    # already-nonzero history are written inline at the positions the
+    # decoder will read them (during ZRL spans, during placement walks,
+    # and — for end-of-band blocks — after the batched EOBn code in
+    # block order).
+    for lvl in ([] if coarse_only else range(al - 1, -1, -1)):
+        ah = lvl + 1
+        bw = _BitWriter()
+        eobrun = 0
+        eob_corr: list[int] = []
+
+        def corr_bit(blk, k: int) -> int:
+            return (abs(blk[k]) >> lvl) & 1
+
+        def flush_eob(bw=bw) -> None:
+            nonlocal eobrun, eob_corr
+            if not eobrun:
+                return
+            assert eobrun <= 0x7FFF, "refinement EOBRUN overflow"
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            for bit in eob_corr:
+                bw.put(bit, 1)
+            eobrun = 0
+            eob_corr = []
+
+        for blk in coeff_blocks:
+            hist = [abs(blk[k]) >> ah != 0 for k in range(64)]
+            newf = [
+                (not hist[k]) and ((abs(blk[k]) >> lvl) & 1) == 1
+                for k in range(64)
+            ]
+            if not any(newf[1:64]):
+                eob_corr.extend(
+                    corr_bit(blk, k) for k in range(1, 64) if hist[k]
+                )
+                eobrun += 1
+                continue
+            flush_eob()
+            k = 1
+            while k <= 63:
+                # next new-significant position and the zero-history
+                # run length before it
+                nxt = None
+                r_total = 0
+                j2 = k
+                while j2 <= 63:
+                    if newf[j2]:
+                        nxt = j2
+                        break
+                    if not hist[j2]:
+                        r_total += 1
+                    j2 += 1
+                if nxt is None:
+                    # end of band: the EOBn for this block batches with
+                    # following all-EOB blocks; its remainder
+                    # corrections ride first
+                    eob_corr.extend(
+                        corr_bit(blk, kk)
+                        for kk in range(k, 64)
+                        if hist[kk]
+                    )
+                    eobrun += 1
+                    break
+                while r_total > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.put(code, length)
+                    # decoder walk: corrections at every history
+                    # position passed — including those AFTER the 16th
+                    # zero slot, up to the zero the decoder breaks on
+                    cnt = 0
+                    while True:
+                        if hist[k]:
+                            bw.put(corr_bit(blk, k), 1)
+                            k += 1
+                            continue
+                        if cnt == 16:
+                            break
+                        cnt += 1
+                        k += 1
+                    r_total -= 16
+                code, length = ac_codes[(r_total << 4) | 1]
+                bw.put(code, length)
+                bw.put(1 if blk[nxt] > 0 else 0, 1)
+                # decoder placement walk: corrections at history
+                # positions, r_total zero-history slots, place at nxt
+                rr = r_total
+                while True:
+                    if hist[k]:
+                        bw.put(corr_bit(blk, k), 1)
+                        k += 1
+                        continue
+                    if rr == 0:
+                        break
+                    rr -= 1
+                    k += 1
+                assert k == nxt, (k, nxt)
+                k += 1
+        flush_eob()
+        out += _segment(0xFFDA, bytes([1, 1, 0x00, 1, 63, (ah << 4) | lvl]))
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a single-component progressive (spectral-selection) JPEG:
     SOF2, Ah=Al=0, any band tiling, general EOBRUN (EOBn = 2^n + n
@@ -620,22 +844,26 @@ def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("progressive scans here are grayscale")
             td, ta = seg[2] >> 4, seg[2] & 0xF
             ss, se, ahal = seg[3], seg[4], seg[5]
-            if ahal != 0:
-                raise ValueError(
-                    "successive approximation (Ah/Al != 0) unsupported"
-                )
+            ah, al = ahal >> 4, ahal & 0xF
             br = _BitReader(data[pos + seglen:])
-            if ss == 0:  # DC scan
+            if ss == 0:  # DC scan (first or refinement)
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                dc_tab = raw_huff[(0, td)]
-                pred = 0
-                for b in range(bh_ * bw_):
-                    size = _huff_decode(br, dc_tab)
-                    pred += _extend(br.bits(size), size)
-                    coeffs[b, 0] = pred
-                seen_dc = True
-            else:  # AC band scan
+                if ah == 0:  # first: DPCM of DC >> al
+                    dc_tab = raw_huff[(0, td)]
+                    pred = 0
+                    for b in range(bh_ * bw_):
+                        size = _huff_decode(br, dc_tab)
+                        pred += _extend(br.bits(size), size)
+                        coeffs[b, 0] = pred << al
+                    seen_dc = True
+                else:  # refinement: one raw bit per block (G.1.2.1)
+                    if ah != al + 1:
+                        raise ValueError("DC refinement must step one bit")
+                    for b in range(bh_ * bw_):
+                        if br.bit():
+                            coeffs[b, 0] |= 1 << al
+            elif ah == 0:  # AC band first scan (point-transformed)
                 if not seen_dc:
                     raise ValueError("AC scan before DC scan")
                 ac_tab = raw_huff[(1, ta)]
@@ -659,8 +887,72 @@ def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
                         k += r
                         if k > se:
                             raise ValueError("AC run past band end")
-                        coeffs[b, k] = _extend(br.bits(s), s)
+                        coeffs[b, k] = _extend(br.bits(s), s) << al
                         k += 1
+                if eobrun:
+                    raise ValueError("EOBRUN past last block")
+            else:  # AC refinement scan (G.1.2.3)
+                if ah != al + 1:
+                    raise ValueError("AC refinement must step one bit")
+                ac_tab = raw_huff[(1, ta)]
+                p1 = 1 << al
+                eobrun = 0
+
+                def refine(b: int, k: int) -> None:
+                    # correction bit for a nonzero-history coefficient
+                    if br.bit() and (abs(int(coeffs[b, k])) & p1) == 0:
+                        coeffs[b, k] += p1 if coeffs[b, k] > 0 else -p1
+
+                for b in range(bh_ * bw_):
+                    if eobrun:
+                        eobrun -= 1
+                        for k in range(ss, se + 1):
+                            if coeffs[b, k]:
+                                refine(b, k)
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(br, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0 and r < 15:  # EOBn
+                            eobrun = (1 << r) - 1 + (
+                                br.bits(r) if r else 0
+                            )
+                            # remainder of THIS block: corrections only
+                            for kk in range(k, se + 1):
+                                if coeffs[b, kk]:
+                                    refine(b, kk)
+                            k = se + 1
+                            break
+                        if s == 0:  # ZRL: 16 zero-history skips
+                            val = 0
+                            r = 16
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement magnitude must be 1"
+                                )
+                            val = p1 if br.bit() else -p1
+                            # r zero-history skips precede placement
+                        while k <= se:
+                            if coeffs[b, k]:
+                                refine(b, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError(
+                                    "refinement placement past band end"
+                                )
+                            coeffs[b, k] = val
+                            k += 1
+                        elif k <= se:
+                            # ZRL consumed its 16 zeros; position k is
+                            # the 17th zero-history slot or band end
+                            pass
                 if eobrun:
                     raise ValueError("EOBRUN past last block")
             # resume marker parse after the entropy bytes this scan used

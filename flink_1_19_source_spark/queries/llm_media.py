@@ -831,3 +831,93 @@ def n5_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_no int, n_in_frame long, sum_sq long, "
         "zero_crossings long",
     )
+
+
+@register(
+    "n5_jpeg_sa_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 1) * 8 AS w, (doc_id % 4 + 1) * 8 AS h
+      FROM documents WHERE doc_id < 96
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id*43 + ((i // w) // 8)*29 + ((i % w) // 8)*13)
+                    % 256) AS BIGINT) AS sum_lum,
+           CAST(SUM((i + 1) * ((doc_id*43 + ((i // w) // 8)*29
+                               + ((i % w) // 8)*13) % 256))
+                AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG with SUCCESSIVE APPROXIMATION (T.81 G.1.2) —
+    closing the last grayscale-JPEG gap: per doc, a six-scan SA ladder
+    (DC first at Al=2, two one-bit DC refinements, the 1..63 AC band at
+    Al=2, two AC refinements whose (r,1) symbols mark newly-significant
+    ±2^Al coefficients while correction bits — read inline during ZRL
+    spans, placement walks and batched-EOBn tails — refine nonzero
+    history) is encoded and decoded end-to-end in two map-only
+    mapInPandas passes.  Refinements complete, so the final image is
+    bit-exact and the oracle recomputes every pixel in closed form; the
+    defining SA property — a TRUNCATED stream decodes to the
+    point-transformed approximation — plus AC-path exactness on random
+    coefficient spectra are fuzz-pinned in tests/test_r8_ops.py."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import (
+        constant_block_coeffs,
+        encode_jpeg_gray_progressive_sa,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = did % 5 + 1, did % 4 + 1
+                blocks = [
+                    constant_block_coeffs((did * 43 + by * 29 + bx * 13) % 256)
+                    for by in range(bh)
+                    for bx in range(bw)
+                ]
+                payloads.append(
+                    encode_jpeg_gray_progressive_sa(blocks, bw, bh, al=2)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "width", "height", "sum_lum", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(r.media_bytes), "jpeg"
+                )
+                lum = rgb[0::3]
+                s = ws = 0
+                for i, v in enumerate(lum):
+                    s += v
+                    ws += (i + 1) * v
+                rows.append((int(r.doc_id), w, h, s, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, sum_lum long, wsum long",
+    )

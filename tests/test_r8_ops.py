@@ -814,3 +814,50 @@ def test_priority_dedup_stream_retracts_and_converges(spark, sf_dir):
     assert winners != set(keep_first.values()), (
         "keep-best never differed from keep-first — retraction untested"
     )
+
+
+def test_jpeg_successive_approximation_exact_and_prefix_decodable():
+    """T.81 G.1.2 successive approximation, both defining properties on
+    random coefficient spectra: (1) the complete SA ladder decodes
+    BIT-EXACTLY to the plain-progressive decode of the same blocks —
+    the refinement walk (correction bits inline during ZRL spans,
+    placement walks and batched-EOBn tails) reconstructs every
+    coefficient; (2) the TRUNCATED stream (first scans only) decodes to
+    the point-transformed approximation — the coarse-to-fine contract
+    that makes progressive rendering possible."""
+    import random
+
+    from flink_1_19_source_spark.operators import jpeg_codec as jc
+
+    random.seed(5)
+    for trial in range(25):
+        n = random.randint(1, 6)
+        blocks = []
+        for _ in range(n):
+            b = [0] * 64
+            b[0] = random.randint(-200, 200)
+            for _ in range(random.randint(0, 10)):
+                b[random.randint(1, 63)] = random.randint(-40, 40)
+            blocks.append(b)
+        al = random.choice([1, 2])
+
+        full = jc.encode_jpeg_gray_progressive_sa(blocks, n, 1, al=al)
+        _, _, _, pf = jc.decode_jpeg(full)
+        ref = jc.encode_jpeg_gray_progressive(blocks, n, 1)
+        _, _, _, pr = jc.decode_jpeg(ref)
+        assert pf == pr, ("full-ladder mismatch", trial)
+
+        coarse = jc.encode_jpeg_gray_progressive_sa(
+            blocks, n, 1, al=al, coarse_only=True
+        )
+        _, _, _, pc = jc.decode_jpeg(coarse)
+        approx = [
+            [
+                (b[0] >> al) << al if k == 0 else jc._pt(b[k], al) << al
+                for k in range(64)
+            ]
+            for b in blocks
+        ]
+        refc = jc.encode_jpeg_gray_progressive(approx, n, 1)
+        _, _, _, pa = jc.decode_jpeg(refc)
+        assert pc == pa, ("coarse-prefix mismatch", trial)
