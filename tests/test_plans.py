@@ -363,6 +363,7 @@ def test_media_stage_queries_are_map_only(spark, sf_dir):
         "n5_image_resize_real",
         "n5_video_frame_sample_real",
         "n5_audio_features_real",
+        "n5_jpeg_sa_decode",
     ):
         df = REGISTRY[name].fn(spark, sf_dir)
         assert audit.shuffle_count(df) == 0, (
