@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -535,3 +536,102 @@ def match_recognize_exclusion(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
     return prepared.groupBy(key_col).applyInPandas(run, EXCL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Iterative conditions (Flink CEP IterativeCondition / MATCH_RECOGNIZE
+# DEFINE referencing FIRST(<var>) — the condition of a row depends on the
+# partial match it would extend, so rows CANNOT be pre-classified to
+# symbols and regex-scanned like the paths above).
+# ---------------------------------------------------------------------------
+
+ITER_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("b_rows", LongType()),
+        StructField("anchor_value", DoubleType()),
+        StructField("end_value", DoubleType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+# Automaton state for PATTERN (A B+ C) with iterative DEFINEs
+#   B AS B.value > FIRST(A.value),   C AS C.value < FIRST(A.value)
+# st = (phase, anchor_val, anchor_id, anchor_ts_us, b_count);
+# phase 0 = seeking an A row, phase 1 = inside an attempt anchored at A.
+ITER_SEEK = (0, 0.0, 0, 0, 0)
+
+
+def iterative_step(st, sym: str, val: float, rid: int, ts_us: int):
+    """One step of the iterative-condition NFA; shared by the batch scan
+    and the streaming keyed-state twin so the semantics cannot diverge.
+
+    Returns (new_state, match) where match is None or the tuple
+    (start_id, end_id, b_rows, anchor_value, end_value, start_ts_us,
+    end_ts_us).  An A row (re)anchors unconditionally — a fresh attempt
+    supersedes a pending one, which together with the disjoint symbol
+    alphabet makes the single forward pass exactly MATCH_RECOGNIZE's
+    backtracking scan with AFTER MATCH SKIP PAST LAST ROW (no row inside
+    a failed attempt can start a match except the failing row itself,
+    and this step function restarts on that row when it is an A)."""
+    phase, a_val, a_id, a_ts, b = st
+    if sym == "A":
+        return (1, val, rid, ts_us, 0), None
+    if phase == 1:
+        if sym == "B" and val > a_val:
+            return (1, a_val, a_id, a_ts, b + 1), None
+        if sym == "C" and b >= 1 and val < a_val:
+            return ITER_SEEK, (a_id, rid, b, a_val, val, a_ts, ts_us)
+    return ITER_SEEK, None
+
+
+def match_recognize_iterative(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    symbol: Column,
+) -> DataFrame:
+    """MATCH_RECOGNIZE with ITERATIVE conditions — the Flink CEP
+    ``IterativeCondition`` surface (SQL ``DEFINE B AS B.value >
+    FIRST(A.value)``): a row's symbol validity depends on the match
+    being built, so the engine evaluates conditions against the partial
+    match (here: the anchoring A row's value) instead of pre-classifying.
+
+    PATTERN (A B+ C), DEFINE B AS B.value > FIRST(A.value),
+    C AS C.value < FIRST(A.value); one shuffle on the key, per-key work
+    linear in sequence length, O(1) scan state — the same keyed layout
+    Flink's CEP operator uses, and the same step function the streaming
+    twin (streaming/cep_stream.streaming_match_iterative) runs
+    incrementally."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        key = int(pdf[key_col].iloc[0])
+        tss = pdf[ts_col].astype("int64").to_numpy() // 1000
+        st, out = ITER_SEEK, []
+        for sym, val, rid, ts in zip(
+            pdf["__sym"], pdf[value_col], pdf[id_col], tss
+        ):
+            st, m = iterative_step(st, sym, float(val), int(rid), int(ts))
+            if m is not None:
+                a_id, e_id, b, a_val, e_val, a_ts, e_ts = m
+                out.append(
+                    (
+                        key, len(out) + 1, a_id, e_id, b, a_val, e_val,
+                        pd.to_datetime(a_ts, unit="us"),
+                        pd.to_datetime(e_ts, unit="us"),
+                    )
+                )
+        return pd.DataFrame(out, columns=[f.name for f in ITER_SCHEMA.fields])
+
+    prepared = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col),
+        F.col(value_col), symbol.alias("__sym"),
+    )
+    return prepared.groupBy(key_col).applyInPandas(run, ITER_SCHEMA)

@@ -956,3 +956,132 @@ def s_exclusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_no", "start_id", "end_id", "n_rows", "excl_rows",
         "first_ts", "last_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# X5 — ITERATIVE conditions (Flink CEP IterativeCondition / DEFINE
+# referencing FIRST(A.value)): the last MATCH_RECOGNIZE evaluation mode —
+# a row's admissibility depends on the partial match, so symbols cannot
+# be pre-classified.  PATTERN (A B+ C), A = any signup (its value is the
+# entry anchor), B = click|view priced ABOVE the anchor, C = a purchase
+# priced BELOW it — "a run above the entry price ending in a dip".
+#
+# Oracle derivation (why plain window SQL can replay an NFA): only 'A'
+# rows can start a match and every A unconditionally re-anchors, so the
+# live anchor at any row is simply the latest preceding signup; a
+# purchase row closes a match iff EVERY row strictly between that anchor
+# and itself is a valid B (click/view, value > anchor value) and its own
+# value is below the anchor with >= 1 B.  Any intervening failed C or
+# foreign row voids exactly the same attempts the NFA's backtracking
+# would — the disjoint symbol alphabet collapses the scan to a closed
+# per-anchor-group form (groups = running count of signups).
+# --------------------------------------------------------------------------
+_ITER_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value,
+             CASE event_type WHEN 'signup' THEN 'A'
+                             WHEN 'click' THEN 'B'
+                             WHEN 'view' THEN 'B'
+                             WHEN 'purchase' THEN 'C'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), anch AS (
+      SELECT *,
+             SUM(CASE WHEN sym = 'A' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ev
+    ), g1 AS (
+      SELECT *,
+             FIRST_VALUE(value) OVER w AS anchor_value,
+             FIRST_VALUE(rn) OVER w AS anchor_rn,
+             FIRST_VALUE(event_id) OVER w AS anchor_id,
+             FIRST_VALUE(ts) OVER w AS anchor_ts
+      FROM anch WHERE grp >= 1
+      WINDOW w AS (PARTITION BY user_id, grp ORDER BY rn)
+    ), g2 AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN rn > anchor_rn
+                                AND NOT (sym = 'B' AND value > anchor_value)
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, grp ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS bad_before
+      FROM g1
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_rn)
+                AS BIGINT) AS match_no,
+           anchor_id AS start_id, event_id AS end_id,
+           CAST(rn - anchor_rn - 1 AS BIGINT) AS b_rows,
+           anchor_value, value AS end_value,
+           anchor_ts AS start_ts, ts AS end_ts
+    FROM g2
+    WHERE sym = 'C' AND value < anchor_value
+      AND bad_before = 0 AND rn - anchor_rn >= 2
+"""
+
+def _iter_symbol():
+    return (
+        F.when(F.col("event_type") == "signup", "A")
+        .when(F.col("event_type").isin("click", "view"), "B")
+        .when(F.col("event_type") == "purchase", "C")
+        .otherwise("X")
+    )
+
+
+@register(
+    "x5_iterative_condition",
+    oracle=_ITER_ORACLE,
+    survey="X5 X2",
+)
+def x5_iterative_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ITERATIVE conditions — Flink CEP's
+    IterativeCondition / SQL ``DEFINE B AS B.value > FIRST(A.value),
+    C AS C.value < FIRST(A.value)`` over PATTERN (A B+ C): row
+    admissibility depends on the match being built (the anchoring
+    signup's value), the evaluation mode the static-classification CEP
+    paths above cannot express.  One shuffle on user_id, O(1) scan state
+    per key (operators/cep.iterative_step — the same step function the
+    streaming twin runs incrementally)."""
+    e = load_table(spark, sf_dir, "events")
+    return cep.match_recognize_iterative(
+        e, "user_id", "ts", "event_id", "value", _iter_symbol()
+    ).withColumnRenamed("key", "user_id")
+
+
+@register(
+    "s_iterative_condition_stream",
+    oracle=_ITER_ORACLE,
+    survey="X5-S X2",
+    tags=("streaming",),
+)
+def s_iterative_condition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING iterative-condition CEP: the identical automaton
+    (operators/cep.iterative_step) advanced per micro-batch in keyed
+    state — and because iterative A B+ C attempts are decidable
+    row-by-row, the state is the CONSTANT-SIZE automaton tuple, no
+    undecided-suffix buffer at all (the other streaming CEP paths must
+    retain one).  Matches are emitted the moment their closing purchase
+    arrives; the drained stream hash-matches the batch closed form."""
+    import os
+
+    from ..streaming import replay
+    from ..streaming.cep_stream import streaming_match_iterative
+    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+
+    wd = _work_dir(sf_dir, "s_iter_cond")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        order_by=["ts", "event_id"],
+    )
+    out = streaming_match_iterative(
+        sdf, "user_id", "ts", "event_id", "value", _iter_symbol()
+    )
+    res = _drain_to_memory(spark, out, "s_iter_cond_q", "append", wd)
+    return res.select(
+        F.col("key").alias("user_id"),
+        "match_no", "start_id", "end_id", "b_rows",
+        "anchor_value", "end_value", "start_ts", "end_ts",
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -554,6 +555,101 @@ def streaming_match_exclusion(
         _excl_factory(pattern, start_chars, max_buffer),
         outputStructType=EXCL_OUTPUT,
         stateStructType=MATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative conditions on a keyed stream (Flink CEP IterativeCondition):
+# the batch twin is operators/cep.match_recognize_iterative; BOTH run the
+# same iterative_step automaton, so batch and stream cannot diverge.  The
+# keyed state is the O(1) automaton tuple — no row buffer at all (contrast
+# the regex paths above, which must retain the undecided suffix): an
+# iterative A B+ C attempt is decidable row-by-row, which is exactly why
+# Flink evaluates IterativeConditions eagerly inside the NFA.
+# ---------------------------------------------------------------------------
+
+ITER_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("match_no", LongType()),
+        StructField("start_id", LongType()),
+        StructField("end_id", LongType()),
+        StructField("b_rows", LongType()),
+        StructField("anchor_value", DoubleType()),
+        StructField("end_value", DoubleType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+ITER_STATE = StructType(
+    [
+        StructField("phase", LongType()),
+        StructField("a_val", DoubleType()),
+        StructField("a_id", LongType()),
+        StructField("a_ts", LongType()),
+        StructField("b_cnt", LongType()),
+        StructField("match_no", LongType()),
+    ]
+)
+
+
+def _iter_factory():
+    from ..operators.cep import ITER_SEEK, iterative_step
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            phase, a_val, a_id, a_ts, b_cnt, match_no = state.get
+            st = (int(phase), float(a_val), int(a_id), int(a_ts), int(b_cnt))
+        else:
+            st, match_no = ITER_SEEK, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            tss = pdf["ts"].astype("int64").to_numpy() // 1000
+            for sym, val, rid, ts in zip(pdf["sym"], pdf["val"], pdf["id"], tss):
+                st, m = iterative_step(st, sym, float(val), int(rid), int(ts))
+                if m is not None:
+                    a, e, b, av, ev, ats, ets = m
+                    match_no += 1
+                    out.append(
+                        (
+                            int(key[0]), match_no, a, e, b, av, ev,
+                            pd.to_datetime(ats, unit="us"),
+                            pd.to_datetime(ets, unit="us"),
+                        )
+                    )
+        state.update((st[0], st[1], st[2], st[3], st[4], match_no))
+        yield pd.DataFrame(out, columns=[f.name for f in ITER_OUTPUT.fields])
+
+    return fn
+
+
+def streaming_match_iterative(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    symbol: Column,
+) -> DataFrame:
+    """Keyed streaming CEP with iterative DEFINE conditions
+    (B.value > FIRST(A.value) / C.value < FIRST(A.value)); each match is
+    emitted on the arrival of its closing C row (append semantics),
+    keyed state is the constant-size automaton tuple."""
+    prepared = sdf.select(
+        sdf[key_col].alias("key"),
+        sdf[ts_col].alias("ts"),
+        sdf[id_col].alias("id"),
+        sdf[value_col].alias("val"),
+        symbol.alias("sym"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _iter_factory(),
+        outputStructType=ITER_OUTPUT,
+        stateStructType=ITER_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

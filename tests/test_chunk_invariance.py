@@ -111,6 +111,9 @@ INVARIANT_QUERIES = [
     # chunk-hash dedup: dup target = min earlier composite key sharing
     # the hash (strict <) — a pure function of (doc_id, chunk_no) order
     "s_chunk_dedup_stream",
+    # iterative-condition CEP: the automaton state is O(1) and advanced
+    # strictly in per-key event order, so batch boundaries are invisible
+    "s_iterative_condition_stream",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Round-8 tail wave: iterative-condition CEP and friends.
+
+The driver-sim oracle certifies end-to-end equality; these tests pin the
+unit-level semantics the oracle can't see directly (the shared automaton
+step, backtracking equivalence on crafted sequences).
+"""
+
+from __future__ import annotations
+
+from flink_1_19_source_spark.operators.cep import ITER_SEEK, iterative_step
+
+
+def _scan(rows):
+    """rows: (sym, val, rid, ts) -> list of match tuples."""
+    st, out = ITER_SEEK, []
+    for sym, val, rid, ts in rows:
+        st, m = iterative_step(st, sym, float(val), rid, ts)
+        if m is not None:
+            out.append(m)
+    return out
+
+
+def test_iterative_basic_match():
+    # A(10) B(11) B(12) C(9) -> one match, 2 B rows
+    rows = [("A", 10, 1, 1), ("B", 11, 2, 2), ("B", 12, 3, 3), ("C", 9, 4, 4)]
+    assert _scan(rows) == [(1, 4, 2, 10.0, 9.0, 1, 4)]
+
+
+def test_iterative_b_below_anchor_fails():
+    # the B at 9 < anchor 10 voids the attempt; the later C can't match
+    rows = [("A", 10, 1, 1), ("B", 9, 2, 2), ("C", 5, 3, 3)]
+    assert _scan(rows) == []
+
+
+def test_iterative_c_above_anchor_fails_and_voids():
+    # C at 11 >= anchor voids; a second C below anchor must NOT match
+    # (the failed C row broke contiguity — same rule as the oracle's
+    # bad_before counter)
+    rows = [("A", 10, 1, 1), ("B", 12, 2, 2), ("C", 11, 3, 3), ("C", 5, 4, 4)]
+    assert _scan(rows) == []
+
+
+def test_iterative_reanchor_supersedes():
+    # a fresh A inside an attempt re-anchors: the match closes against
+    # the SECOND signup's value (20), not the first's
+    rows = [
+        ("A", 10, 1, 1), ("B", 11, 2, 2),
+        ("A", 20, 3, 3), ("B", 25, 4, 4), ("C", 15, 5, 5),
+    ]
+    assert _scan(rows) == [(3, 5, 1, 20.0, 15.0, 3, 5)]
+
+
+def test_iterative_needs_at_least_one_b():
+    # A C with no B between: B+ unsatisfied
+    rows = [("A", 10, 1, 1), ("C", 5, 2, 2)]
+    assert _scan(rows) == []
+
+
+def test_iterative_foreign_row_breaks():
+    # an X (error) row inside the attempt drops to SEEK
+    rows = [("A", 10, 1, 1), ("B", 11, 2, 2), ("X", 0, 3, 3), ("C", 5, 4, 4)]
+    assert _scan(rows) == []
+
+
+def test_iterative_two_matches_need_two_anchors():
+    rows = [
+        ("A", 10, 1, 1), ("B", 11, 2, 2), ("C", 9, 3, 3),
+        ("C", 1, 4, 4),  # no live anchor -> ignored
+        ("A", 50, 5, 5), ("B", 60, 6, 6), ("B", 70, 7, 7), ("C", 40, 8, 8),
+    ]
+    got = _scan(rows)
+    assert [(m[0], m[1], m[2]) for m in got] == [(1, 3, 1), (5, 8, 2)]
