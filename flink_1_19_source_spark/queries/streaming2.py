@@ -778,3 +778,155 @@ def _join_retract_run(
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.scan(spark).select("event_id", "user_id", "cnt")
+
+
+@register(
+    "s_outer_join_retract_stream",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM (SELECT event_id, user_id FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT event_id, user_id FROM events
+               WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+    """,
+    survey="§7.4-retract J2 X2 X4",
+    tags=("streaming",),
+)
+def s_outer_join_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular (unwindowed) LEFT OUTER stream-stream join — Flink's
+    retraction-PRODUCING join (the §7.4 shapes above consume changelogs;
+    this operator is where changelogs are BORN in Flink):
+
+        SELECT v.event_id, p.event_id, v.user_id
+        FROM views v LEFT JOIN purchases p ON v.user_id = p.user_id
+
+    Flink semantics: a view with no purchase yet emits +I(v, NULL)
+    immediately; the user's FIRST purchase retracts that null-padded row
+    (-D) and re-emits +I(v, p) — the null flip is the canonical
+    retraction.  Here, per micro-batch, foreachBatch (1) appends each
+    side's rows to its join state (self-compacting SegmentStores — both
+    sides' keyed state, bounded files over any uptime), (2) recomputes
+    the ABSOLUTE desired output for exactly the users touched in the
+    batch (their logged views LEFT JOIN their logged purchases), and
+    (3) diffs it against the sink's current rows for those users to
+    synthesize the changelog — '-D' for null rows whose view just
+    matched, upserts for new pairs — applied in ONE changelog MERGE
+    keyed on (view_id, purchase-or-sentinel).  Untouched users cost
+    nothing; per-batch work ∝ state of touched keys, exactly Flink's
+    join-state re-emission bill.
+
+    Absolute recompute from the logs (never sink+delta) makes a crash
+    between the MERGE and the ledger mark converge on replay: re-staged
+    deletes hit already-absent rows (MERGE no-op) and upserts are
+    idempotent — pinned by tests/test_r8_tail.py, chunk-slicing
+    invariance likewise.  Drained snapshot = the batch LEFT JOIN (the
+    DuckDB oracle): every view paired with all its user's purchases, or
+    with NULL if that user never purchases."""
+    return _outer_join_retract_run(spark, sf_dir)
+
+
+def _outer_join_retract_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    chunks: int | None = None,
+) -> DataFrame:
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import _CHUNKS, _FILES_PER_TRIGGER, _work_dir
+
+    wd = _work_dir(sf_dir, "s_outer_join_retract")
+    sdf = replay.replay_table(
+        spark, sf_dir, "events", os.path.join(wd, "src"),
+        chunks=chunks if chunks is not None else _CHUNKS,
+        files_per_trigger=_FILES_PER_TRIGGER,
+    )
+    run = uuid.uuid4().hex[:8]
+    url = jdbc_mod.derby_url(os.path.join(wd, f"derby-{run}"))
+    out = jdbc_mod.JdbcTableSource(
+        url, "OJ_OUT", column_types={"op": "VARCHAR(4)"}
+    )
+    ledger = retract.BatchLedger(jdbc_mod.JdbcTableSource(url, "OJ_LEDGER"))
+    out.ensure_table(
+        spark.createDataFrame(
+            [], "view_id long, b_key long, user_id long"
+        ),
+        overwrite=True,
+    )
+    ledger.init(spark)
+    llog = SegmentStore(spark, os.path.join(wd, f"vlog-{run}"), compact_every=2)
+    rlog = SegmentStore(spark, os.path.join(wd, f"plog-{run}"), compact_every=2)
+    crashed = {"done": False}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(spark, batch_id):
+            return  # committed batch replayed after a crash: no-op
+        batch_df = batch_df.persist()
+        try:
+            # (1) both sides' join state: idempotent per-batch appends
+            llog.append(
+                batch_df.filter(F.col("event_type") == "view")
+                .select("event_id", "user_id"),
+                batch_id,
+            )
+            rlog.append(
+                batch_df.filter(F.col("event_type") == "purchase")
+                .select("event_id", "user_id"),
+                batch_id,
+            )
+            touched = batch_df.select("user_id").distinct()
+            l_aff = llog.read().join(touched, "user_id")
+            r_aff = rlog.read().join(touched, "user_id")
+            # (2) ABSOLUTE desired output for the touched users
+            desired = (
+                l_aff.withColumnRenamed("event_id", "view_id")
+                .join(
+                    r_aff.withColumnRenamed("event_id", "purchase_id"),
+                    "user_id",
+                    "left",
+                )
+                .select(
+                    "view_id",
+                    F.coalesce("purchase_id", F.lit(-1)).alias("b_key"),
+                    "user_id",
+                )
+            )
+            # (3) changelog vs the sink's current rows for those users:
+            # stale null-padded rows retract (-D), new pairs insert.
+            current = out.scan(spark).join(touched, "user_id")
+            retractions = current.join(
+                desired, ["view_id", "b_key"], "left_anti"
+            ).withColumn("op", F.lit("-D"))
+            additions = desired.withColumn("op", F.lit("+I"))
+            out.upsert(
+                retractions.unionByName(additions),
+                pk_cols=["view_id", "b_key"],
+                op_col="op",
+            )
+            if crash_once_at == batch_id and not crashed["done"]:
+                crashed["done"] = True
+                # worst spot: sink mutated, ledger uncommitted
+                raise RuntimeError("injected crash before ledger mark")
+            ledger.mark(spark, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+            shutil.rmtree(ckpt, ignore_errors=True)
+            ckpt = os.path.join(wd, f"ckpt-{run}-resume")
+            replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+        else:
+            replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.scan(spark).select(
+        "view_id",
+        F.when(F.col("b_key") >= 0, F.col("b_key")).alias("purchase_id"),
+        "user_id",
+    )

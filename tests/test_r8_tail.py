@@ -70,3 +70,66 @@ def test_iterative_two_matches_need_two_anchors():
     ]
     got = _scan(rows)
     assert [(m[0], m[1], m[2]) for m in got] == [(1, 3, 1), (5, 8, 2)]
+
+
+def test_outer_join_retract_crash_replay_converges(spark, sf_dir):
+    """Retraction-producing LEFT OUTER stream join: a crash injected
+    AFTER the changelog MERGE but BEFORE the ledger mark, then a restart
+    on the same checkpoint, must converge — the replayed batch
+    recomputes the ABSOLUTE desired rows from the side logs, so the
+    re-staged deletes hit already-absent rows (no-op) and the upserts
+    re-apply identically."""
+    from flink_1_19_source_spark.queries.streaming2 import (
+        _outer_join_retract_run,
+    )
+
+    def snap(**kw):
+        return sorted(
+            (r.view_id, r.purchase_id, r.user_id)
+            for r in _outer_join_retract_run(spark, sf_dir, **kw).collect()
+        )
+
+    clean = snap()
+    crashed = snap(crash_once_at=1)
+    assert clean and crashed == clean
+
+
+def test_outer_join_retract_slicing_invariant(spark, sf_dir):
+    """3-chunk vs 8-chunk replays emit different mid-stream changelogs
+    (null-padded rows retract at different points) but identical drained
+    snapshots — the converged table is the batch LEFT JOIN either way."""
+    from flink_1_19_source_spark.queries.streaming2 import (
+        _outer_join_retract_run,
+    )
+
+    def snap(chunks):
+        return sorted(
+            (r.view_id, r.purchase_id, r.user_id)
+            for r in _outer_join_retract_run(
+                spark, sf_dir, chunks=chunks
+            ).collect()
+        )
+
+    a, b = snap(3), snap(8)
+    assert a and a == b
+
+
+def test_outer_join_retraction_actually_fires(spark, sf_dir):
+    """The null flip must HAPPEN, not just converge: at least one view
+    row must gain a purchase only in a later batch (i.e. its user's
+    first purchase arrives after the view), otherwise the -D path was
+    never exercised and the oracle equality is vacuous."""
+    import duckdb
+
+    got = duckdb.sql(
+        f"""
+        WITH v AS (SELECT user_id, MIN(ts) mv
+                   FROM '{sf_dir}/events.parquet'
+                   WHERE event_type='view' GROUP BY user_id),
+             p AS (SELECT user_id, MIN(ts) mp
+                   FROM '{sf_dir}/events.parquet'
+                   WHERE event_type='purchase' GROUP BY user_id)
+        SELECT COUNT(*) FROM v JOIN p USING (user_id) WHERE p.mp > v.mv
+        """
+    ).fetchone()[0]
+    assert got > 0
