@@ -252,3 +252,43 @@ def wordpiece_segment(
         else:
             return [unk]
     return toks
+
+
+def unigram_viterbi_segment(
+    word: str, weights: "dict[str, int]", max_piece: int = 4
+) -> list[str]:
+    """Unigram-LM Viterbi segmentation (Kudo 2018, SentencePiece): pick
+    the piece sequence maximizing the summed piece weights — here an
+    EXACT-INTEGER proxy for log p(piece): ``bit_length(count) * 64 - 1``
+    per piece (floor-log2 via bit length keeps both engines bit-identical
+    where float logs could diverge, the same device as the LM surprisal
+    filter; the ``- 1`` makes fewer-pieces win every exact tie, since
+    piece lengths sum to the word length).
+
+    Backward DP over positions, then a forward walk that takes the
+    LONGEST piece achieving the optimum at each cursor — the
+    deterministic tie-break the DuckDB oracle replays with its
+    length-4..1 CASE.  ``weights`` must contain every single character
+    of the word (the caller's vocab includes all corpus characters), so
+    segmentation never fails."""
+    n = len(word)
+    best = [0] * (n + 1)
+    for pos in range(n - 1, -1, -1):
+        b = None
+        for length in range(1, min(max_piece, n - pos) + 1):
+            wt = weights.get(word[pos:pos + length])
+            if wt is not None:
+                cand = wt + best[pos + length]
+                if b is None or cand > b:
+                    b = cand
+        assert b is not None, f"no piece at {word!r}[{pos}]"
+        best[pos] = b
+    pos, toks = 0, []
+    while pos < n:
+        for length in range(min(max_piece, n - pos), 0, -1):
+            wt = weights.get(word[pos:pos + length])
+            if wt is not None and wt + best[pos + length] == best[pos]:
+                toks.append(word[pos:pos + length])
+                pos += length
+                break
+    return toks

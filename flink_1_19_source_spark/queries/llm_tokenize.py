@@ -565,3 +565,164 @@ def n4_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment, "token string, freq long"
     )
     return pieces.groupBy("token").agg(F.sum("freq").alias("cnt"))
+
+
+@register(
+    "n4_unigram_encode",
+    oracle=r"""
+    WITH RECURSIVE tok AS (
+      SELECT UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                    t -> t <> '')) AS w
+      FROM documents WHERE doc_id < 200
+    ), words AS MATERIALIZED (
+      SELECT w, COUNT(*) AS freq, LEN(w) AS wl FROM tok GROUP BY 1
+    ), allp AS (
+      SELECT substr(w, p + 1, L) AS piece, freq
+      FROM (SELECT w, freq, wl, UNNEST(range(0, wl)) AS p FROM words),
+           (SELECT UNNEST(range(1, 5)) AS L)
+      WHERE p + L <= wl
+    ), pc AS MATERIALIZED (
+      SELECT piece, SUM(freq) AS cnt, LEN(piece) AS pl FROM allp GROUP BY 1
+    ), vocab AS MATERIALIZED (
+      SELECT piece, CAST(LEN(bin(cnt)) * 64 - 1 AS BIGINT) AS wt
+      FROM pc WHERE pl = 1
+      UNION ALL
+      SELECT piece, CAST(LEN(bin(cnt)) * 64 - 1 AS BIGINT) AS wt FROM (
+        SELECT piece, cnt FROM pc WHERE pl >= 2
+        ORDER BY cnt DESC, piece LIMIT 300
+      )
+    ), dp AS (
+      -- backward Viterbi: bl[i] carries best[pos + i - 1]
+      SELECT w, wl, pos, CAST([0, 0, 0, 0] AS BIGINT[]) AS bl,
+             CAST(0 AS BIGINT) AS best
+      FROM (SELECT w, wl, wl AS pos FROM words)
+      UNION ALL
+      SELECT w, wl, pos - 1, [nb, bl[1], bl[2], bl[3]], nb
+      FROM (
+        SELECT d.w, d.wl, d.pos, d.bl,
+               GREATEST(v1.wt + d.bl[1], v2.wt + d.bl[2],
+                        v3.wt + d.bl[3], v4.wt + d.bl[4]) AS nb
+        FROM dp d
+        LEFT JOIN vocab v1 ON v1.piece = substr(d.w, d.pos, 1)
+        LEFT JOIN vocab v2 ON d.pos + 1 <= d.wl
+          AND v2.piece = substr(d.w, d.pos, 2)
+        LEFT JOIN vocab v3 ON d.pos + 2 <= d.wl
+          AND v3.piece = substr(d.w, d.pos, 3)
+        LEFT JOIN vocab v4 ON d.pos + 3 <= d.wl
+          AND v4.piece = substr(d.w, d.pos, 4)
+        WHERE d.pos >= 1
+      )
+    ), dpa AS MATERIALIZED (
+      SELECT w, pos, best FROM dp
+    ), walk AS (
+      -- forward: the LONGEST piece achieving best[pos] at each cursor
+      SELECT w, freq, wl, 0 AS pos, CAST([] AS VARCHAR[]) AS toks
+      FROM words
+      UNION ALL
+      SELECT w, freq, wl, pos + bestL,
+             toks || [substr(w, pos + 1, bestL)]
+      FROM (
+        SELECT s.w, s.freq, s.wl, s.pos, s.toks,
+               CASE WHEN v4.wt IS NOT NULL AND v4.wt + b4.best = b0.best
+                      THEN 4
+                    WHEN v3.wt IS NOT NULL AND v3.wt + b3.best = b0.best
+                      THEN 3
+                    WHEN v2.wt IS NOT NULL AND v2.wt + b2.best = b0.best
+                      THEN 2
+                    ELSE 1 END AS bestL
+        FROM walk s
+        JOIN dpa b0 ON b0.w = s.w AND b0.pos = s.pos
+        LEFT JOIN vocab v4 ON s.pos + 4 <= s.wl
+          AND v4.piece = substr(s.w, s.pos + 1, 4)
+        LEFT JOIN dpa b4 ON b4.w = s.w AND b4.pos = s.pos + 4
+        LEFT JOIN vocab v3 ON s.pos + 3 <= s.wl
+          AND v3.piece = substr(s.w, s.pos + 1, 3)
+        LEFT JOIN dpa b3 ON b3.w = s.w AND b3.pos = s.pos + 3
+        LEFT JOIN vocab v2 ON s.pos + 2 <= s.wl
+          AND v2.piece = substr(s.w, s.pos + 1, 2)
+        LEFT JOIN dpa b2 ON b2.w = s.w AND b2.pos = s.pos + 2
+        WHERE s.pos < s.wl
+      )
+    )
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST(toks) AS token, freq FROM walk WHERE pos >= wl
+    ) GROUP BY 1
+    """,
+    survey="N4",
+)
+def n4_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi encode (Kudo 2018 — the SentencePiece
+    segmenter), completing the tokenizer family: BPE (merge-rule fold),
+    WordPiece (greedy longest-match), and now the probabilistic one —
+    segmentation maximizing the summed piece scores over ALL possible
+    splits, not the first greedy one.
+
+    Piece scores are an exact-integer log-prob proxy —
+    ``bit_length(count) * 64 - 1`` (floor-log2 via ``bin()`` string
+    length, identical in both engines; the ``- 1`` makes fewer pieces
+    win exact ties since piece lengths sum to the word length) — so the
+    Viterbi argmax is bit-deterministic where float log-probs could
+    diverge.  Vocabulary: every corpus character (guarantees coverage)
+    plus the top-300 substrings of length 2-4 by occurrence-weighted
+    frequency.  Scale shape mirrors the other encoders: ONE corpus pass
+    to word frequencies, piece counting explodes only the distinct-word
+    table, the ≤ 300+|charset| vocab is bounded metadata (collected +
+    closure-broadcast), and the encode is map-only over distinct words.
+    The DuckDB oracle replays the DP with a backward recursive CTE
+    (carrying a 4-slot best[] window) and a forward walk taking the
+    longest optimum-achieving piece — exactly the Python tie-break."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    words = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("wl", F.length("w"))
+    )
+    lens = F.array(*[F.lit(i) for i in (1, 2, 3, 4)])
+    pieces = (
+        words.select(
+            "w", "freq", "wl",
+            F.explode(F.expr("sequence(0, wl - 1)")).alias("p"),
+        )
+        .select("w", "freq", "wl", "p", F.explode(lens).alias("L"))
+        .filter(F.col("p") + F.col("L") <= F.col("wl"))
+        .select(F.expr("substring(w, p + 1, L)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .withColumn("pl", F.length("piece"))
+        .withColumn(
+            "wt", F.length(F.expr("bin(cnt)")).cast("long") * 64 - 1
+        )
+    )
+    singles = pieces.filter(F.col("pl") == 1).select("piece", "wt")
+    multi = (
+        pieces.filter(F.col("pl") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(300)
+        .select("piece", "wt")
+    )
+    # vocabulary-sized metadata: <= 300 + |charset| entries, the one
+    # legitimate collect (same contract as the BPE merge-rule broadcast)
+    weights = {
+        r.piece: int(r.wt) for r in singles.unionByName(multi).collect()
+    }
+
+    def segment(batches):
+        from ..operators.corpus import unigram_viterbi_segment
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                toks = unigram_viterbi_segment(str(rec.w), weights)
+                out.extend((t, int(rec.freq)) for t in toks)
+            yield pd.DataFrame(out, columns=["token", "freq"])
+
+    emitted = words.select("w", "freq").mapInPandas(
+        segment, "token string, freq long"
+    )
+    return emitted.groupBy("token").agg(F.sum("freq").alias("cnt"))
