@@ -79,7 +79,9 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
     to RGB here), interleaved YCbCr color with 4:4:4/4:2:2/4:2:0
     chroma subsampling (replication upsample + exact-int64 YCbCr→RGB),
     and grayscale progressive (spectral selection, general EOBRUN).
-    Successive approximation, color progressive, WebP and AVIF stay
+    GIF decode is REAL — the pure-stdlib GIF89a codec in ``gif_codec``
+    (variable-width LZW with dictionary rebuild, interlace).
+    Color progressive JPEG, WebP and AVIF stay
     environment-gapped (no
     imaging library in this container — PIL/cv2/imageio probed absent
     r6); swap in PIL/torchvision behind this same signature on a real
@@ -88,6 +90,10 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if fmt.lower() == "gif":
+        from .gif_codec import decode_gif
+
+        return decode_gif(payload)
     if fmt.lower() in ("jpeg", "jpg"):
         from .jpeg_codec import decode_jpeg
 

@@ -921,3 +921,114 @@ def n5_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id long, width int, height int, sum_lum long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL GIF decode (variable-width LZW + interlace, exact-pixel oracle)
+# --------------------------------------------------------------------------
+@register(
+    "n5_gif_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             10 + doc_id % 13 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), pal AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*31 + i*7) % 64 AS k
+      FROM px
+    ), rgb AS (
+      SELECT doc_id, w, h, i,
+             (k*3 + doc_id) % 256 AS r,
+             (k*5 + 2*doc_id) % 256 AS g,
+             (k*7 + 3*doc_id) % 256 AS b
+      FROM pal
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * (r + 2*g + 3*b)) AS BIGINT) AS wsum
+    FROM rgb GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_gif_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a decode end-to-end — the third real image codec after
+    PNG and JPEG: per-doc 64-color palette images (half of them
+    INTERLACED — the Appendix-E four-pass row scramble) are LZW-encoded
+    into genuine GIF bytes in one mapInPandas pass and decoded in a
+    second (operators/gif_codec: variable-width codes 7→12 bits,
+    dictionary rebuild on CLEAR, the KwKwK self-reference, local/global
+    color tables, de-interlace).
+
+    GIF is LOSSLESS, so no certifiability trick is needed: the oracle
+    recomputes every pixel in closed form from (doc_id, pixel index) —
+    DuckDB never sees a GIF byte, yet every channel sum and the
+    position-weighted fold must match bit-exactly, which fails if ANY
+    code width, table rebuild or interlace pass is wrong.  Both passes
+    are map-only; the only shuffle is the final per-doc agg.  (Python
+    LZW is the correctness reference; the 100 TB swap is a native
+    library behind the same decode_image hook.)"""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.gif_codec import encode_gif
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 10 + did % 13, 8 + did % 7
+                pal = [
+                    ((k*3 + did) % 256, (k*5 + 2*did) % 256,
+                     (k*7 + 3*did) % 256)
+                    for k in range(64)
+                ]
+                idx = [(did*31 + i*7) % 64 for i in range(w*h)]
+                payloads.append(
+                    encode_gif(idx, w, h, pal, interlace=did % 2 == 1)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "width", "height", "n_px",
+            "sum_r", "sum_g", "sum_b", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(r.media_bytes), "gif"
+                )
+                sr = sg = sb = ws = 0
+                for i in range(w * h):
+                    rr, gg, bb = rgb[3*i], rgb[3*i+1], rgb[3*i+2]
+                    sr += rr
+                    sg += gg
+                    sb += bb
+                    ws += (i + 1) * (rr + 2*gg + 3*bb)
+                rows.append((int(r.doc_id), w, h, w * h, sr, sg, sb, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_r long, sum_g long, sum_b long, wsum long",
+    )

@@ -155,25 +155,81 @@ def test_unigram_viterbi_tie_prefers_longest_piece():
         unigram_viterbi_segment,
     )
 
-    # ab=2 equals a+b=1+1: longest-first tie-break picks ['ab']... but
-    # the -1 device in the REAL weights makes fewer pieces strictly
-    # better; here we pin the residual tie rule itself.
+    # ab=2 exactly equals a+b=1+1; the walk must resolve the residual
+    # tie toward the single longer piece (the production weights also
+    # carry the -1 fewer-pieces device, pinned separately below)
     w = {"a": 1, "b": 1, "ab": 2}
     assert unigram_viterbi_segment("ab", w) == ["ab"]
 
 
 def test_unigram_fewer_pieces_wins_via_weight_minus_one():
-    """bit_length(cnt)*64 - 1 weights: two pieces of bit-length L sum
-    to 2L*64 - 2, one piece of bit-length 2L... the -1 term penalizes
-    each extra piece, so equal-log splits resolve to fewer pieces."""
+    """The production weights are bit_length(cnt)*64 - 1: the -1 term
+    charges each extra piece, so equal-evidence splits resolve toward
+    fewer pieces — but STRONGER evidence must still beat piece count,
+    which this crafted vocabulary checks (split total 510 > single
+    447)."""
     from flink_1_19_source_spark.operators.corpus import (
         unigram_viterbi_segment,
     )
 
-    # cnt=8 (bl 4) for all: 'ab' weight 255, 'a'+'b' = 255+255-... each
-    # = 4*64-1 = 255; split total 510 > 255 single. So HIGH counts on
-    # singles win — weights must differ for the rule to matter; craft
-    # equal-evidence: ab cnt 64 (bl 7 -> 447), a,b cnt 8 (bl 4 -> 255
-    # each, total 510). Viterbi picks the split on weight, not length.
     w = {"a": 255, "b": 255, "ab": 447}
     assert unigram_viterbi_segment("ab", w) == ["a", "b"]
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """GIF LZW + container roundtrip across palette sizes, interlace,
+    and degenerate dims — decoded RGB must equal the palette lookup of
+    the source indices exactly (GIF is lossless)."""
+    import random
+
+    from flink_1_19_source_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rnd = random.Random(7)
+    for _ in range(25):
+        w, h = rnd.randint(1, 40), rnd.randint(1, 40)
+        npal = rnd.choice([4, 16, 64, 256])
+        pal = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(npal)
+        ]
+        idx = [rnd.randrange(npal) for _ in range(w * h)]
+        inter = rnd.random() < 0.5
+        w2, h2, rgb = decode_gif(encode_gif(idx, w, h, pal, interlace=inter))
+        want = b"".join(bytes(pal[p]) for p in idx)
+        assert (w2, h2) == (w, h) and rgb == want
+
+
+def test_gif_lzw_table_overflow_clear():
+    """Random 256-palette 100x100 image forces the dictionary past 4096
+    entries, so the encoder must emit a mid-stream CLEAR and the decoder
+    must rebuild — the path a small image never exercises."""
+    import random
+
+    from flink_1_19_source_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rnd = random.Random(3)
+    pal = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+    idx = [rnd.randrange(256) for _ in range(100 * 100)]
+    w, h, rgb = decode_gif(encode_gif(idx, 100, 100, pal))
+    want = b"".join(bytes(pal[p]) for p in idx)
+    assert (w, h) == (100, 100) and rgb == want
+
+
+def test_gif_kwkwk_case():
+    """'ababab…' makes the decoder hit code == next_code (the KwKwK
+    self-referential entry) on the very first growth step."""
+    from flink_1_19_source_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = [(9, 9, 9), (200, 100, 50), (1, 2, 3), (4, 5, 6)]
+    idx = [0, 1] * 800
+    w, h, rgb = decode_gif(encode_gif(idx, 40, 40, pal))
+    assert rgb == b"".join(bytes(pal[p]) for p in idx)
