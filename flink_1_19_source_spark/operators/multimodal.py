@@ -127,9 +127,13 @@ def decode_audio(payload: bytes, fmt: str) -> tuple[int, int, list]:
         from .flac_codec import decode_flac
 
         return decode_flac(payload)
+    if fmt.lower() in ("adpcm", "ima-adpcm", "dvi4"):
+        from .adpcm_codec import decode_adpcm_wav
+
+        return decode_adpcm_wav(payload)
     raise NotImplementedError(
         f"{fmt} decoding requires an audio library not present in this "
-        "environment; wav and subset FLAC decode natively"
+        "environment; wav, subset FLAC and IMA ADPCM decode natively"
     )
 
 

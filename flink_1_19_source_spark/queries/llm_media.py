@@ -1032,3 +1032,134 @@ def n5_gif_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_px long, "
         "sum_r long, sum_g long, sum_b long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL IMA ADPCM decode (lossy compressed audio, expander replayed
+# table-by-table in SQL)
+# --------------------------------------------------------------------------
+@register(
+    "n5_adpcm_decode_real",
+    oracle="""
+    WITH RECURSIVE blocks AS (
+      SELECT doc_id, b AS blk,
+             (doc_id*131 + b*57) % 4096 - 2048 AS pred0,
+             (doc_id + b*5) % 89 AS idx0
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 120),
+           (SELECT UNNEST([0, 1]) AS b)
+    ), dec AS (
+      SELECT doc_id, blk, -1 AS j,
+             CAST(pred0 AS BIGINT) AS pred, CAST(idx0 AS BIGINT) AS idx
+      FROM blocks
+      UNION ALL
+      SELECT doc_id, blk, j + 1,
+             LEAST(32767, GREATEST(-32768,
+               CASE WHEN nib >= 8 THEN pred - diff
+                    ELSE pred + diff END)),
+             LEAST(88, GREATEST(0,
+               idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+      FROM (
+        SELECT doc_id, blk, j, pred, idx, nib,
+               (step // 8)
+               + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+               + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+               + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+        FROM (
+          SELECT doc_id, blk, j, pred, idx,
+                 (doc_id*7 + blk*11 + (j + 1)*3) % 16 AS nib,
+                 ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                   41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+                   190,209,230,253,279,307,337,371,408,449,494,544,598,
+                   658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+                   1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,
+                   4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+                   12635,13899,15289,16818,18500,20350,22385,24623,27086,
+                   29794,32767])[idx + 1] AS step
+          FROM dec WHERE j < 63
+        )
+      )
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(pred) AS BIGINT) AS sum_amp,
+           CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(pred)) AS BIGINT) AS peak,
+           CAST(SUM((blk*65 + j + 2) * pred) AS BIGINT) AS wsum
+    FROM dec GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy compressed-audio decode — IMA ADPCM (WAV format tag
+    0x0011), the first LOSSY codec certified end-to-end: per-doc
+    two-block clips are built as genuine IMA ADPCM WAV bytes in one
+    mapInPandas pass and decoded in a second (operators/adpcm_codec:
+    89-entry step table, index adaptation, int16 clamping, block-header
+    sample emission).
+
+    Lossy codecs normally defeat value-hash oracles (the quantizer's
+    rounding lives outside SQL) — here the trick is to certify the
+    DECODER, the production-relevant direction: the block nibbles are a
+    closed form of (doc_id, block, position), so the DuckDB oracle
+    replays the expander itself — step/index tables as literal arrays
+    inside a recursive CTE, 64 lock-step iterations across every
+    (doc, block) — and every decoded sample must match bit-exactly.
+    Both passes map-only; the only shuffle is the final per-doc agg."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.adpcm_codec import encode_adpcm_wav
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blocks = []
+                for blk in range(2):
+                    pred0 = (did*131 + blk*57) % 4096 - 2048
+                    idx0 = (did + blk*5) % 89
+                    nibs = [
+                        (did*7 + blk*11 + j*3) % 16 for j in range(64)
+                    ]
+                    blocks.append((pred0, idx0, nibs))
+                payloads.append(encode_adpcm_wav(blocks))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "sample_rate", "channels", "n_samples",
+            "sum_amp", "sum_abs", "peak", "wsum"]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rate, ch, samples = multimodal.decode_audio(
+                    bytes(r.media_bytes), "adpcm"
+                )
+                s = sa = pk = ws = 0
+                for pos, v in enumerate(samples):
+                    s += v
+                    sa += abs(v)
+                    pk = max(pk, abs(v))
+                    ws += (pos + 1) * v
+                rows.append(
+                    (int(r.doc_id), rate, ch, len(samples), s, sa, pk, ws)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, sample_rate int, channels int, n_samples long, "
+        "sum_amp long, sum_abs long, peak long, wsum long",
+    )

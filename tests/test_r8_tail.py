@@ -233,3 +233,42 @@ def test_gif_kwkwk_case():
     idx = [0, 1] * 800
     w, h, rgb = decode_gif(encode_gif(idx, 40, 40, pal))
     assert rgb == b"".join(bytes(pal[p]) for p in idx)
+
+
+def test_adpcm_expander_reference_vectors():
+    """Pin the IMA expander against hand-computed steps: from (pred=0,
+    idx=0, step=7): nib=4 -> diff = step>>3 (0) + step (7) = 7, so
+    pred=7; index delta = INDEX_TABLE[4] = +2."""
+    from flink_1_19_source_spark.operators.adpcm_codec import expand_nibble
+
+    assert expand_nibble(0, 0, 4) == (7, 2)
+    # sign bit: nib=12 = 8|4 -> pred -= 7, same index delta (12 & 7 = 4)
+    assert expand_nibble(0, 0, 12) == (-7, 2)
+    # clamping both rails and the index ceiling
+    assert expand_nibble(32767, 88, 7)[0] == 32767
+    assert expand_nibble(-32768, 88, 15)[0] == -32768
+    assert expand_nibble(0, 0, 0) == (0, 0)  # idx floor: 0 + (-1) -> 0
+
+
+def test_adpcm_wav_container_roundtrip():
+    """Container-level: encode explicit blocks, decode, and replay the
+    expander directly — every sample including each block-header sample
+    must match."""
+    from flink_1_19_source_spark.operators.adpcm_codec import (
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+        expand_nibble,
+    )
+
+    blocks, want = [], []
+    for blk in range(3):
+        pred0, idx0 = (blk * 900 - 1000), (blk * 30) % 89
+        nibs = [(blk * 5 + j * 3) % 16 for j in range(64)]
+        blocks.append((pred0, idx0, nibs))
+        p, ix = pred0, idx0
+        want.append(p)
+        for nb in nibs:
+            p, ix = expand_nibble(p, ix, nb)
+            want.append(p)
+    rate, ch, got = decode_adpcm_wav(encode_adpcm_wav(blocks))
+    assert (rate, ch) == (8000, 1) and got == want
