@@ -310,3 +310,53 @@ def sql_ddl_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@register(
+    "src_gzip_jsonl_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    survey="S1 S4",
+)
+def src_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed JSON-lines ingestion (S1/S4 — Flink's filesystem
+    connector decompresses .gz inputs transparently; Spark's text
+    sources do the same through the Hadoop codec factory, keyed on the
+    file extension).
+
+    The 100 TB design point this query pins: gzip is NOT a splittable
+    codec, so one .gz file = one read task no matter its size — the
+    parallelism of a compressed-text scan is its FILE COUNT.  The write
+    side therefore repartitions to 8 files before sinking, and the test
+    asserts the read plan fans out across them (8 input partitions, not
+    1).  A pipeline ingesting crawl-scale gzip (the Common Crawl
+    convention — see src_warc_wet_scan) gets parallelism from the
+    archive's many-files layout, never from splitting.
+
+    Money math rides as integer cents (value is stored at 2 decimal
+    places) — JSON round-trips doubles, so the cents fold pins exact
+    value fidelity through the text codec, not just row counts."""
+    d = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(formats.scratch(sf_dir, "gzip_jsonl"), "events")
+    d.repartition(8).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(path)
+    import glob as _glob
+
+    gz = _glob.glob(os.path.join(path, "*.json.gz"))
+    assert len(gz) == 8, f"expected 8 gzip members, found {len(gz)}"
+    r = spark.read.schema(d.schema).json(path)
+    # one task per gzip member — the unsplittable-codec contract
+    assert r.rdd.getNumPartitions() == 8, r.rdd.getNumPartitions()
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
