@@ -139,3 +139,164 @@ def n4_lang_id_trigram_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram key with a bounded x|langs| candidate fan-out; the
     per-language totals and vocab scalar broadcast."""
     return trigram_nb_classify(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# N4/X8 — IN-ENGINE classifier training: exact-integer batch perceptron
+# --------------------------------------------------------------------------
+_PCT_ITERS = 8
+_PCT_FEATS = ("f_tokens", "f_punct", "f_digits", "f_upper", "f_chars")
+
+
+def _perceptron_feats_sql() -> str:
+    return r"""
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS f_tokens,
+             CAST(LEN(text) - LEN(regexp_replace(text, '[.,!?;]', '', 'g'))
+                  AS BIGINT) AS f_punct,
+             CAST(LEN(text) - LEN(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS f_digits,
+             CAST(LEN(text) - LEN(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS BIGINT) AS f_upper,
+             CAST(LEN(text) AS BIGINT) AS f_chars
+      FROM documents
+    )"""
+
+
+def _perceptron_stages_sql(n: int) -> str:
+    """Unrolled training iterations, one single-row CTE each (the BPE
+    stages device): w{k} holds the 6 integer weights after iteration k;
+    iteration k sums y*x over rows the PREVIOUS weights misclassify
+    (margin <= 0 — ties count as errors, the deterministic rule both
+    sides share)."""
+    fs = _PCT_FEATS
+    parts = []
+    for k in range(1, n + 1):
+        if k == 1:
+            # w0 = 0: margin 0 everywhere, every row updates
+            sums = ", ".join(
+                f"SUM(y * {f}) AS a{i}" for i, f in enumerate(fs)
+            )
+            parts.append(
+                f"w1 AS (SELECT {sums}, SUM(y) AS b FROM feats)"
+            )
+            continue
+        p = f"w{k - 1}"
+        margin = " + ".join(
+            f"{p}.a{i} * {f}" for i, f in enumerate(fs)
+        ) + f" + {p}.b"
+        deltas = ", ".join(
+            f"COALESCE(SUM(CASE WHEN y * ({margin}) <= 0 "
+            f"THEN y * {f} END), 0) AS d{i}"
+            for i, f in enumerate(fs)
+        )
+        adds = ", ".join(
+            f"{p}.a{i} + s.d{i} AS a{i}" for i in range(len(fs))
+        )
+        parts.append(
+            f"w{k} AS (SELECT {adds}, {p}.b + s.db AS b FROM {p}, "
+            f"(SELECT {deltas}, COALESCE(SUM(CASE WHEN y * ({margin}) "
+            f"<= 0 THEN y END), 0) AS db FROM feats, {p}) s)"
+        )
+    return ", ".join(parts)
+
+
+def _perceptron_oracle(n: int = _PCT_ITERS) -> str:
+    fs = _PCT_FEATS
+    margin = " + ".join(
+        f"w{n}.a{i} * {f}" for i, f in enumerate(fs)
+    ) + f" + w{n}.b"
+    return (
+        "WITH " + _perceptron_feats_sql() + ", "
+        + _perceptron_stages_sql(n)
+        + f"""
+    SELECT doc_id, y, CAST({margin} AS BIGINT) AS margin,
+           ({margin}) >= 0 AS pred_en,
+           (CASE WHEN ({margin}) >= 0 THEN 1 ELSE -1 END) = y AS correct
+    FROM feats, w{n}
+    """
+    )
+
+
+@register(
+    "n4_perceptron_train",
+    oracle=_perceptron_oracle(),
+    survey="N4 X8 2.10",
+)
+def n4_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE classifier TRAINING — the step before
+    n4_model_score_batch's inference pass: a batch perceptron
+    (Rosenblatt 1958, the batch-gradient form) learns to separate
+    English documents from integer text statistics, entirely in
+    EXACT-INTEGER arithmetic — weights start at zero and every update
+    adds Σ y·x over the rows the current weights misclassify (margin
+    <= 0 counts as an error; ties are deterministic), so after any
+    number of iterations the weights, margins and predictions are
+    bit-identical in both engines — no learning rate, no float
+    gradient, no libm.
+
+    Scale shape: the feature extraction is ONE corpus scan persisted
+    once; each of the 8 iterations is a map-side-combining aggregate
+    producing SIX integers (the weight vector is the only thing
+    collected — bounded metadata, the BPE-argmax contract), which
+    re-broadcasts into the next iteration's filter.  At 100 TB that is
+    8 scans of a cached integer table and zero shuffles beyond the
+    final partial-agg tree — the standard distributed-GD layout with
+    the model on the driver.  The DuckDB oracle unrolls all 8
+    iterations as chained single-row CTEs (the BPE stages device) and
+    re-derives every margin; a drifted update rule or tie-break breaks
+    the hash.  Convergence-on-separable-data is pinned by
+    tests/test_r8_tail.py (Novikoff's guarantee)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def count_removed(pattern: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    feats = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.size(
+            F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("f_tokens"),
+        count_removed(r"[.,!?;]").alias("f_punct"),
+        count_removed(r"[0-9]").alias("f_digits"),
+        count_removed(r"[A-Z]").alias("f_upper"),
+        F.length(t).cast("long").alias("f_chars"),
+    ).persist()
+    try:
+        fs = list(_PCT_FEATS)
+        w = [0] * len(fs)
+        b = 0
+        for _ in range(_PCT_ITERS):
+            margin = sum(
+                (F.col(f) * F.lit(wi) for f, wi in zip(fs, w)),
+                F.lit(b),
+            )
+            mis = feats.filter(F.col("y") * margin <= 0)
+            sums = mis.agg(
+                *[F.sum(F.col("y") * F.col(f)).alias(f) for f in fs],
+                F.sum("y").alias("_b"),
+            ).collect()[0]
+            # the one legitimate collect: 6 integers per iteration
+            for i, f in enumerate(fs):
+                w[i] += int(sums[f] or 0)
+            b += int(sums["_b"] or 0)
+        margin = sum(
+            (F.col(f) * F.lit(wi) for f, wi in zip(fs, w)), F.lit(b)
+        )
+        return feats.select(
+            "doc_id", "y",
+            margin.cast("long").alias("margin"),
+            (margin >= 0).alias("pred_en"),
+            (
+                F.when(margin >= 0, 1).otherwise(-1) == F.col("y")
+            ).alias("correct"),
+        )
+    finally:
+        feats.unpersist(blocking=False)

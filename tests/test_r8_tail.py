@@ -272,3 +272,34 @@ def test_adpcm_wav_container_roundtrip():
             want.append(p)
     rate, ch, got = decode_adpcm_wav(encode_adpcm_wav(blocks))
     assert (rate, ch) == (8000, 1) and got == want
+
+
+def test_perceptron_converges_on_separable_data(spark):
+    """Novikoff's guarantee: on a linearly separable planted set the
+    batch perceptron must reach zero training errors — run the same
+    update rule the query uses (margin <= 0, integer sums) on a planted
+    corpus and require 100% accuracy, so the oracle equality is not
+    certifying a degenerate always-one-class model."""
+    rows = []
+    # plant: class +1 has f1 > f2, class -1 has f1 < f2, wide margin
+    for i in range(40):
+        rows.append((i, 1, 20 + i % 5, 3 + i % 3))
+        rows.append((100 + i, -1, 2 + i % 3, 25 + i % 5))
+    df = spark.createDataFrame(rows, "doc_id long, y long, f1 long, f2 long")
+    from pyspark.sql import functions as F
+
+    w, b = [0, 0], 0
+    for _ in range(20):
+        margin = F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]) + F.lit(b)
+        mis = df.filter(F.col("y") * margin <= 0)
+        s = mis.agg(
+            F.sum(F.col("y") * F.col("f1")).alias("d1"),
+            F.sum(F.col("y") * F.col("f2")).alias("d2"),
+            F.sum("y").alias("db"),
+        ).collect()[0]
+        if s["d1"] is None:
+            break  # no misclassifications left
+        w[0] += int(s["d1"]); w[1] += int(s["d2"]); b += int(s["db"])
+    margin = F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]) + F.lit(b)
+    errs = df.filter(F.col("y") * margin <= 0).count()
+    assert errs == 0, (w, b, errs)
