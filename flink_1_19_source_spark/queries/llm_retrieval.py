@@ -652,3 +652,123 @@ def n3_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N3 — ColBERT-style late-interaction retrieval (MaxSim)
+# --------------------------------------------------------------------------
+@register(
+    "n3_maxsim_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), nn AS (SELECT COUNT(*) AS n FROM v),
+    dtok AS (
+      SELECT d.vec_id AS doc_id, t.t AS tok_no, src.e
+      FROM v d, (SELECT UNNEST([0, 1, 2]) AS t) t, nn
+      JOIN v src ON src.vec_id = (d.vec_id + t.t * 31) % nn.n
+    ), qtok AS (
+      SELECT q.vec_id AS query_id, t.t AS tok_no, src.e
+      FROM (SELECT vec_id FROM v WHERE vec_id < 6) q,
+           (SELECT UNNEST([0, 1, 2]) AS t) t, nn
+      JOIN v src ON src.vec_id = (q.vec_id + t.t * 17) % nn.n
+    ), dots AS (
+      SELECT q.query_id, d.doc_id, q.tok_no AS q_tok,
+             list_dot_product(q.e, d.e) AS dot
+      FROM qtok q CROSS JOIN dtok d
+      WHERE q.query_id <> d.doc_id
+    ), best AS (
+      SELECT query_id, doc_id, q_tok, MAX(dot) AS m
+      FROM dots GROUP BY 1, 2, 3
+    ), scored AS (
+      -- decimal sum: order-independent (the functions/exact contract),
+      -- so the 3-term fold cannot drift between engines' merge orders
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(m AS DECIMAL(27,6))) AS DOUBLE), 6)
+               AS maxsim
+      FROM best GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, maxsim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY maxsim DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+)
+def n3_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (Khattab & Zaharia 2020, ColBERT):
+    documents and queries carry MULTIPLE vectors (one per token) and
+    score as MaxSim — for each query token, the best dot product over
+    the document's tokens, summed over query tokens — the family
+    between single-vector ANN (n3_cosine_topk) and full cross-encoders.
+
+    Multi-vector corpora aren't in the fixture tables, so token vectors
+    are derived relationally: token t of doc d is the embedding at
+    (d + 31 t) mod N — a pure join both engines replay (queries use a
+    17-stride so their token sets differ from the identically-numbered
+    doc's).  Scale shape: the query token matrix is tiny and BROADCAST;
+    the doc-token side streams through one zip_with/aggregate dot in
+    codegen; MAX-per-(query, doc, token) and SUM-per-(query, doc) are
+    one partial-aggregating shuffle each; top-5 is a bounded
+    WindowGroupLimit.  At 100 TB the dots are pruned by the same IVF
+    coarse lists as n3_ivf_topk (probe the query token's lists only) —
+    this query is the exact baseline that recall reports measure
+    against, like brute cosine is for single-vector ANN."""
+    from ..operators.similarity import _dot, as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    n = e.count()  # table cardinality: one scalar, drives the modulo
+    toks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("tok_no")
+
+    def token_side(base: DataFrame, id_col: str, stride: int) -> DataFrame:
+        idx = (F.col(id_col) + F.col("tok_no") * stride) % n
+        return (
+            base.select(F.col("vec_id").alias(id_col), toks)
+            .withColumn("src_id", idx)
+            .join(
+                e.select(
+                    F.col("vec_id").alias("src_id"), F.col("e")
+                ),
+                "src_id",
+            )
+            .select(id_col, "tok_no", "e")
+        )
+
+    dtok = token_side(e, "doc_id", 31)
+    qtok = token_side(e.filter(F.col("vec_id") < 6), "query_id", 17)
+    dots = (
+        F.broadcast(
+            qtok.select(
+                "query_id",
+                F.col("tok_no").alias("q_tok"),
+                F.col("e").alias("qe"),
+            )
+        )
+        .crossJoin(dtok.select("doc_id", F.col("e").alias("de")))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id", "doc_id", "q_tok",
+            _dot(F.col("qe"), F.col("de")).alias("dot"),
+        )
+    )
+    best = dots.groupBy("query_id", "doc_id", "q_tok").agg(
+        F.max("dot").alias("m")
+    )
+    from ..functions.exact import dsum
+
+    scored = best.groupBy("query_id", "doc_id").agg(
+        F.round(dsum(F.col("m")), 6).alias("maxsim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
