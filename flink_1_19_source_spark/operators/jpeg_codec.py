@@ -777,19 +777,31 @@ def encode_jpeg_gray_progressive_sa(
     return bytes(out)
 
 
-def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a single-component progressive (spectral-selection) JPEG:
-    SOF2, Ah=Al=0, any band tiling, general EOBRUN (EOBn = 2^n + n
-    extra bits, spanning blocks).  Coefficients accumulate across scans;
-    dequant + IDCT run once at EOI."""
+def _decode_progressive(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a progressive (SOF2) JPEG — grayscale OR interleaved
+    YCbCr color with integer chroma subsampling.
+
+    Scan kinds (T.81 G.1): DC first (interleaved across components or
+    single-component) with point transform Al; DC refinement (one raw
+    bit per block, Ah=Al+1); AC band first scans (always
+    single-component, general cross-block EOBRUN); AC refinement scans
+    (correction bits for nonzero history, Ah=Al+1).  Coefficients
+    accumulate across scans per component; dequant + IDCT run once at
+    EOI, then chroma upsamples by replication and color converts with
+    the exact int64 arithmetic — the same back end as the baseline
+    color path.  Non-interleaved scans cover each component's OWN
+    ceil-sized block grid inside the MCU-padded coefficient plane
+    (T.81 A.2.2), which is where w/h not divisible by the MCU size
+    bites."""
     pos = 2
     qtables: dict[int, list[int]] = {}
     raw_huff: dict[tuple[int, int], tuple] = {}
     w = h = 0
-    comp_tq = 0
-    coeffs = None
-    bw_ = bh_ = 0
-    seen_dc = False
+    comps: list[tuple[int, int, int, int]] = []  # (cid, Hi, Vi, Tq)
+    coeffs: dict[int, "np.ndarray"] = {}
+    grids: dict[int, tuple[int, int, int, int]] = {}  # pbw, pbh, nbw, nbh
+    mcus_w = mcus_h = hmax = vmax = 0
+    seen_dc: set[int] = set()
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
@@ -814,14 +826,31 @@ def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
-            if ncomp != 1:
-                raise ValueError(
-                    "progressive decoder handles grayscale only "
-                    "(color progressive env-gapped)"
-                )
-            comp_tq = seg[8]
-            bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-            coeffs = np.zeros((bh_ * bw_, 64), dtype=np.int64)
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component images unsupported")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if ncomp == 1:
+                # single-component frames are scanned non-interleaved:
+                # sampling factors play no role (T.81 A.2.2)
+                cid0, _, _, tq0 = comps[0]
+                comps = [(cid0, 1, 1, tq0)]
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            for cid, hi, vi, _ in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"non-integer sampling ratio for component {cid}"
+                    )
+            mcus_w = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_h = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi, vi, _ in comps:
+                pbw, pbh = mcus_w * hi, mcus_h * vi
+                nbw = (-(-(w * hi) // hmax) + 7) // 8
+                nbh = (-(-(h * vi) // vmax) + 7) // 8
+                grids[cid] = (pbw, pbh, nbw, nbh)
+                coeffs[cid] = np.zeros((pbh * pbw, 64), dtype=np.int64)
             pos += seglen
         elif marker == 0xC4:
             p = 0
@@ -835,145 +864,202 @@ def _decode_progressive_gray(data: bytes) -> tuple[int, int, int, bytes]:
                 p += 17 + nval
             pos += seglen
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            raise ValueError("restart intervals unsupported in this "
+                             "progressive path")
         elif marker == 0xDA:
-            if coeffs is None:
+            if not comps:
                 raise ValueError("SOS before SOF2")
             ns = seg[0]
-            if ns != 1:
-                raise ValueError("progressive scans here are grayscale")
-            td, ta = seg[2] >> 4, seg[2] & 0xF
-            ss, se, ahal = seg[3], seg[4], seg[5]
+            scan = []  # (cid, Td, Ta)
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             br = _BitReader(data[pos + seglen:])
-            if ss == 0:  # DC scan (first or refinement)
+            by_id = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+
+            def comp_raster(cid: int) -> list[int]:
+                # non-interleaved order: the component's own ceil grid,
+                # mapped into its MCU-padded plane
+                pbw, _, nbw, nbh = grids[cid]
+                return [by * pbw + bx
+                        for by in range(nbh) for bx in range(nbw)]
+
+            if ss == 0:  # DC scan (first or refinement); Se must be 0
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
+                # slot sequence: interleaved MCU order, or raster for ns=1
+                if ns == 1:
+                    cid = scan[0][0]
+                    slots = [(cid, b) for b in comp_raster(cid)]
+                else:
+                    slots = []
+                    for my in range(mcus_h):
+                        for mx in range(mcus_w):
+                            for cid, _, _ in scan:
+                                hi, vi = by_id[cid]
+                                pbw = grids[cid][0]
+                                for v in range(vi):
+                                    for hh in range(hi):
+                                        slots.append(
+                                            (cid,
+                                             (my * vi + v) * pbw
+                                             + mx * hi + hh)
+                                        )
                 if ah == 0:  # first: DPCM of DC >> al
-                    dc_tab = raw_huff[(0, td)]
-                    pred = 0
-                    for b in range(bh_ * bw_):
-                        size = _huff_decode(br, dc_tab)
-                        pred += _extend(br.bits(size), size)
-                        coeffs[b, 0] = pred << al
-                    seen_dc = True
+                    tabs = {cid: raw_huff[(0, td)] for cid, td, _ in scan}
+                    pred = {cid: 0 for cid, _, _ in scan}
+                    for cid, b in slots:
+                        size = _huff_decode(br, tabs[cid])
+                        pred[cid] += _extend(br.bits(size), size)
+                        coeffs[cid][b, 0] = pred[cid] << al
+                    seen_dc.update(cid for cid, _, _ in scan)
                 else:  # refinement: one raw bit per block (G.1.2.1)
                     if ah != al + 1:
                         raise ValueError("DC refinement must step one bit")
-                    for b in range(bh_ * bw_):
+                    for cid, b in slots:
                         if br.bit():
-                            coeffs[b, 0] |= 1 << al
-            elif ah == 0:  # AC band first scan (point-transformed)
-                if not seen_dc:
+                            coeffs[cid][b, 0] |= 1 << al
+            else:  # AC scans are single-component by definition
+                if ns != 1:
+                    raise ValueError("interleaved AC scan is illegal "
+                                     "in progressive mode")
+                cid, _, ta = scan[0]
+                if cid not in seen_dc:
                     raise ValueError("AC scan before DC scan")
+                C = coeffs[cid]
                 ac_tab = raw_huff[(1, ta)]
-                eobrun = 0
-                for b in range(bh_ * bw_):
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = _huff_decode(br, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1 + (
-                                br.bits(r) if r else 0
-                            )
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("AC run past band end")
-                        coeffs[b, k] = _extend(br.bits(s), s) << al
-                        k += 1
-                if eobrun:
-                    raise ValueError("EOBRUN past last block")
-            else:  # AC refinement scan (G.1.2.3)
-                if ah != al + 1:
-                    raise ValueError("AC refinement must step one bit")
-                ac_tab = raw_huff[(1, ta)]
-                p1 = 1 << al
-                eobrun = 0
-
-                def refine(b: int, k: int) -> None:
-                    # correction bit for a nonzero-history coefficient
-                    if br.bit() and (abs(int(coeffs[b, k])) & p1) == 0:
-                        coeffs[b, k] += p1 if coeffs[b, k] > 0 else -p1
-
-                for b in range(bh_ * bw_):
-                    if eobrun:
-                        eobrun -= 1
-                        for k in range(ss, se + 1):
-                            if coeffs[b, k]:
-                                refine(b, k)
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = _huff_decode(br, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0 and r < 15:  # EOBn
-                            eobrun = (1 << r) - 1 + (
-                                br.bits(r) if r else 0
-                            )
-                            # remainder of THIS block: corrections only
-                            for kk in range(k, se + 1):
-                                if coeffs[b, kk]:
-                                    refine(b, kk)
-                            k = se + 1
-                            break
-                        if s == 0:  # ZRL: 16 zero-history skips
-                            val = 0
-                            r = 16
-                        else:
-                            if s != 1:
-                                raise ValueError(
-                                    "refinement magnitude must be 1"
-                                )
-                            val = p1 if br.bit() else -p1
-                            # r zero-history skips precede placement
+                blocks = comp_raster(cid)
+                if ah == 0:  # AC band first scan (point-transformed)
+                    eobrun = 0
+                    for b in blocks:
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
                         while k <= se:
-                            if coeffs[b, k]:
-                                refine(b, k)
-                            else:
-                                if r == 0:
-                                    break
-                                r -= 1
-                            k += 1
-                        if val:
-                            if k > se:
-                                raise ValueError(
-                                    "refinement placement past band end"
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + (
+                                    br.bits(r) if r else 0
                                 )
-                            coeffs[b, k] = val
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            C[b, k] = _extend(br.bits(s), s) << al
                             k += 1
-                        elif k <= se:
-                            # ZRL consumed its 16 zeros; position k is
-                            # the 17th zero-history slot or band end
-                            pass
-                if eobrun:
-                    raise ValueError("EOBRUN past last block")
+                    if eobrun:
+                        raise ValueError("EOBRUN past last block")
+                else:  # AC refinement scan (G.1.2.3)
+                    if ah != al + 1:
+                        raise ValueError("AC refinement must step one bit")
+                    p1 = 1 << al
+                    eobrun = 0
+
+                    def refine(b: int, k: int) -> None:
+                        # correction bit for a nonzero-history coefficient
+                        if br.bit() and (abs(int(C[b, k])) & p1) == 0:
+                            C[b, k] += p1 if C[b, k] > 0 else -p1
+
+                    for b in blocks:
+                        if eobrun:
+                            eobrun -= 1
+                            for k in range(ss, se + 1):
+                                if C[b, k]:
+                                    refine(b, k)
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0 and r < 15:  # EOBn
+                                eobrun = (1 << r) - 1 + (
+                                    br.bits(r) if r else 0
+                                )
+                                for kk in range(k, se + 1):
+                                    if C[b, kk]:
+                                        refine(b, kk)
+                                k = se + 1
+                                break
+                            if s == 0:  # ZRL: 16 zero-history skips
+                                val = 0
+                                r = 16
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement magnitude must be 1"
+                                    )
+                                val = p1 if br.bit() else -p1
+                                # r zero-history skips precede placement
+                            while k <= se:
+                                if C[b, k]:
+                                    refine(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError(
+                                        "refinement placement past band end"
+                                    )
+                                C[b, k] = val
+                                k += 1
+                            elif k <= se:
+                                # ZRL consumed its 16 zeros; position k
+                                # is the 17th zero-history slot or band
+                                # end
+                                pass
+                    if eobrun:
+                        raise ValueError("EOBRUN past last block")
             # resume marker parse after the entropy bytes this scan used
             pos = pos + seglen + br.pos
         else:
             raise ValueError(f"unexpected marker FF{marker:02X} "
                              "in progressive stream")
-    if coeffs is None or not seen_dc:
+    if not comps or not seen_dc:
         raise ValueError("missing SOF2/DC scan")
-    if comp_tq not in qtables:
-        raise ValueError(f"SOF2 references missing quant table {comp_tq}")
-    quant = np.array(qtables[comp_tq], dtype=np.float64)
-    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    for b in range(bh_ * bw_):
-        S = np.zeros(64, dtype=np.float64)
-        S[ZIGZAG] = coeffs[b].astype(np.float64) * quant
-        block = _M.T @ S.reshape(8, 8) @ _M
-        px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
-        by, bx = divmod(b, bw_)
-        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
-    return w, h, 1, img[:h, :w].tobytes()
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"SOF2 references missing quant table {tq}")
+        if cid not in seen_dc:
+            raise ValueError(f"component {cid} never scanned")
+        quant = np.array(qtables[tq], dtype=np.float64)
+        pbw, pbh = grids[cid][0], grids[cid][1]
+        img = np.zeros((pbh * 8, pbw * 8), dtype=np.uint8)
+        C = coeffs[cid]
+        for b in range(pbh * pbw):
+            S = np.zeros(64, dtype=np.float64)
+            S[ZIGZAG] = C[b].astype(np.float64) * quant
+            block = _M.T @ S.reshape(8, 8) @ _M
+            px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+            by, bx = divmod(b, pbw)
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+        planes[cid] = img
+    if len(comps) == 1:
+        return w, h, 1, planes[comps[0][0]][:h, :w].tobytes()
+    full = []
+    for cid, hi, vi, _ in comps:
+        pl = np.repeat(
+            np.repeat(planes[cid], vmax // vi, axis=0), hmax // hi, axis=1
+        )
+        full.append(pl[:h, :w])
+    r, g, b = ycbcr_to_rgb_exact(full[0], full[1], full[2])
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, 3, rgb.tobytes()
+
+
+# back-compat alias: the historical gray-only entry point now routes
+# through the general progressive decoder
+_decode_progressive_gray = _decode_progressive
 
 
 def _decode_block(br: _BitReader, dc_tab, ac_tab, pred: int,
@@ -1060,7 +1146,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker == 0xC2:  # SOF2: progressive — dedicated multi-scan path
-            return _decode_progressive_gray(data)
+            return _decode_progressive(data)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(f"non-baseline frame marker FF{marker:02X}")
         elif marker == 0xC4:  # DHT
@@ -1166,3 +1252,145 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     if ncomp != 1:
         raise ValueError("only single-component (grayscale)")
     return w, h, px
+
+
+def encode_jpeg_color_progressive_420(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    mcus_w: int,
+    mcus_h: int,
+    width: int | None = None,
+    height: int | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode a 4:2:0 YCbCr PROGRESSIVE JPEG (SOF2, spectral selection,
+    Ah=Al=0): one INTERLEAVED DC scan in MCU order (per-component DPCM
+    predictors), then per-component AC band scans — non-interleaved by
+    definition, covering each component's own ceil-sized block grid in
+    raster order with cross-block EOBRUN coding.  Inputs are
+    zigzag-ordered quantized coefficient lists in the same layout as
+    :func:`encode_jpeg_color_420` (Y in T.81 A.2.3 MCU order, chroma one
+    block per MCU); quant tables all ones."""
+    assert len(y_blocks) == 4 * mcus_w * mcus_h
+    assert len(cb_blocks) == mcus_w * mcus_h
+    assert len(cr_blocks) == mcus_w * mcus_h
+    w = width if width is not None else 16 * mcus_w
+    h = height if height is not None else 16 * mcus_h
+    assert 16 * (mcus_w - 1) < w <= 16 * mcus_w
+    assert 16 * (mcus_h - 1) < h <= 16 * mcus_h
+    dc_y = _canonical_codes(DC_BITS, DC_VALS)
+    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
+    ac_codes = _canonical_codes(AC_PROG_BITS, AC_PROG_VALS)
+    flat = [b for (a, b) in bands]
+    assert [a for (a, _) in bands] == [1] + [x + 1 for x in flat[:-1]]
+    assert flat[-1] == 63
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(
+        0xFFDB, bytes([0]) + bytes([1] * 64) + bytes([1]) + bytes([1] * 64)
+    )
+    out += _segment(  # SOF2: Y 2x2 Tq0, Cb/Cr 1x1 Tq1
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _segment(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _segment(
+        0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+    )
+    out += _segment(
+        0xFFC4, bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS)
+    )
+
+    # scan 1: interleaved DC (Ss=Se=0, Ah=Al=0), MCU order
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    dc_tabs = {1: dc_y, 2: dc_c, 3: dc_c}
+
+    def put_dc(cid: int, blk: list[int]) -> None:
+        diff = blk[0] - pred[cid]
+        pred[cid] = blk[0]
+        size = _category(diff)
+        code, length = dc_tabs[cid][size]
+        bw.put(code, length)
+        if size:
+            bw.put(_code_value(diff, size), size)
+
+    for mcu in range(mcus_w * mcus_h):
+        for i in range(4):
+            put_dc(1, y_blocks[mcu * 4 + i])
+        put_dc(2, cb_blocks[mcu])
+        put_dc(3, cr_blocks[mcu])
+    out += _segment(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    out += bw.flush()
+
+    def flush_eobrun(bw: _BitWriter, n: int) -> None:
+        while n:
+            r = min(14, n.bit_length() - 1)
+            take = min(n, (1 << r) + (1 << r) - 1)
+            code, length = ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(take - (1 << r), r)
+            n -= take
+
+    # per-component AC band scans over the component's OWN ceil grid
+    def comp_blocks(cid: int) -> list[list[int]]:
+        if cid == 1:
+            nbw, nbh = (w + 7) // 8, (h + 7) // 8
+            return [
+                y_blocks[((by // 2) * mcus_w + bx // 2) * 4
+                         + (by % 2) * 2 + (bx % 2)]
+                for by in range(nbh) for bx in range(nbw)
+            ]
+        src = cb_blocks if cid == 2 else cr_blocks
+        cw, ch = -(-w // 2), -(-h // 2)
+        nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
+        return [
+            src[by * mcus_w + bx]
+            for by in range(nbh) for bx in range(nbw)
+        ]
+
+    for cid in (1, 2, 3):
+        blocks = comp_blocks(cid)
+        for ss, se in bands:
+            bw = _BitWriter()
+            eobrun = 0
+            for blk in blocks:
+                last_nz = 0
+                for k in range(se, ss - 1, -1):
+                    if blk[k]:
+                        last_nz = k
+                        break
+                if last_nz == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun(bw, eobrun)
+                        eobrun = 0
+                    continue
+                flush_eobrun(bw, eobrun)
+                eobrun = 0
+                run = 0
+                for k in range(ss, last_nz + 1):
+                    v = blk[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                    size = _category(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    bw.put(code, length)
+                    bw.put(_code_value(v, size), size)
+                    run = 0
+                if last_nz < se:
+                    eobrun += 1
+            flush_eobrun(bw, eobrun)
+            out += _segment(0xFFDA, bytes([1, cid, 0x10, ss, se, 0]))
+            out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

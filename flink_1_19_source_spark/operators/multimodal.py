@@ -78,11 +78,11 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
     decoder in ``jpeg_codec`` handles grayscale (luminance replicated
     to RGB here), interleaved YCbCr color with 4:4:4/4:2:2/4:2:0
     chroma subsampling (replication upsample + exact-int64 YCbCr→RGB),
-    and grayscale progressive (spectral selection, general EOBRUN).
-    GIF decode is REAL — the pure-stdlib GIF89a codec in ``gif_codec``
-    (variable-width LZW with dictionary rebuild, interlace).
-    Color progressive JPEG, WebP and AVIF stay
-    environment-gapped (no
+    progressive in grayscale AND color (spectral selection, general
+    EOBRUN, interleaved progressive DC scans, successive approximation
+    in grayscale).  GIF decode is REAL — the pure-stdlib GIF89a codec
+    in ``gif_codec`` (variable-width LZW with dictionary rebuild,
+    interlace).  WebP and AVIF stay environment-gapped (no
     imaging library in this container — PIL/cv2/imageio probed absent
     r6); swap in PIL/torchvision behind this same signature on a real
     cluster."""
@@ -107,8 +107,8 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
         return w, h, bytes(rgb)
     raise NotImplementedError(
         f"{fmt} decoding requires an imaging library not present in this "
-        "environment; png and baseline grayscale jpeg decode natively, "
-        "use fake_decode_features for other formats"
+        "environment; png, gif and jpeg (baseline + progressive, gray + "
+        "color) decode natively; use fake_decode_features for others"
     )
 
 
@@ -117,8 +117,9 @@ def decode_audio(payload: bytes, fmt: str) -> tuple[int, int, list]:
 
     WAV/PCM-16 decode is REAL (pure-stdlib RIFF codec in ``wav_codec``)
     and so is subset-profile FLAC (``flac_codec``: rice-coded residuals,
-    fixed predictors, CRC-verified frames — 16-bit mono); lossy codecs
-    (mp3/aac) remain environment-gapped like progressive JPEG."""
+    fixed predictors, CRC-verified frames — 16-bit mono) and IMA ADPCM
+    (the first lossy tier, ``adpcm_codec``); mp3/aac remain
+    environment-gapped (psychoacoustic decoders need a real library)."""
     if fmt.lower() in ("wav", "wave"):
         from .wav_codec import decode_wav
 

@@ -1163,3 +1163,143 @@ def n5_adpcm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, channels int, n_samples long, "
         "sum_amp long, sum_abs long, peak long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL COLOR PROGRESSIVE JPEG decode (the last JPEG mode tier)
+# --------------------------------------------------------------------------
+@register(
+    "n5_jpeg_color_progressive_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 3 + 1 AS mw,
+             16*(doc_id % 3 + 1) - (doc_id % 7) AS w,
+             16*(doc_id % 2 + 1) - (doc_id % 5) AS h
+      FROM documents WHERE doc_id < 90
+    ), px AS (
+      SELECT doc_id, mw, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), ycc AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*41 + (((i // w) // 16)*mw + (i % w) // 16)*31
+              + ((((i // w) % 16) // 8)*2 + ((i % w) % 16) // 8)*13)
+               % 256 AS yv,
+             (doc_id*13 + (((i // w) // 16)*mw + (i % w) // 16)*7 + 50)
+               % 256 AS cbv,
+             (doc_id*29 + (((i // w) // 16)*mw + (i % w) // 16)*9 + 80)
+               % 256 AS crv
+      FROM px
+    ), rgb AS (
+      SELECT doc_id, w, h, i,
+             LEAST(255, GREATEST(0,
+               (1000000*yv + 1402000*(crv-128) + 512500000)
+                 // 1000000 - 512)) AS r,
+             LEAST(255, GREATEST(0,
+               (1000000*yv - 344136*(cbv-128) - 714136*(crv-128)
+                + 512500000) // 1000000 - 512)) AS g,
+             LEAST(255, GREATEST(0,
+               (1000000*yv + 1772000*(cbv-128) + 512500000)
+                 // 1000000 - 512)) AS b
+      FROM ycc
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * (r + 2*g + 3*b)) AS BIGINT) AS wsum
+    FROM rgb GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_color_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL COLOR PROGRESSIVE JPEG decode end-to-end — the last JPEG
+    mode tier (grayscale baseline → color baseline → grayscale
+    progressive → successive approximation → COLOR progressive): an
+    SOF2 frame whose first scan carries all three components' DC
+    coefficients INTERLEAVED in MCU order (per-component DPCM) and
+    whose AC band scans run per component over each component's OWN
+    ceil-sized block grid — the non-interleaved raster inside the
+    MCU-padded coefficient plane, which is exactly where non-16-aligned
+    dimensions bite (operators/jpeg_codec.encode_jpeg_color_progressive
+    _420 / _decode_progressive).
+
+    Certifiability as in the color baseline tier: constant 8x8 blocks
+    keep the coefficient path bit-exact, the YCbCr->RGB convert is
+    exact int64, so DuckDB recomputes every decoded pixel from
+    (doc_id, position) closed-form.  The AC path (nonzero bands,
+    EOBRUN across each component's raster) is pinned by the
+    progressive-equals-baseline decode-equivalence fuzz in
+    tests/test_r8_tail.py.  Both passes map-only; only the per-doc agg
+    shuffles."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.jpeg_codec import (
+        constant_block_coeffs,
+        encode_jpeg_color_progressive_420,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mw_, mh_ = did % 3 + 1, did % 2 + 1
+                yb, cbb, crb = [], [], []
+                for my in range(mh_):
+                    for mx in range(mw_):
+                        m = my * mw_ + mx
+                        for q in range(4):
+                            yb.append(constant_block_coeffs(
+                                (did * 41 + m * 31 + q * 13) % 256))
+                        cbb.append(constant_block_coeffs(
+                            (did * 13 + m * 7 + 50) % 256))
+                        crb.append(constant_block_coeffs(
+                            (did * 29 + m * 9 + 80) % 256))
+                payloads.append(encode_jpeg_color_progressive_420(
+                    yb, cbb, crb, mw_, mh_,
+                    width=16 * mw_ - did % 7,
+                    height=16 * mh_ - did % 5,
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "width", "height", "n_px",
+            "sum_r", "sum_g", "sum_b", "wsum"]
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(rec.media_bytes), "jpeg"
+                )
+                a = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                rch, gch, bch = a[0::3], a[1::3], a[2::3]
+                idx = np.arange(w * h, dtype=np.int64)
+                wsum = int(((idx + 1) * (rch + 2 * gch + 3 * bch)).sum())
+                rows.append((int(rec.doc_id), w, h, w * h,
+                             int(rch.sum()), int(gch.sum()),
+                             int(bch.sum()), wsum))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_r long, sum_g long, sum_b long, wsum long",
+    )

@@ -303,3 +303,41 @@ def test_perceptron_converges_on_separable_data(spark):
     margin = F.col("f1") * F.lit(w[0]) + F.col("f2") * F.lit(w[1]) + F.lit(b)
     errs = df.filter(F.col("y") * margin <= 0).count()
     assert errs == 0, (w, b, errs)
+
+
+def test_color_progressive_equals_baseline_decode():
+    """Progressive and baseline are two ENCODINGS of the same
+    coefficients: decoding each must produce identical pixels — this
+    exercises the progressive color path's interleaved DC scan,
+    per-component EOBRUN AC scans and non-16-aligned crop against the
+    independently-certified baseline color path, including nonzero AC
+    bands the closed-form oracle can't reach."""
+    import random
+
+    from flink_1_19_source_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+        encode_jpeg_color_progressive_420,
+    )
+
+    rnd = random.Random(11)
+    for trial in range(10):
+        mw, mh = rnd.randint(1, 3), rnd.randint(1, 2)
+        w = max(16 * (mw - 1) + 1, 16 * mw - rnd.randint(0, 15))
+        h = max(16 * (mh - 1) + 1, 16 * mh - rnd.randint(0, 15))
+
+        def blk():
+            b = [0] * 64
+            b[0] = rnd.randint(-200, 200)
+            for _ in range(rnd.randint(0, 6)):
+                b[rnd.randint(1, 63)] = rnd.randint(-60, 60)
+            return b
+
+        y = [blk() for _ in range(4 * mw * mh)]
+        cb = [blk() for _ in range(mw * mh)]
+        cr = [blk() for _ in range(mw * mh)]
+        base = decode_jpeg(encode_jpeg_color_420(y, cb, cr, mw, mh, w, h))
+        prog = decode_jpeg(
+            encode_jpeg_color_progressive_420(y, cb, cr, mw, mh, w, h)
+        )
+        assert base == prog, f"trial {trial}: {w}x{h} mismatch"
