@@ -832,3 +832,133 @@ def pipeline_quality_mix_end_to_end(
             F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N4 — Kneser-Ney smoothed LM surprisal gate (exact-rational edition)
+# --------------------------------------------------------------------------
+@register(
+    "n4_kn_surprisal_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1, COUNT(*) AS n1p FROM c2 GROUP BY w1
+    ), cont AS (
+      SELECT w2, COUNT(*) AS n1c FROM c2 GROUP BY w2
+    ), tot AS (
+      SELECT COUNT(*) AS ncc FROM c2
+    ), scored AS (
+      -- P_KN = max(4*n2-3, 0)/(4*n1) + (3*n1p/(4*n1)) * (n1c/ncc)
+      --      = [max(4*n2-3, 0)*ncc + 3*n1p*n1c] / (4*n1*ncc)
+      SELECT b.doc_id,
+             LENGTH(bin((4 * c1.n1 * tot.ncc)
+                        // (GREATEST(4 * c2.n2 - 3, 0) * tot.ncc
+                            + 3 * c1.n1p * cont.n1c))) - 1 AS bits
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      JOIN cont ON b.w2 = cont.w2
+      CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+             COUNT(*) AS n_bigrams
+      FROM scored GROUP BY doc_id
+    ), thr AS (
+      SELECT (1000 * SUM(sum_bits)) // SUM(n_bigrams) AS t FROM agg
+    )
+    SELECT doc_id, sum_bits, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST((1000 * sum_bits) // n_bigrams AS BIGINT)
+             AS mean_millibits,
+           (1000 * sum_bits) // n_bigrams <= t AS keep
+    FROM agg, thr
+    """,
+    survey="N4",
+)
+def n4_kn_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed LM surprisal gate [Kneser & Ney 1995; Chen &
+    Goodman 1999's benchmark smoothing — what KenLM ships and what real
+    CCNet-style perplexity filters actually run, vs the add-one
+    baseline in n4_lm_surprisal_filter]: absolute discounting with
+    d = 3/4 backing off to the CONTINUATION distribution — how many
+    distinct contexts a word completes, not how often it occurs (the
+    "San Francisco" effect: 'francisco' is frequent but only ever
+    continues 'san', so its unigram backoff weight is tiny).
+
+    Exactness device: with d = 3/4 every P_KN is one rational with
+    denominator 4*c(w1)*|bigram types| —
+    [max(4 c12 - 3, 0)·Ncc + 3·N1+(w1·)·N1+(·w2)] / (4 c1 Ncc) —
+    and KN is a PROPER distribution (the per-context mass telescopes
+    to 1), so den >= num and whole-bit surprisal is
+    bit_length(den // num) - 1, exactly as the add-one gate.  No
+    log(), no float, no engine drift; the numerator stays under
+    4·c1·Ncc <= 4·10^5·10^6 well inside int64 at sf100.
+
+    100 TB shape identical to the add-one gate: one bigram explode, one
+    bigram-keyed shuffle for counts, continuation counts ride the SAME
+    c2 table (no extra corpus pass), scoring co-partitions on the
+    bigram key, scalars (Ncc, threshold) broadcast."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", ta.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    big = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1c"))
+    tot = c2.groupBy().agg(F.count(F.lit(1)).alias("ncc"))
+    bits = (
+        F.length(
+            F.bin(
+                F.expr(
+                    "(4 * n1 * ncc) div (greatest(4 * n2 - 3, 0) * ncc"
+                    " + 3 * n1p * n1c)"
+                )
+            )
+        )
+        - 1
+    )
+    agg = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(bits).cast("long").alias("sum_bits"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    thr = agg.groupBy().agg(
+        F.expr("(1000 * SUM(sum_bits)) div SUM(n_bigrams)").alias("t")
+    )
+    mean_mb = F.expr("(1000 * sum_bits) div n_bigrams")
+    return (
+        agg.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id", "sum_bits", "n_bigrams",
+            mean_mb.cast("long").alias("mean_millibits"),
+            (mean_mb <= F.col("t")).alias("keep"),
+        )
+    )
