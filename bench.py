@@ -77,6 +77,12 @@ HEADLINE = [
     "x6_scd2_history",
     "n6_quota_mix",
     "n3_ivfpq_topk",
+    # r8 tail wave representatives
+    "x5_iterative_condition",
+    "s_outer_join_retract_stream",
+    "n4_unigram_encode",
+    "n3_maxsim_topk",
+    "n5_gif_decode_real",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

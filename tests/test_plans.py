@@ -387,3 +387,35 @@ def test_scd2_history_single_window_pass(spark, sf_dir):
     txt = audit.plan_text(df, "simple")
     assert audit.shuffle_count(df) <= 1, txt
     assert "SortMergeJoin" not in txt and "HashJoin" not in txt, txt
+
+
+def test_r8_tail_codec_queries_single_agg_shuffle(spark, sf_dir):
+    """GIF / ADPCM / color-progressive decode: encode->decode chains are
+    mapInPandas map-only; the ONLY exchange is the final per-doc
+    aggregate's partial->final pair."""
+    for name in (
+        "n5_gif_decode_real",
+        "n5_adpcm_decode_real",
+        "n5_jpeg_color_progressive_decode",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert audit.shuffle_count(df) <= 1, (
+            name, audit.plan_text(df, "simple"),
+        )
+
+
+def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
+    """Late-interaction scoring: the query-token matrix is tiny and must
+    BROADCAST against the streaming doc-token side — a shuffled
+    corpus x queries join would be the wrong plan at any scale."""
+    df = REGISTRY["n3_maxsim_topk"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt, txt
+
+
+def test_perceptron_result_single_scan_no_join(spark, sf_dir):
+    """The trained model is task-closure constants: the final scored
+    frame is a projection over the feature scan — no join, no window."""
+    df = REGISTRY["n4_perceptron_train"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "Join" not in txt, txt
