@@ -82,7 +82,9 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
     EOBRUN, interleaved progressive DC scans, successive approximation
     in grayscale).  GIF decode is REAL — the pure-stdlib GIF89a codec
     in ``gif_codec`` (variable-width LZW with dictionary rebuild,
-    interlace).  WebP and AVIF stay environment-gapped (no
+    interlace), and so is subset-profile WebP LOSSLESS (``webp_codec``:
+    VP8L prefix codes, LZ77 with the 2D distance map, subtract-green).
+    Lossy WebP and AVIF stay environment-gapped (no
     imaging library in this container — PIL/cv2/imageio probed absent
     r6); swap in PIL/torchvision behind this same signature on a real
     cluster."""
@@ -94,6 +96,10 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
         from .gif_codec import decode_gif
 
         return decode_gif(payload)
+    if fmt.lower() == "webp":
+        from .webp_codec import decode_webp_lossless
+
+        return decode_webp_lossless(payload)
     if fmt.lower() in ("jpeg", "jpg"):
         from .jpeg_codec import decode_jpeg
 
@@ -107,8 +113,8 @@ def decode_image(payload: bytes, fmt: str) -> tuple[int, int, bytes]:
         return w, h, bytes(rgb)
     raise NotImplementedError(
         f"{fmt} decoding requires an imaging library not present in this "
-        "environment; png, gif and jpeg (baseline + progressive, gray + "
-        "color) decode natively; use fake_decode_features for others"
+        "environment; png, gif, lossless webp and jpeg (baseline + "
+        "progressive, gray + color) decode natively"
     )
 
 

@@ -1303,3 +1303,126 @@ def n5_jpeg_color_progressive_decode(
         "doc_id long, width int, height int, n_px long, "
         "sum_r long, sum_g long, sum_b long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — REAL WebP lossless decode (VP8L subset profile, exact-pixel oracle)
+# --------------------------------------------------------------------------
+@register(
+    "n5_webp_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             12 + doc_id % 17 AS w,
+             9 + doc_id % 11 AS h
+      FROM documents WHERE doc_id < 140
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), rgb AS (
+      -- banded pattern: runs inside rows (LZ77 1D refs) + repeated rows
+      -- (2D neighborhood distance refs), plus a doc-keyed noise stripe
+      SELECT doc_id, w, h, i,
+             CASE WHEN (i // w) % 4 = 3
+                  THEN (doc_id*41 + i*13) % 256
+                  ELSE ((i % w) // 4 * 53 + doc_id) % 256 END AS r,
+             CASE WHEN (i // w) % 4 = 3
+                  THEN (doc_id*17 + i*7) % 256
+                  ELSE ((i % w) // 4 * 29 + 2*doc_id) % 256 END AS g,
+             CASE WHEN (i // w) % 4 = 3
+                  THEN (doc_id*29 + i*3) % 256
+                  ELSE ((i % w) // 4 * 11 + 3*doc_id) % 256 END AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * (r + 2*g + 3*b)) AS BIGINT) AS wsum
+    FROM rgb GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_webp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP LOSSLESS decode end-to-end — the fourth real image
+    codec, retiring the 'WebP env-gapped' declaration for the lossless
+    half of the format: per-doc banded images (in-row runs exercise 1D
+    LZ77 back-references, repeated rows the 120-entry 2D neighborhood
+    distance map, a noise stripe the literal path) are encoded as
+    genuine VP8L bitstreams in one mapInPandas pass
+    (operators/webp_codec: canonical prefix codes via the DEFLATE-style
+    code-length code with 3-bit-capped CL depths, greedy LZ77,
+    SUBTRACT-GREEN transform on odd docs) and decoded in a second.
+
+    Lossless like PNG/GIF, so the oracle recomputes every pixel in
+    closed form — a wrong prefix-code rebuild, distance mapping or
+    transform inverse breaks the channel sums.  Lossy (VP8) WebP stays
+    env-gapped.  Both passes map-only; only the per-doc agg shuffles."""
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.webp_codec import encode_webp_lossless
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 140)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 12 + did % 17, 9 + did % 11
+                px = bytearray()
+                for i in range(w * h):
+                    if (i // w) % 4 == 3:
+                        px += bytes([
+                            (did*41 + i*13) % 256,
+                            (did*17 + i*7) % 256,
+                            (did*29 + i*3) % 256,
+                        ])
+                    else:
+                        band = (i % w) // 4
+                        px += bytes([
+                            (band*53 + did) % 256,
+                            (band*29 + 2*did) % 256,
+                            (band*11 + 3*did) % 256,
+                        ])
+                payloads.append(encode_webp_lossless(
+                    bytes(px), w, h, subtract_green=did % 2 == 1
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "width", "height", "n_px",
+            "sum_r", "sum_g", "sum_b", "wsum"]
+
+    def decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                w, h, rgb = multimodal.decode_image(
+                    bytes(rec.media_bytes), "webp"
+                )
+                a = np.frombuffer(rgb, np.uint8).astype(np.int64)
+                rch, gch, bch = a[0::3], a[1::3], a[2::3]
+                idx = np.arange(w * h, dtype=np.int64)
+                wsum = int(((idx + 1) * (rch + 2 * gch + 3 * bch)).sum())
+                rows.append((int(rec.doc_id), w, h, w * h,
+                             int(rch.sum()), int(gch.sum()),
+                             int(bch.sum()), wsum))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_r long, sum_g long, sum_b long, wsum long",
+    )

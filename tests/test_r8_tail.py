@@ -341,3 +341,88 @@ def test_color_progressive_equals_baseline_decode():
             encode_jpeg_color_progressive_420(y, cb, cr, mw, mh, w, h)
         )
         assert base == prog, f"trial {trial}: {w}x{h} mismatch"
+
+
+def test_webp_lossless_roundtrip_fuzz():
+    """VP8L roundtrip across content styles: noise (literal path), flat
+    runs (LZ77 1D), gradients, and vertical stripes (2D neighborhood
+    distances), with and without subtract-green."""
+    import random
+
+    from flink_1_19_source_spark.operators.webp_codec import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rnd = random.Random(5)
+    for trial in range(24):
+        w, h = rnd.randint(1, 60), rnd.randint(1, 50)
+        style = trial % 4
+        px = bytearray()
+        for i in range(w * h):
+            if style == 0:
+                px += bytes([rnd.randrange(256) for _ in range(3)])
+            elif style == 1:
+                px += bytes([(i // 17 * 37) % 256, (i // 23 * 11) % 256,
+                             (i // 31 * 7) % 256])
+            elif style == 2:
+                px += bytes([i % 256, (2 * i) % 256, (3 * i) % 256])
+            else:
+                px += bytes([((i % w) // 3 * 50) % 256, 100,
+                             ((i % w) // 3 * 20) % 256])
+        sg = rnd.random() < 0.5
+        got = decode_webp_lossless(
+            encode_webp_lossless(bytes(px), w, h, subtract_green=sg)
+        )
+        assert got == (w, h, bytes(px)), (trial, style, sg, w, h)
+
+
+def test_webp_code_length_code_depth_capped():
+    """The code-length code's own lengths travel in 3-bit fields: a
+    symbol-rich code (many distinct lengths) must still produce CL
+    depths <= 7 — the depth-limited Huffman's reason to exist."""
+    import random
+
+    from flink_1_19_source_spark.operators.webp_codec import (
+        _BitReader,
+        _BitWriter,
+        _read_code_lengths,
+        _write_code_lengths,
+    )
+
+    rnd = random.Random(9)
+    for _ in range(100):
+        lengths = [0] * 280
+        for s in range(280):
+            if rnd.random() < 0.3:
+                lengths[s] = rnd.randint(1, 12)
+        bw = _BitWriter()
+        _write_code_lengths(bw, lengths)
+        assert _read_code_lengths(_BitReader(bw.flush()), 280) == lengths
+
+
+def test_webp_decoder_rejects_out_of_subset():
+    """Subset contract: predictor transform / color cache raise cleanly
+    (ValueError), never misdecode."""
+    import pytest
+
+    from flink_1_19_source_spark.operators.webp_codec import (
+        _BitWriter,
+        decode_webp_lossless,
+    )
+    import struct
+
+    bw = _BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(3, 14)
+    bw.bits(3, 14)
+    bw.bits(0, 1)
+    bw.bits(0, 3)
+    bw.bits(1, 1)  # transform present
+    bw.bits(0, 2)  # PREDICTOR — out of subset
+    payload = bw.flush()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + vp8l
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="out of subset"):
+        decode_webp_lossless(data)
