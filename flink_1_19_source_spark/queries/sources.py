@@ -360,3 +360,56 @@ def src_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "src_parquet_codec_matrix",
+    oracle="""
+    SELECT codec, COUNT(*) AS n,
+           CAST(SUM(l_quantity * 100) AS BIGINT) AS qty_cents,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM (SELECT 'gzip' AS codec FROM range(1)
+          UNION ALL SELECT 'lz4_raw' UNION ALL SELECT 'snappy'
+          UNION ALL SELECT 'zstd') c
+    CROSS JOIN (SELECT l_orderkey, l_quantity FROM lineitem
+                WHERE l_orderkey <= 400) l
+    GROUP BY codec
+    """,
+    survey="S2",
+)
+def src_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet COMPRESSION-CODEC matrix (S2 — Flink's filesystem/parquet
+    sink exposes the same codec knob): the identical slice written with
+    snappy, zstd, lz4raw and gzip, each read back and content-verified.
+    Codec choice is a first-order 100 TB decision — zstd typically
+    halves storage vs snappy at some CPU cost, and a codec that silently
+    corrupts or loses precision would poison every downstream job — so
+    the gate is CONTENT equality per codec (count + exact decimal cents
+    + key range), not 'the file opens'.  Each variant's read plan is
+    still a normal vectorized parquet scan; file sizes land in the
+    footer for ops to compare but are excluded from the oracle (codec
+    output bytes are version-dependent, content is not)."""
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 400)
+        .select("l_orderkey", "l_quantity")
+    )
+    base = formats.scratch(sf_dir, "codec_matrix")
+    outs = []
+    for codec in ("gzip", "lz4_raw", "snappy", "zstd"):
+        path = os.path.join(base, codec)
+        d.write.mode("overwrite").option("compression", codec).parquet(path)
+        r = spark.read.schema(d.schema).parquet(path)
+        outs.append(
+            r.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity") * 100).cast("long")
+                .alias("qty_cents"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
