@@ -250,43 +250,13 @@ def n4_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every margin; a drifted update rule or tie-break breaks
     the hash.  Convergence-on-separable-data is pinned by
     tests/test_r8_tail.py (Novikoff's guarantee)."""
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-
-    def count_removed(pattern: str):
-        return (
-            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
-        ).cast("long")
-
-    feats = d.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
-        F.size(
-            F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
-        ).cast("long").alias("f_tokens"),
-        count_removed(r"[.,!?;]").alias("f_punct"),
-        count_removed(r"[0-9]").alias("f_digits"),
-        count_removed(r"[A-Z]").alias("f_upper"),
-        F.length(t).cast("long").alias("f_chars"),
-    ).persist()
+    feats = _doc_features(load_table(spark, sf_dir, "documents")).persist()
     try:
+        # _perceptron_fit collects 6 integers per iteration — the one
+        # legitimate collect (bounded model metadata, the BPE contract);
+        # the SAME fit function drives the streaming refresh twin
+        w, b = _perceptron_fit(feats)
         fs = list(_PCT_FEATS)
-        w = [0] * len(fs)
-        b = 0
-        for _ in range(_PCT_ITERS):
-            margin = sum(
-                (F.col(f) * F.lit(wi) for f, wi in zip(fs, w)),
-                F.lit(b),
-            )
-            mis = feats.filter(F.col("y") * margin <= 0)
-            sums = mis.agg(
-                *[F.sum(F.col("y") * F.col(f)).alias(f) for f in fs],
-                F.sum("y").alias("_b"),
-            ).collect()[0]
-            # the one legitimate collect: 6 integers per iteration
-            for i, f in enumerate(fs):
-                w[i] += int(sums[f] or 0)
-            b += int(sums["_b"] or 0)
         margin = sum(
             (F.col(f) * F.lit(wi) for f, wi in zip(fs, w)), F.lit(b)
         )
@@ -300,3 +270,134 @@ def n4_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feats.unpersist(blocking=False)
+
+
+def _perceptron_fit(feats: DataFrame) -> "tuple[list[int], int]":
+    """Run the _PCT_ITERS exact-integer batch-perceptron iterations over
+    a feature frame; returns (weights, bias).  Shared by the batch query
+    and the streaming refresh so the update rule cannot diverge."""
+    fs = list(_PCT_FEATS)
+    w = [0] * len(fs)
+    b = 0
+    for _ in range(_PCT_ITERS):
+        margin = sum(
+            (F.col(f) * F.lit(wi) for f, wi in zip(fs, w)), F.lit(b)
+        )
+        mis = feats.filter(F.col("y") * margin <= 0)
+        sums = mis.agg(
+            *[F.sum(F.col("y") * F.col(f)).alias(f) for f in fs],
+            F.sum("y").alias("_b"),
+        ).collect()[0]
+        for i, f in enumerate(fs):
+            w[i] += int(sums[f] or 0)
+        b += int(sums["_b"] or 0)
+    return w, b
+
+
+def _doc_features(d: DataFrame) -> DataFrame:
+    t = F.col("text")
+
+    def count_removed(pattern: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    return d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        F.size(
+            F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("f_tokens"),
+        count_removed(r"[.,!?;]").alias("f_punct"),
+        count_removed(r"[0-9]").alias("f_digits"),
+        count_removed(r"[A-Z]").alias("f_upper"),
+        F.length(t).cast("long").alias("f_chars"),
+    )
+
+
+@register(
+    "s_perceptron_train_stream",
+    oracle=_perceptron_oracle(),
+    survey="N4 X8 X2 X4",
+    tags=("streaming",),
+)
+def s_perceptron_train_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING model maintenance — the training-at-ingest tier
+    (joining the IVF/MinHash/sketch ingest family): documents arrive in
+    micro-batches, each batch's integer features append to a
+    self-compacting SegmentStore (the training log), and the model
+    REFRESHES by re-running the full exact-integer batch-perceptron fit
+    over the accumulated log on a refresh cadence (here every 4th
+    batch), writing the versioned weight vector to a ledgered Derby
+    table — the standard model-refresh loop, made crash-safe the
+    absolutive way: appends are overwrite-idempotent, every refresh is
+    recomputed FROM THE LOG (never weights+delta), so replays and
+    slicings converge (tests/test_r8_tail.py).
+
+    The returned snapshot is the post-drain refresh: predictions for
+    every logged document under the final weights — by construction
+    equal to the batch query on the full corpus, which is exactly what
+    the shared fit function guarantees (same data ∪ same update rule ⇒
+    same model, regardless of arrival slicing)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import jdbc as jdbc_mod
+    from ..streaming import replay, retract
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_perceptron")
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    run = uuid.uuid4().hex[:8]
+    url = jdbc_mod.derby_url(os.path.join(wd, f"derby-{run}"))
+    wtab = jdbc_mod.JdbcTableSource(url, "PW_WEIGHTS")
+    ledger = retract.BatchLedger(jdbc_mod.JdbcTableSource(url, "PW_LEDGER"))
+    wtab.ensure_table(
+        spark.createDataFrame(
+            [],
+            "batch_id long, a0 long, a1 long, a2 long, a3 long, "
+            "a4 long, b long",
+        ),
+        overwrite=True,
+    )
+    ledger.init(spark)
+    log = SegmentStore(spark, os.path.join(wd, f"flog-{run}"), compact_every=2)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(spark, batch_id):
+            return
+        log.append(_doc_features(batch_df), batch_id)
+        if batch_id % 4 == 3:  # refresh cadence
+            w, b = _perceptron_fit(log.read())
+            row = spark.createDataFrame(
+                [(int(batch_id), *[int(x) for x in w], int(b))],
+                "batch_id long, a0 long, a1 long, a2 long, a3 long, "
+                "a4 long, b long",
+            )
+            wtab.upsert(row, pk_cols=["batch_id"])
+        ledger.mark(spark, batch_id)
+
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # post-drain refresh: the final model over the complete log
+    feats = log.read()
+    w, b = _perceptron_fit(feats)
+    fs = list(_PCT_FEATS)
+    margin = sum((F.col(f) * F.lit(wi) for f, wi in zip(fs, w)), F.lit(b))
+    return feats.select(
+        "doc_id", "y",
+        margin.cast("long").alias("margin"),
+        (margin >= 0).alias("pred_en"),
+        (F.when(margin >= 0, 1).otherwise(-1) == F.col("y")).alias(
+            "correct"
+        ),
+    )
