@@ -615,8 +615,12 @@ def match_recognize_iterative(
         key = int(pdf[key_col].iloc[0])
         tss = pdf[ts_col].astype("int64").to_numpy() // 1000
         st, out = ITER_SEEK, []
+        # .tolist() first: iterating pandas Series element-wise pays a
+        # boxing cost per row that dominates long keys (SCALING probe
+        # showed 4.7s at sf0.1; lists cut the scan to numpy speed)
         for sym, val, rid, ts in zip(
-            pdf["__sym"], pdf[value_col], pdf[id_col], tss
+            pdf["__sym"].tolist(), pdf[value_col].tolist(),
+            pdf[id_col].tolist(), tss.tolist()
         ):
             st, m = iterative_step(st, sym, float(val), int(rid), int(ts))
             if m is not None:

@@ -609,7 +609,10 @@ def _iter_factory():
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
             tss = pdf["ts"].astype("int64").to_numpy() // 1000
-            for sym, val, rid, ts in zip(pdf["sym"], pdf["val"], pdf["id"], tss):
+            for sym, val, rid, ts in zip(
+                pdf["sym"].tolist(), pdf["val"].tolist(),
+                pdf["id"].tolist(), tss.tolist(),
+            ):
                 st, m = iterative_step(st, sym, float(val), int(rid), int(ts))
                 if m is not None:
                     a, e, b, av, ev, ats, ets = m

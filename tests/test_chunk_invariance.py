@@ -114,6 +114,10 @@ INVARIANT_QUERIES = [
     # iterative-condition CEP: the automaton state is O(1) and advanced
     # strictly in per-key event order, so batch boundaries are invisible
     "s_iterative_condition_stream",
+    # streaming model refresh: the post-drain fit runs over the complete
+    # log with the shared exact-integer update rule — same data, same
+    # rule, same model at any slicing
+    "s_perceptron_train_stream",
 ]
 
 
