@@ -154,15 +154,22 @@ def test_lsh_candidates_are_exactly_scored(spark, sf_dir):
 
 
 def test_multimodal_decode_dispatch_and_remaining_env_gaps(spark):
-    """jpeg now dispatches to the real baseline decoder (r7) — truncated
-    input fails with a clear parse error, not NotImplementedError; the
-    genuinely library-bound formats still declare the env gap."""
+    """jpeg/webp now dispatch to real decoders — truncated or
+    out-of-subset input fails with a clear parse error, not
+    NotImplementedError; the genuinely library-bound formats still
+    declare the env gap."""
     import pytest
 
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(ValueError):  # real VP8L parser: no VP8L chunk
+        multimodal.decode_image(b"RIFF\x04\x00\x00\x00WEBP", "webp")
+    with pytest.raises(ValueError, match="out of subset"):  # lossy half
+        multimodal.decode_image(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00....", "webp"
+        )
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"RIFF....WEBP", "webp")
+        multimodal.decode_image(b"....", "avif")
 
 
 def test_png_roundtrip_every_filter_type():
