@@ -890,12 +890,38 @@ def _outer_join_retract_run(
                     "user_id",
                 )
             )
-            # (3) changelog vs the sink's current rows for those users:
-            # stale null-padded rows retract (-D), new pairs insert.
-            current = out.scan(spark).join(touched, "user_id")
-            retractions = current.join(
-                desired, ["view_id", "b_key"], "left_anti"
-            ).withColumn("op", F.lit("-D"))
+            # (3) retractions derived from the LOGS, never a sink scan:
+            # a stale (view, NULL) row exists exactly for users whose
+            # FIRST purchase arrived in this batch (they were unmatched
+            # before, so every logged view carried the null pad) —
+            # computable as new-purchase users minus prior-purchase
+            # users, keeping per-batch I/O ∝ touched-key state.  On a
+            # crash replay the idempotent log append already holds this
+            # batch's rows, and the prior set (log MINUS this batch by
+            # event_id) is unchanged — the same deletes re-stage against
+            # already-absent rows, a MERGE no-op.
+            new_r = batch_df.filter(
+                F.col("event_type") == "purchase"
+            ).select("event_id", "user_id")
+            prior_users = (
+                rlog.read()
+                .join(new_r.select("event_id"), "event_id", "left_anti")
+                .select("user_id")
+                .distinct()
+            )
+            first_users = (
+                new_r.select("user_id").distinct()
+                .join(prior_users, "user_id", "left_anti")
+            )
+            retractions = (
+                l_aff.join(first_users, "user_id")
+                .select(
+                    F.col("event_id").alias("view_id"),
+                    F.lit(-1).alias("b_key"),
+                    "user_id",
+                )
+                .withColumn("op", F.lit("-D"))
+            )
             additions = desired.withColumn("op", F.lit("+I"))
             out.upsert(
                 retractions.unionByName(additions),
