@@ -426,3 +426,33 @@ def test_webp_decoder_rejects_out_of_subset():
     data = b"RIFF" + struct.pack("<I", len(riff)) + riff
     with pytest.raises(ValueError, match="out of subset"):
         decode_webp_lossless(data)
+
+
+def test_star_cc_equals_propagation_on_path(spark):
+    """The two-phase star algorithm must produce the identical
+    (id, component) map as min-label propagation — pinned on the
+    adversarial shape that separates their ROUND bounds: a 64-node
+    path (diameter 63).  Star converges in O(log n) alternations;
+    propagation would need ~63 rounds (its max_iter=20 default would
+    NOT converge here, which is exactly why the star variant exists)."""
+    from flink_1_19_source_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(63)] + [(100, 101), (103, 103)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    star = {
+        (r.id, r.component)
+        for r in connected_components_star(df).collect()
+    }
+    prop = {
+        (r.id, r.component)
+        for r in connected_components(df, max_iter=70).collect()
+    }
+    assert star == prop
+    # every path node lands in component 0
+    assert all(c == 0 for i, c in star if i <= 63)
+    assert (101, 100) in star
