@@ -1105,3 +1105,129 @@ def s_three_way_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFr
         spark, out, "s_chain3_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
     )
+
+
+@register(
+    "s_punctuated_watermark_stream",
+    oracle="""
+    WITH wm AS (
+      SELECT MAX(ts) AS w FROM events WHERE event_type = 'error'
+    ), agg AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 6) AS total
+      FROM events WHERE event_type <> 'error'
+      GROUP BY 1, 2
+    )
+    SELECT event_type, window_start, n, total
+    FROM agg, wm
+    WHERE window_start + INTERVAL '1 hour' <= wm.w
+    """,
+    survey="X1 W1-S X2 X4",
+    tags=("streaming",),
+)
+def s_punctuated_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUNCTUATED watermark generation — the ``onEvent`` half of Flink's
+    WatermarkGenerator interface (the periodic half drives every other
+    X1 query): the watermark advances ONLY when a designated marker
+    event arrives ('error' rows double as stream punctuation carrying
+    "nothing older than my ts follows"), never from a max-seen-ts
+    heuristic.  The observable difference is the FINAL emitted set:
+    tumbling windows close against the maximum MARKER timestamp, so
+    every window past the last marker stays open forever — exactly what
+    the oracle's MAX(ts) FILTER (event_type='error') bound checks,
+    which a periodic generator would get wrong whenever trailing
+    non-marker events extend past the last marker (they do here).
+
+    Mechanics per micro-batch: marker maxima append to a marks log,
+    per-window partial counts MERGE into a self-compacting SegmentStore
+    (state bounded by the window domain, not the stream), and the
+    windows newly closed by this batch's punctuated watermark — closed
+    now but not under the previous batch's — append once to the sink.
+    All three mutations are overwrite-idempotent per batch id, so crash
+    replays converge; the running max is monotone, so any chunk slicing
+    emits each window exactly once (invariance-pinned).  Late rows
+    (window already closed by a marker) would drop per Flink's rule —
+    unreachable under the event-time-ordered replay, stated for the
+    record."""
+    import shutil
+    import uuid
+
+    from ..streaming.segments import SegmentStore
+
+    sdf, wd = _events_stream(spark, sf_dir, "s_punct_wm")
+    run = uuid.uuid4().hex[:8]
+    marks = SegmentStore(spark, os.path.join(wd, f"marks-{run}"),
+                         compact_every=2,
+                         merge=lambda df: df.groupBy().agg(
+                             F.max("m").alias("m")))
+    state = SegmentStore(spark, os.path.join(wd, f"wstate-{run}"),
+                         compact_every=2,
+                         merge=lambda df: df.groupBy(
+                             "event_type", "window_start").agg(
+                             F.sum("n").alias("n"),
+                             F.sum("tdec").alias("tdec")))
+    out = SegmentStore(spark, os.path.join(wd, f"out-{run}"),
+                       compact_every=4)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            prev = marks.read()
+            wm_prev = None
+            if prev is not None:
+                r = prev.agg(F.max("m").alias("m")).collect()[0]
+                wm_prev = r["m"]
+            mk = batch_df.filter(F.col("event_type") == "error").agg(
+                F.max("ts").alias("m")
+            )
+            marks.append(mk.filter(F.col("m").isNotNull()), batch_id)
+            state.append(
+                batch_df.filter(F.col("event_type") != "error")
+                .groupBy(
+                    "event_type",
+                    F.window("ts", "1 hour")["start"].alias("window_start"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(27,6)"))
+                    .alias("tdec"),
+                ),
+                batch_id,
+            )
+            wm_cur = marks.read().agg(F.max("m")).collect()[0][0]
+            if wm_cur is None:
+                return
+            closed = (
+                state.read()
+                .groupBy("event_type", "window_start")
+                .agg(F.sum("n").alias("n"), F.sum("tdec").alias("tdec"))
+                .filter(
+                    F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+                    <= F.lit(wm_cur)
+                )
+            )
+            if wm_prev is not None:
+                closed = closed.filter(
+                    F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+                    > F.lit(wm_prev)
+                )
+            out.append(closed, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    res = out.read()
+    if res is None:
+        return spark.createDataFrame(
+            [], "event_type string, window_start timestamp, n long, "
+            "total double",
+        )
+    return res.select(
+        "event_type", "window_start", "n",
+        F.round(F.col("tdec").cast("double"), 6).alias("total"),
+    )

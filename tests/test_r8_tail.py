@@ -456,3 +456,26 @@ def test_star_cc_equals_propagation_on_path(spark):
     # every path node lands in component 0
     assert all(c == 0 for i, c in star if i <= 63)
     assert (101, 100) in star
+
+
+def test_punctuated_watermark_bound_is_not_the_heuristic(sf_dir):
+    """Non-vacuity: at sf0.001 the max-marker bound and the usual
+    max-ts-minus-delay heuristic close DIFFERENT window sets (trailing
+    non-marker events extend past the last marker), so the punctuated
+    query certifies its own semantics, not the periodic generator's."""
+    import duckdb
+
+    n_punct, n_heur = duckdb.sql(
+        f"""
+        WITH e AS (SELECT * FROM '/root/testdata/sf0.001/events.parquet'),
+        wm_p AS (SELECT MAX(ts) w FROM e WHERE event_type='error'),
+        wm_h AS (SELECT MAX(ts) - INTERVAL 10 MINUTE w FROM e),
+        agg AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) ws
+                FROM e WHERE event_type <> 'error' GROUP BY 1, 2)
+        SELECT (SELECT COUNT(*) FROM agg, wm_p
+                WHERE ws + INTERVAL '1 hour' <= wm_p.w),
+               (SELECT COUNT(*) FROM agg, wm_h
+                WHERE ws + INTERVAL '1 hour' <= wm_h.w)
+        """
+    ).fetchone()
+    assert n_punct < n_heur, (n_punct, n_heur)
