@@ -390,3 +390,61 @@ def sql_set_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     if spark.conf.get(key) != before:
         raise AssertionError("RESET did not restore the default")
     return out
+
+
+@register(
+    "sql_named_arguments",
+    oracle="""
+    -- money through DECIMAL on both sides (the r5 .xx5 lesson): the
+    -- UDF parameter types quantize price/rate before the multiply
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(0.10 AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS discounted,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(0.25 AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS promo,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))), 2)
+                AS DOUBLE) AS actual
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    survey="S12 2.10-ScalarFunction",
+)
+def sql_named_arguments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLIP-387 (Flink 1.19): NAMED function parameters + parameter
+    DEFAULTS — ``f(rate => 0.25, price => p)`` calls run VERBATIM, in
+    any argument order, with omitted parameters taking their declared
+    defaults.  Spark 4's SQL UDFs carry the same surface natively
+    (named arguments + DEFAULT clauses), so the dialect layer passes
+    the statement through unchanged; the three call shapes below cover
+    positional, named-out-of-order, and default-elided forms, and the
+    oracle recomputes each discount arithmetically (exact: money stays
+    in DECIMAL until the final ROUND; one deterministic cast to DOUBLE
+    for the comparator)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "named_li"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discounted_price("
+        "price DECIMAL(12,2), rate DECIMAL(4,2) DEFAULT 0.10) "
+        "RETURNS DECIMAL(14,4) RETURN price * (1 - rate)"
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(discounted_price(l_extendedprice), 2)
+                        AS DOUBLE) AS discounted,
+                   CAST(ROUND(discounted_price(
+                            rate => CAST(0.25 AS DECIMAL(4,2)),
+                            price => l_extendedprice), 2) AS DOUBLE)
+                     AS promo,
+                   CAST(ROUND(discounted_price(price => l_extendedprice,
+                                               rate => l_discount), 2)
+                        AS DOUBLE) AS actual
+            FROM named_li WHERE l_orderkey <= 200
+            """
+        ).localCheckpoint()
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS discounted_price")
