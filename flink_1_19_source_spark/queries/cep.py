@@ -1085,3 +1085,73 @@ def s_iterative_condition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_no", "start_id", "end_id", "b_rows",
         "anchor_value", "end_value", "start_ts", "end_ts",
     )
+
+
+@register(
+    "sql_match_recognize",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'purchase' THEN 'P'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), cum AS (
+      SELECT *,
+             MIN(CASE WHEN sym <> 'C' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nrun
+      FROM ev
+    )
+    SELECT s.user_id,
+           s.ts AS start_ts, e.ts AS end_ts,
+           CAST(e.rn - s.rn - 1 AS BIGINT) AS clicks,
+           CAST(e.rn - s.rn + 1 AS BIGINT) AS total_rows
+    FROM cum s JOIN cum e
+      ON e.user_id = s.user_id AND e.rn = s.nrun
+    WHERE s.sym = 'S' AND e.sym = 'P' AND e.rn - s.rn - 1 >= 1
+    """,
+    survey="S12 X5",
+)
+def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERBATIM Flink MATCH_RECOGNIZE statement executes through the
+    dialect layer (S12 closure — Spark has no row-pattern SQL, so
+    functions/flink_sql.run_match_recognize parses the statement and
+    drives the certified CEP operator): PARTITION BY / ORDER BY /
+    MEASURES (FIRST, LAST, COUNT(V.*), COUNT(*)) / PATTERN with
+    quantifiers / DEFINE literal-equality predicates, ONE ROW PER MATCH
+    with AFTER MATCH SKIP PAST LAST ROW.  Out-of-subset clauses (WITHIN,
+    SUBSET, SKIP TO, ALL ROWS PER MATCH) raise and route to their
+    dedicated operator entry points — the same split Flink's own planner
+    makes between MATCH_RECOGNIZE features and CEP-library-only ones.
+
+    The oracle replays S C+ P relationally: every match starts at an S
+    and spans only C rows, so the first non-C row after each S decides
+    the match — the same argument the quantifier family fuzz-proves."""
+    from ..functions.flink_sql import run_match_recognize
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return run_match_recognize(
+        spark,
+        """
+        SELECT user_id, start_ts, end_ts, clicks, total_rows
+        FROM events
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(S.ts) AS start_ts, LAST(P.ts) AS end_ts,
+                   COUNT(C.*) AS clicks, COUNT(*) AS total_rows
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S C+ P)
+          DEFINE S AS S.event_type = 'signup',
+                 C AS C.event_type = 'click',
+                 P AS P.event_type = 'purchase'
+        ) AS mr
+        """,
+    )

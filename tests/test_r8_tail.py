@@ -479,3 +479,79 @@ def test_punctuated_watermark_bound_is_not_the_heuristic(sf_dir):
         """
     ).fetchone()
     assert n_punct < n_heur, (n_punct, n_heur)
+
+
+def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
+    """WITHIN / SUBSET / SKIP TO / ALL ROWS PER MATCH raise cleanly from
+    the statement path (their operator entry points are separate), and
+    a DEFINE outside literal equality raises rather than mis-parsing."""
+    import pytest
+
+    from flink_1_19_source_spark.functions.flink_sql import (
+        run_match_recognize,
+    )
+    from flink_1_19_source_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    base = """
+        SELECT user_id FROM events
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES COUNT(*) AS n {extra}
+          PATTERN (S C+ P)
+          DEFINE S AS S.event_type = 'signup',
+                 C AS C.event_type = 'click',
+                 P AS P.event_type = 'purchase'
+        ) AS mr
+    """
+    with pytest.raises(ValueError, match="WITHIN"):
+        run_match_recognize(
+            spark, base.format(extra="WITHIN INTERVAL '1' HOUR")
+        )
+    with pytest.raises(ValueError, match="literal-equality"):
+        run_match_recognize(
+            spark,
+            base.format(extra="").replace(
+                "S.event_type = 'signup'", "S.value > 10"
+            ),
+        )
+
+
+def test_match_recognize_statement_or_define_and_bounded(spark, sf_dir):
+    """OR-chained DEFINE (C matches click OR view) and a bounded
+    quantifier parse and agree with the direct operator call."""
+    from flink_1_19_source_spark.functions.flink_sql import (
+        run_match_recognize,
+    )
+    from flink_1_19_source_spark.operators import cep
+    from flink_1_19_source_spark.tables import load_table, register_views
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    got = run_match_recognize(
+        spark,
+        """
+        SELECT user_id, n FROM events
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES COUNT(*) AS n
+          PATTERN (S C{2,3} P)
+          DEFINE S AS S.event_type = 'signup',
+                 C AS C.event_type = 'click' OR C.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        ) AS mr
+        """,
+    )
+    e = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "signup", "A")
+        .when(F.col("event_type").isin("click", "view"), "B")
+        .when(F.col("event_type") == "purchase", "C")
+        .otherwise("X")
+    )
+    want = cep.match_recognize_measures(
+        e, "user_id", "ts", "event_id", sym, "AB{2,3}C"
+    )
+    a = sorted((r.user_id, r.n) for r in got.collect())
+    b = sorted((r.key, r.n_rows) for r in want.collect())
+    assert a == b and a
