@@ -680,6 +680,11 @@ def run_match_recognize(spark: SparkSession, query: str):
     chars = {v: chr(ord("A") + i) for i, v in enumerate(dict.fromkeys(order_vars))}
     regex = "".join(chars[v] + (q or "") for v, q in toks)
 
+    extra = set(defs) - set(chars)
+    if extra:
+        raise ValueError(
+            f"DEFINE variables not in PATTERN: {sorted(extra)}"
+        )
     sym = None
     for v, conds in defs.items():
         for col, lit in conds:

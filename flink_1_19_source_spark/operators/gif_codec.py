@@ -161,6 +161,8 @@ def encode_gif(
     """Encode palette indices (row-major) as a real GIF89a file."""
     if len(indices) != width * height:
         raise ValueError("index count != width*height")
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ValueError("GIF dimensions are 16-bit")
     npal = len(palette)
     depth = max(2, (npal - 1).bit_length())  # color table size = 2^depth
     if npal > (1 << depth):

@@ -383,6 +383,8 @@ def encode_webp_lossless(
     group.  Output parses in any stock WebP decoder."""
     if len(rgb) != 3 * width * height:
         raise ValueError("rgb length != 3*w*h")
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dimensions are 14-bit (1..16384)")
     pixels = []
     for i in range(width * height):
         r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
