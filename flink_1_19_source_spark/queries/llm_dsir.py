@@ -962,3 +962,133 @@ def n4_kn_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_mb <= F.col("t")).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N6 — token-budget epoch allocation (the data-constrained repeat schedule)
+# --------------------------------------------------------------------------
+@register(
+    "n6_token_budget_epochs",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(LOWER(text), '\s+'),
+                       t -> t <> '')) AS BIGINT) AS nt
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS t_tokens,
+             COUNT(*) AS n_docs
+      FROM per_doc GROUP BY source
+    ), tot AS (
+      SELECT SUM(t_tokens) AS tt, COUNT(*) AS ns FROM src
+    ), alloc AS (
+      SELECT source, t_tokens, n_docs,
+             (2 * tot.tt) // tot.ns AS share,
+             LEAST(4, ((2 * tot.tt) // tot.ns) // t_tokens)
+               AS full_epochs,
+             CASE WHEN ((2 * tot.tt) // tot.ns) // t_tokens >= 4 THEN 0
+                  ELSE ((2 * tot.tt) // tot.ns) % t_tokens
+             END AS rem
+      FROM src, tot
+    ), ranked AS (
+      SELECT p.source, p.doc_id, p.nt,
+             SUM(p.nt) OVER (
+               PARTITION BY p.source
+               ORDER BY md5(CONCAT('epoch:', CAST(p.doc_id AS VARCHAR))),
+                        p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS csum
+      FROM per_doc p
+    ), partial AS (
+      SELECT r.source,
+             CAST(COUNT(*) FILTER (WHERE r.csum <= a.rem) AS BIGINT)
+               AS partial_docs,
+             CAST(COALESCE(SUM(r.nt) FILTER (WHERE r.csum <= a.rem), 0)
+                  AS BIGINT) AS partial_tokens
+      FROM ranked r JOIN alloc a ON a.source = r.source
+      GROUP BY r.source
+    )
+    SELECT a.source, a.t_tokens, CAST(a.full_epochs AS BIGINT)
+             AS full_epochs,
+           p.partial_docs, p.partial_tokens,
+           CAST(a.full_epochs * a.t_tokens + p.partial_tokens AS BIGINT)
+             AS tokens_alloc
+    FROM alloc a JOIN partial p ON p.source = a.source
+    """,
+    survey="N6",
+)
+def n6_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET epoch allocation — the data-constrained repeat
+    schedule [Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models": under a fixed training-token budget, small
+    high-value sources REPEAT up to a diminishing-returns cap (~4
+    epochs) while large sources train under one pass]: each source gets
+    an equal integer share of a 2x-total budget; full epochs =
+    min(4, share // source_tokens) (the cap deliberately BINDS for the
+    small sources on this corpus); the remainder fills a PARTIAL epoch
+    chosen by md5 hash rank with a running-token cutoff — deterministic,
+    shuffle-free selection, the house sampling device.
+
+    Every quantity is exact integer arithmetic (shares by floor
+    division, remainders zeroed when the cap binds, cumulative token
+    sums over the hash order), so both engines derive identical
+    schedules.  Scale shape: one corpus pass for per-doc token counts,
+    one source-keyed agg, the ≤|sources| allocation table broadcast
+    back, and the partial-epoch pick is a per-source window over the
+    hash order — no global sort, no collect."""
+    from ..operators import text_analysis as ta
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "doc_id",
+        F.size(ta.tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    src = per_doc.groupBy("source").agg(
+        F.sum("nt").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = src.groupBy().agg(
+        F.sum("t_tokens").alias("tt"), F.count(F.lit(1)).alias("ns")
+    )
+    alloc = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.expr("(2 * tt) div ns"))
+        .withColumn(
+            "full_epochs",
+            F.least(F.lit(4), F.expr("share div t_tokens")),
+        )
+        .withColumn(
+            "rem",
+            F.when(F.expr("share div t_tokens") >= 4, F.lit(0))
+            .otherwise(F.expr("share % t_tokens")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_doc.withColumn("csum", F.sum("nt").over(w))
+    partial = (
+        ranked.join(
+            F.broadcast(alloc.select("source", "rem")), "source"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("csum") <= F.col("rem"), 1))
+            .cast("long").alias("partial_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("csum") <= F.col("rem"), F.col("nt"))),
+                F.lit(0),
+            ).cast("long").alias("partial_tokens"),
+        )
+    )
+    return (
+        alloc.join(partial, "source")
+        .select(
+            "source", F.col("t_tokens").cast("long").alias("t_tokens"),
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            "partial_docs", "partial_tokens",
+            (F.col("full_epochs") * F.col("t_tokens")
+             + F.col("partial_tokens")).cast("long").alias("tokens_alloc"),
+        )
+    )

@@ -413,3 +413,58 @@ def src_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "s_gzip_ingest_stream",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    survey="S1 S4 X2 X4",
+    tags=("streaming",),
+)
+def s_gzip_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gzip-compressed JSONL ingestion — the crawl-archive
+    arrival pattern (new .gz members land in a directory; Flink's
+    filesystem source and Spark's file stream both decompress by
+    extension): events are staged as 6 gzip JSONL members, consumed 2
+    per trigger, and folded into per-type counts + exact integer cents
+    in UPDATE mode; the drained snapshot must equal the batch aggregate.
+
+    The unsplittable-codec contract carries over from the batch twin
+    (src_gzip_jsonl_scan): each member is one read task, so the
+    STREAM's parallelism per micro-batch is its maxFilesPerTrigger, a
+    first-order knob when the upstream archive writes big members."""
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    d = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    wd = _work_dir(sf_dir, "s_gzip_ingest")
+    src = os.path.join(wd, "src")
+    d.repartition(6).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(src)
+    sdf = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(src)
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    name = f"s_gzip_q_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_available_now(agg, name, output_mode="complete",
+                                 checkpoint_dir=ckpt)
+    out = spark.table(name).localCheckpoint()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
