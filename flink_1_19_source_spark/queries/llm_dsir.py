@@ -983,11 +983,11 @@ def n4_kn_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(t_tokens) AS tt, COUNT(*) AS ns FROM src
     ), alloc AS (
       SELECT source, t_tokens, n_docs,
-             (2 * tot.tt) // tot.ns AS share,
-             LEAST(4, ((2 * tot.tt) // tot.ns) // t_tokens)
+             (4 * tot.tt) // tot.ns AS share,
+             LEAST(4, ((4 * tot.tt) // tot.ns) // t_tokens)
                AS full_epochs,
-             CASE WHEN ((2 * tot.tt) // tot.ns) // t_tokens >= 4 THEN 0
-                  ELSE ((2 * tot.tt) // tot.ns) % t_tokens
+             CASE WHEN ((4 * tot.tt) // tot.ns) // t_tokens >= 4 THEN 0
+                  ELSE ((4 * tot.tt) // tot.ns) % t_tokens
              END AS rem
       FROM src, tot
     ), ranked AS (
@@ -1023,9 +1023,10 @@ def n6_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Language Models": under a fixed training-token budget, small
     high-value sources REPEAT up to a diminishing-returns cap (~4
     epochs) while large sources train under one pass]: each source gets
-    an equal integer share of a 2x-total budget; full epochs =
-    min(4, share // source_tokens) (the cap deliberately BINDS for the
-    small sources on this corpus); the remainder fills a PARTIAL epoch
+    an equal integer share of a 4x-total budget; full epochs =
+    min(4, share // source_tokens) (the cap BINDS for roughly half
+    the sources on this corpus — pinned non-vacuous in
+    tests/test_r8_tail.py); the remainder fills a PARTIAL epoch
     chosen by md5 hash rank with a running-token cutoff — deterministic,
     shuffle-free selection, the house sampling device.
 
@@ -1052,7 +1053,7 @@ def n6_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alloc = (
         src.crossJoin(F.broadcast(tot))
-        .withColumn("share", F.expr("(2 * tt) div ns"))
+        .withColumn("share", F.expr("(4 * tt) div ns"))
         .withColumn(
             "full_epochs",
             F.least(F.lit(4), F.expr("share div t_tokens")),

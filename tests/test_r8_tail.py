@@ -555,3 +555,27 @@ def test_match_recognize_statement_or_define_and_bounded(spark, sf_dir):
     a = sorted((r.user_id, r.n) for r in got.collect())
     b = sorted((r.key, r.n_rows) for r in want.collect())
     assert a == b and a
+
+
+def test_token_budget_epoch_cap_binds_for_some_sources(sf_dir):
+    """Non-vacuity for n6_token_budget_epochs: the 4-epoch cap must
+    BIND for at least one source and NOT bind for another, so both
+    branches of the allocation (capped -> zero remainder, uncapped ->
+    partial epoch) carry driver-certified evidence."""
+    import duckdb
+
+    capped, total = duckdb.sql(
+        rf"""
+        WITH per_doc AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split_regex(LOWER(text),
+                          '\s+'), t -> t <> '')) AS BIGINT) AS nt
+          FROM '{sf_dir}/documents.parquet'
+        ), src AS (SELECT source, SUM(nt) t FROM per_doc GROUP BY 1),
+        tot AS (SELECT SUM(t) tt, COUNT(*) ns FROM src)
+        SELECT SUM(CASE WHEN ((4*tot.tt)//tot.ns)//t >= 4
+                        THEN 1 ELSE 0 END), COUNT(*)
+        FROM src, tot
+        """
+    ).fetchone()
+    assert 0 < capped < total, (capped, total)
