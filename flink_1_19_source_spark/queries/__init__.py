@@ -1,18 +1,21 @@
 """Importing this package registers every coverage query (SURVEY.md §2).
 
 WINDOW ORDER IS LOAD-BEARING: the driver certifies only the FIRST 50
-registry entries.  Import order seeds the registry, then ``_R08_WINDOW``
+registry entries.  Import order seeds the registry, then ``_R09_WINDOW``
 below reorders it explicitly so the certification window is an exact,
-named set rather than a module-prefix accident.  Round-8 window = the
-first 50 of the 51 registered queries that have NEVER carried a driver
-CORRECTNESS row, in the exact order STATUS.md's r08 ledger plans them:
-the 27 r6-overflow queries (quantile sketches, DSIR, window-join
-variants, snapshot/time-travel, math/try families, winnowing), then
-23 of the 24 r7 additions (BPE train/encode/packing, hybrid RRF,
-binary-Hamming ANN, count-min, SESSION TVF batch+stream, CEP
-skip-to-variable and reluctant quantifiers, real JPEG decode,
-temperature mixing, RAG pipeline).  ``s_chunk_dedup_stream`` overflows
-to r09.  See STATUS.md "driver certification window" for the ledger.
+named set rather than a module-prefix accident.  Round-9 window = the
+first 50 of the 52 registered queries that have NEVER carried a driver
+CORRECTNESS row (the r1-r8 CORRECTNESS union vs the registry, computed
+at the top of round 9): the full r8 wave — gzip/WARC/codec-matrix
+sources, CEP exclusions + iterative conditions, MATCH_RECOGNIZE and
+named-argument dialect, FLIP-373 STATE_TTL hints, the retraction-
+producing outer stream join, WordPiece/Unigram tokenizers, KN/bigram
+LM surprisal gates, priority/containment dedup, quota/token-budget
+mixing, IVF-PQ/filtered/MaxSim ANN, the eight new media codecs + real
+pipeline stages, SCD2 history, theta sketches, trained lang-id — plus
+``s_chunk_dedup_stream`` (the known r7 overflow).
+``n4_perceptron_train`` and ``s_perceptron_train_stream`` overflow to
+r10.  See STATUS.md "driver certification window" for the ledger.
 """
 
 from . import windows  # noqa: F401
@@ -50,45 +53,42 @@ from . import llm_text  # noqa: F401  (trained trigram NB lang-id)
 
 from ..registry import REGISTRY
 
-# The exact round-8 certification window (first 50 registry entries):
-# all never-certified, in STATUS.md r08-ledger order: the 27 r6-overflow
-# queries, then the r7 wave (BPE, RRF, binary ANN, count-min, SESSION
-# TVF, skip-to-variable, reluctant quantifiers, JPEG, RAG pipeline).
-# ``s_chunk_dedup_stream`` overflows to r09.
-_R08_WINDOW = [
-    # r6 overflow (27)
-    "n6_epoch_shuffle", "src_time_travel", "src_snapshot_diff",
-    "sql_window_tvf", "sql_legacy_group_windows",
-    "j8c_window_join_full", "s_window_join_full_stream",
-    "s_minhash_dedup_stream", "n6_dsir_resample",
-    "x5_quantifier_alternation", "f_math2_family",
-    "j8d_hop_window_join", "o6b_topn_with_ties",
-    "s_three_way_interval_join_stream", "a16_quantile_sketch",
-    "s_quantile_sketch_stream", "sql_view_lifecycle",
-    "s_ivf_ingest_stream", "f_try_family", "j5c_interval_join_sym",
-    "n2_winnow_overlap_pairs", "j8e_cumulate_window_join",
-    "pipeline_dsir_end_to_end", "s_quantifier_stream",
-    "n4_char_diversity", "sql_set_reset", "n2_cluster_canonical",
-    # r7 additions (23 of 24)
-    "sql_session_tvf", "n2_lsh_capped_skew",
-    "s_topn_over_agg_retract", "x5_skip_to_variable",
-    "s_skip_to_variable_stream", "x5_reluctant_quantifier",
-    "s_reluctant_quantifier_stream", "n5_jpeg_decode_real",
-    "n3_binary_hamming_topk", "n4_bm25_topk", "n4_bpe_train",
-    "n4_bpe_encode", "src_snapshot_expire", "n3_hybrid_rrf_topk",
-    "a17_countmin_sketch", "s_countmin_stream", "n6_temperature_mix",
-    "s_sql_window_tvf_stream", "s_dsir_stats_stream",
-    "n4_chunk_manifest", "n6_bpe_packing",
-    "pipeline_rag_index_end_to_end", "s_sql_session_tvf_stream",
+# The exact round-9 certification window (first 50 registry entries):
+# the first 50 of the 52 never-driver-certified queries, in registry
+# order (the r8 wave + the r7 overflow ``s_chunk_dedup_stream``).
+# ``n4_perceptron_train`` / ``s_perceptron_train_stream`` overflow to
+# r10.
+_R09_WINDOW = [
+    "x8_cc_two_phase", "s_punctuated_watermark_stream",
+    "src_gzip_jsonl_scan", "src_parquet_codec_matrix",
+    "s_gzip_ingest_stream", "x5_exclusion", "s_exclusion_stream",
+    "x5_iterative_condition", "s_iterative_condition_stream",
+    "sql_match_recognize", "s_state_ttl_hint_join",
+    "s_state_ttl_hint_agg", "src_warc_wet_scan",
+    "s_join_over_agg_retract", "s_outer_join_retract_stream",
+    "sql_named_arguments", "n4_wordpiece_encode", "n4_unigram_encode",
+    "s_chunk_dedup_stream", "n1_priority_dedup", "n2_containment_pairs",
+    "s_priority_dedup_stream", "n6_quota_mix", "n4_lm_surprisal_filter",
+    "pipeline_quality_mix_end_to_end", "n4_kn_surprisal_filter",
+    "n6_token_budget_epochs", "n3_ivfpq_topk", "n3_filtered_ivf_topk",
+    "n3_ivfpq_recall_report", "n3_maxsim_topk", "n5_jpeg_color_decode",
+    "n5_flac_decode_real", "n5_jpeg_progressive_decode",
+    "n5_jpeg_restart", "n5_image_resize_real",
+    "n5_video_frame_sample_real", "n5_audio_features_real",
+    "n5_jpeg_sa_decode", "n5_gif_decode_real", "n5_adpcm_decode_real",
+    "n5_jpeg_color_progressive_decode", "n5_webp_decode_real",
+    "x6_scd2_history", "s_scd2_stream", "s_window_agg_over_retract",
+    "x6_scd2_asof_lookup", "a18_theta_sketch_intersect",
+    "s_theta_sketch_stream", "n4_lang_id_trigram_nb",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R08_WINDOW) == 50, len(_R08_WINDOW)
-    missing = [n for n in _R08_WINDOW if n not in REGISTRY]
+    assert len(_R09_WINDOW) == 50, len(_R09_WINDOW)
+    missing = [n for n in _R09_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R08_WINDOW)}
-    ordered = {k: REGISTRY[k] for k in _R08_WINDOW}
+    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R09_WINDOW)}
+    ordered = {k: REGISTRY[k] for k in _R09_WINDOW}
     ordered.update(rest)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -155,13 +155,13 @@ def test_kafka_offset_scan_pushes_partition_offset_filters(spark, sf_dir):
     assert "offset" in pushed and "partition" in pushed, pushed
 
 
-def test_r08_certification_window_is_pinned():
-    """The driver certifies list(REGISTRY)[:50]; this pins the round-8
+def test_r09_certification_window_is_pinned():
+    """The driver certifies list(REGISTRY)[:50]; this pins the round-9
     window so an accidental import reorder can't silently rotate it."""
-    from flink_1_19_source_spark.queries import _R08_WINDOW
+    from flink_1_19_source_spark.queries import _R09_WINDOW
 
     window = list(REGISTRY)[:50]
-    assert window == _R08_WINDOW
+    assert window == _R09_WINDOW
     from flink_1_19_source_spark.registry import oracle_sql
 
     oracles = oracle_sql()
