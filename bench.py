@@ -93,6 +93,27 @@ HEADLINE = [
 # readers.
 EXCLUDED: dict[str, str] = {}
 
+# Recycle the SparkSession every N timed queries: one long-lived session
+# accumulates debris a 355-query run turns into fake regressions — memory-
+# sink tables from 150+ drained streams, localCheckpoint blocks, codegen
+# classes, GC pressure (r8: x5_match_recognize_abc read 6.5x its solo time
+# purely from session position). Restart cost (~10 s) x 2 is cheap against
+# un-attributable drift. Per-query scrubbing below handles the rest.
+RECYCLE_EVERY = 120
+
+
+def _scrub(spark, keep_views: set[str]) -> None:
+    """Drop what the previous query left behind so the next query's timing
+    is position-independent: cached plans, persisted/localCheckpoint RDD
+    blocks, and temp views it created (memory-sink tables of drained
+    streams hold their full result set on the driver until dropped)."""
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name not in keep_views:
+            spark.catalog.dropTempView(t.name)
+
 
 def main() -> None:
     # Guard the stdout contract before the JVM inherits fd 1: everything the
@@ -126,17 +147,23 @@ def _run(real_stdout: int) -> None:
     from flink_1_19_source_spark.registry import queries
     from flink_1_19_source_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    qs = queries()
-    # warm the JVM / codegen / parquet footer caches with one trivial pass
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    # pre-build the co-bucketed warehouse tables: a one-time ETL step, not
-    # part of the join j_bucketed_colocated measures
     from flink_1_19_source_spark.queries.joins import ensure_bucketed_tables
 
-    ensure_bucketed_tables(spark, sf_dir)
+    def fresh_session():
+        spark = get_spark(app_name="bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm the JVM / codegen / parquet footer caches with a trivial pass
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        # pre-build the co-bucketed warehouse tables: a one-time ETL step,
+        # not part of the join j_bucketed_colocated measures
+        ensure_bucketed_tables(spark, sf_dir)
+        base_views = {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        }
+        return spark, base_views
+
+    spark, base_views = fresh_session()
+    qs = queries()
 
     import statistics
 
@@ -144,9 +171,12 @@ def _run(real_stdout: int) -> None:
     samples_map: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     headline = set(HEADLINE)
-    for name in sorted(qs):
+    for i, name in enumerate(sorted(qs)):
         if name in EXCLUDED:
             continue
+        if i and i % RECYCLE_EVERY == 0:
+            spark.stop()
+            spark, base_views = fresh_session()
         # Headline queries: median of 3 runs, so same-machine variance
         # (±7% observed between back-to-back solo runs) can't masquerade
         # as a regression — round-to-round drift on a median is signal.
@@ -164,6 +194,11 @@ def _run(real_stdout: int) -> None:
                 samples_map[name] = [round(s, 3) for s in samples]
         except Exception as ex:  # keep benching; a failed query is reported
             failed[name] = f"{type(ex).__name__}: {ex}"[:200]
+        finally:
+            try:
+                _scrub(spark, base_views)
+            except Exception:
+                pass  # scrubbing is hygiene, never a bench failure
 
     total = round(sum(times.values()), 3)
     stream_sec = round(sum(v for k, v in times.items() if k.startswith("s_")), 3)

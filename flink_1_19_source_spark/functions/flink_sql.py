@@ -685,6 +685,24 @@ def run_match_recognize(spark: SparkSession, query: str):
         raise ValueError(
             f"DEFINE variables not in PATTERN: {sorted(extra)}"
         )
+    # Classification below is a first-wins F.when chain, which is only
+    # equivalent to MATCH_RECOGNIZE's pattern-position admissibility when
+    # the DEFINE predicates are mutually exclusive — two variables
+    # sharing a (column, literal) pair would silently route every such
+    # row to whichever DEFINE came first.  Out-of-subset shape: raise,
+    # consistent with the other subset guards.
+    seen_preds: dict[tuple[str, str], str] = {}
+    for v, conds in defs.items():
+        for col, lit in conds:
+            key = (col.lower(), lit)
+            if key in seen_preds and seen_preds[key] != v:
+                raise ValueError(
+                    f"DEFINE predicates overlap: {seen_preds[key]} and "
+                    f"{v} both match {col} = {lit!r} — overlapping "
+                    "definitions need positional admissibility, outside "
+                    "the statement path's subset"
+                )
+            seen_preds[key] = v
     sym = None
     for v, conds in defs.items():
         for col, lit in conds:

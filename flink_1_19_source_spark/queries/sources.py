@@ -352,8 +352,27 @@ def src_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     gz = _glob.glob(os.path.join(path, "*.json.gz"))
     assert len(gz) == 8, f"expected 8 gzip members, found {len(gz)}"
     r = spark.read.schema(d.schema).json(path)
-    # one task per gzip member — the unsplittable-codec contract
-    assert r.rdd.getNumPartitions() == 8, r.rdd.getNumPartitions()
+    # one task per gzip member — the unsplittable-codec contract.  The
+    # partition count otherwise depends on Spark's file bin-packing
+    # (openCostInBytes / maxPartitionBytes / defaultParallelism), so pin
+    # the packing confs for the duration of the assertion: with
+    # openCost == maxPartitionBytes no two files share a bin.
+    _pin = {
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.files.openCostInBytes": "134217728",
+    }
+    old = {k: spark.conf.get(k, None) for k in _pin}
+    try:
+        for k, v in _pin.items():
+            spark.conf.set(k, v)
+        n_parts = spark.read.schema(d.schema).json(path).rdd.getNumPartitions()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n_parts == 8, n_parts
     return r.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),

@@ -1145,12 +1145,29 @@ def s_punctuated_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     (state bounded by the window domain, not the stream), and the
     windows newly closed by this batch's punctuated watermark — closed
     now but not under the previous batch's — append once to the sink.
-    All three mutations are overwrite-idempotent per batch id, so crash
-    replays converge; the running max is monotone, so any chunk slicing
-    emits each window exactly once (invariance-pinned).  Late rows
-    (window already closed by a marker) would drop per Flink's rule —
-    unreachable under the event-time-ordered replay, stated for the
-    record."""
+
+    Crash-replay (X4): the "previous watermark" CANNOT be recomputed
+    from the marks log on a replay — a re-run of batch k would see its
+    own marker already appended, compute wm_prev == wm_cur, and
+    overwrite the output segment that held batch k's closed windows
+    with an empty one.  So wm_prev is persisted per batch id BEFORE the
+    marker append (a one-row ``_SUCCESS``-gated parquet ledger): a
+    replayed batch reads the committed value from its first attempt,
+    and a crash inside the ledger write itself replays before any other
+    mutation.  All mutations are overwrite-idempotent per batch id, so
+    crash replays converge (pinned by
+    ``test_punctuated_watermark_crash_replay_converges``); the running
+    max is monotone, so any chunk slicing emits each window exactly
+    once (invariance-pinned).  Late rows (window already closed by a
+    marker) would drop per Flink's rule — unreachable under the
+    event-time-ordered replay, stated for the record."""
+    return _punctuated_wm_run(spark, sf_dir)
+
+
+def _punctuated_wm_run(
+    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None
+) -> DataFrame:
+    import glob as _glob
     import shutil
     import uuid
 
@@ -1170,15 +1187,32 @@ def s_punctuated_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
                              F.sum("tdec").alias("tdec")))
     out = SegmentStore(spark, os.path.join(wd, f"out-{run}"),
                        compact_every=4)
+    led_root = os.path.join(wd, f"wmprev-{run}")
+    crashed = {"done": False}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            prev = marks.read()
-            wm_prev = None
-            if prev is not None:
-                r = prev.agg(F.max("m").alias("m")).collect()[0]
-                wm_prev = r["m"]
+            # wm_prev ledger: replay-stable "watermark before this
+            # batch".  Must be resolved BEFORE this batch's marker
+            # lands in the marks log (see docstring).
+            led = os.path.join(led_root, f"bid-{batch_id:04d}")
+            if os.path.exists(os.path.join(led, "_SUCCESS")):
+                rows = spark.read.parquet(led).collect()
+                wm_prev = rows[0]["m"] if rows else None
+            else:
+                prev = marks.read()
+                wm_prev = None
+                if prev is not None:
+                    r = prev.agg(F.max("m").alias("m")).collect()[0]
+                    wm_prev = r["m"]
+                spark.createDataFrame(
+                    [(wm_prev,)], "m timestamp"
+                ).coalesce(1).write.mode("overwrite").parquet(led)
+            # only the in-flight batch can replay: older entries are dead
+            for p in _glob.glob(os.path.join(led_root, "bid-*")):
+                if int(os.path.basename(p).split("-")[1]) < batch_id:
+                    shutil.rmtree(p, ignore_errors=True)
             mk = batch_df.filter(F.col("event_type") == "error").agg(
                 F.max("ts").alias("m")
             )
@@ -1214,11 +1248,23 @@ def s_punctuated_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
                     > F.lit(wm_prev)
                 )
             out.append(closed, batch_id)
+            if crash_once_at == batch_id and not crashed["done"]:
+                crashed["done"] = True
+                # worst spot: every store mutated (incl. this batch's
+                # marker and output segment), batch uncommitted
+                raise RuntimeError("injected crash after output append")
         finally:
             batch_df.unpersist()
 
     ckpt = os.path.join(wd, f"ckpt-{run}")
     with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("injected crash did not fire")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     res = out.read()

@@ -10,6 +10,7 @@ leak check was missing so the mistake cannot recur silently.
 from __future__ import annotations
 
 import re
+import subprocess
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -36,11 +37,16 @@ _DRIVER_WRITTEN = {
 
 
 def _repo_files():
-    for p in REPO.rglob("*"):
+    # Repo content = git-tracked files; untracked local scratch/config is
+    # not part of what ships.
+    out = subprocess.run(
+        ["git", "ls-files"], cwd=REPO, capture_output=True, text=True
+    )
+    names = out.stdout.splitlines() if out.returncode == 0 else []
+    for name in names:
+        p = REPO / name
+        rel = Path(name)
         if not p.is_file() or p.suffix not in _SCAN_SUFFIXES:
-            continue
-        rel = p.relative_to(REPO)
-        if rel.parts[0] in {".git", "spark-warehouse", ".pytest_cache"}:
             continue
         if rel.name in _DRIVER_WRITTEN:
             continue

@@ -481,6 +481,30 @@ def test_punctuated_watermark_bound_is_not_the_heuristic(sf_dir):
     assert n_punct < n_heur, (n_punct, n_heur)
 
 
+def test_punctuated_watermark_crash_replay_converges(spark, sf_dir):
+    """X4 for the punctuated generator: a crash injected AFTER the
+    output append (marker + state + output all mutated, batch
+    uncommitted), then a restart on the same checkpoint, must converge.
+    This is exactly the replay that loses windows if wm_prev is
+    recomputed from a marks log that already contains the replayed
+    batch's own marker — the per-batch wm_prev ledger makes it stable.
+    Crash at batch 1: the first batch past the initial marker, so the
+    replayed batch has a nonempty newly-closed window set to lose."""
+    from flink_1_19_source_spark.queries.streaming_queries import (
+        _punctuated_wm_run,
+    )
+
+    def snap(**kw):
+        return sorted(
+            (r.event_type, r.window_start, r.n, r.total)
+            for r in _punctuated_wm_run(spark, sf_dir, **kw).collect()
+        )
+
+    clean = snap()
+    assert clean, "no windows closed — test is vacuous"
+    assert snap(crash_once_at=1) == clean
+
+
 def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
     """WITHIN / SUBSET / SKIP TO / ALL ROWS PER MATCH raise cleanly from
     the statement path (their operator entry points are separate), and
@@ -513,6 +537,16 @@ def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
             spark,
             base.format(extra="").replace(
                 "S.event_type = 'signup'", "S.value > 10"
+            ),
+        )
+    # two DEFINE variables sharing a (column, literal) predicate would
+    # silently classify first-wins — must raise as out-of-subset
+    with pytest.raises(ValueError, match="overlap"):
+        run_match_recognize(
+            spark,
+            base.format(extra="").replace(
+                "C AS C.event_type = 'click'",
+                "C AS C.event_type = 'signup'",
             ),
         )
 
