@@ -505,6 +505,55 @@ def test_punctuated_watermark_crash_replay_converges(spark, sf_dir):
     assert snap(crash_once_at=1) == clean
 
 
+def test_iterative_prepass_is_exact(spark, sf_dir):
+    """The Catalyst dead-row prepass in match_recognize_iterative must
+    be invisible: the operator's output equals a reference scan that
+    drives the SAME step function over every row, unpruned.  Also pins
+    non-vacuity — the prepass must actually drop rows on this data,
+    else the 100x scale fix is a no-op."""
+    from flink_1_19_source_spark.operators import cep
+    from flink_1_19_source_spark.queries.cep import _iter_symbol
+    from flink_1_19_source_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = sorted(
+        (r.user_id, r.match_no, r.start_id, r.end_id, r.b_rows,
+         r.anchor_value, r.end_value)
+        for r in cep.match_recognize_iterative(
+            e, "user_id", "ts", "event_id", "value", _iter_symbol()
+        ).withColumnRenamed("key", "user_id").collect()
+    )
+
+    pdf = e.select(
+        "user_id", "ts", "event_id", "value", _iter_symbol().alias("sym")
+    ).toPandas().sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, g in pdf.groupby("user_id", sort=True):
+        st, n = cep.ITER_SEEK, 0
+        for sym, val, rid, ts in zip(
+            g["sym"], g["value"], g["event_id"],
+            g["ts"].astype("int64") // 1000,
+        ):
+            st, m = cep.iterative_step(st, sym, float(val), int(rid), int(ts))
+            if m is not None:
+                n += 1
+                want.append((uid, n, m[0], m[1], m[2], m[3], m[4]))
+    assert got == sorted(want) and got
+
+    # non-vacuity: the prepass must actually drop a large share of rows
+    # on this data, else the 100x scale fix is a no-op
+    from pyspark.sql import functions as F
+
+    prepared = e.select(
+        "user_id", "ts", "event_id", "value", _iter_symbol().alias("__sym")
+    )
+    survivors = cep.iterative_dead_row_prune(
+        prepared, "user_id", "ts", "event_id", "value"
+    ).count()
+    total = e.count()
+    assert survivors < total // 2, (survivors, total)
+
+
 def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
     """WITHIN / SUBSET / SKIP TO / ALL ROWS PER MATCH raise cleanly from
     the statement path (their operator entry points are separate), and
