@@ -1,0 +1,306 @@
+"""N7 — SIXTH composite: the CommonCrawl-shaped crawl→corpus pipeline.
+
+WARC/WET ingest → language id → bigram-LM surprisal gate → priority
+(keep-best) dedup → token-budget epoch allocation, in ONE oracled
+query with per-stage attrition visible per detected language.  Every
+stage is an individually-certified operator (src_warc_wet_scan's
+ISO 28500 reader/writer, n4_lang_id's marker argmax,
+n4_lm_surprisal_filter's exact-integer gate, n1_priority_dedup's
+keep-best window, n6_token_budget_epochs' repeat schedule) called
+through its shared core, so the composite cannot drift from them.
+
+Corpus-bytes-read-once contract: the crawl text is parsed out of the
+.warc shards exactly once, and EVERY text-derived quantity the later
+stages need (tokens, detected language, char length, dedup
+fingerprint) is computed in one projection over that parse, then
+materialized via localCheckpoint — the downstream plan never touches
+the binaryFile source or raw text again (pinned by
+tests/test_r9_ops.py::test_crawl_pipeline_reads_corpus_once).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import text_analysis as ta
+from ..registry import register
+from ..tables import load_table
+from .llm_dsir import _surprisal_scores_from, _token_budget_epochs_core
+
+_CRAWL_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             MD5(substring(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ',
+                                               'g')), 1, 100)) AS fp
+      FROM documents
+    ), lid AS (
+      SELECT doc_id,
+        len(list_filter(tk, t -> list_contains(
+          ['der','die','und','das','ist','nicht'], t))) AS s_de,
+        len(list_filter(tk, t -> list_contains(
+          ['the','and','of','to','is','it'], t))) AS s_en,
+        len(list_filter(tk, t -> list_contains(
+          ['el','los','y','es','una','para'], t))) AS s_es,
+        len(list_filter(tk, t -> list_contains(
+          ['le','les','et','est','une','pour'], t))) AS s_fr,
+        len(list_filter(tk, t -> list_contains(
+          ['de5','shi4','le5','zai4','he2','you3'], t))) AS s_zh
+      FROM base
+    ), langd AS (
+      SELECT doc_id,
+             CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+               WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+               WHEN s_fr THEN 'fr' ELSE 'zh' END AS det_lang
+      FROM lid
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM base WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(*) AS nv FROM (
+        SELECT DISTINCT w1 AS w FROM big
+        UNION SELECT DISTINCT w2 FROM big)
+    ), scoredoc AS (
+      SELECT b.doc_id,
+             SUM(LENGTH(bin((c1.n1 + v.nv) // (c2.n2 + 1))) - 1)
+               AS sum_bits,
+             COUNT(*) AS n_bigrams
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ), thr AS (
+      SELECT (1000 * SUM(sum_bits)) // SUM(n_bigrams) AS t FROM scoredoc
+    ), kept AS (
+      SELECT base.doc_id, base.tk, base.n_chars, base.fp, langd.det_lang
+      FROM base
+      JOIN scoredoc s ON base.doc_id = s.doc_id
+      JOIN langd ON langd.doc_id = base.doc_id
+      CROSS JOIN thr
+      WHERE (1000 * s.sum_bits) // s.n_bigrams <= thr.t
+    ), uniq AS (
+      SELECT doc_id, det_lang, tk FROM (
+        SELECT doc_id, det_lang, tk,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM kept)
+      WHERE rk = 1
+    ), per_doc AS (
+      SELECT det_lang AS source, doc_id, CAST(len(tk) AS BIGINT) AS nt
+      FROM uniq
+    ), src AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs
+      FROM per_doc GROUP BY source
+    ), tot AS (
+      SELECT SUM(t_tokens) AS tt, COUNT(*) AS ns FROM src
+    ), alloc AS (
+      SELECT source, t_tokens,
+             LEAST(4, ((4 * tot.tt) // tot.ns) // t_tokens) AS full_epochs,
+             CASE WHEN ((4 * tot.tt) // tot.ns) // t_tokens >= 4 THEN 0
+                  ELSE ((4 * tot.tt) // tot.ns) % t_tokens
+             END AS rem
+      FROM src, tot
+    ), ranked AS (
+      SELECT p.source, p.doc_id, p.nt,
+             SUM(p.nt) OVER (
+               PARTITION BY p.source
+               ORDER BY md5(CONCAT('epoch:', CAST(p.doc_id AS VARCHAR))),
+                        p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS csum
+      FROM per_doc p
+    ), part AS (
+      SELECT r.source,
+             CAST(COUNT(*) FILTER (WHERE r.csum <= a.rem) AS BIGINT)
+               AS partial_docs,
+             CAST(COALESCE(SUM(r.nt) FILTER (WHERE r.csum <= a.rem), 0)
+                  AS BIGINT) AS partial_tokens
+      FROM ranked r JOIN alloc a ON a.source = r.source
+      GROUP BY r.source
+    ), crawled AS (
+      SELECT det_lang, COUNT(*) AS n_crawled FROM langd GROUP BY det_lang
+    ), qual AS (
+      SELECT det_lang, COUNT(*) AS n_quality FROM kept GROUP BY det_lang
+    ), unq AS (
+      SELECT det_lang, COUNT(*) AS n_unique FROM uniq GROUP BY det_lang
+    )
+    SELECT c.det_lang AS lang, c.n_crawled,
+           COALESCE(q.n_quality, 0) AS n_quality,
+           COALESCE(u.n_unique, 0) AS n_unique,
+           COALESCE(a.t_tokens, 0) AS t_tokens,
+           CAST(COALESCE(a.full_epochs, 0) AS BIGINT) AS full_epochs,
+           COALESCE(p.partial_docs, 0) AS partial_docs,
+           COALESCE(p.partial_tokens, 0) AS partial_tokens,
+           CAST(COALESCE(a.full_epochs * a.t_tokens + p.partial_tokens, 0)
+                AS BIGINT) AS tokens_alloc
+    FROM crawled c
+    LEFT JOIN qual q ON q.det_lang = c.det_lang
+    LEFT JOIN unq u ON u.det_lang = c.det_lang
+    LEFT JOIN alloc a ON a.source = c.det_lang
+    LEFT JOIN part p ON p.source = c.det_lang
+"""
+
+
+def _crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round the full documents corpus through ISO 28500 WARC/WET files
+    (the same sources/warc.py reader/writer src_warc_wet_scan
+    certifies) and parse the text back DISTRIBUTED: 8 hash-sharded
+    .warc files written by one applyInPandas pass, read through the
+    binaryFile source + mapInPandas — the exact shape a CommonCrawl
+    ingest has (parallelism = archive file count; .warc.gz members at
+    deploy)."""
+    import pandas as pd
+
+    from ..sources import formats, warc
+
+    out_dir = formats.scratch(sf_dir, "crawl_warc")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("fid")
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fid"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        records = [
+            {
+                "warc_type": "conversion",
+                "record_id": f"<urn:uuid:{int(r.doc_id):032d}>",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "target_uri": f"http://corpus.local/doc/{int(r.doc_id)}",
+                "content_type": "text/plain",
+                "payload": str(r.text),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+        data = warc.write_warc(records)
+        path = os.path.join(out_dir, f"shard-{fid:04d}.warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish, rerun-idempotent
+        return pd.DataFrame({"fid": [fid], "n": [len(records)]})
+
+    docs.groupBy("fid").applyInPandas(write_shard, "fid int, n long").collect()
+
+    raw = spark.read.format("binaryFile").load(
+        os.path.join(out_dir, "shard-*.warc")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                for r in warc.parse_warc(bytes(rec.content)):
+                    if r["warc_type"] != "conversion":
+                        continue
+                    uri = r["target_uri"] or ""
+                    rows.append(
+                        (
+                            int(uri.rsplit("/", 1)[1]),
+                            r["payload"].decode("utf-8"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return raw.select("content").mapInPandas(parse, "doc_id long, text string")
+
+
+def _crawl_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 0+: crawl ingest, then ONE projection computing every
+    text-derived column the later stages need, materialized so corpus
+    bytes are read exactly once."""
+    crawl = _crawl_ingest(spark, sf_dir)
+    return crawl.select(
+        "doc_id",
+        ta.lang_id(F.col("text")).alias("det_lang"),
+        ta.tokens(F.col("text")).alias("tk"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.substring(ta.normalize(F.col("text")), 1, 100)).alias("fp"),
+    ).localCheckpoint(eager=True)
+
+
+@register(
+    "pipeline_crawl_end_to_end",
+    oracle=_CRAWL_ORACLE,
+    survey="N7 S1 N4 N1 N6",
+)
+def pipeline_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIXTH end-to-end composite (N7): the crawl→corpus pipeline the
+    north star actually describes — WARC/WET ingest (src_warc_wet_scan's
+    reader/writer), stopword-argmax language id (n4_lang_id), the
+    exact-integer bigram surprisal gate (n4_lm_surprisal_filter), C4
+    keep-best priority dedup over prefix-duplicate groups
+    (n1_priority_dedup), and the Muennighoff token-budget epoch
+    schedule (n6_token_budget_epochs) over the survivors, keyed by
+    DETECTED language.  Per-language attrition is visible at every
+    stage (n_crawled → n_quality → n_unique) next to the final repeat
+    schedule (t_tokens, full_epochs, partial_docs/tokens, tokens_alloc)
+    — the report a crawl-to-training-mix run ships.
+
+    The oracle replays the whole chain from `documents`, which is also
+    an end-to-end losslessness proof of the WARC framing: any header,
+    length or encoding bug changes the parsed text, hence tokens,
+    hence every downstream hash.  100 TB shape: ingest parallelism =
+    archive file count; the text is touched once (one projection over
+    the parse, checkpointed); the gate is one bigram-keyed shuffle;
+    dedup is one fingerprint-keyed window; the schedule runs on
+    per-language counts with a broadcast allocation table."""
+    base = _crawl_base(spark, sf_dir)
+
+    # stage 1 — quality gate (surprisal over the crawl tokens)
+    scores = _surprisal_scores_from(base.select("doc_id", "tk"))
+    kept = base.join(scores.filter(F.col("keep")).select("doc_id"), "doc_id")
+
+    # stage 2 — priority keep-best dedup over prefix-duplicate groups
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    uniq = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+    # stage 3 — token-budget epoch allocation keyed by detected lang
+    per_doc = uniq.select(
+        F.col("det_lang").alias("source"),
+        "doc_id",
+        F.size("tk").cast("long").alias("nt"),
+    )
+    epochs = _token_budget_epochs_core(per_doc)
+
+    crawled = base.groupBy("det_lang").agg(
+        F.count(F.lit(1)).alias("n_crawled")
+    )
+    qual = kept.groupBy("det_lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    unq = uniq.groupBy("det_lang").agg(F.count(F.lit(1)).alias("n_unique"))
+    return (
+        crawled.join(qual, "det_lang", "left")
+        .join(unq, "det_lang", "left")
+        .join(
+            epochs.withColumnRenamed("source", "det_lang"),
+            "det_lang",
+            "left",
+        )
+        .select(
+            F.col("det_lang").alias("lang"),
+            "n_crawled",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("t_tokens", F.lit(0)).alias("t_tokens"),
+            F.coalesce("full_epochs", F.lit(0)).alias("full_epochs"),
+            F.coalesce("partial_docs", F.lit(0)).alias("partial_docs"),
+            F.coalesce("partial_tokens", F.lit(0)).alias("partial_tokens"),
+            F.coalesce("tokens_alloc", F.lit(0)).alias("tokens_alloc"),
+        )
+    )

@@ -664,9 +664,17 @@ def _surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text_analysis as ta
 
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", ta.tokens(F.col("text")).alias("tk")).filter(
-        F.size("tk") >= 2
+    return _surprisal_scores_from(
+        d.select("doc_id", ta.tokens(F.col("text")).alias("tk"))
     )
+
+
+def _surprisal_scores_from(tk_df: DataFrame) -> DataFrame:
+    """Shared surprisal-gate core over a (doc_id, tk) tokens frame —
+    called by n4_lm_surprisal_filter, pipeline_quality_mix_end_to_end
+    and pipeline_crawl_end_to_end so the gate cannot drift between the
+    certified operator and the composites."""
+    tk = tk_df.filter(F.size("tk") >= 2)
     big = tk.select(
         "doc_id",
         F.explode(
@@ -1038,13 +1046,22 @@ def n6_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, and the partial-epoch pick is a per-source window over the
     hash order — no global sort, no collect."""
     from ..operators import text_analysis as ta
-    from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     per_doc = d.select(
         "source", "doc_id",
         F.size(ta.tokens(F.col("text"))).cast("long").alias("nt"),
     )
+    return _token_budget_epochs_core(per_doc)
+
+
+def _token_budget_epochs_core(per_doc: DataFrame) -> DataFrame:
+    """Shared epoch-allocation core over a (source, doc_id, nt) frame —
+    called by n6_token_budget_epochs and pipeline_crawl_end_to_end so
+    the schedule arithmetic cannot drift between the certified operator
+    and the composite."""
+    from pyspark.sql.window import Window
+
     src = per_doc.groupBy("source").agg(
         F.sum("nt").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
     )

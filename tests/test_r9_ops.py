@@ -1,0 +1,41 @@
+"""Round-9 additions: the crawl→corpus composite and its contracts."""
+
+from __future__ import annotations
+
+from flink_1_19_source_spark.plans import audit
+from flink_1_19_source_spark.registry import REGISTRY, queries
+
+queries()
+
+
+def test_crawl_pipeline_reads_corpus_once(spark, sf_dir):
+    """Corpus-bytes-read-once pin: after the single checkpointed
+    projection over the WARC parse, the composite's plan must never
+    touch the binaryFile source or the documents parquet again — every
+    downstream stage runs over the materialized base (tokens, detected
+    lang, char length, fingerprint all computed in that one pass)."""
+    df = REGISTRY["pipeline_crawl_end_to_end"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "binaryFile" not in txt, txt[:2000]
+    assert "documents" not in txt, txt[:2000]
+    assert ("ExistingRDD" in txt) or ("LogicalRDD" in txt), txt[:2000]
+
+
+def test_crawl_pipeline_attrition_is_nonvacuous(spark, sf_dir):
+    """Every stage must actually drop documents on this corpus (a
+    composite whose gates pass everything proves nothing), and BOTH
+    branches of the token-budget schedule must be exercised — at least
+    one language hits the 4-epoch repeat cap (rem = 0) and at least one
+    fills a partial epoch (partial_tokens > 0)."""
+    rows = REGISTRY["pipeline_crawl_end_to_end"].fn(spark, sf_dir).collect()
+    assert rows
+    n_crawled = sum(r.n_crawled for r in rows)
+    n_quality = sum(r.n_quality for r in rows)
+    n_unique = sum(r.n_unique for r in rows)
+    assert n_crawled > n_quality > 0, (n_crawled, n_quality)
+    assert n_quality > n_unique > 0, (n_quality, n_unique)
+    assert any(r.full_epochs == 4 and r.partial_tokens == 0 for r in rows)
+    assert any(r.partial_tokens > 0 for r in rows)
+    # schedule consistency: alloc = full passes + the partial fill
+    for r in rows:
+        assert r.tokens_alloc == r.full_epochs * r.t_tokens + r.partial_tokens
