@@ -805,23 +805,27 @@ def s_outer_join_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (-D) and re-emits +I(v, p) — the null flip is the canonical
     retraction.  Here, per micro-batch, foreachBatch (1) appends each
     side's rows to its join state (self-compacting SegmentStores — both
-    sides' keyed state, bounded files over any uptime), (2) recomputes
-    the ABSOLUTE desired output for exactly the users touched in the
-    batch (their logged views LEFT JOIN their logged purchases), and
-    (3) diffs it against the sink's current rows for those users to
-    synthesize the changelog — '-D' for null rows whose view just
-    matched, upserts for new pairs — applied in ONE changelog MERGE
-    keyed on (view_id, purchase-or-sentinel).  Untouched users cost
-    nothing; per-batch work ∝ state of touched keys, exactly Flink's
-    join-state re-emission bill.
+    sides' keyed state, bounded files over any uptime), (2) emits
+    INCREMENTALLY, Flink's actual algorithm: each (view, purchase) pair
+    lands exactly once, in the batch where the later side arrives (new
+    views LEFT-join the purchase log — the NULL pad for the unmatched —
+    and new purchases inner-join the previously-logged views), and
+    (3) synthesizes retractions from the LOGS — '-D' for the null rows
+    of users whose FIRST purchase arrived this batch — applied with the
+    additions in ONE changelog MERGE keyed on (view_id,
+    purchase-or-sentinel).  Untouched users cost nothing; per-batch sink
+    volume ∝ NEW pairs (plus first-match retractions), not touched-key
+    state — the r8 shape re-merged the full state per batch and that
+    Derby insert volume was the bench's streaming floor.
 
-    Absolute recompute from the logs (never sink+delta) makes a crash
-    between the MERGE and the ledger mark converge on replay: re-staged
-    deletes hit already-absent rows (MERGE no-op) and upserts are
-    idempotent — pinned by tests/test_r8_tail.py, chunk-slicing
-    invariance likewise.  Drained snapshot = the batch LEFT JOIN (the
-    DuckDB oracle): every view paired with all its user's purchases, or
-    with NULL if that user never purchases."""
+    Every emission set derives from batch_df plus the idempotently-
+    converged logs, so a crash between the MERGE and the ledger mark
+    replays identically: re-staged deletes hit already-absent rows
+    (MERGE no-op) and upserts are idempotent — pinned by
+    tests/test_r8_tail.py, chunk-slicing invariance likewise.  Drained
+    snapshot = the batch LEFT JOIN (the DuckDB oracle): every view
+    paired with all its user's purchases, or with NULL if that user
+    never purchases."""
     return _outer_join_retract_run(spark, sf_dir)
 
 
@@ -876,9 +880,21 @@ def _outer_join_retract_run(
             touched = batch_df.select("user_id").distinct()
             l_aff = llog.read().join(touched, "user_id")
             r_aff = rlog.read().join(touched, "user_id")
-            # (2) ABSOLUTE desired output for the touched users
-            desired = (
-                l_aff.withColumnRenamed("event_id", "view_id")
+            # (2) INCREMENTAL emission — Flink's actual join algorithm:
+            # a (view, purchase) pair is emitted exactly once, in the
+            # batch where the LATER side arrives.  New views pair with
+            # every logged purchase (LEFT, so a still-unmatched view
+            # gets its +I(v, NULL) pad immediately); new purchases pair
+            # with previously-logged views only (new views were covered
+            # by the first set — the split keeps the two PK-disjoint,
+            # no dedup needed).  Re-MERGEing the full touched-key state
+            # per batch was the r8 bench's Derby-insert floor: O(state)
+            # rows written per batch vs O(new pairs) here.
+            new_l = batch_df.filter(
+                F.col("event_type") == "view"
+            ).select("event_id", "user_id")
+            add_new_views = (
+                new_l.withColumnRenamed("event_id", "view_id")
                 .join(
                     r_aff.withColumnRenamed("event_id", "purchase_id"),
                     "user_id",
@@ -887,6 +903,24 @@ def _outer_join_retract_run(
                 .select(
                     "view_id",
                     F.coalesce("purchase_id", F.lit(-1)).alias("b_key"),
+                    "user_id",
+                )
+            )
+            old_views = l_aff.join(
+                new_l.select("event_id"), "event_id", "left_anti"
+            )
+            desired = add_new_views.unionByName(
+                old_views.withColumnRenamed("event_id", "view_id")
+                .join(
+                    batch_df.filter(F.col("event_type") == "purchase")
+                    .select(
+                        F.col("event_id").alias("purchase_id"), "user_id"
+                    ),
+                    "user_id",
+                )
+                .select(
+                    "view_id",
+                    F.col("purchase_id").alias("b_key"),
                     "user_id",
                 )
             )
