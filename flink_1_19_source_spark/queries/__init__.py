@@ -46,7 +46,10 @@ from . import llm_tokenize  # noqa: F401  (BPE/WordPiece, chunking, RAG)
 from . import llm_dedup  # noqa: F401  (streaming LSH/chunk dedup, winnow)
 from . import llm_dsir  # noqa: F401  (DSIR resampling + pipeline)
 from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
-from . import llm_media  # noqa: F401  (real JPEG/FLAC codec queries)
+from . import llm_media  # noqa: F401  (real JPEG-family codec queries)
+from . import llm_media_stages  # noqa: F401  (N5 stages + PNG/WAV/AVI)
+from . import llm_media_codecs  # noqa: F401  (FLAC/GIF/ADPCM/WebP)
+from . import llm_reports  # noqa: F401  (LSH/IVF recall reports)
 from . import cdc_scd  # noqa: F401  (SCD2 history from CDC, batch + stream)
 from . import sketches2  # noqa: F401  (theta KMV sketch family)
 from . import llm_text  # noqa: F401  (trained trigram NB lang-id)

@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup
 from ..operators import iterate as it
 from ..operators import kmeans as km
 from ..registry import register
@@ -568,3 +569,60 @@ def _state_ttl_agg_run(
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     return agg.result_df()
+
+
+@register(
+    "x8_cc_two_phase",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
+    ), und AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      WITH RECURSIVE r AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      ) SELECT * FROM r
+    )
+    SELECT src AS id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    survey="N2 X8",
+)
+def x8_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via ALTERNATING STAR rounds [Kiveris et al.
+    2014 — the web-scale CC algorithm] over the same exact-Jaccard
+    near-dup graph as n2_dedup_clusters: large-star hangs bigger
+    neighbors onto each node's closed-neighborhood min, small-star
+    re-hangs the rest; alternation converges in O(log n) ROUNDS on any
+    graph — including the adversarial long chains where the min-label
+    propagation variant needs O(diameter) rounds.  Fixpoint detected by
+    an edge-multiset signature (count + order-independent hash sum, two
+    scalar aggregates); per round: two node-keyed shuffles.
+    tests/test_r8_tail.py pins star == propagation on this graph AND on
+    a crafted 64-node path (6 rounds, not 63)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return dedup.connected_components_star(pairs).select("id", "component")

@@ -807,458 +807,6 @@ def n4_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# N5 — multimodal columns
-# --------------------------------------------------------------------------
-@register(
-    "n5_multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-           MD5(text) AS digest,
-           CAST(LENGTH(text) % 64 + 1 AS INTEGER) AS width,
-           CAST(LENGTH(text) % 48 + 1 AS INTEGER) AS height
-    FROM documents WHERE doc_id < 200
-    """,
-    survey="N5",
-)
-def n5_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary media column → Arrow-batched mapInPandas feature
-    extraction (deterministic fake decode; real codec is an explicit stub
-    — see operators/multimodal.py)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = multimodal.attach_media(d, "doc_id", "text")
-    return multimodal.extract_features(media)
-
-
-@register(
-    "n5_resize",
-    oracle="""
-    SELECT doc_id,
-           CAST(256 AS INTEGER) AS out_width,
-           CAST(192 AS INTEGER) AS out_height,
-           MD5(text || ':256x192') AS resized_digest
-    FROM documents WHERE doc_id < 100
-    """,
-    survey="N5",
-)
-def n5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing (N5): binary payload in → derived record out
-    through one mapInPandas pass; the resample kernel is the stubbed codec
-    (deterministic fake digests payload+target size)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = multimodal.attach_media(d, "doc_id", "text")
-    return multimodal.resize_images(media, 256, 192)
-
-
-@register(
-    "n5_frame_sample",
-    oracle="""
-    SELECT d.doc_id,
-           CAST(f.no AS BIGINT) AS frame_no,
-           CAST(f.no * 1000 AS BIGINT) AS frame_ts_ms,
-           MD5(d.text || ':' || CAST(f.no AS VARCHAR)) AS frame_digest
-    FROM documents d,
-         LATERAL (SELECT UNNEST(range(0, CAST(CEIL(LEN(d.text) * 40 / 1000.0)
-                                              AS BIGINT)))
-                    AS no) f
-    WHERE d.doc_id < 50
-    """,
-    survey="N5 R4",
-)
-def n5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (N5): 1→N fan-out per payload inside the Arrow
-    batch (one frame per second of synthesized 40 ms/byte timeline); the
-    frame decode is the stubbed codec, digests are deterministic."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    media = multimodal.attach_video(d, "doc_id", "text")
-    return multimodal.sample_frames(media, every_ms=1000)
-
-
-@register(
-    "n5_decode_real",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
-      FROM documents WHERE doc_id < 150
-    ), px AS (
-      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
-    )
-    SELECT doc_id,
-           CAST(MAX(w) AS INTEGER) AS width,
-           CAST(MAX(h) AS INTEGER) AS height,
-           CAST(COUNT(*) AS BIGINT) AS n_px,
-           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7) % 256)
-                AS BIGINT) AS sum_r,
-           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 5) % 256)
-                AS BIGINT) AS sum_g,
-           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 10) % 256)
-                AS BIGINT) AS sum_b,
-           CAST(SUM((i + 1) * ((doc_id*31 + (i // w)*17 + (i % w)*7) % 256))
-                AS BIGINT) AS wsum
-    FROM px GROUP BY doc_id
-    """,
-    survey="N5",
-)
-def n5_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end (N5): per-doc synthetic RGB images are
-    PNG-ENCODED in one mapInPandas pass (pure-stdlib codec, filter type
-    cycling per scanline) and PNG-DECODED in a second — signature, chunk
-    CRCs, zlib inflate, and all five scanline unfilters all on the hot
-    path.  The oracle never sees a PNG byte: pixels are a closed form of
-    (doc_id, x, y), so DuckDB recomputes the per-channel sums and a
-    position-weighted checksum directly — any unfilter/stride/channel
-    bug breaks the hash.  Both passes are map-only (no shuffle until the
-    final per-doc agg, which the decode pass already folds per image)."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select("doc_id")
-    )
-    return _png_feature_pipeline(d)
-
-
-def _png_feature_pipeline(d: DataFrame) -> DataFrame:
-    """Shared encode→decode→features pipeline over a (doc_id) frame —
-    batch and streaming inputs take the identical map-only plan."""
-    import pandas as pd
-
-    from ..operators.png_codec import encode_png
-
-    def encode(batches):
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = did % 13 + 4, did % 7 + 3
-                px = bytearray()
-                for i in range(w * h):
-                    base = did * 31 + (i // w) * 17 + (i % w) * 7
-                    px += bytes(((base + c * 5) % 256) for c in range(3))
-                payloads.append(encode_png(bytes(px), w, h))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
-            )
-
-    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
-
-    cols = ["doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b", "wsum"]
-
-    def decode(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                w, h, pix = multimodal.decode_image(bytes(r.media_bytes), "png")
-                sr = sg = sb = ws = 0
-                for i in range(w * h):
-                    red = pix[3 * i]
-                    sr += red
-                    sg += pix[3 * i + 1]
-                    sb += pix[3 * i + 2]
-                    ws += (i + 1) * red
-                rows.append((int(r.doc_id), w, h, w * h, sr, sg, sb, ws))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return media.mapInPandas(
-        decode,
-        "doc_id long, width int, height int, n_px long, "
-        "sum_r long, sum_g long, sum_b long, wsum long",
-    )
-
-
-def _lsh_recall_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
-    pa, pb = dedup.minhash_perms(num_hashes, seed)
-    rpb = num_hashes // bands
-    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb)))
-    return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(LOWER(text), '\\s+'),
-                         t -> t <> '') AS tk
-      FROM documents WHERE doc_id < 200
-    ), sh AS (
-      SELECT doc_id, list_distinct(
-        CASE WHEN len(tk) >= 3 THEN
-          list_transform(range(0, len(tk) - 2),
-                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
-        ELSE [array_to_string(tk, ' ')] END) AS shingles
-      FROM toks
-    ), ex AS (
-      SELECT doc_id, UNNEST(shingles) AS s FROM sh
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), exact AS (
-      SELECT id_a, id_b,
-             ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9) AS j
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.3
-    ), hv AS (
-      SELECT doc_id, CAST(md5_number_lower(unnest(shingles)) >> 1 AS BIGINT) AS h
-      FROM sh
-    ),
-    perms(k, a, b) AS (VALUES {perms}),
-    sig AS (
-      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
-      FROM hv CROSS JOIN perms GROUP BY doc_id, k
-    ), bandkey AS (
-      SELECT doc_id, k // {rpb} AS band,
-             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
-      FROM sig GROUP BY doc_id, k // {rpb}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandkey a JOIN bandkey b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
-    SELECT CAST(FLOOR(e.j * 10) AS BIGINT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_true,
-           CAST(COUNT(c.id_a) AS BIGINT) AS n_found,
-           ROUND(CAST(COUNT(c.id_a) AS DOUBLE) / COUNT(*), 9) AS recall
-    FROM exact e
-    LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
-    GROUP BY 1
-    """
-
-
-@register("n2_lsh_recall_report", oracle=_lsh_recall_oracle(), survey="N2 N3")
-def n2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH quality evaluation AS DATA: exact-Jaccard ground-truth pairs
-    (threshold 0.3) bucketed by similarity, each bucket reporting how
-    many pairs banded MinHash-LSH recovered — the recall-vs-similarity
-    curve every production near-dup deployment tunes (bands/rows
-    trade-off). Both the ground truth and the candidate set are computed
-    in-engine and the whole curve is value-hash-oracled."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    exact = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
-    cand = (
-        dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
-        .select("id_a", "id_b")
-        .withColumn("_f", F.lit(1))
-    )
-    return (
-        exact.join(cand, ["id_a", "id_b"], "left")
-        .groupBy(F.floor(F.col("jaccard") * 10).cast("long").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("_f").alias("n_found"),
-        )
-        .withColumn(
-            "recall",
-            F.round(F.col("n_found").cast("double") / F.col("n_true"), 9),
-        )
-    )
-
-
-_IVF_RECALL_ORACLE = """
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), vn AS (
-      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
-    ), q AS (SELECT * FROM vn WHERE vec_id < 8),
-    exact AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, vn.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_dot_product(q.e, vn.e) / (q.nrm * vn.nrm)
-                          DESC, vn.vec_id) AS rk
-        FROM vn CROSS JOIN q WHERE q.vec_id <> vn.vec_id
-      ) WHERE rk <= 5
-    ), cn AS (
-      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
-      FROM v WHERE vec_id < 16
-    ), assign AS (
-      SELECT vn.vec_id, cn.cid,
-             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
-                        DESC, cn.cid) AS rk
-      FROM vn CROSS JOIN cn
-    ), corpus_list AS (
-      SELECT vec_id AS neighbor_id, cid AS list_id FROM assign WHERE rk = 1
-    ), q_list AS (
-      SELECT vec_id AS query_id, cid AS list_id
-      FROM assign WHERE vec_id < 8 AND rk <= 3
-    ), cand AS (
-      SELECT DISTINCT q.query_id, c.neighbor_id
-      FROM q_list q JOIN corpus_list c ON q.list_id = c.list_id
-      WHERE q.query_id <> c.neighbor_id
-    )
-    SELECT e.query_id,
-           CAST(COUNT(*) AS BIGINT) AS n_exact,
-           CAST(COUNT(c.neighbor_id) AS BIGINT) AS n_recovered,
-           ROUND(CAST(COUNT(c.neighbor_id) AS DOUBLE) / COUNT(*), 9) AS recall
-    FROM exact e
-    LEFT JOIN cand c
-      ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id
-    """
-
-
-@register("n3_ivf_recall_report", oracle=_IVF_RECALL_ORACLE, survey="N3")
-def n3_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF quality evaluation AS DATA (the ANN sibling of
-    n2_lsh_recall_report): per query, how many of the exact cosine top-5
-    appear in the IVF candidate set at nprobe=3 — the recall-vs-probe
-    curve every IVF deployment tunes. Both sides computed in-engine and
-    fully value-hash-oracled."""
-    import numpy as np
-
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
-    exact = similarity.cosine_topk(e, q, k=5).select("query_id", "neighbor_id")
-    cent_rows = (
-        e.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
-    )
-    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
-    cand = (
-        similarity.ivf_candidates(e, q, centroids, nprobe=3)
-        if hasattr(similarity, "ivf_candidates")
-        else similarity.ivf_topk(e, q, centroids, k=10**9, nprobe=3).select(
-            "query_id", "neighbor_id"
-        )
-    )
-    cand = cand.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
-    return (
-        exact.join(cand, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("_f").alias("n_recovered"),
-        )
-        .withColumn(
-            "recall",
-            F.round(F.col("n_recovered").cast("double") / F.col("n_exact"), 9),
-        )
-    )
-
-
-_SIMHASH_PAIRS_ORACLE = f"""
-    WITH {_SHINGLE_HASH_CTES},
-    bits AS (
-      SELECT doc_id, t.b, SUM((h >> t.b) & 1) AS ones, COUNT(*) AS n
-      FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS b FROM range(63)) t
-      GROUP BY doc_id, t.b
-    ), fp AS (
-      SELECT doc_id AS id,
-             CAST(SUM(CASE WHEN 2 * ones > n
-                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
-               AS f
-      FROM bits GROUP BY doc_id
-    ), blocks AS (
-      SELECT id, f, t.i AS b, (f >> (16 * t.i)) & 65535 AS bv
-      FROM fp, (SELECT UNNEST([0, 1, 2, 3]) AS i) t
-    ), cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f AS fa, b.f AS fb
-      FROM blocks a JOIN blocks b
-        ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
-    )
-    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
-"""
-
-
-@register("n2_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, survey="N2")
-def n2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball candidate pairs (operators/dedup.simhash_pairs):
-    the 4×16-bit-block pigeonhole join — two 64-bit fingerprints within
-    Hamming distance ≤ 3 must share an exact block — then the popcount
-    re-check. The whole pipeline (fingerprints, block buckets, XOR
-    popcounts) is value-hash-oracled."""
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=3)
-
-
-@register(
-    "n5_audio_decode_real",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 50 + 20 AS n
-      FROM documents WHERE doc_id < 150
-    ), sam AS (
-      SELECT doc_id, n, UNNEST(range(0, n)) AS i FROM dims
-    ), vals AS (
-      SELECT doc_id, n, (doc_id*37 + i*13) % 4001 - 2000 AS s FROM sam
-    )
-    SELECT doc_id,
-           CAST(8000 AS INTEGER) AS sample_rate,
-           CAST(1 AS INTEGER) AS channels,
-           CAST(MAX(n) AS BIGINT) AS n_samples,
-           CAST(MAX(n) // 8 AS BIGINT) AS duration_ms,
-           CAST(SUM(s) AS BIGINT) AS sum_amp,
-           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
-           CAST(MAX(ABS(s)) AS BIGINT) AS peak
-    FROM vals GROUP BY doc_id
-    """,
-    survey="N5",
-)
-def n5_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end (N5, audio twin of n5_decode_real):
-    deterministic per-doc PCM-16 waveforms are WAV-ENCODED in one
-    mapInPandas pass (pure-stdlib RIFF codec) and WAV-DECODED in a
-    second — RIFF framing, chunk walking, fmt validation, PCM unpack all
-    on the hot path — then folded to per-clip features (sample count,
-    duration, amplitude sums, peak).  The oracle never sees a WAV byte:
-    samples are a closed form of (doc_id, i), so DuckDB recomputes the
-    features directly and any framing/endianness/width bug breaks the
-    hash.  Map-only until the per-doc fold inside the decode pass."""
-    import pandas as pd
-
-    from ..operators.wav_codec import encode_wav
-
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select("doc_id")
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                n = did % 50 + 20
-                samples = [(did * 37 + i * 13) % 4001 - 2000 for i in range(n)]
-                payloads.append(encode_wav(samples, sample_rate=8000))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
-            )
-
-    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
-
-    cols = [
-        "doc_id", "sample_rate", "channels", "n_samples",
-        "duration_ms", "sum_amp", "sum_abs", "peak",
-    ]
-
-    def decode(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                rate, ch, samples = multimodal.decode_audio(
-                    bytes(r.media_bytes), "wav"
-                )
-                n = len(samples)
-                rows.append(
-                    (
-                        int(r.doc_id), rate, ch, n, n * 1000 // rate // ch,
-                        sum(samples), sum(abs(s) for s in samples),
-                        max(abs(s) for s in samples),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return media.mapInPandas(
-        decode,
-        "doc_id long, sample_rate int, channels int, n_samples long, "
-        "duration_ms long, sum_amp long, sum_abs long, peak long",
-    )
-
-
 @register(
     "n3_pq_topk",
     oracle="""
@@ -1316,208 +864,3 @@ def n3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(e, q, dim=64, n_subspaces=4, codebook_ids=8, k=5)
 
 
-@register(
-    "s_media_decode_stream",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
-      FROM documents WHERE doc_id < 150
-    ), px AS (
-      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
-    )
-    SELECT doc_id,
-           CAST(MAX(w) AS INTEGER) AS width,
-           CAST(MAX(h) AS INTEGER) AS height,
-           CAST(COUNT(*) AS BIGINT) AS n_px,
-           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7) % 256)
-                AS BIGINT) AS sum_r,
-           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 5) % 256)
-                AS BIGINT) AS sum_g,
-           CAST(SUM((doc_id*31 + (i // w)*17 + (i % w)*7 + 10) % 256)
-                AS BIGINT) AS sum_b,
-           CAST(SUM((i + 1) * ((doc_id*31 + (i // w)*17 + (i % w)*7) % 256))
-                AS BIGINT) AS wsum
-    FROM px GROUP BY doc_id
-    """,
-    survey="N5-S S1",
-    tags=("streaming",),
-)
-def s_media_decode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING multimodal ingest (N5-S): documents replayed as a file
-    stream are PNG-encoded and REAL-decoded on arrival — the same
-    map-only `_png_feature_pipeline` plan as the batch twin
-    n5_decode_real, running inside micro-batches with zero state (decode
-    is embarrassingly parallel; the 100 TB shape is decode-at-ingest
-    before anything shuffles).  Append emission; the drained stream
-    hash-matches the batch oracle."""
-    import os
-
-    from ..streaming import replay
-    from .streaming_queries import _drain_to_memory, _work_dir
-
-    wd = _work_dir(sf_dir, "s_media")
-    sdf = replay.replay_table(
-        spark, sf_dir, "documents", os.path.join(wd, "src"),
-        ts_col="doc_id", chunks=4, order_by=["doc_id"],
-    )
-    feats = _png_feature_pipeline(
-        sdf.filter(F.col("doc_id") < 150).select("doc_id")
-    )
-    return _drain_to_memory(spark, feats, "s_media_q", "append", wd)
-
-
-@register(
-    "n5_video_decode_real",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 5 + 3 AS h,
-             doc_id % 4 + 2 AS nf
-      FROM documents WHERE doc_id < 120
-    ), px AS (
-      SELECT doc_id, w, h, nf, UNNEST(range(0, nf * w * h)) AS j FROM dims
-    ), v AS (
-      SELECT doc_id, w, h, nf, j,
-             j // (w * h) AS f, (j % (w * h)) AS i
-      FROM px
-    )
-    SELECT doc_id,
-           CAST(MAX(w) AS INTEGER) AS width,
-           CAST(MAX(h) AS INTEGER) AS height,
-           CAST(25 AS INTEGER) AS fps,
-           CAST(MAX(nf) AS BIGINT) AS n_frames,
-           CAST(SUM((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7) % 256)
-                AS BIGINT) AS sum_r,
-           CAST(SUM((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7 + 10) % 256)
-                AS BIGINT) AS sum_b,
-           CAST(SUM((j + 1) * ((doc_id*31 + f*11 + (i // w)*17 + (i % w)*7)
-                               % 256)) AS BIGINT) AS wsum
-    FROM v GROUP BY doc_id
-    """,
-    survey="N5",
-)
-def n5_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video decode end-to-end (N5, closing the image/audio/video
-    triad): deterministic multi-frame RGB clips are AVI-ENCODED in one
-    mapInPandas pass (pure-stdlib RIFF container, raw DIB frames) and
-    AVI-DECODED in a second — container walk, header validation, and
-    the DIB storage conventions (bottom-up rows, BGR order, 4-byte row
-    padding) all on the hot path; a decoder that skips the un-flip or
-    the channel swap fails the hash.  Oracle recomputes per-channel and
-    position-weighted sums from the closed-form (doc_id, frame, x, y)
-    pixel generator; both passes map-only."""
-    import pandas as pd
-
-    from ..operators.avi_codec import encode_avi
-
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h, nf = did % 9 + 4, did % 5 + 3, did % 4 + 2
-                frames = []
-                for f in range(nf):
-                    px = bytearray()
-                    for i in range(w * h):
-                        base = did * 31 + f * 11 + (i // w) * 17 + (i % w) * 7
-                        px += bytes(((base + c * 5) % 256) for c in range(3))
-                    frames.append(bytes(px))
-                payloads.append(encode_avi(frames, w, h))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
-            )
-
-    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
-
-    cols = ["doc_id", "width", "height", "fps", "n_frames",
-            "sum_r", "sum_b", "wsum"]
-
-    def decode(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                w, h, fps, frames = multimodal.decode_video(
-                    bytes(r.media_bytes), "avi"
-                )
-                sr = sb = ws = 0
-                j = 0
-                for pix in frames:
-                    for i in range(w * h):
-                        red = pix[3 * i]
-                        sr += red
-                        sb += pix[3 * i + 2]
-                        ws += (j + 1) * red
-                        j += 1
-                rows.append(
-                    (int(r.doc_id), w, h, fps, len(frames), sr, sb, ws)
-                )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return media.mapInPandas(
-        decode,
-        "doc_id long, width int, height int, fps int, n_frames long, "
-        "sum_r long, sum_b long, wsum long",
-    )
-
-
-@register(
-    "x8_cc_two_phase",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS tk
-      FROM documents WHERE doc_id < 200
-    ), sh AS (
-      SELECT doc_id, list_distinct(
-        CASE WHEN len(tk) >= 3 THEN
-          list_transform(range(0, len(tk) - 2),
-                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
-        ELSE [array_to_string(tk, ' ')] END) AS shingles
-      FROM toks
-    ), ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), edges AS (
-      SELECT id_a, id_b FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.2
-    ), und AS (
-      SELECT id_a AS src, id_b AS dst FROM edges
-      UNION SELECT id_b, id_a FROM edges
-    ), reach AS (
-      WITH RECURSIVE r AS (
-        SELECT src, dst FROM und
-        UNION
-        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
-      ) SELECT * FROM r
-    )
-    SELECT src AS id, LEAST(src, MIN(dst)) AS component
-    FROM reach GROUP BY src
-    """,
-    survey="N2 X8",
-)
-def x8_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components via ALTERNATING STAR rounds [Kiveris et al.
-    2014 — the web-scale CC algorithm] over the same exact-Jaccard
-    near-dup graph as n2_dedup_clusters: large-star hangs bigger
-    neighbors onto each node's closed-neighborhood min, small-star
-    re-hangs the rest; alternation converges in O(log n) ROUNDS on any
-    graph — including the adversarial long chains where the min-label
-    propagation variant needs O(diameter) rounds.  Fixpoint detected by
-    an edge-multiset signature (count + order-independent hash sum, two
-    scalar aggregates); per round: two node-keyed shuffles.
-    tests/test_r8_tail.py pins star == propagation on this graph AND on
-    a crafted 64-node path (6 rounds, not 63)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
-    return dedup.connected_components_star(pairs).select("id", "component")

@@ -1,0 +1,226 @@
+"""N2/N3 approximate-path evaluation reports (SURVEY §2.11).
+
+Split out of queries/llm.py (the ~900-line house bound): the
+recall-vs-similarity curve for MinHash-LSH, the IVF recall report, and
+SimHash near-dup pairs — the queries that certify the approximate
+operators against their exact counterparts, value-hash-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..registry import register
+from ..tables import load_table
+from .llm import _SHINGLE_HASH_CTES
+
+
+def _lsh_recall_oracle(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    pa, pb = dedup.minhash_perms(num_hashes, seed)
+    rpb = num_hashes // bands
+    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(zip(pa, pb)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.3
+    ), hv AS (
+      SELECT doc_id, CAST(md5_number_lower(unnest(shingles)) >> 1 AS BIGINT) AS h
+      FROM sh
+    ),
+    perms(k, a, b) AS (VALUES {perms}),
+    sig AS (
+      SELECT doc_id, k, MIN(((h % 2147483647) * a + b) % 2147483647) AS sv
+      FROM hv CROSS JOIN perms GROUP BY doc_id, k
+    ), bandkey AS (
+      SELECT doc_id, k // {rpb} AS band,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS key
+      FROM sig GROUP BY doc_id, k // {rpb}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(FLOOR(e.j * 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(c.id_a) AS BIGINT) AS n_found,
+           ROUND(CAST(COUNT(c.id_a) AS DOUBLE) / COUNT(*), 9) AS recall
+    FROM exact e
+    LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    GROUP BY 1
+    """
+
+
+@register("n2_lsh_recall_report", oracle=_lsh_recall_oracle(), survey="N2 N3")
+def n2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation AS DATA: exact-Jaccard ground-truth pairs
+    (threshold 0.3) bucketed by similarity, each bucket reporting how
+    many pairs banded MinHash-LSH recovered — the recall-vs-similarity
+    curve every production near-dup deployment tunes (bands/rows
+    trade-off). Both the ground truth and the candidate set are computed
+    in-engine and the whole curve is value-hash-oracled."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    exact = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    cand = (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8)
+        .select("id_a", "id_b")
+        .withColumn("_f", F.lit(1))
+    )
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_f").alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_found").cast("double") / F.col("n_true"), 9),
+        )
+    )
+
+
+_IVF_RECALL_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), q AS (SELECT * FROM vn WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, vn.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, vn.e) / (q.nrm * vn.nrm)
+                          DESC, vn.vec_id) AS rk
+        FROM vn CROSS JOIN q WHERE q.vec_id <> vn.vec_id
+      ) WHERE rk <= 5
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+      FROM v WHERE vec_id < 16
+    ), assign AS (
+      SELECT vn.vec_id, cn.cid,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM vn CROSS JOIN cn
+    ), corpus_list AS (
+      SELECT vec_id AS neighbor_id, cid AS list_id FROM assign WHERE rk = 1
+    ), q_list AS (
+      SELECT vec_id AS query_id, cid AS list_id
+      FROM assign WHERE vec_id < 8 AND rk <= 3
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM q_list q JOIN corpus_list c ON q.list_id = c.list_id
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(c.neighbor_id) AS BIGINT) AS n_recovered,
+           ROUND(CAST(COUNT(c.neighbor_id) AS DOUBLE) / COUNT(*), 9) AS recall
+    FROM exact e
+    LEFT JOIN cand c
+      ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("n3_ivf_recall_report", oracle=_IVF_RECALL_ORACLE, survey="N3")
+def n3_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality evaluation AS DATA (the ANN sibling of
+    n2_lsh_recall_report): per query, how many of the exact cosine top-5
+    appear in the IVF candidate set at nprobe=3 — the recall-vs-probe
+    curve every IVF deployment tunes. Both sides computed in-engine and
+    fully value-hash-oracled."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, q, k=5).select("query_id", "neighbor_id")
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    cand = (
+        similarity.ivf_candidates(e, q, centroids, nprobe=3)
+        if hasattr(similarity, "ivf_candidates")
+        else similarity.ivf_topk(e, q, centroids, k=10**9, nprobe=3).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    cand = cand.select("query_id", "neighbor_id").withColumn("_f", F.lit(1))
+    return (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_f").alias("n_recovered"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_recovered").cast("double") / F.col("n_exact"), 9),
+        )
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_SHINGLE_HASH_CTES},
+    bits AS (
+      SELECT doc_id, t.b, SUM((h >> t.b) & 1) AS ones, COUNT(*) AS n
+      FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS b FROM range(63)) t
+      GROUP BY doc_id, t.b
+    ), fp AS (
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN 2 * ones > n
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+               AS f
+      FROM bits GROUP BY doc_id
+    ), blocks AS (
+      SELECT id, f, t.i AS b, (f >> (16 * t.i)) & 65535 AS bv
+      FROM fp, (SELECT UNNEST([0, 1, 2, 3]) AS i) t
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f AS fa, b.f AS fb
+      FROM blocks a JOIN blocks b
+        ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
+@register("n2_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, survey="N2")
+def n2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball candidate pairs (operators/dedup.simhash_pairs):
+    the 4×16-bit-block pigeonhole join — two 64-bit fingerprints within
+    Hamming distance ≤ 3 must share an exact block — then the popcount
+    re-check. The whole pipeline (fingerprints, block buckets, XOR
+    popcounts) is value-hash-oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=3)
+
+

@@ -632,7 +632,7 @@ def pipeline_media_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified too.  Scale shape: gate is map-only, dedup is the
     df-capped gram-hash join, decode is map-only — one keyed shuffle
     plus the final small agg."""
-    from .llm import _png_feature_pipeline
+    from .llm_media_stages import _png_feature_pipeline
     from .llm2 import _QC_B_MILLI, _QC_MILLI, _SSD_DF_CAP, _SSD_K
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
