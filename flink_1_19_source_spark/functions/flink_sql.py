@@ -753,3 +753,125 @@ def run_match_recognize(spark: SparkSession, query: str):
         return spark.sql(f"SELECT {m.group('select')} FROM {alias}")
     finally:
         pass
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN statement surface (Flink SQL: EXPLAIN [PLAN FOR |
+# CHANGELOG_MODE | ESTIMATED_COST | PLAN_ADVICE] <statement>)
+# ---------------------------------------------------------------------------
+
+#: Spark physical node -> the Flink optimized-physical-plan operator name
+#: it corresponds to, for the EXPLAIN PLAN surface.  Only nodes in this
+#: map are reported — auxiliary nodes (ColumnarToRow, AQE wrappers,
+#: ReusedExchange) are Spark mechanics with no Flink counterpart.
+_PLAN_NODE_MAP = {
+    "Scan parquet": "TableSourceScan",
+    "Scan json": "TableSourceScan",
+    "Scan csv": "TableSourceScan",
+    "Filter": "Calc(where)",
+    "Project": "Calc(select)",
+    "HashAggregate": "HashAggregate",
+    "SortAggregate": "SortAggregate",
+    "Exchange": "Exchange",
+    "Sort": "Sort",
+    "BroadcastHashJoin": "Join(broadcast)",
+    "SortMergeJoin": "Join(sortmerge)",
+    "ShuffledHashJoin": "Join(shuffled-hash)",
+    "BroadcastNestedLoopJoin": "NestedLoopJoin",
+    "Window": "OverAggregate",
+    "Expand": "Expand",
+    "Generate": "Correlate",
+    "TakeOrderedAndProject": "SortLimit",
+}
+
+
+def run_explain(spark: SparkSession, stmt: str) -> list[tuple[str, str]]:
+    """Flink's EXPLAIN statement against the engine's own plan
+    introspection (plans/audit.py): returns (section, item) rows.
+
+    - ``EXPLAIN PLAN FOR <query>``: the distinct Flink-named operators
+      of the optimized physical plan, plus the optimizer properties the
+      plan-pin tests assert (filter pushdown reached the scan,
+      whole-stage codegen present, exchange count) — LIVE introspection,
+      so a plan regression changes the rows.
+    - ``EXPLAIN CHANGELOG_MODE <query>``: the §7.4 changelog-kind
+      inference — per-stage RowKind sets ([I] insert-only vs
+      [I,UA,UB,D] retracting) and the sink plan the engine would pick
+      (streaming/sinks.SINK_PLANS).
+    - ``ESTIMATED_COST`` / ``PLAN_ADVICE``: declared out of surface
+      (Spark exposes no per-operator cost model to report honestly).
+    """
+    from ..plans import audit
+    from ..streaming import sinks as _sinks
+
+    m = re.match(
+        r"\s*EXPLAIN\s+(PLAN\s+FOR|CHANGELOG_MODE|ESTIMATED_COST|"
+        r"PLAN_ADVICE)\s+(.+)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparseable EXPLAIN statement: {stmt!r}")
+    detail = re.sub(r"\s+", " ", m.group(1).upper())
+    query = m.group(2).strip()
+    if detail in ("ESTIMATED_COST", "PLAN_ADVICE"):
+        raise ValueError(
+            f"EXPLAIN {detail} is out of surface: Spark exposes no "
+            "per-operator cost model to report honestly"
+        )
+
+    if detail == "PLAN FOR":
+        df = spark.sql(translate(query, spark))
+        txt = audit.plan_text(df)
+        nodes = set()
+        for line in txt.splitlines():
+            nm = re.match(r"\(\d+\)\s+(.*?)(?:\s+\[codegen.*)?$", line)
+            if not nm:
+                continue
+            name = nm.group(1).strip()
+            for spark_name, flink_name in _PLAN_NODE_MAP.items():
+                if name == spark_name or name.startswith(spark_name + " "):
+                    nodes.add(flink_name)
+                    break
+        out = [("node", n) for n in sorted(nodes)]
+        out.append(
+            (
+                "prop",
+                "filter_pushdown="
+                + str(any("PushedFilters: [" in s and "]" != s.split(
+                    "PushedFilters: [", 1)[1].lstrip()[0:1]
+                    for s in audit.scans(df))).lower(),
+            )
+        )
+        out.append(
+            ("prop", f"codegen={str(audit.has_whole_stage_codegen(df)).lower()}")
+        )
+        out.append(("prop", f"exchanges={audit.shuffle_count(df)}"))
+        return out
+
+    # CHANGELOG_MODE: §7.4 changelog-kind inference from the statement
+    # shape.  Subset: single SELECT, optional WHERE, optional GROUP BY
+    # (windowed via TUMBLE/HOP/CUMULATE/SESSION/window() or unwindowed).
+    q = re.sub(r"\s+", " ", query)
+    if not re.match(r"SELECT\b", q, re.IGNORECASE):
+        raise ValueError("EXPLAIN CHANGELOG_MODE supports SELECT statements")
+    has_group = re.search(r"\bGROUP\s+BY\b", q, re.IGNORECASE) is not None
+    rows = [("changelog", "source=[I]")]
+    if has_group:
+        windowed = re.search(
+            r"\b(TUMBLE|HOP|CUMULATE|SESSION)\s*\(|\bwindow\s*\(",
+            q,
+            re.IGNORECASE,
+        ) is not None
+        if windowed:
+            plan = _sinks.plan_sink("windowed_agg")
+            rows.append(("changelog", "aggregate=[I]"))
+        else:
+            plan = _sinks.plan_sink("global_agg")
+            rows.append(("changelog", "aggregate=[I,UA,UB,D]"))
+    else:
+        plan = _sinks.plan_sink("stateless")
+    rows.append(
+        ("changelog", f"sink={plan.output_mode}+{plan.sink}")
+    )
+    return rows

@@ -448,3 +448,84 @@ def sql_named_arguments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS discounted_price")
+
+
+@register(
+    "sql_explain_surface",
+    oracle="""
+    SELECT stmt, section, item FROM (VALUES
+      ('plan',      'node', 'Calc(select)'),
+      ('plan',      'node', 'Calc(where)'),
+      ('plan',      'node', 'Exchange'),
+      ('plan',      'node', 'HashAggregate'),
+      ('plan',      'node', 'Sort'),
+      ('plan',      'node', 'TableSourceScan'),
+      ('plan',      'prop', 'filter_pushdown=true'),
+      ('plan',      'prop', 'codegen=true'),
+      ('plan',      'prop', 'exchanges=4'),
+      ('agg',       'changelog', 'source=[I]'),
+      ('agg',       'changelog', 'aggregate=[I,UA,UB,D]'),
+      ('agg',       'changelog', 'sink=update+keyed_merge'),
+      ('window',    'changelog', 'source=[I]'),
+      ('window',    'changelog', 'aggregate=[I]'),
+      ('window',    'changelog', 'sink=append+direct'),
+      ('stateless', 'changelog', 'source=[I]'),
+      ('stateless', 'changelog', 'sink=append+direct')
+    ) AS t(stmt, section, item)
+    """,
+    survey="S12 §4 §7.4",
+)
+def sql_explain_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's ``EXPLAIN`` statement surface [docs: Flink SQL EXPLAIN —
+    ``EXPLAIN PLAN FOR`` and the 1.19 ExplainDetails, of which
+    CHANGELOG_MODE maps onto this engine's §7.4 inference;
+    ESTIMATED_COST/PLAN_ADVICE raise as declared out of surface]:
+
+    - ``EXPLAIN PLAN FOR`` runs the statement through the dialect layer
+      and reports the optimized physical plan in Flink operator names
+      (TableSourceScan / Calc / HashAggregate / Exchange / Sort ...)
+      plus the optimizer properties the plan-pin tests assert — filter
+      pushdown reached the scan, whole-stage codegen, exchange count.
+      The rows are LIVE introspection of the Catalyst plan
+      (plans/audit.py), so the oracle's pinned constants break if the
+      plan shape ever regresses — the same contract as a Flink
+      compiled-plan restore test, expressed through the driver's hash
+      gate.
+    - ``EXPLAIN CHANGELOG_MODE`` reports the per-stage RowKind sets of
+      the §7.4 changelog-kind inference (insert-only [I] vs retracting
+      [I,UA,UB,D]) and the sink plan the engine picks
+      (streaming/sinks.SINK_PLANS) for an unwindowed aggregate, a
+      window-TVF aggregate, and a stateless select."""
+    from ..functions.flink_sql import run_explain
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    stmts = {
+        "plan": (
+            "EXPLAIN PLAN FOR SELECT l_returnflag, COUNT(*) AS n "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "agg": (
+            "EXPLAIN CHANGELOG_MODE SELECT user_id, COUNT(*) AS n "
+            "FROM events GROUP BY user_id"
+        ),
+        "window": (
+            "EXPLAIN CHANGELOG_MODE SELECT window_start, event_type, "
+            "COUNT(*) AS n FROM TABLE(TUMBLE(TABLE events, "
+            "DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+            "GROUP BY window_start, event_type"
+        ),
+        "stateless": (
+            "EXPLAIN CHANGELOG_MODE SELECT event_id, value "
+            "FROM events WHERE value > 10"
+        ),
+    }
+    rows = [
+        (tag, section, item)
+        for tag, stmt in stmts.items()
+        for section, item in run_explain(spark, stmt)
+    ]
+    return spark.createDataFrame(
+        rows, "stmt string, section string, item string"
+    )

@@ -21,6 +21,22 @@ def test_crawl_pipeline_reads_corpus_once(spark, sf_dir):
     assert ("ExistingRDD" in txt) or ("LogicalRDD" in txt), txt[:2000]
 
 
+def test_explain_rejects_out_of_surface(spark, sf_dir):
+    """ESTIMATED_COST / PLAN_ADVICE raise as declared (Spark exposes no
+    per-operator cost model to report honestly), and a non-EXPLAIN
+    statement is rejected rather than mis-parsed."""
+    import pytest
+
+    from flink_1_19_source_spark.functions.flink_sql import run_explain
+    from flink_1_19_source_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    with pytest.raises(ValueError, match="ESTIMATED_COST"):
+        run_explain(spark, "EXPLAIN ESTIMATED_COST SELECT * FROM events")
+    with pytest.raises(ValueError, match="unparseable"):
+        run_explain(spark, "SELECT 1")
+
+
 def test_crawl_pipeline_attrition_is_nonvacuous(spark, sf_dir):
     """Every stage must actually drop documents on this corpus (a
     composite whose gates pass everything proves nothing), and BOTH
