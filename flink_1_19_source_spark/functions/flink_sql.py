@@ -626,7 +626,16 @@ def run_match_recognize(spark: SparkSession, query: str):
     if not m:
         raise ValueError("not a MATCH_RECOGNIZE statement")
     body = m.group("body")
-    for unsupported in ("WITHIN", "SUBSET", "ALL ROWS", "SKIP TO"):
+    # PATTERN (...) WITHIN INTERVAL 'n' UNIT — extract the time bound
+    # before clause slicing (it sits between PATTERN and DEFINE).
+    within = None
+    wm = re.search(
+        r"\bWITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", body, re.IGNORECASE
+    )
+    if wm:
+        within = (int(wm.group(1)), wm.group(2).upper())
+        body = body[: wm.start()] + body[wm.end():]
+    for unsupported in ("SUBSET", "ALL ROWS", "SKIP TO"):
         if re.search(rf"\b{unsupported}\b", body, re.IGNORECASE):
             raise ValueError(
                 f"{unsupported} not supported by the statement path — "
@@ -684,6 +693,18 @@ def run_match_recognize(spark: SparkSession, query: str):
     if extra:
         raise ValueError(
             f"DEFINE variables not in PATTERN: {sorted(extra)}"
+        )
+    if within is not None and order_vars[0] in order_vars[1:]:
+        # WITHIN runs as a post-filter on completed matches, which
+        # equals the NFA's within-timer ONLY when a discarded too-long
+        # match cannot hide a restart point: with disjoint DEFINE
+        # classes (guarded above) and the start variable appearing
+        # exactly once at pattern head, no row inside a completed match
+        # can start another one.  A repeated start variable breaks that
+        # argument — out of subset.
+        raise ValueError(
+            "WITHIN with a repeated start variable is outside the "
+            "statement path's subset"
         )
     # Classification below is a first-wins F.when chain, which is only
     # equivalent to MATCH_RECOGNIZE's pattern-position admissibility when
@@ -745,6 +766,13 @@ def run_match_recognize(spark: SparkSession, query: str):
         spark.table(m.group("table")), part_col, ts_col, id_col, sym,
         regex, count_syms=tuple(count_syms),
     ).withColumnRenamed("key", part_col)
+    if within is not None:
+        n, unit = within
+        res = res.filter(
+            F.col("last_ts") <= F.col("first_ts") + F.expr(
+                f"INTERVAL {n} {unit}"
+            )
+        )
     for old, new in renames.items():
         res = res.withColumnRenamed(old, new)
     alias = m.group("alias") or "mr"

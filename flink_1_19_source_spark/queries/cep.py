@@ -1124,10 +1124,11 @@ def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     drives the certified CEP operator): PARTITION BY / ORDER BY /
     MEASURES (FIRST, LAST, COUNT(V.*), COUNT(*)) / PATTERN with
     quantifiers / DEFINE literal-equality predicates, ONE ROW PER MATCH
-    with AFTER MATCH SKIP PAST LAST ROW.  Out-of-subset clauses (WITHIN,
-    SUBSET, SKIP TO, ALL ROWS PER MATCH) raise and route to their
-    dedicated operator entry points — the same split Flink's own planner
-    makes between MATCH_RECOGNIZE features and CEP-library-only ones.
+    with AFTER MATCH SKIP PAST LAST ROW; WITHIN since r9
+    (sql_match_recognize_within).  Out-of-subset clauses (SUBSET,
+    SKIP TO, ALL ROWS PER MATCH) raise and route to their dedicated
+    operator entry points — the same split Flink's own planner makes
+    between MATCH_RECOGNIZE features and CEP-library-only ones.
 
     The oracle replays S C+ P relationally: every match starts at an S
     and spans only C rows, so the first non-C row after each S decides
@@ -1149,6 +1150,74 @@ def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
           ONE ROW PER MATCH
           AFTER MATCH SKIP PAST LAST ROW
           PATTERN (S C+ P)
+          DEFINE S AS S.event_type = 'signup',
+                 C AS C.event_type = 'click',
+                 P AS P.event_type = 'purchase'
+        ) AS mr
+        """,
+    )
+
+
+@register(
+    "sql_match_recognize_within",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             WHEN 'purchase' THEN 'P'
+                             ELSE 'X' END AS sym,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), cum AS (
+      SELECT *,
+             MIN(CASE WHEN sym <> 'C' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nrun
+      FROM ev
+    )
+    SELECT s.user_id,
+           s.ts AS start_ts, e.ts AS end_ts,
+           CAST(e.rn - s.rn - 1 AS BIGINT) AS clicks
+    FROM cum s JOIN cum e
+      ON e.user_id = s.user_id AND e.rn = s.nrun
+    WHERE s.sym = 'S' AND e.sym = 'P' AND e.rn - s.rn - 1 >= 1
+      AND e.ts <= s.ts + INTERVAL 24 HOUR
+    """,
+    survey="S12 X5",
+)
+def sql_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (...) WITHIN INTERVAL`` through the VERBATIM statement
+    path (r9 — previously routed to the operator entry point only): the
+    time-constrained row-pattern match, Flink 1.19's MATCH_RECOGNIZE
+    WITHIN clause.  The bound runs as a post-filter on completed
+    matches, which equals the NFA's within-timer under the statement
+    subset's guarantees — DEFINE classes are disjoint (overlap raises)
+    and the start variable appears once at pattern head, so a discarded
+    too-long match cannot contain another match's start row and a
+    timed-out partial is also a failed scan attempt; the repeated-
+    start-variable shape where that argument breaks raises as
+    out-of-subset.  The 24-hour bound BINDS on this corpus (98 -> 61
+    matches at sf0.01 — non-vacuity pinned in tests/test_r9_ops.py)."""
+    from ..functions.flink_sql import run_match_recognize
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return run_match_recognize(
+        spark,
+        """
+        SELECT user_id, start_ts, end_ts, clicks
+        FROM events
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(S.ts) AS start_ts, LAST(P.ts) AS end_ts,
+                   COUNT(C.*) AS clicks
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S C+ P) WITHIN INTERVAL '24' HOUR
           DEFINE S AS S.event_type = 'signup',
                  C AS C.event_type = 'click',
                  P AS P.event_type = 'purchase'

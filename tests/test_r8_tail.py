@@ -555,9 +555,11 @@ def test_iterative_prepass_is_exact(spark, sf_dir):
 
 
 def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
-    """WITHIN / SUBSET / SKIP TO / ALL ROWS PER MATCH raise cleanly from
-    the statement path (their operator entry points are separate), and
-    a DEFINE outside literal equality raises rather than mis-parsing."""
+    """SUBSET / SKIP TO / ALL ROWS PER MATCH raise cleanly from the
+    statement path (their operator entry points are separate), a DEFINE
+    outside literal equality raises rather than mis-parsing, and WITHIN
+    (supported since r9) still raises for the one shape where the
+    post-filter argument breaks — a repeated start variable."""
     import pytest
 
     from flink_1_19_source_spark.functions.flink_sql import (
@@ -577,9 +579,26 @@ def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
                  P AS P.event_type = 'purchase'
         ) AS mr
     """
-    with pytest.raises(ValueError, match="WITHIN"):
+    with pytest.raises(ValueError, match="SUBSET"):
         run_match_recognize(
-            spark, base.format(extra="WITHIN INTERVAL '1' HOUR")
+            spark,
+            base.replace(
+                "PATTERN (S C+ P)", "PATTERN (S C+ P) SUBSET U = (S, C)"
+            ).format(extra=""),
+        )
+    with pytest.raises(ValueError, match="repeated start"):
+        run_match_recognize(
+            spark,
+            """
+            SELECT user_id FROM events
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts, event_id
+              MEASURES COUNT(*) AS n
+              PATTERN (S C+ S) WITHIN INTERVAL '1' HOUR
+              DEFINE S AS S.event_type = 'signup',
+                     C AS C.event_type = 'click'
+            ) AS mr
+            """,
         )
     with pytest.raises(ValueError, match="literal-equality"):
         run_match_recognize(

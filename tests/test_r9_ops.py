@@ -37,6 +37,26 @@ def test_explain_rejects_out_of_surface(spark, sf_dir):
         run_explain(spark, "SELECT 1")
 
 
+def test_match_recognize_within_binds(spark, sf_dir):
+    """The WITHIN bound must actually drop matches on this corpus (a
+    filter that passes everything certifies nothing), and every kept
+    match must satisfy it."""
+    import datetime
+
+    a = REGISTRY["sql_match_recognize"].fn(spark, sf_dir).collect()
+    b = REGISTRY["sql_match_recognize_within"].fn(spark, sf_dir).collect()
+    assert 0 < len(b) < len(a), (len(b), len(a))
+    bound = datetime.timedelta(hours=24)
+    assert all(r.end_ts - r.start_ts <= bound for r in b)
+    kept = {(r.user_id, r.start_ts) for r in b}
+    want = {
+        (r.user_id, r.start_ts)
+        for r in a
+        if r.end_ts - r.start_ts <= bound
+    }
+    assert kept == want
+
+
 def test_crawl_pipeline_attrition_is_nonvacuous(spark, sf_dir):
     """Every stage must actually drop documents on this corpus (a
     composite whose gates pass everything proves nothing), and BOTH
