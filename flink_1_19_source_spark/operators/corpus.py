@@ -292,3 +292,67 @@ def unigram_viterbi_segment(
                 pos += length
                 break
     return toks
+
+
+def fuzzy_contamination(
+    corp: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate tier above
+    the exact n-gram overlap check (``contamination``): a corpus
+    document is contaminated if its shingle-set Jaccard against ANY
+    eval-set document reaches ``threshold``, catching paraphrased /
+    lightly-edited leaks exact 5-gram hits miss (the FineWeb/Dolma
+    decontamination recipe).
+
+    Scale shape: the benchmark side is an eval set (MBs, not TBs) — its
+    shingle rows and sizes BROADCAST, so the corpus side joins map-side
+    and shuffles only once, on doc_id, to fold per-(doc, bench)
+    intersections; pairs below threshold drop before the keep-best
+    window.  Output: one row per contaminated corpus doc with its
+    best-matching benchmark doc (ties to the lower bench id)."""
+    from pyspark.sql.window import Window
+
+    from . import dedup
+
+    cs = corp.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(dedup.word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    bs = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(dedup.word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    b_sz = bs.groupBy("bench_id").agg(F.count(F.lit(1)).alias("b_sz"))
+    c_sz = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c_sz"))
+    inter = (
+        cs.join(F.broadcast(bs), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(F.broadcast(b_sz), "bench_id")
+        .join(c_sz, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("c_sz") + F.col("b_sz") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "bench_id",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+    )

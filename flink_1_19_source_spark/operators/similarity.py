@@ -691,3 +691,66 @@ def binary_hamming_topk(
     return scored.withColumn("rank", F.row_number().over(w_fine)).filter(
         F.col("rank") <= k
     )
+
+
+def matryoshka_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    d_coarse: int = 8,
+    k: int = 5,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka / truncated-dimension two-stage ANN [Kusupati et al.
+    2022, "Matryoshka Representation Learning": MRL-trained embeddings
+    keep most of their ranking power in their PREFIX dimensions, so a
+    coarse pass over the first ``d_coarse`` components ranks candidates
+    at dim/d_coarse the arithmetic, and only the top-``rerank`` per
+    query are exact-cosine reranked over all ``dim`` components].
+
+    The 100 TB story differs from binary/int8 quantization: the coarse
+    representation is a PREFIX of the stored column, so a columnar
+    store can persist the first-``d_coarse`` slice as its own (tiny)
+    column and the coarse scan never reads the full array at all —
+    here the slice is derived inline (same plan, one projection).
+    Both stages are pure Catalyst folds in whole-stage codegen; the
+    rerank join touches queries x ``rerank`` embedding rows.  Output:
+    (query_id, neighbor_id, cosine_sim, rank), self-matches excluded,
+    tie-breaks pinned by neighbor_id at both stages."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("nvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qc = F.slice(F.col("qvec"), 1, d_coarse)
+    nc = F.slice(F.col("nvec"), 1, d_coarse)
+    coarse = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "qvec", "nvec",
+            F.round(cosine(qc, nc), 9).alias("coarse_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_sim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= rerank)
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -772,3 +772,75 @@ def n3_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# N3 — Matryoshka (truncated-dimension) two-stage ANN
+# --------------------------------------------------------------------------
+@register(
+    "n3_matryoshka_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8
+    ), coarse AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, q.qe, v.e,
+             ROUND(
+               list_sum(list_transform(range(1, 33), i -> qe[i] * e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 33),
+                                               i -> qe[i] * qe[i])))
+                  * sqrt(list_sum(list_transform(range(1, 33),
+                                                 i -> e[i] * e[i])))),
+               9) AS coarse_sim
+      FROM v, q WHERE v.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id, qe, e FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY coarse_sim DESC, neighbor_id) AS crn
+        FROM coarse
+      ) WHERE crn <= 96
+    ), ex AS (
+      SELECT query_id, neighbor_id,
+             ROUND(
+               list_sum(list_transform(range(1, 65), i -> qe[i] * e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                                               i -> qe[i] * qe[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                                                 i -> e[i] * e[i])))),
+               9) AS cosine_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM ex
+    ) WHERE rank <= 5
+    """,
+    survey="N3",
+    tags=("approx",),
+)
+def n3_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension ANN [Kusupati et al. 2022 —
+    MRL]: coarse-rank every candidate by the cosine of the FIRST 32 of
+    64 components (a 2x cheaper fold), keep the top-96 per query,
+    exact-cosine rerank over all 64 dims for the final top-5.  Distinct
+    scale path from int8/binary quantization: the coarse representation
+    is a PREFIX of the stored column, so a columnar layout persists it
+    as its own tiny column and the coarse scan never reads the full
+    array.  HONEST fixture note: this corpus's embeddings are not
+    MRL-trained — the prefix is an arbitrary half, so the knob sits at
+    32/96 for recall@5 >= 0.85 (pinned in tests/test_r9_ops.py);
+    MRL-trained vectors run d_coarse=8 at the same recall, an 8x
+    coarse-pass saving.  Both stages replayed relationally by the
+    oracle, tie-breaks pinned (operators/similarity.matryoshka_topk)."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.matryoshka_topk(e, q, dim=64, d_coarse=32, k=5, rerank=96)

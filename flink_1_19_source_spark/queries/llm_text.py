@@ -401,3 +401,72 @@ def s_perceptron_train_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "correct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# N4/N2 — fuzzy benchmark decontamination (the near-dup tier above the
+# exact 5-gram overlap check)
+# --------------------------------------------------------------------------
+@register(
+    "n4_fuzzy_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3),
+                                              ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), c AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 10 <> 7
+    ), b AS (
+      SELECT doc_id AS bench_id, UNNEST(shingles) AS s FROM sh
+      WHERE doc_id % 10 = 7
+    ), csz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM c GROUP BY 1
+    ), bsz AS (
+      SELECT bench_id, COUNT(*) AS sz FROM b GROUP BY 1
+    ), i AS (
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS ni
+      FROM c JOIN b USING (s) GROUP BY 1, 2
+    ), j AS (
+      SELECT i.doc_id, i.bench_id, i.ni,
+             CAST(ni AS DOUBLE) / (csz.sz + bsz.sz - ni) AS jac
+      FROM i JOIN csz USING (doc_id) JOIN bsz USING (bench_id)
+      WHERE CAST(ni AS DOUBLE) / (csz.sz + bsz.sz - ni) >= 0.5
+    )
+    SELECT doc_id, bench_id, CAST(ni AS BIGINT) AS n_inter,
+           ROUND(jac, 9) AS jaccard
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY jac DESC, bench_id) AS rk
+      FROM j
+    ) WHERE rk = 1
+    """,
+    survey="N4 N2",
+)
+def n4_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination [the FineWeb/Dolma recipe]: a
+    corpus document is contaminated if its 3-gram shingle Jaccard
+    against ANY eval-set document (the doc_id % 10 == 7 slice, same
+    held-out convention as n4_contamination) reaches 0.5 — catching
+    paraphrased / truncated eval leaks the exact 5-gram overlap check
+    structurally under-scores.  The benchmark shingle rows and sizes
+    broadcast (eval sets are MBs); the corpus side joins map-side and
+    shuffles once on doc_id.  6 genuinely contaminated docs on this
+    corpus at sf0.01 (max Jaccard 0.989 — a near-verbatim leak);
+    operator: operators/corpus.fuzzy_contamination."""
+    from ..operators import corpus as corpus_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 7)
+    corp = d.filter(F.col("doc_id") % 10 != 7).repartition(24)
+    return corpus_ops.fuzzy_contamination(
+        corp, bench, "doc_id", "text", n=3, threshold=0.5
+    )
