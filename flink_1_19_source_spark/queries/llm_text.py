@@ -470,3 +470,103 @@ def n4_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.fuzzy_contamination(
         corp, bench, "doc_id", "text", n=3, threshold=0.5
     )
+
+
+@register(
+    "s_fuzzy_contamination_stream",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(range(0, len(tk) - 2),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 3),
+                                              ' '))
+        ELSE [array_to_string(tk, ' ')] END) AS shingles
+      FROM toks
+    ), c AS (
+      SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE doc_id % 10 <> 7
+    ), b AS (
+      SELECT doc_id AS bench_id, UNNEST(shingles) AS s FROM sh
+      WHERE doc_id % 10 = 7
+    ), csz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM c GROUP BY 1
+    ), bsz AS (
+      SELECT bench_id, COUNT(*) AS sz FROM b GROUP BY 1
+    ), i AS (
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS ni
+      FROM c JOIN b USING (s) GROUP BY 1, 2
+    ), j AS (
+      SELECT i.doc_id, i.bench_id, i.ni,
+             CAST(ni AS DOUBLE) / (csz.sz + bsz.sz - ni) AS jac
+      FROM i JOIN csz USING (doc_id) JOIN bsz USING (bench_id)
+      WHERE CAST(ni AS DOUBLE) / (csz.sz + bsz.sz - ni) >= 0.5
+    )
+    SELECT doc_id, bench_id, CAST(ni AS BIGINT) AS n_inter,
+           ROUND(jac, 9) AS jaccard
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY jac DESC, bench_id) AS rk
+      FROM j
+    ) WHERE rk = 1
+    """,
+    survey="N4 N2 X7",
+    tags=("streaming",),
+)
+def s_fuzzy_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION AT INGEST — the streaming twin of
+    n4_fuzzy_contamination: the eval-set shingle index is the static/
+    broadcast side (the X7 broadcast-state shape — re-read per
+    micro-batch, so an eval-set refresh lands mid-stream), and each
+    arriving micro-batch of crawl documents is checked map-side; the
+    per-document verdict depends only on the document itself and the
+    static index, so flagged rows append once and the drained output
+    converges to the batch oracle at any chunking.  Per-batch work is
+    O(batch x bench) with the bench side broadcast — no cross-batch
+    state at all, the cheapest possible ingest gate."""
+    import os
+    import uuid
+
+    from ..operators import corpus as corpus_ops
+    from ..streaming import replay
+    from .streaming_queries import (
+        _CHUNKS,
+        _stream_shuffle_partitions,
+        _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_fuzzy_contam")
+    run = uuid.uuid4().hex[:8]
+    out_dir = os.path.join(wd, f"out-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 7
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        corp = batch_df.filter(F.col("doc_id") % 10 != 7)
+        flagged = corpus_ops.fuzzy_contamination(
+            corp, bench, "doc_id", "text", n=3, threshold=0.5
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"out-{int(batch_id):04d}")
+        )
+
+    import shutil
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(os.path.join(out_dir, "out-*")).localCheckpoint(
+        eager=True
+    )
