@@ -54,6 +54,7 @@ from . import cdc_scd  # noqa: F401  (SCD2 history from CDC, batch + stream)
 from . import sketches2  # noqa: F401  (theta KMV sketch family)
 from . import llm_text  # noqa: F401  (trained trigram NB lang-id)
 from . import crawl_pipeline  # noqa: F401  (N7 crawl->corpus composite)
+from . import llm_batching  # noqa: F401  (N6 length-bucketed batches)
 
 from ..registry import REGISTRY
 

@@ -95,6 +95,46 @@ def test_fuzzy_contamination_broadcasts_bench_side(spark, sf_dir):
     assert all(r.jaccard >= 0.5 for r in rows)
 
 
+def test_length_bucketed_batches_beat_unbucketed(spark, sf_dir):
+    """Non-vacuity for the padding schedule: total padding waste under
+    length bucketing must beat batches formed over the same hash order
+    WITHOUT bucketing, and every batch's waste must respect the
+    structural <2x-of-content bound buckets guarantee (max_nt <= 2 *
+    min nt in bucket => waste < padded/2)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_1_19_source_spark.operators import text_analysis as ta
+    from flink_1_19_source_spark.tables import load_table
+
+    rows = REGISTRY["n6_length_bucketed_batches"].fn(spark, sf_dir).collect()
+    assert rows
+    bucketed_waste = sum(r.padding_waste for r in rows)
+    for r in rows:
+        assert r.padding_waste * 2 < r.padded_tokens or r.n_docs == 1, r
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", F.size(ta.tokens(F.col("text"))).cast("long").alias("nt")
+    ).filter(F.col("nt") > 0)
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    flat = (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .withColumn("batch_no", ((F.col("rk") - 1) / F.lit(8)).cast("long"))
+        .groupBy("batch_no")
+        .agg(
+            (F.count(F.lit(1)) * F.max("nt") - F.sum("nt")).alias("waste")
+        )
+    )
+    unbucketed_waste = sum(r.waste for r in flat.collect())
+    assert bucketed_waste < unbucketed_waste, (
+        bucketed_waste, unbucketed_waste,
+    )
+
+
 def test_crawl_pipeline_attrition_is_nonvacuous(spark, sf_dir):
     """Every stage must actually drop documents on this corpus (a
     composite whose gates pass everything proves nothing), and BOTH
