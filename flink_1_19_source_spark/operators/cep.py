@@ -50,6 +50,75 @@ MATCH_SCHEMA = StructType(
 )
 
 
+def _scan_by_key(
+    prepared: DataFrame,
+    key_col: str,
+    sort_cols: list[str],
+    schema: StructType,
+    run,
+) -> DataFrame:
+    """Run a per-key pandas scan over key-sorted partitions via
+    ``mapInPandas`` instead of per-key ``applyInPandas``.
+
+    With many short keys (the CEP norm: thousands of users, tens of
+    rows each) ``groupBy().applyInPandas`` pays a ~2 ms Arrow
+    round-trip AND a tiny output-DataFrame construction PER GROUP —
+    measured as ~85% of several operators' sf0.1 runtime.  This helper
+    keeps the exact same per-key semantics (``run`` receives every row
+    of one key, pre-sorted by ``sort_cols``, exactly as applyInPandas
+    delivered it — but returns a LIST OF TUPLES) while amortizing both
+    costs across a whole partition: one repartition on the key (the
+    same single shuffle), a partition-local sort, a generator that
+    slices contiguous key runs — buffering across Arrow batch
+    boundaries so a key split by the batch size is still scanned
+    whole — and ONE output DataFrame per input Arrow batch instead of
+    one per key."""
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches):
+        import numpy as np
+
+        cur, buf = None, []
+
+        def flush():
+            if not buf:
+                return []
+            pdf = (
+                pd.concat(buf, ignore_index=True)
+                if len(buf) > 1
+                else buf[0]
+            )
+            return run(pdf)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            keys = pdf[key_col].to_numpy()
+            change = (np.flatnonzero(keys[1:] != keys[:-1]) + 1).tolist()
+            starts = [0, *change]
+            ends = [*change, len(pdf)]
+            for s, e in zip(starts, ends):
+                k = keys[s]
+                seg = pdf.iloc[s:e]
+                if cur is not None and k == cur:
+                    buf.append(seg)
+                    continue
+                rows.extend(flush())
+                cur, buf = k, [seg]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        rows = flush()
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        prepared.repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, *sort_cols)
+        .mapInPandas(gen, schema)
+    )
+
+
 def match_recognize_lite(
     df: DataFrame,
     key_col: str,
@@ -66,7 +135,7 @@ def match_recognize_lite(
     compiled = re.compile(pattern)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # rows arrive (ts, id)-sorted from _scan_by_key's partition sort
         s = "".join(pdf["__sym"])
         ids = pdf[id_col].to_numpy()
         tss = pdf[ts_col].to_numpy()
@@ -84,14 +153,12 @@ def match_recognize_lite(
                     tss[b],
                 )
             )
-        return pd.DataFrame(
-            out, columns=[f.name for f in MATCH_SCHEMA.fields]
-        )
+        return out
 
     prepared = df.select(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
-    return prepared.groupBy(key_col).applyInPandas(run, MATCH_SCHEMA)
+    return _scan_by_key(prepared, key_col, [ts_col, id_col], MATCH_SCHEMA, run)
 
 
 def match_counts(
@@ -176,7 +243,7 @@ def match_recognize_measures(
     schema = StructType(fields)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # rows arrive (ts, id)-sorted from _scan_by_key's partition sort
         s = "".join(pdf["__sym"])
         ids = pdf[id_col].to_numpy()
         tss = pdf[ts_col].to_numpy()
@@ -197,12 +264,12 @@ def match_recognize_measures(
                     tss[b],
                 )
             )
-        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+        return out
 
     prepared = df.select(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
-    return prepared.groupBy(key_col).applyInPandas(run, schema)
+    return _scan_by_key(prepared, key_col, [ts_col, id_col], schema, run)
 
 
 SKIP_SCHEMA = StructType(
@@ -262,7 +329,7 @@ def match_recognize_skip(
     schema = SKIP_SCHEMA_BOTH if skip == "both" else SKIP_SCHEMA
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # rows arrive (ts, id)-sorted from _scan_by_key's partition sort
         s = "".join(pdf["__sym"])
         ids = pdf[id_col].to_numpy()
         tss = pdf[ts_col].to_numpy()
@@ -291,12 +358,12 @@ def match_recognize_skip(
                 out.append((mode, *row) if skip == "both" else row)
                 # empty-match guard: always advance at least one position
                 pos = a + 1 if to_next else max(a + 1, m.end())
-        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+        return out
 
     prepared = df.select(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
-    return prepared.groupBy(key_col).applyInPandas(run, schema)
+    return _scan_by_key(prepared, key_col, [ts_col, id_col], schema, run)
 
 
 def classify(mapping: dict[str, str], other: str = "X") -> Callable[[Column], Column]:
@@ -391,7 +458,7 @@ def match_recognize_skip_to(
     compiled = re.compile(pattern)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # rows arrive (ts, id)-sorted from _scan_by_key's partition sort
         s = "".join(pdf["__sym"])
         ids = pdf[id_col].to_numpy()
         tss = pdf[ts_col].to_numpy()
@@ -420,12 +487,12 @@ def match_recognize_skip_to(
                 )
             )
             pos = skip_to_resume(m, resume_group)
-        return pd.DataFrame(out, columns=[f.name for f in SKIP_TO_SCHEMA.fields])
+        return out
 
     prepared = df.select(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
-    return prepared.groupBy(key_col).applyInPandas(run, SKIP_TO_SCHEMA)
+    return _scan_by_key(prepared, key_col, [ts_col, id_col], SKIP_TO_SCHEMA, run)
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +577,7 @@ def match_recognize_exclusion(
     compiled, names = compile_exclusions(pattern)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # rows arrive (ts, id)-sorted from _scan_by_key's partition sort
         s = "".join(pdf["__sym"])
         ids = pdf[id_col].to_numpy()
         tss = pdf[ts_col].to_numpy()
@@ -531,12 +598,12 @@ def match_recognize_exclusion(
                     tss[inc[-1]],
                 )
             )
-        return pd.DataFrame(out, columns=[f.name for f in EXCL_SCHEMA.fields])
+        return out
 
     prepared = df.select(
         F.col(key_col), F.col(ts_col), F.col(id_col), symbol.alias("__sym")
     )
-    return prepared.groupBy(key_col).applyInPandas(run, EXCL_SCHEMA)
+    return _scan_by_key(prepared, key_col, [ts_col, id_col], EXCL_SCHEMA, run)
 
 
 # ---------------------------------------------------------------------------
