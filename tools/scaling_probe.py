@@ -75,6 +75,12 @@ QUERIES = [
     "s_window_agg_over_retract",    # window TVF agg over a changelog
     # r9: the crawl composite (every stage individually curved above)
     "pipeline_crawl_end_to_end",
+    # r9 additions: truncated-dim ANN, fuzzy decontamination, batching,
+    # and one representative of the _scan_by_key CEP rework
+    "n3_matryoshka_topk",       # prefix-dim coarse + exact rerank
+    "n4_fuzzy_contamination",   # bench shingles broadcast, 1 doc shuffle
+    "n6_length_bucketed_batches",  # bit-arith buckets, 1 shuffle
+    "x5_reluctant_quantifier",  # keyed regex scan via _scan_by_key
 ]
 
 
