@@ -529,3 +529,66 @@ def sql_explain_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stmt string, section string, item string"
     )
+
+
+@register(
+    "sql_show_create_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('column',   'o_orderkey BIGINT'),
+      ('column',   'o_orderstatus STRING'),
+      ('column',   'o_totalprice DOUBLE'),
+      ('provider', 'parquet'),
+      ('comment',  'orders snapshot'),
+      ('tblprop',  'graft.tier=gold')
+    ) AS t(section, item)
+    """,
+    survey="S12",
+)
+def sql_show_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SHOW CREATE TABLE`` [docs: Flink 1.19 SQL SHOW statements —
+    added for tables in 1.16]: create a managed table with a comment
+    and a table property, read its DDL back through the catalog, and
+    emit the STABLE fields — column name/type pairs in declaration
+    order, the storage provider, the comment, and the user property.
+    Volatile fields (warehouse location, creation metadata) are
+    deliberately excluded: the oracle pins exactly the round-trippable
+    surface, so a catalog regression that drops a column, widens a
+    type, or loses a property breaks the hash while a relocated
+    warehouse does not."""
+    import re as _re
+
+    db = "graft_ddl_sct"
+    _reset_managed(spark, db, "sct_t")
+    spark.sql(
+        f"CREATE TABLE {db}.sct_t ("
+        " o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)"
+        " USING PARQUET"
+        " COMMENT 'orders snapshot'"
+        " TBLPROPERTIES ('graft.tier' = 'gold')"
+    )
+    stmt = spark.sql(f"SHOW CREATE TABLE {db}.sct_t").first()[0]
+
+    rows: list[tuple[str, str]] = []
+    body = stmt[stmt.index("(") + 1:]
+    depth, col_part = 1, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        col_part.append(ch)
+    for col in "".join(col_part).split(","):
+        col = col.strip()
+        if col:
+            name, ctype = col.split(None, 1)
+            rows.append(("column", f"{name} {ctype.strip().upper()}"))
+    m = _re.search(r"USING\s+(\w+)", stmt, _re.IGNORECASE)
+    rows.append(("provider", m.group(1).lower() if m else "?"))
+    m = _re.search(r"COMMENT\s+'([^']*)'", stmt)
+    rows.append(("comment", m.group(1) if m else "?"))
+    m = _re.search(r"'graft\.tier'\s*=\s*'([^']*)'", stmt)
+    rows.append(("tblprop", f"graft.tier={m.group(1)}" if m else "?"))
+    return spark.createDataFrame(rows, "section string, item string")

@@ -679,3 +679,116 @@ def n5_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "n5_thumbnail_pipeline_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 5 + 3 AS h,
+             doc_id % 4 + 2 AS nf
+      FROM documents WHERE doc_id < 120
+    ), fr AS (
+      SELECT doc_id, w, h, UNNEST(range(0, nf)) AS f FROM dims
+    ), keep AS (
+      SELECT * FROM fr WHERE f % 2 = 0
+    ), ty AS (
+      SELECT *, UNNEST(range(0, 6)) AS ty FROM keep
+    ), txc AS (
+      SELECT *, UNNEST(range(0, 8)) AS tx FROM ty
+    ), px AS (
+      SELECT doc_id, w, h, f, ty, tx, UNNEST(range(0, 3)) AS c FROM txc
+    ), v AS (
+      SELECT doc_id, f,
+             (ty * 8 + tx) * 3 + c AS o,
+             (doc_id*31 + f*11 + ((ty * h) // 6)*17
+              + ((tx * w) // 8)*7 + c*5) % 256 AS val
+      FROM px
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+           CAST(8 AS INTEGER) AS out_w, CAST(6 AS INTEGER) AS out_h,
+           CAST(SUM(val) AS BIGINT) AS sum_rgb,
+           CAST(SUM((o + 1) * val) AS BIGINT) AS wsum
+    FROM v GROUP BY doc_id, f
+    """,
+    survey="N5",
+)
+def n5_thumbnail_pipeline_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail GENERATION at ingest — the first certified ENCODE-side
+    codec stage (every earlier N5 query only reads): AVI video decode →
+    every-2nd-frame sample → nearest-neighbor 8x6 RGB resize →
+    **PNG ENCODE** (spec-conformant: per-row cycling filter types,
+    zlib IDAT, CRC chunks) → PNG DECODE back → per-thumbnail checksums
+    computed from the ROUND-TRIPPED bytes.  PNG is lossless, so the
+    oracle replays the closed-form source pixels through the sample +
+    floor-mapped resize directly — any encoder framing, filter, CRC or
+    stride bug surfaces as a hash mismatch after the in-engine decode.
+    One mapInPandas pass, fan-out inside the Arrow batch, no shuffle;
+    at 100 TB this is the archival-thumbnail stage of a media corpus
+    build, parallel by construction."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.avi_codec import encode_avi
+    from ..operators.png_codec import decode_png, encode_png
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = did % 9 + 4, did % 5 + 3, did % 4 + 2
+                frames = []
+                for f in range(nf):
+                    px = bytearray()
+                    for i in range(w * h):
+                        base = (
+                            did * 31 + f * 11 + (i // w) * 17 + (i % w) * 7
+                        )
+                        px += bytes(((base + c * 5) % 256) for c in range(3))
+                    frames.append(bytes(px))
+                payloads.append(encode_avi(frames, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    ow, oh = 8, 6
+    cols = ["doc_id", "frame_no", "out_w", "out_h", "sum_rgb", "wsum"]
+
+    def thumbs(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, fps, frames = multimodal.decode_video(
+                    bytes(r.media_bytes), "avi"
+                )
+                sy = (np.arange(oh) * h) // oh
+                sx = (np.arange(ow) * w) // ow
+                for f in range(0, len(frames), 2):
+                    rgb = np.frombuffer(frames[f], np.uint8).reshape(
+                        h, w, 3
+                    )
+                    thumb = rgb[np.ix_(sy, sx)].tobytes()
+                    png = encode_png(thumb, ow, oh)
+                    dw, dh, back = decode_png(png)
+                    assert (dw, dh) == (ow, oh)
+                    flat = np.frombuffer(back, np.uint8).astype(np.int64)
+                    ws = int(((np.arange(flat.size) + 1) * flat).sum())
+                    rows.append(
+                        (int(r.doc_id), f, ow, oh, int(flat.sum()), ws)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        thumbs,
+        "doc_id long, frame_no int, out_w int, out_h int, "
+        "sum_rgb long, wsum long",
+    )
