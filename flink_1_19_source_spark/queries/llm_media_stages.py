@@ -792,3 +792,96 @@ def n5_thumbnail_pipeline_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_no int, out_w int, out_h int, "
         "sum_rgb long, wsum long",
     )
+
+
+@register(
+    "n5_corrupt_media_side_output",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 2 AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w * h * 3)) AS i FROM dims
+      WHERE doc_id % 7 <> 3
+    ), oksum AS (
+      SELECT doc_id,
+             CAST(SUM((doc_id*37 + ((i // 3) // w)*19 + ((i // 3) % w)*11
+                       + (i % 3)*5) % 256) AS BIGINT) AS sum_rgb
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 3 THEN 'corrupt' ELSE 'ok' END
+             AS status,
+           o.sum_rgb
+    FROM dims d LEFT JOIN oksum o ON o.doc_id = d.doc_id
+    """,
+    survey="N5 R6",
+)
+def n5_corrupt_media_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-MEDIA side output (R6 x N5) — the resilience contract a
+    100 TB crawl ingest cannot skip: some fraction of fetched media is
+    truncated or bit-rotted, and the pipeline must ROUTE failures to an
+    error side instead of failing the job or silently dropping rows.
+    Here every doc gets a closed-form PNG, docs with doc_id % 7 == 3
+    are deterministically bit-flipped INSIDE their IDAT chunk (so the
+    CRC check — not the parser — catches them), and the decode stage
+    try/excepts per record: good rows carry their pixel checksum,
+    corrupt rows land with status='corrupt' and a NULL sum — one output
+    row per input either way, nothing lost.  The oracle pins BOTH
+    sides: the corrupt set is exactly the planted one (a decoder that
+    crashes the task, or one that 'recovers' bad CRCs, both break the
+    hash) and the survivors' checksums are exact.  Map-only
+    mapInPandas; the side output is a status column the sink splits on
+    (the R6 pattern), zero extra passes."""
+    import pandas as pd
+
+    from ..operators.png_codec import decode_png, encode_png
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 4 + 2, did % 3 + 2
+                px = bytearray()
+                for i in range(w * h * 3):
+                    px.append(
+                        (did * 37 + ((i // 3) // w) * 19
+                         + ((i // 3) % w) * 11 + (i % 3) * 5) % 256
+                    )
+                data = bytearray(encode_png(bytes(px), w, h))
+                if did % 7 == 3:
+                    k = data.index(b"IDAT") + 8  # first IDAT data byte
+                    data[k] ^= 0xFF
+                payloads.append(bytes(data))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode, "doc_id long, media_bytes binary")
+    cols = ["doc_id", "status", "sum_rgb"]
+
+    def decode(batches):
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    w, h, rgb = decode_png(bytes(r.media_bytes))
+                    rows.append((int(r.doc_id), "ok", sum(rgb)))
+                except (ValueError, zlib.error):
+                    # decode failures route to the error side; anything
+                    # else (a bug) still fails the task loudly
+                    rows.append((int(r.doc_id), "corrupt", None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        decode, "doc_id long, status string, sum_rgb long"
+    )
