@@ -708,10 +708,21 @@ def run_match_recognize(spark: SparkSession, query: str):
         )
     # Classification below is a first-wins F.when chain, which is only
     # equivalent to MATCH_RECOGNIZE's pattern-position admissibility when
-    # the DEFINE predicates are mutually exclusive — two variables
-    # sharing a (column, literal) pair would silently route every such
-    # row to whichever DEFINE came first.  Out-of-subset shape: raise,
-    # consistent with the other subset guards.
+    # the DEFINE predicates are mutually exclusive.  Two guards establish
+    # that: (1) every DEFINE must test the SAME column — predicates over
+    # different columns (S AS S.a='x', C AS C.b='y') can both hold on one
+    # row, and first-wins would silently misclassify it; (2) on that
+    # shared column, no two variables may claim the same literal.
+    # Together they make the classes genuinely disjoint (equality on one
+    # column with distinct literals cannot overlap), which is what the
+    # WITHIN soundness argument above relies on.
+    define_cols = {col.lower() for conds in defs.values() for col, _ in conds}
+    if len(define_cols) > 1:
+        raise ValueError(
+            f"DEFINE predicates span multiple columns {sorted(define_cols)} "
+            "— the statement path's subset needs all DEFINEs over one "
+            "shared column so first-wins classification is disjoint"
+        )
     seen_preds: dict[tuple[str, str], str] = {}
     for v, conds in defs.items():
         for col, lit in conds:

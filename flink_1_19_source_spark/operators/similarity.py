@@ -719,13 +719,18 @@ def matryoshka_topk(
     rerank join touches queries x ``rerank`` embedding rows.  Output:
     (query_id, neighbor_id, cosine_sim, rank), self-matches excluded,
     tie-breaks pinned by neighbor_id at both stages."""
+    if d_coarse > dim:
+        raise ValueError(f"d_coarse={d_coarse} exceeds rerank dim={dim}")
+    # The rerank runs over exactly the first ``dim`` components — a
+    # caller passing dim smaller than the stored vector length gets the
+    # documented truncated-dimension rerank, not full-width cosine.
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("nvec"),
+        F.slice(as_double(F.col(vec_col)), 1, dim).alias("nvec"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qvec"),
+        F.slice(as_double(F.col(vec_col)), 1, dim).alias("qvec"),
     )
     qc = F.slice(F.col("qvec"), 1, d_coarse)
     nc = F.slice(F.col("nvec"), 1, d_coarse)

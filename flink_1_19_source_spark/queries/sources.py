@@ -351,12 +351,16 @@ def src_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gz = _glob.glob(os.path.join(path, "*.json.gz"))
     assert len(gz) == 8, f"expected 8 gzip members, found {len(gz)}"
-    r = spark.read.schema(d.schema).json(path)
     # one task per gzip member — the unsplittable-codec contract.  The
     # partition count otherwise depends on Spark's file bin-packing
     # (openCostInBytes / maxPartitionBytes / defaultParallelism), so pin
-    # the packing confs for the duration of the assertion: with
-    # openCost == maxPartitionBytes no two files share a bin.
+    # the packing confs and build the RETURNED DataFrame under them:
+    # with openCost == maxPartitionBytes no two files share a bin.  The
+    # assertion runs against the same read it returns; note the scan may
+    # still be re-planned lazily under later session confs — what the
+    # assertion certifies is the CODEC contract (a .gz member is never
+    # split, so parallelism == file count when bins don't share), and
+    # the returned aggregate's value is partitioning-independent.
     _pin = {
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.files.openCostInBytes": "134217728",
@@ -365,7 +369,8 @@ def src_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in _pin.items():
             spark.conf.set(k, v)
-        n_parts = spark.read.schema(d.schema).json(path).rdd.getNumPartitions()
+        r = spark.read.schema(d.schema).json(path)
+        n_parts = r.rdd.getNumPartitions()
     finally:
         for k, v in old.items():
             if v is None:

@@ -65,7 +65,12 @@ def _pooled_connection(jvm, url: str, driver: str, properties: dict):
         jprops.setProperty(k, v)
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     while len(_CONN_POOL) >= _CONN_POOL_MAX:
-        _, old = _CONN_POOL.popitem()
+        # dicts preserve insertion order, so the first key is the oldest
+        # entry — evicting it (not popitem()'s LIFO tail) is what makes
+        # this FIFO: stale per-run Derby databases get closed instead of
+        # pinning the embedded engine for the life of the driver.
+        oldest = next(iter(_CONN_POOL))
+        old = _CONN_POOL.pop(oldest)
         try:
             old.close()
         except Exception:
