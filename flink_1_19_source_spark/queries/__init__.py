@@ -1,21 +1,19 @@
 """Importing this package registers every coverage query (SURVEY.md §2).
 
 WINDOW ORDER IS LOAD-BEARING: the driver certifies only the FIRST 50
-registry entries.  Import order seeds the registry, then ``_R09_WINDOW``
-below reorders it explicitly so the certification window is an exact,
-named set rather than a module-prefix accident.  Round-9 window = the
-first 50 of the 52 registered queries that have NEVER carried a driver
-CORRECTNESS row (the r1-r8 CORRECTNESS union vs the registry, computed
-at the top of round 9): the full r8 wave — gzip/WARC/codec-matrix
-sources, CEP exclusions + iterative conditions, MATCH_RECOGNIZE and
-named-argument dialect, FLIP-373 STATE_TTL hints, the retraction-
-producing outer stream join, WordPiece/Unigram tokenizers, KN/bigram
-LM surprisal gates, priority/containment dedup, quota/token-budget
-mixing, IVF-PQ/filtered/MaxSim ANN, the eight new media codecs + real
-pipeline stages, SCD2 history, theta sketches, trained lang-id — plus
-``s_chunk_dedup_stream`` (the known r7 overflow).
-``n4_perceptron_train`` and ``s_perceptron_train_stream`` overflow to
-r10.  See STATUS.md "driver certification window" for the ledger.
+registry entries.  Import order seeds the registry, then the window
+list below reorders it explicitly so the certification window is an
+exact, named set rather than a module-prefix accident.
+
+Round-10 window = ``_R10_MUST`` (every query that has NEVER carried a
+driver CORRECTNESS row: the 12 r9-verdict stragglers — perceptron pair,
+crawl composite, EXPLAIN/SHOW CREATE/WITHIN dialect surface, Matryoshka
+ANN, fuzzy decontamination pair, length-bucketed batching, thumbnail
+pipeline, corrupt-media side output — plus every query NEW in round 10)
+padded to exactly 50 with ``_R10_PAD`` (the oldest-certified r1 wave,
+re-validated).  Certifying ``_R10_MUST`` drives certification debt to
+ZERO for the first time.  See STATUS.md "driver certification window"
+for the ledger.
 """
 
 from . import windows  # noqa: F401
@@ -58,42 +56,50 @@ from . import llm_batching  # noqa: F401  (N6 length-bucketed batches)
 
 from ..registry import REGISTRY
 
-# The exact round-9 certification window (first 50 registry entries):
-# the first 50 of the 52 never-driver-certified queries, in registry
-# order (the r8 wave + the r7 overflow ``s_chunk_dedup_stream``).
-# ``n4_perceptron_train`` / ``s_perceptron_train_stream`` overflow to
-# r10.
-_R09_WINDOW = [
-    "x8_cc_two_phase", "s_punctuated_watermark_stream",
-    "src_gzip_jsonl_scan", "src_parquet_codec_matrix",
-    "s_gzip_ingest_stream", "x5_exclusion", "s_exclusion_stream",
-    "x5_iterative_condition", "s_iterative_condition_stream",
-    "sql_match_recognize", "s_state_ttl_hint_join",
-    "s_state_ttl_hint_agg", "src_warc_wet_scan",
-    "s_join_over_agg_retract", "s_outer_join_retract_stream",
-    "sql_named_arguments", "n4_wordpiece_encode", "n4_unigram_encode",
-    "s_chunk_dedup_stream", "n1_priority_dedup", "n2_containment_pairs",
-    "s_priority_dedup_stream", "n6_quota_mix", "n4_lm_surprisal_filter",
-    "pipeline_quality_mix_end_to_end", "n4_kn_surprisal_filter",
-    "n6_token_budget_epochs", "n3_ivfpq_topk", "n3_filtered_ivf_topk",
-    "n3_ivfpq_recall_report", "n3_maxsim_topk", "n5_jpeg_color_decode",
-    "n5_flac_decode_real", "n5_jpeg_progressive_decode",
-    "n5_jpeg_restart", "n5_image_resize_real",
-    "n5_video_frame_sample_real", "n5_audio_features_real",
-    "n5_jpeg_sa_decode", "n5_gif_decode_real", "n5_adpcm_decode_real",
-    "n5_jpeg_color_progressive_decode", "n5_webp_decode_real",
-    "x6_scd2_history", "s_scd2_stream", "s_window_agg_over_retract",
-    "x6_scd2_asof_lookup", "a18_theta_sketch_intersect",
-    "s_theta_sketch_stream", "n4_lang_id_trigram_nb",
+# Every query without a driver CORRECTNESS row in the r1-r9 union (the
+# 12 r9 stragglers, verdict-listed) followed by every query NEW in
+# round 10.  These MUST all certify this round.
+_R10_MUST = [
+    "n4_perceptron_train", "s_perceptron_train_stream",
+    "pipeline_crawl_end_to_end", "sql_explain_surface",
+    "sql_match_recognize_within", "sql_show_create_table",
+    "n3_matryoshka_topk", "n4_fuzzy_contamination",
+    "s_fuzzy_contamination_stream", "n6_length_bucketed_batches",
+    "n5_thumbnail_pipeline_real", "n5_corrupt_media_side_output",
+    # --- new in round 10 (appended as implemented) ---
+]
+
+# Padding: the oldest driver-certified wave (round 1), re-validated in
+# registry order until the window holds exactly 50 entries.
+_R10_PAD = [
+    "q1_pricing_summary", "r1_projection", "r2_filter_three_valued",
+    "r3_flatmap_tokens", "r4_unnest_posexplode", "r5_values_literal",
+    "r6_side_output_split", "r7_async_enrich", "a3_distinct_agg",
+    "a4_grouping_sets", "a5_std_aggregates", "a6_first_last_value",
+    "a7_listagg", "a8_collect_multiset", "a9_approx_count_distinct",
+    "a11_udaf_median", "a12_udtaf_top2", "j1_inner_equi",
+    "j_bucketed_colocated", "j2_outer_joins", "j3_semi_join",
+    "j3_anti_join", "j4_theta_join", "j5_interval_join", "j6_asof_join",
+    "j7_lookup_broadcast", "j8_window_join", "o1_rank_functions",
+    "o2_lead_lag", "o3_first_last_over", "o4_agg_over_frames",
+    "o5_distribution_functions", "o6_topn_pattern",
+    "o7_dedup_keep_first", "o7_dedup_keep_last", "t1_orderby_limit",
+    "t2_limit_offset", "t4_union", "t4_union_distinct", "t5_intersect",
+    "t5_except_all", "t5_intersect_all", "f_string_family",
+    "f_math_family", "f_temporal_family", "f_conditional_family",
+    "f_json_family", "f_collection_family", "f_map_family",
+    "f_cast_hash_family",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R09_WINDOW) == 50, len(_R09_WINDOW)
-    missing = [n for n in _R09_WINDOW if n not in REGISTRY]
+    assert len(_R10_MUST) <= 50, len(_R10_MUST)
+    window = _R10_MUST + _R10_PAD[: 50 - len(_R10_MUST)]
+    assert len(window) == 50, len(window)
+    missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    rest = {k: v for k, v in REGISTRY.items() if k not in set(_R09_WINDOW)}
-    ordered = {k: REGISTRY[k] for k in _R09_WINDOW}
+    rest = {k: v for k, v in REGISTRY.items() if k not in set(window)}
+    ordered = {k: REGISTRY[k] for k in window}
     ordered.update(rest)
     REGISTRY.clear()
     REGISTRY.update(ordered)
