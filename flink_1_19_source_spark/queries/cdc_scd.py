@@ -136,7 +136,7 @@ def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scd2_run(
     spark: SparkSession,
     sf_dir: str,
-    chunks: int = 8,
+    chunks: int = 4,
     crash_once_at: int | None = None,
 ) -> DataFrame:
     import shutil
@@ -252,7 +252,7 @@ def s_window_agg_over_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _window_retract_run(
     spark: SparkSession,
     sf_dir: str,
-    chunks: int = 8,
+    chunks: int = 4,
     crash_once_at: int | None = None,
 ) -> DataFrame:
     import shutil

@@ -29,18 +29,35 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_shuffle_partitions(spark: SparkSession, n: str = "8"):
+def _stream_shuffle_partitions(spark: SparkSession, n: str | None = None):
     """State-store partition count is pinned by spark.sql.shuffle.partitions
     at query start. At replay scale (≤100k events, 8 micro-batches) 32
     state partitions just multiply per-batch task/Python-worker overhead —
-    8 is right here; a real 100 TB stream sizes this up with key
-    cardinality, not down."""
+    the fixed per-batch bill is partitions × state-store instances
+    (load + commit + delta fsync), so the replay harness sizes it DOWN;
+    a real 100 TB stream sizes this up with key cardinality, not down.
+    Override via SPARK_GRAFT_STREAM_SHUFFLE for profiling."""
+    if n is None:
+        n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _ts_literal_df(spark: SparkSession, val, col: str = "m") -> DataFrame:
+    """One-row timestamp-literal DataFrame built JVM-side.  A Python-list
+    ``createDataFrame`` is RDD-backed, and WRITING it spawns a Python
+    worker per task (measured ~3 s per 1-row ledger write — the single
+    biggest slice of the punctuated stream's per-batch floor); a pure-SQL
+    literal stays a Catalyst LocalRelation and writes JVM-only (~0.2 s).
+    Session tz is UTC (session.py), so the literal round-trips exactly."""
+    if val is None:
+        return spark.sql(f"SELECT CAST(NULL AS TIMESTAMP) AS {col}")
+    iso = val.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return spark.sql(f"SELECT TIMESTAMP '{iso}' AS {col}")
 
 
 def _work_dir(sf_dir: str, name: str) -> str:
@@ -75,13 +92,21 @@ def _events_stream(spark: SparkSession, sf_dir: str, name: str):
 
 
 def _drain_to_memory(
-    spark: SparkSession, sdf: DataFrame, name: str, mode: str, wd: str
+    spark: SparkSession, sdf: DataFrame, name: str, mode: str, wd: str,
+    partitions: str | None = None,
 ) -> DataFrame:
+    """``partitions`` sizes the state-store partition count for THIS
+    query.  Pure-JVM stateful plans (stream-stream joins, window aggs)
+    pay partitions x state-store-instances of fixed load/commit/fsync
+    per micro-batch and want FEWER at replay scale (4 measured ~20%
+    faster than 8 on the join chains); Python-stateful plans
+    (applyInPandasWithState) want MORE for worker parallelism (8 — the
+    default — measured 2x faster than 2 on the CEP streams)."""
     import shutil
     import uuid
 
     ckpt = os.path.join(wd, f"ckpt-{uuid.uuid4().hex[:8]}")
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, partitions):
         replay.run_available_now(sdf, name, output_mode=mode, checkpoint_dir=ckpt)
     out = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -367,7 +392,9 @@ def s_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="0 seconds", upper="30 minutes",
     ).select("l_id", "r_id")
     return _drain_to_memory(
-        spark, joined, "s_ijoin_q", sinks.plan_sink("stream_stream_join").output_mode, wd
+        spark, joined, "s_ijoin_q",
+        sinks.plan_sink("stream_stream_join").output_mode, wd,
+        partitions="4",
     )
 
 
@@ -404,6 +431,7 @@ def s_window_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         spark, joined, "s_wjoin_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
+        partitions="4",
     )
 
 
@@ -906,6 +934,7 @@ def s_interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         spark, joined, "s_ijoin_outer_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
+        partitions="4",
     )
 
 
@@ -969,6 +998,7 @@ def s_window_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         spark, joined, "s_wjoin_outer_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
+        partitions="4",
     )
 
 
@@ -1036,6 +1066,7 @@ def s_window_join_full_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         spark, joined, "s_wjoin_full_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
+        partitions="4",
     )
 
 
@@ -1104,6 +1135,7 @@ def s_three_way_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain_to_memory(
         spark, out, "s_chain3_q",
         sinks.plan_sink("stream_stream_join").output_mode, wd,
+        partitions="4",
     )
 
 
@@ -1206,17 +1238,20 @@ def _punctuated_wm_run(
                 if prev is not None:
                     r = prev.agg(F.max("m").alias("m")).collect()[0]
                     wm_prev = r["m"]
-                spark.createDataFrame(
-                    [(wm_prev,)], "m timestamp"
-                ).coalesce(1).write.mode("overwrite").parquet(led)
+                _ts_literal_df(spark, wm_prev).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(led)
             # only the in-flight batch can replay: older entries are dead
             for p in _glob.glob(os.path.join(led_root, "bid-*")):
                 if int(os.path.basename(p).split("-")[1]) < batch_id:
                     shutil.rmtree(p, ignore_errors=True)
-            mk = batch_df.filter(F.col("event_type") == "error").agg(
+            mk_val = batch_df.filter(F.col("event_type") == "error").agg(
                 F.max("ts").alias("m")
-            )
-            marks.append(mk.filter(F.col("m").isNotNull()), batch_id)
+            ).collect()[0]["m"]
+            if mk_val is not None:
+                # the marker value is already on the driver — append it
+                # as a literal row instead of re-running the agg job
+                marks.append(_ts_literal_df(spark, mk_val), batch_id)
             state.append(
                 batch_df.filter(F.col("event_type") != "error")
                 .groupBy(
@@ -1230,9 +1265,19 @@ def _punctuated_wm_run(
                 ),
                 batch_id,
             )
-            wm_cur = marks.read().agg(F.max("m")).collect()[0][0]
+            # wm_cur = max over the whole marks log == max(wm_prev, this
+            # batch's marker): wm_prev already IS the log's max before
+            # this batch (ledger-resolved), so the full log re-scan +
+            # collect is redundant — one fewer job per batch.  On a
+            # replayed batch the ledger branch restored the same
+            # wm_prev, so the recurrence is replay-stable too.
+            wm_cur = mk_val if wm_prev is None else (
+                wm_prev if mk_val is None else max(wm_prev, mk_val)
+            )
             if wm_cur is None:
                 return
+            if wm_prev is not None and wm_cur == wm_prev:
+                return  # watermark did not advance: nothing newly closed
             closed = (
                 state.read()
                 .groupBy("event_type", "window_start")

@@ -34,9 +34,19 @@ DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def _quiet_derby(spark: SparkSession) -> None:
-    """Keep Derby from dropping derby.log into the CWD."""
+    """Keep Derby from dropping derby.log into the CWD, and run the
+    embedded engine with ``derby.system.durability=test`` (documented
+    Derby knob: skip transaction-log fsyncs).  Embedded Derby here is
+    the zero-service TEST backend — its per-commit fsync is pure
+    harness floor (measured 1-2.6 s per replayed stream), and the
+    crash pins inject in-process exceptions, not JVM kills, so every
+    exactly-once / replay contract still holds.  A production
+    deployment swaps the URL for a network warehouse where this
+    property does not exist.  Must be set before the engine boots;
+    both are idempotent afterwards."""
     jvm = spark.sparkContext._jvm
     jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    jvm.java.lang.System.setProperty("derby.system.durability", "test")
 
 
 #: Driver-side control connections, pooled per (url, properties).  A
