@@ -126,6 +126,7 @@ def _minhash_dedup_run(
     sdf = replay.replay_table(
         spark, sf_dir, "documents", os.path.join(wd, "src"),
         ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+        files_per_trigger=2,
     )
     crashed = {"done": False}
 
@@ -548,7 +549,7 @@ def _chunk_dedup_run(
     sdf = replay.replay_table(
         spark, sf_dir, "documents", os.path.join(wd, "src"),
         ts_col="doc_id", chunks=chunks if chunks is not None else _CHUNKS,
-        order_by=["doc_id"],
+        order_by=["doc_id"], files_per_trigger=2,
     )
     # 2^32 multiplier: chunk_no derives from an array index, so it is
     # < 2^31 structurally (Spark arrays are int32-indexed) and the

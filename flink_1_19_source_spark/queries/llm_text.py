@@ -545,13 +545,21 @@ def s_fuzzy_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{run}")
     os.makedirs(out_dir, exist_ok=True)
 
+    from .streaming_queries import _FILES_PER_TRIGGER
+
     sdf = replay.replay_table(
         spark, sf_dir, "documents", os.path.join(wd, "src"),
         ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
+    # The eval set's ROWS are cached for the run (MB-scale by contract);
+    # the shingle index is still derived inside each micro-batch — that
+    # per-batch re-derivation is the X7 refresh hook (swap the
+    # DataFrame, next batch sees the new eval set), but re-scanning
+    # parquet for an unchanged eval set every batch was pure floor.
     bench = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 7
-    )
+    ).persist()
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         corp = batch_df.filter(F.col("doc_id") % 10 != 7)
@@ -567,6 +575,7 @@ def s_fuzzy_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle_partitions(spark):
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
+    bench.unpersist()
     return spark.read.parquet(os.path.join(out_dir, "out-*")).localCheckpoint(
         eager=True
     )
