@@ -1,0 +1,183 @@
+"""Distributed suffix-array machinery for exact substring dedup (N2).
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") removes VERBATIM repeated token sequences found via a suffix
+array over the concatenated corpus.  This module is that unit expressed
+relationally: prefix-doubling suffix RANKS (Manber-Myers) as O(log L)
+iterations of {self-join on position+k, global dense rank}, entirely in
+DataFrame ops.
+
+Key observation the span extractor rides on: to find every duplicated
+sequence of length >= L you do not need the fully-resolved suffix
+order — you need suffix ranks resolved to EXACTLY the first L tokens
+(two positions share such a rank iff their L-token windows are
+identical), which prefix doubling reaches in ceil(log2 L) rounds.  The
+full suffix array is the same loop run to ceil(log2 N); the bounded
+loop is what a 100 TB dedup pass would actually run.
+
+Scale notes:
+- The global dense rank never uses a single-task window: distinct keys
+  are range-repartitioned, ranked per partition, and shifted by a
+  broadcast per-partition offset table (rows-per-partition counts) — a
+  distributed sort plus a P-row prefix sum.  Rank values are
+  independent of partition boundaries, so the result is deterministic
+  under any partitioning.
+- Each doubling round materializes via localCheckpoint (the X8 iterate
+  convention) so the plan stays O(1) deep across rounds.
+- Per-document separator tokens (unique per doc) make any window that
+  crosses a document boundary globally unique, so cross-boundary
+  windows can never appear duplicated — no post-filtering needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dense_rank_distributed(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Attach a global dense rank over ``cols`` (1-based, ascending)
+    without a single-task global window.
+
+    distinct keys -> repartitionByRange(cols) -> row_number within each
+    range partition -> add broadcast per-partition offsets.  Range
+    partitions are contiguous and ordered, so local rank + offset is
+    the exact global dense rank."""
+    d = df.select(*cols).distinct()
+    d = d.repartitionByRange(*[F.col(c) for c in cols])
+    d = d.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    # materialize: the ranked key table feeds two consumers (the offset
+    # counts and the join back) — without this the distinct+range sort
+    # re-runs once per consumer
+    d = d.withColumn("_lr", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    counts = d.groupBy("_pid").agg(F.max("_lr").alias("_cnt"))
+    # offsets table has one row per shuffle partition — tiny by
+    # construction, so its cumulative window is not a scale concern
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+    )
+    ranked = d.join(F.broadcast(offs.select("_pid", "_off")), "_pid").select(
+        *cols, (F.col("_lr") + F.col("_off")).cast("long").alias(out)
+    )
+    return df.join(ranked, list(cols))
+
+
+def prefix_double_ranks(pos: DataFrame, length: int) -> DataFrame:
+    """Suffix ranks resolved to exactly the first ``length`` tokens.
+
+    ``pos``: (gpos long, token string) — the concatenated corpus with
+    one row per global token position.  Returns (gpos, r) where two
+    positions carry the same ``r`` iff their ``length``-token windows
+    are identical (windows running past the corpus end compare with a
+    rank-0 sentinel, standard Manber-Myers).  ``length`` must be a
+    power of two so the doubling lands exactly on it."""
+    if length < 1 or (length & (length - 1)) != 0:
+        raise ValueError(f"length must be a power of two, got {length}")
+    cur = dense_rank_distributed(
+        pos.select("gpos", "token"), ["token"], "r"
+    ).select("gpos", "r").localCheckpoint(eager=True)
+    k = 1
+    while k < length:
+        shifted = cur.select(
+            (F.col("gpos") - k).alias("gpos"), F.col("r").alias("r2")
+        )
+        paired = cur.join(shifted, "gpos", "left").select(
+            "gpos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        )
+        cur = dense_rank_distributed(paired, ["r", "r2"], "rn").select(
+            "gpos", F.col("rn").alias("r")
+        ).localCheckpoint(eager=True)
+        k *= 2
+    return cur
+
+
+def duplicate_token_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int = 8,
+) -> DataFrame:
+    """Exact maximal duplicated token spans, the suffix-array way.
+
+    A document position is COVERED iff the ``length``-token window
+    starting there occurs >= 2 times anywhere in the corpus (equal
+    suffix ranks at resolution ``length``); covered positions coalesce
+    into maximal per-document islands.  Output: one row per maximal
+    span — (doc_id, span_start, span_end, span_tokens), token indices
+    0-based, end exclusive (end = last covered start + length).
+
+    Equivalence used by the DuckDB oracle: "window at p occurs twice"
+    is exactly "the corpus L-gram starting at p occurs twice", so the
+    oracle can verify the suffix-rank result with a direct gram
+    formulation — same set, different algorithm."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("tk"),
+    ).select("doc_id", F.posexplode("tk").alias("tpos", "token"))
+    doclen = toks.groupBy("doc_id").agg(
+        (F.max("tpos") + 1).alias("n_tok")
+    )
+    # Document offset table: one row per doc; gpos = doc offset + tpos,
+    # with one reserved slot per doc for its separator.  At 100 TB this
+    # prefix sum over #docs rows runs through the same range-partition
+    # offset trick as dense_rank_distributed; at test scale a plain
+    # cumulative window is exact and cheap.
+    wdoc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = doclen.withColumn(
+        "off", F.coalesce(F.sum(F.col("n_tok") + 1).over(wdoc), F.lit(0))
+    )
+    body = toks.join(offs, "doc_id").select(
+        (F.col("off") + F.col("tpos")).alias("gpos"),
+        "token", "doc_id", "tpos",
+    ).localCheckpoint(eager=True)
+    seps = offs.select(
+        (F.col("off") + F.col("n_tok")).alias("gpos"),
+        F.concat(F.lit("\x00"), F.col("doc_id").cast("string")).alias(
+            "token"
+        ),
+    )
+    allpos = body.select("gpos", "token").unionByName(seps)
+    ranks = prefix_double_ranks(allpos, length)  # checkpointed inside
+    dup = ranks.groupBy("r").count().filter(F.col("count") >= 2).select("r")
+    hits = (
+        ranks.join(dup, "r", "left_semi")
+        .join(body.select("gpos", "doc_id", "tpos"), "gpos")
+    )
+    # Island rule: two covered starts p < q belong to one maximal span
+    # iff their token intervals [p, p+L) and [q, q+L) overlap or touch,
+    # i.e. q - p <= L — NOT only consecutive starts (back-to-back
+    # copies of an L-token block leave a start gap of exactly L whose
+    # intervals still tile one contiguous duplicated region).
+    wisl = Window.partitionBy("doc_id").orderBy("tpos")
+    isl = hits.withColumn(
+        "brk",
+        F.coalesce(
+            (F.col("tpos") - F.lag("tpos").over(wisl) > length).cast("int"),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            wisl.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("tpos").cast("long").alias("span_start"),
+            (F.max("tpos") + length).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

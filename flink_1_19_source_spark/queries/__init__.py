@@ -53,6 +53,7 @@ from . import sketches2  # noqa: F401  (theta KMV sketch family)
 from . import llm_text  # noqa: F401  (trained trigram NB lang-id)
 from . import crawl_pipeline  # noqa: F401  (N7 crawl->corpus composite)
 from . import llm_batching  # noqa: F401  (N6 length-bucketed batches)
+from . import llm_suffix  # noqa: F401  (N2 suffix-array substring dedup)
 
 from ..registry import REGISTRY
 
@@ -67,6 +68,7 @@ _R10_MUST = [
     "s_fuzzy_contamination_stream", "n6_length_bucketed_batches",
     "n5_thumbnail_pipeline_real", "n5_corrupt_media_side_output",
     # --- new in round 10 (appended as implemented) ---
+    "n2_suffix_array_spans",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -1,0 +1,107 @@
+"""Round-10 operator pins: suffix-array substring dedup (N2) and the
+distributed dense rank underneath it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_1_19_source_spark.operators import suffix_array as sa
+
+
+def test_dense_rank_distributed_matches_window_rank(spark):
+    """The range-partition + offset construction must equal the plain
+    (single-task) dense_rank for any input, including ties."""
+    df = spark.range(2000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") % 13).alias("b")
+    )
+    got = sa.dense_rank_distributed(df, ["a", "b"], "r")
+    ref = df.withColumn(
+        "r_ref", F.dense_rank().over(Window.orderBy("a", "b"))
+    )
+    joined = got.join(ref, ["a", "b"]).filter(
+        F.col("r") != F.col("r_ref")
+    )
+    assert joined.count() == 0
+    # dense: ranks form 1..K with no gaps
+    ranks = [r["r"] for r in got.select("r").distinct().collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_suffix_array_spans_planted_corpus(spark):
+    """Planted duplicates produce exactly the expected maximal spans —
+    including a cross-document duplicate, an in-document repeat, and a
+    near-boundary window that must NOT merge across documents."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 0: dup at tokens [2, 10); unique elsewhere
+            (0, "u00 u01 " + dup + " u02 u03"),
+            # doc 1: same dup at tokens [0, 8)
+            (1, dup + " u10 u11 u12"),
+            # doc 2: dup twice back-to-back -> one maximal span [1, 17)
+            (2, "u20 " + dup + " " + dup + " u21"),
+            # doc 3: entirely unique -> no spans
+            (3, "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in sa.duplicate_token_spans(docs, "doc_id", "text", 8).collect()
+    }
+    assert got == {
+        (0, 2, 10, 8),
+        (1, 0, 8, 8),
+        (2, 1, 17, 16),
+    }
+
+
+def test_suffix_array_equals_gram_formulation(spark, sf_dir):
+    """Algorithm-independence pin: the prefix-doubling rank path must
+    produce the identical covered-position set as a direct L-gram
+    build (the theorem the DuckDB oracle rides on), on real data."""
+    from flink_1_19_source_spark.tables import load_table
+
+    L = 8
+    docs = load_table(spark, sf_dir, "documents")
+    spans = sa.duplicate_token_spans(docs, "doc_id", "text", L)
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("tk"),
+    ).select("doc_id", F.posexplode("tk").alias("tpos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    gram = F.concat_ws(
+        "\x01", *[F.lead("token", i).over(w) for i in range(L)]
+    )
+    full = F.lead("token", L - 1).over(w).isNotNull()
+    g = toks.withColumn("gram", gram).withColumn("fl", full)
+    dupg = (
+        g.filter("fl").groupBy("gram").count()
+        .filter(F.col("count") >= 2).select("gram")
+    )
+    ref_cover = set()
+    for r in (
+        g.filter("fl").join(dupg, "gram", "left_semi")
+        .select("doc_id", "tpos").collect()
+    ):
+        for t in range(r["tpos"], r["tpos"] + L):
+            ref_cover.add((r["doc_id"], t))
+    got_cover = set()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        for t in range(r["span_start"], r["span_end"]):
+            got_cover.add((r["doc_id"], t))
+    # identical covered-token sets (interval merging preserves unions)
+    assert got_cover == ref_cover
+    # and the spans are MAXIMAL: no two spans in a doc touch or overlap
+    for doc, iv in by_doc.items():
+        iv.sort()
+        for (s1, e1), (s2, e2) in zip(iv, iv[1:]):
+            assert s2 > e1, (doc, (s1, e1), (s2, e2))
