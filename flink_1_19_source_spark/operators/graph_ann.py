@@ -1,0 +1,236 @@
+"""HNSW-family graph ANN (N3) — layered proximity graph + beam search.
+
+The industry-default ANN index family (Malkov & Yashunin 2016,
+"Efficient and robust approximate nearest neighbor search using
+Hierarchical Navigable Small World graphs") expressed for a relational
+engine:
+
+- **Layer assignment** is geometric and deterministic: an md5 hash of
+  the vector id picks level 2 with p=1/16, level 1 with p=3/16, else
+  level 0 (HNSW's exponentially-decaying level distribution, hash-gated
+  like every sampling decision in this engine so the oracle replays it).
+- **Per-layer graph**: each node keeps its top-M neighbors by
+  similarity within the layer's node set — built here as an exact
+  blocked matrix product (mapInPandas batches x a broadcast layer
+  matrix, int64-exact).  At 100 TB the layer-0 matrix does not
+  broadcast: the build switches to candidate blocking (LSH/IVF buckets
+  feeding the same exact top-M selection — the kNN-graph-construction
+  standard), while upper layers (1/16, 1/256 of the corpus) broadcast
+  fine.  This exact build is the correctness reference for that path.
+- **Search**: greedy descent through the upper layers (2 steps per
+  layer, beam 1), then a fixed-round ef-beam expansion over the
+  layer-0 graph — each round one frontier-expand join + rank, the X8
+  bounded-iteration pattern.
+
+Numeric contract (what makes the DuckDB oracle exact): components are
+quantized to integers (round(x * 2^15)); every dot product and norm is
+exact int64 arithmetic; similarity = dot / sqrt(na * nb) evaluated as
+IEEE double ops on exactly-representable integers — one
+correctly-rounded op chain with NO accumulation-order dependence, so
+numpy, the JVM, and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 32768  # 2^15 component quantization
+DIM = 64
+
+M_EDGES = 12     # neighbors kept per node, every layer
+EF_BEAM = 16     # beam width at layer 0
+K_ROUNDS = 2     # layer-0 expansion rounds
+UPPER_STEPS = 2  # greedy steps per upper layer
+
+
+def quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, qv array<long>, nq long): scale-2^15 quantized
+    components plus the exact integer self-dot (the norm term)."""
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    nq = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return q.withColumn("nq", nq)
+
+
+def with_levels(q: DataFrame) -> DataFrame:
+    """Geometric HNSW level from the id hash: p(>=1)=1/4, p(>=2)=1/16."""
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 31, 2), 16, 10
+    ).cast("int")
+    return q.withColumn(
+        "lvl",
+        F.when(h % 16 == 0, 2).when(h % 4 == 0, 1).otherwise(0),
+    )
+
+
+def _sim_expr(dot, na, nb):
+    return dot.cast("double") / F.sqrt(
+        na.cast("double") * nb.cast("double")
+    )
+
+
+def layer_edges(layer: DataFrame, m: int = M_EDGES) -> DataFrame:
+    """Exact top-m directed neighbor edges within one layer.
+
+    The layer's (id, qv, nq) rows broadcast as a numpy matrix; each
+    Arrow batch computes an int64 block product against it and keeps
+    its rows' top-m by (sim desc, dst asc).  Returns (src, dst, sim)."""
+    import numpy as np
+
+    spark = layer.sparkSession
+    rows = layer.select("vec_id", "qv", "nq").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    nrm = np.array([r["nq"] for r in rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def gen(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
+            a_nrm = pdf["nq"].to_numpy(dtype=np.int64)
+            dots = a_mat @ b_mat.T  # exact int64
+            sims = dots.astype(np.float64) / np.sqrt(
+                a_nrm[:, None].astype(np.float64)
+                * b_nrm[None, :].astype(np.float64)
+            )
+            out_src, out_dst, out_sim = [], [], []
+            for i in range(len(a_ids)):
+                srow = sims[i]
+                mask = b_ids != a_ids[i]
+                cand_ids = b_ids[mask]
+                cand_sim = srow[mask]
+                order = np.lexsort((cand_ids, -cand_sim))[:m]
+                out_src.extend([a_ids[i]] * len(order))
+                out_dst.extend(cand_ids[order])
+                out_sim.extend(cand_sim[order])
+            yield pd.DataFrame(
+                {"src": out_src, "dst": out_dst, "sim": out_sim}
+            )
+
+    return layer.mapInPandas(gen, "src long, dst long, sim double")
+
+
+def _score(cand: DataFrame, nodes: DataFrame, qset: DataFrame) -> DataFrame:
+    """Attach sim(query, node) to (query_id, node) pairs — the unrolled
+    exact-integer dot, JVM-side."""
+    n = nodes.select(
+        F.col("vec_id").alias("node"), F.col("qv").alias("nv"),
+        F.col("nq").alias("nn"),
+    )
+    q = qset.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qvq"),
+        F.col("nq").alias("qn"),
+    )
+    dot = None
+    for i in range(1, DIM + 1):
+        t = F.element_at("qvq", i) * F.element_at("nv", i)
+        dot = t if dot is None else dot + t
+    return (
+        cand.join(n, "node")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "node",
+            _sim_expr(dot, F.col("qn"), F.col("nn")).alias("sim"),
+        )
+    )
+
+
+def hnsw_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Layered-graph beam search: (query_id, neighbor_id, sim, rank).
+
+    Deterministic contract (replayed verbatim by the SQL oracle):
+    entry point = (max level, min id) node; UPPER_STEPS greedy steps at
+    layers 2 then 1 (a step re-ranks {current} ∪ its layer neighbors,
+    ties to the lower id; an empty layer leaves the cursor unchanged);
+    K_ROUNDS ef-beam rounds on layer 0; final top-k excludes the query
+    itself."""
+    nodes = with_levels(
+        quantized(vectors, id_col, vec_col)
+    ).localCheckpoint(eager=True)
+    qset = quantized(queries, id_col, vec_col).localCheckpoint(eager=True)
+
+    layers = {
+        lv: nodes.filter(F.col("lvl") >= lv) for lv in (2, 1, 0)
+    }
+    edges = {
+        lv: layer_edges(layers[lv]).localCheckpoint(eager=True)
+        for lv in (2, 1, 0)
+    }
+
+    ep = (
+        nodes.orderBy(F.col("lvl").desc(), F.col("vec_id"))
+        .limit(1)
+        .select(F.col("vec_id").alias("node"))
+    )
+    cur = qset.select(F.col("vec_id").alias("query_id")).crossJoin(
+        F.broadcast(ep)
+    )
+
+    def best_of(cand: DataFrame, width: int) -> DataFrame:
+        scored = _score(cand.distinct(), nodes, qset)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("node")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= width)
+            .select("query_id", "node")
+        )
+
+    for lv in (2, 1):
+        for _ in range(UPPER_STEPS):
+            nbr = cur.join(
+                edges[lv], cur["node"] == edges[lv]["src"]
+            ).select("query_id", F.col("dst").alias("node"))
+            cur = best_of(
+                cur.unionByName(nbr), 1
+            ).localCheckpoint(eager=True)
+
+    beam = cur
+    for _ in range(K_ROUNDS):
+        nbr = beam.join(
+            edges[0], beam["node"] == edges[0]["src"]
+        ).select("query_id", F.col("dst").alias("node"))
+        beam = best_of(
+            beam.unionByName(nbr), EF_BEAM
+        ).localCheckpoint(eager=True)
+
+    final = _score(beam, nodes, qset).filter(
+        F.col("query_id") != F.col("node")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node")
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.round("sim", 9).alias("sim"),
+            "rank",
+        )
+    )

@@ -54,6 +54,7 @@ from . import llm_text  # noqa: F401  (trained trigram NB lang-id)
 from . import crawl_pipeline  # noqa: F401  (N7 crawl->corpus composite)
 from . import llm_batching  # noqa: F401  (N6 length-bucketed batches)
 from . import llm_suffix  # noqa: F401  (N2 suffix-array substring dedup)
+from . import llm_graph_ann  # noqa: F401  (N3 HNSW-family graph ANN)
 
 from ..registry import REGISTRY
 
@@ -69,6 +70,7 @@ _R10_MUST = [
     "n5_thumbnail_pipeline_real", "n5_corrupt_media_side_output",
     # --- new in round 10 (appended as implemented) ---
     "n2_suffix_array_spans",
+    "n3_hnsw_topk",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

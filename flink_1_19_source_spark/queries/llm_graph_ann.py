@@ -1,0 +1,144 @@
+"""N3 — HNSW-family graph ANN query (operators/graph_ann.py).
+
+The DuckDB oracle replays the ENTIRE deterministic algorithm — layer
+hash-assignment, per-layer exact top-M edges, greedy upper-layer
+descent, fixed-round ef-beam at layer 0 — as unrolled CTE stages over
+the same quantized-integer similarity, so both engines walk the
+identical graph and the value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import graph_ann
+from ..registry import register
+from ..tables import load_table
+
+_SIM = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * n.qv[i]))"
+    " AS DOUBLE) / SQRT(CAST(q.nq AS DOUBLE) * CAST(n.nq AS DOUBLE))"
+)
+
+
+def _edge_cte(name: str, min_lvl: int) -> str:
+    return f"""{name} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rn
+    FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+               / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS sim
+      FROM lv a JOIN lv b
+        ON a.lvl >= {min_lvl} AND b.lvl >= {min_lvl}
+       AND a.vec_id <> b.vec_id
+    )
+  ) WHERE rn <= {graph_ann.M_EDGES}
+)"""
+
+
+def _step_cte(name: str, prev: str, edges: str, width: int) -> str:
+    return f"""{name} AS (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, node) AS rn
+    FROM (
+      SELECT cand.query_id, cand.node, {_SIM} AS sim
+      FROM (
+        SELECT query_id, node FROM {prev}
+        UNION
+        SELECT c.query_id, e.dst AS node
+        FROM {prev} c JOIN {edges} e ON e.src = c.node
+      ) cand
+      JOIN lv n ON n.vec_id = cand.node
+      JOIN qs q USING (query_id)
+    )
+  ) WHERE rn <= {width}
+)"""
+
+
+def _build_oracle() -> str:
+    steps = []
+    prev = "c0"
+    i = 0
+    for lv in (2, 1):
+        for _ in range(graph_ann.UPPER_STEPS):
+            i += 1
+            steps.append(_step_cte(f"s{i}", prev, f"e{lv}", 1))
+            prev = f"s{i}"
+    for _ in range(graph_ann.K_ROUNDS):
+        i += 1
+        steps.append(
+            _step_cte(f"s{i}", prev, "e0", graph_ann.EF_BEAM)
+        )
+        prev = f"s{i}"
+    body = ",\n".join(steps)
+    return f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {graph_ann.SCALE})
+                AS BIGINT)) AS qv
+  FROM embeddings
+), nz AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+  FROM qz
+), lv AS (
+  SELECT vec_id, qv, nq,
+         CASE WHEN h % 16 = 0 THEN 2
+              WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+  FROM (
+    SELECT *, CAST(concat('0x',
+           substr(md5(CAST(vec_id AS VARCHAR)), 31, 2)) AS INTEGER) AS h
+    FROM nz
+  )
+),
+{_edge_cte('e2', 2)},
+{_edge_cte('e1', 1)},
+{_edge_cte('e0', 0)},
+ep AS (
+  SELECT vec_id AS node FROM lv ORDER BY lvl DESC, vec_id LIMIT 1
+),
+qs AS (
+  SELECT vec_id AS query_id, qv, nq FROM lv WHERE vec_id < 8
+),
+c0 AS (SELECT query_id, ep.node FROM qs, ep),
+{body}
+SELECT query_id, neighbor_id, ROUND(sim, 9) AS sim, rank FROM (
+  SELECT query_id, node AS neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, node) AS rank
+  FROM (
+    SELECT b.query_id, b.node, {_SIM} AS sim
+    FROM {prev} b
+    JOIN lv n ON n.vec_id = b.node
+    JOIN qs q USING (query_id)
+    WHERE b.query_id <> b.node
+  )
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "n3_hnsw_topk",
+    oracle=_build_oracle(),
+    survey="N3",
+)
+def n3_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN, the HNSW family (operators/graph_ann.py): geometric
+    hash-assigned layers, exact top-M proximity edges per layer (blocked
+    int64 matrix product against a broadcast layer matrix), greedy
+    descent + fixed-round ef-beam search as bounded frontier-expand
+    joins.  Quantized-integer similarity makes every engine's doubles
+    bit-identical (see the operator's numeric contract); recall@5 vs the
+    exact cosine baseline is pinned in tests/test_r10_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph_ann.hnsw_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )

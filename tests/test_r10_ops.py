@@ -105,3 +105,26 @@ def test_suffix_array_equals_gram_formulation(spark, sf_dir):
         iv.sort()
         for (s1, e1), (s2, e2) in zip(iv, iv[1:]):
             assert s2 > e1, (doc, (s1, e1), (s2, e2))
+
+
+def test_hnsw_recall_pinned_vs_exact(spark, sf_dir):
+    """n3_hnsw_topk must reach recall@5 >= 0.8 against the exact cosine
+    baseline on the sf fixture — the graph search is approximate by
+    design, the floor pins that it actually navigates (a broken graph
+    or beam collapses recall toward the entry point's neighborhood)."""
+    from flink_1_19_source_spark.operators import graph_ann, similarity
+    from flink_1_19_source_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in graph_ann.hnsw_topk(emb, q, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
