@@ -55,6 +55,7 @@ from . import crawl_pipeline  # noqa: F401  (N7 crawl->corpus composite)
 from . import llm_batching  # noqa: F401  (N6 length-bucketed batches)
 from . import llm_suffix  # noqa: F401  (N2 suffix-array substring dedup)
 from . import llm_graph_ann  # noqa: F401  (N3 HNSW-family graph ANN)
+from . import llm_media_encode  # noqa: F401  (N5 encode-side stages)
 
 from ..registry import REGISTRY
 
@@ -71,6 +72,7 @@ _R10_MUST = [
     # --- new in round 10 (appended as implemented) ---
     "n2_suffix_array_spans",
     "n3_hnsw_topk",
+    "n5_audio_downsample_pipeline_real",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in
