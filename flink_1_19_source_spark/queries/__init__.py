@@ -56,6 +56,7 @@ from . import llm_batching  # noqa: F401  (N6 length-bucketed batches)
 from . import llm_suffix  # noqa: F401  (N2 suffix-array substring dedup)
 from . import llm_graph_ann  # noqa: F401  (N3 HNSW-family graph ANN)
 from . import llm_media_encode  # noqa: F401  (N5 encode-side stages)
+from . import llm_train  # noqa: F401  (N4 logistic training)
 
 from ..registry import REGISTRY
 
@@ -73,6 +74,7 @@ _R10_MUST = [
     "n2_suffix_array_spans",
     "n3_hnsw_topk",
     "n5_audio_downsample_pipeline_real",
+    "n4_logistic_train",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

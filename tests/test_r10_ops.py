@@ -128,3 +128,55 @@ def test_hnsw_recall_pinned_vs_exact(spark, sf_dir):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_logistic_train_converges_and_probs_monotone(spark):
+    """Hard-sigmoid logistic GD on planted separable data: the trained
+    model must classify every row correctly, and the emitted
+    probability must be a monotone function of the margin, bounded in
+    [0, 1] — the calibration surface the perceptron lacks."""
+    from flink_1_19_source_spark.queries.llm_train import (
+        _LG_FEATS, _logistic_fit,
+    )
+    from pyspark.sql import functions as F
+
+    # planted contrast (the r8 perceptron pin's construction): class +1
+    # has f_tokens >> f_punct, class -1 the reverse — separable by a
+    # signed weight direction, the shape a zero-init margin trainer can
+    # actually reach (bias-only separability is out of reach for any
+    # no-learning-rate margin method and would pin nothing)
+    rows = []
+    for i in range(40):
+        y = 1 if i % 2 == 0 else -1
+        hi, lo = (20 + i % 5, 2 + i % 3)
+        f1, f2 = (hi, lo) if y == 1 else (lo, hi)
+        rows.append((i, y, f1, f2, 1 + i % 2, 3 + i % 4, f1 + 2 * f2))
+    feats = spark.createDataFrame(
+        rows, "doc_id long, y int, f_tokens long, f_punct long, "
+        "f_digits long, f_upper long, f_chars long",
+    )
+    w, b = _logistic_fit(feats)
+    margin = sum(
+        (F.col(f) * F.lit(wi) for f, wi in zip(_LG_FEATS, w)), F.lit(b)
+    )
+    mm = feats.select("y", margin.cast("long").alias("m"))
+    c = int(
+        mm.agg(F.greatest(F.max(F.abs(F.col("m"))), F.lit(1)))
+        .collect()[0][0]
+    )
+    out = mm.select(
+        "y", "m",
+        (
+            (F.col("m") + F.lit(c)).cast("double")
+            / F.lit(2 * c).cast("double")
+        ).alias("p"),
+    ).collect()
+    # convergence on separable data
+    assert all((r["m"] >= 0) == (r["y"] == 1) for r in out)
+    # probability well-formed and monotone in margin
+    by_m = sorted(out, key=lambda r: r["m"])
+    probs = [r["p"] for r in by_m]
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert all(a <= b for a, b in zip(probs, probs[1:]))
+    # and it is not the trivial all-0/1 map: the band must be used
+    assert any(0.0 < p < 1.0 for p in probs)
