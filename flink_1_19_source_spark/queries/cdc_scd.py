@@ -138,6 +138,7 @@ def _scd2_run(
     sf_dir: str,
     chunks: int = 4,
     crash_once_at: int | None = None,
+    crash_times: int = 1,
 ) -> DataFrame:
     import shutil
 
@@ -154,7 +155,7 @@ def _scd2_run(
     sink = Scd2Sink(
         spark, wd, "user_id", seq_cols=["ms", "version_event_id"]
     )
-    crashed = {"done": False}
+    crashed = {"n": 0}
 
     def fold(df: DataFrame, batch_id: int) -> None:
         row = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
@@ -174,15 +175,15 @@ def _scd2_run(
             ).alias("env")
         )
         sink(_parse_changes(env), batch_id)
-        if crash_once_at == int(batch_id) and not crashed["done"]:
-            crashed["done"] = True
+        if crash_once_at == int(batch_id) and crashed["n"] < crash_times:
+            crashed["n"] += 1
             raise RuntimeError("injected crash after full batch effects")
 
     ckpt = os.path.join(wd, "ckpt")
     for d in ("scdstate", "scdout", "ckpt"):
         shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
     with _stream_shuffle_partitions(spark):
-        if crash_once_at is not None:
+        for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
                 raise AssertionError("injected crash did not fire")
@@ -254,6 +255,7 @@ def _window_retract_run(
     sf_dir: str,
     chunks: int = 4,
     crash_once_at: int | None = None,
+    crash_times: int = 1,
 ) -> DataFrame:
     import shutil
 
@@ -278,7 +280,7 @@ def _window_retract_run(
             return spark.read.parquet(d)
         return spark.createDataFrame([], schema)
 
-    crashed = {"done": False}
+    crashed = {"n": 0}
 
     def fold(df: DataFrame, batch_id: int) -> None:
         b = int(batch_id)
@@ -364,15 +366,15 @@ def _window_retract_run(
                         shutil.rmtree(
                             os.path.join(base, name), ignore_errors=True
                         )
-        if crash_once_at == int(batch_id) and not crashed["done"]:
-            crashed["done"] = True
+        if crash_once_at == int(batch_id) and crashed["n"] < crash_times:
+            crashed["n"] += 1
             raise RuntimeError("injected crash after full batch effects")
 
     ckpt = os.path.join(wd, "ckpt")
     for d in ("mirror", "winstate", "ckpt"):
         shutil.rmtree(os.path.join(wd, d), ignore_errors=True)
     with _stream_shuffle_partitions(spark):
-        if crash_once_at is not None:
+        for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
                 raise AssertionError("injected crash did not fire")

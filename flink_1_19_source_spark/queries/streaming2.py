@@ -702,6 +702,7 @@ def _join_retract_run(
     sf_dir: str,
     crash_once_at: int | None = None,
     chunks: int | None = None,
+    crash_times: int = 1,
 ) -> DataFrame:
     from ..streaming.segments import SegmentStore
     from .streaming_queries import _CHUNKS, _FILES_PER_TRIGGER, _work_dir
@@ -728,7 +729,7 @@ def _join_retract_run(
     log = SegmentStore(
         spark, os.path.join(wd, f"evlog-{run}"), compact_every=2
     )
-    crashed = {"done": False}
+    crashed = {"n": 0}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.seen(spark, batch_id):
@@ -757,8 +758,8 @@ def _join_retract_run(
                 "event_id", "user_id", "cnt"
             )
             out.upsert(joined, pk_cols=["event_id"])
-            if crash_once_at == batch_id and not crashed["done"]:
-                crashed["done"] = True
+            if crash_once_at == batch_id and crashed["n"] < crash_times:
+                crashed["n"] += 1
                 # worst spot: sink mutated, mirror/ledger uncommitted
                 raise RuntimeError("injected crash before ledger mark")
             mirror.upsert(upserts, pk_cols=["user_id"])
@@ -768,7 +769,7 @@ def _join_retract_run(
 
     ckpt = os.path.join(wd, f"ckpt-{run}")
     with _stream_shuffle_partitions(spark):
-        if crash_once_at is not None:
+        for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
                 raise AssertionError("injected crash did not fire")
@@ -834,6 +835,7 @@ def _outer_join_retract_run(
     sf_dir: str,
     crash_once_at: int | None = None,
     chunks: int | None = None,
+    crash_times: int = 1,
 ) -> DataFrame:
     from ..streaming.segments import SegmentStore
     from .streaming_queries import _CHUNKS, _FILES_PER_TRIGGER, _work_dir
@@ -859,7 +861,7 @@ def _outer_join_retract_run(
     ledger.init(spark)
     llog = SegmentStore(spark, os.path.join(wd, f"vlog-{run}"), compact_every=2)
     rlog = SegmentStore(spark, os.path.join(wd, f"plog-{run}"), compact_every=2)
-    crashed = {"done": False}
+    crashed = {"n": 0}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if ledger.seen(spark, batch_id):
@@ -962,8 +964,8 @@ def _outer_join_retract_run(
                 pk_cols=["view_id", "b_key"],
                 op_col="op",
             )
-            if crash_once_at == batch_id and not crashed["done"]:
-                crashed["done"] = True
+            if crash_once_at == batch_id and crashed["n"] < crash_times:
+                crashed["n"] += 1
                 # worst spot: sink mutated, ledger uncommitted
                 raise RuntimeError("injected crash before ledger mark")
             ledger.mark(spark, batch_id)
@@ -972,18 +974,18 @@ def _outer_join_retract_run(
 
     ckpt = os.path.join(wd, f"ckpt-{run}")
     with _stream_shuffle_partitions(spark):
-        if crash_once_at is not None:
+        n_crashes = crash_times if crash_once_at is not None else 0
+        for attempt in range(n_crashes):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
                 raise AssertionError("injected crash did not fire")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
+            # restart-from-scratch resume: a fresh checkpoint each time
             shutil.rmtree(ckpt, ignore_errors=True)
-            ckpt = os.path.join(wd, f"ckpt-{run}-resume")
-            replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-        else:
-            replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+            ckpt = os.path.join(wd, f"ckpt-{run}-resume{attempt}")
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.scan(spark).select(
         "view_id",

@@ -1197,7 +1197,8 @@ def s_punctuated_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _punctuated_wm_run(
-    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None
+    spark: SparkSession, sf_dir: str, crash_once_at: int | None = None,
+    crash_times: int = 1,
 ) -> DataFrame:
     import glob as _glob
     import shutil
@@ -1220,7 +1221,7 @@ def _punctuated_wm_run(
     out = SegmentStore(spark, os.path.join(wd, f"out-{run}"),
                        compact_every=4)
     led_root = os.path.join(wd, f"wmprev-{run}")
-    crashed = {"done": False}
+    crashed = {"n": 0}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -1293,8 +1294,8 @@ def _punctuated_wm_run(
                     > F.lit(wm_prev)
                 )
             out.append(closed, batch_id)
-            if crash_once_at == batch_id and not crashed["done"]:
-                crashed["done"] = True
+            if crash_once_at == batch_id and crashed["n"] < crash_times:
+                crashed["n"] += 1
                 # worst spot: every store mutated (incl. this batch's
                 # marker and output segment), batch uncommitted
                 raise RuntimeError("injected crash after output append")
@@ -1303,7 +1304,7 @@ def _punctuated_wm_run(
 
     ckpt = os.path.join(wd, f"ckpt-{run}")
     with _stream_shuffle_partitions(spark):
-        if crash_once_at is not None:
+        for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
                 raise AssertionError("injected crash did not fire")

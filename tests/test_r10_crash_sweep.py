@@ -1,0 +1,58 @@
+"""Crash-point SWEEP for the retraction tier (r9 verdict item #5).
+
+The existing crash pins inject at ONE fixed batch index; the r9 ADVICE
+bug (punctuated-watermark replay overwriting its own closed windows)
+was index-dependent — exactly the class a mechanical sweep catches.
+Each parametrized case replays a retraction-tier stream with a crash
+injected at EVERY batch index in turn (and, for the last index, TWICE
+at the same index — a crash during the crash-recovery replay), and
+requires the drained result to be bit-identical to the clean run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .oracle import canon_rows
+
+# (runner module, runner name, kwargs, batch indices to crash at)
+_SWEEP = [
+    ("flink_1_19_source_spark.queries.streaming2",
+     "_outer_join_retract_run", {}, [0, 1]),
+    ("flink_1_19_source_spark.queries.streaming2",
+     "_join_retract_run", {}, [0, 1]),
+    ("flink_1_19_source_spark.queries.streaming_queries",
+     "_punctuated_wm_run", {}, [0, 1]),
+    ("flink_1_19_source_spark.queries.cdc_scd",
+     "_scd2_run", {}, [0, 1, 2, 3]),
+    ("flink_1_19_source_spark.queries.cdc_scd",
+     "_window_retract_run", {}, [0, 1, 2, 3]),
+]
+
+
+def _canon(df) -> list:
+    return canon_rows(df.toPandas())
+
+
+@pytest.mark.parametrize(
+    "mod_name,fn_name,kwargs,indices",
+    _SWEEP,
+    ids=[row[1] for row in _SWEEP],
+)
+def test_crash_sweep_every_batch_index(
+    spark, sf_dir, mod_name, fn_name, kwargs, indices
+):
+    import importlib
+
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    clean = _canon(fn(spark, sf_dir, **kwargs))
+    assert clean, fn_name  # a sweep over an empty result pins nothing
+    for b in indices:
+        got = _canon(fn(spark, sf_dir, crash_once_at=b, **kwargs))
+        assert got == clean, f"{fn_name}: crash at batch {b} diverged"
+    # double crash at the last index: the recovery replay itself crashes
+    b = indices[-1]
+    got = _canon(
+        fn(spark, sf_dir, crash_once_at=b, crash_times=2, **kwargs)
+    )
+    assert got == clean, f"{fn_name}: double crash at batch {b} diverged"
