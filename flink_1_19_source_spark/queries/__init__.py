@@ -19,6 +19,7 @@ for the ledger.
 from . import windows  # noqa: F401
 from . import llm  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import streaming_joins2  # noqa: F401  (outer/chained join streams)
 from . import sources  # noqa: F401
 from . import cep  # noqa: F401
 from . import relational2  # noqa: F401
@@ -34,6 +35,8 @@ from . import pipeline  # noqa: F401  (N6 + end-to-end N2/N4 pipelines)
 from . import feedback  # noqa: F401  (X8 iterate, W7 count windows)
 from . import windows2  # noqa: F401  (window top-n/dedup, cascading agg)
 from . import sources2  # noqa: F401  (S11 session-catalog surface)
+from . import sources_cdc  # noqa: F401  (X6 CDC envelope family)
+from . import sources_lake  # noqa: F401  (S11 time travel/snapshots, WARC)
 from . import streaming2  # noqa: F401  (retract-stream chained aggregation)
 from . import kafka_queries  # noqa: F401  (S6 file-topic contract, X1 idleness)
 from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)

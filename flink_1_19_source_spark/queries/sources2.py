@@ -398,86 +398,6 @@ def src_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "src_cdc_debezium",
-    oracle="""
-    WITH oped AS (
-      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
-             CASE WHEN event_type = 'signup' THEN 'c'
-                  WHEN event_type = 'error' THEN 'd'
-                  ELSE 'u' END AS op
-      FROM events
-    ), latest AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY ms DESC, event_id DESC) AS rn
-      FROM oped
-    )
-    SELECT user_id, event_id, ROUND(value, 6) AS value
-    FROM latest WHERE rn = 1 AND op <> 'd'
-    """,
-    survey="X6 S4",
-)
-def src_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """debezium-json CDC FORMAT (Flink flink-formats/flink-json debezium
-    decoder): events are first rendered as real Debezium envelopes —
-    ``{"before":..., "after":..., "op":"c|u|d", "ts_ms":...}`` strings —
-    then the operator under test parses the envelopes with a typed
-    from_json schema, derives the row image (after for c/u, before for
-    d), and applies the changelog (latest op per key wins, deletes drop
-    the key). The oracle computes the same final table relationally, so
-    a wrong parse (missed nulls, wrong image choice, dropped precision in
-    the JSON round-trip) diverges the hash. All expressions are
-    codegen'd JSON built-ins — no UDFs, map-only until the keyed fold."""
-    e = load_table(spark, sf_dir, "events")
-    row = F.struct(
-        F.col("user_id"), F.col("event_id"), F.col("value")
-    )
-    op = (
-        F.when(F.col("event_type") == "signup", "c")
-        .when(F.col("event_type") == "error", "d")
-        .otherwise("u")
-    )
-    envelopes = e.select(
-        F.to_json(
-            F.struct(
-                F.when(op != "c", row).alias("before"),
-                F.when(op != "d", row).alias("after"),
-                op.alias("op"),
-                F.unix_millis("ts").alias("ts_ms"),
-            )
-        ).alias("env")
-    )
-
-    schema = (
-        "before struct<user_id: bigint, event_id: bigint, value: double>,"
-        " after struct<user_id: bigint, event_id: bigint, value: double>,"
-        " op string, ts_ms bigint"
-    )
-    parsed = envelopes.select(F.from_json("env", schema).alias("m")).select(
-        F.coalesce(F.col("m.after.user_id"), F.col("m.before.user_id")).alias(
-            "user_id"
-        ),
-        F.coalesce(F.col("m.after.event_id"), F.col("m.before.event_id")).alias(
-            "event_id"
-        ),
-        F.col("m.after.value").alias("value"),
-        F.col("m.op").alias("op"),
-        F.col("m.ts_ms").alias("ms"),
-    )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy(
-            F.col("ms").desc(), F.col("event_id").desc()
-        )
-    )
-    return (
-        parsed.withColumn("rn", rn)
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select("user_id", "event_id", F.round("value", 6).alias("value"))
-    )
-
-
-@register(
     "s_rolling_file_sink",
     oracle="""
     SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
@@ -705,78 +625,6 @@ def s_lookup_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "src_cdc_canal",
-    oracle="""
-    WITH oped AS (
-      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
-             CASE WHEN event_type = 'signup' THEN 'INSERT'
-                  WHEN event_type = 'error' THEN 'DELETE'
-                  ELSE 'UPDATE' END AS typ
-      FROM events
-    ), latest AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY ms DESC, event_id DESC) AS rn
-      FROM oped
-    )
-    SELECT user_id, event_id, ROUND(value, 6) AS value
-    FROM latest WHERE rn = 1 AND typ <> 'DELETE'
-    """,
-    survey="X6 S4",
-)
-def src_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """canal-json CDC FORMAT (Flink flink-formats/flink-json canal
-    decoder): the Canal envelope batches row images in a ``data`` ARRAY
-    with a statement-level ``type`` — ``{"data":[{...}],"type":
-    "INSERT|UPDATE|DELETE","ts":...}``. The operator renders real
-    envelopes, then parses them with a typed schema, EXPLODES the data
-    array (one envelope can carry many rows), maps type→RowKind and
-    applies the changelog. Same final-state oracle discipline as the
-    debezium twin (src_cdc_debezium): a wrong parse diverges the hash."""
-    e = load_table(spark, sf_dir, "events")
-    typ = (
-        F.when(F.col("event_type") == "signup", "INSERT")
-        .when(F.col("event_type") == "error", "DELETE")
-        .otherwise("UPDATE")
-    )
-    env = e.select(
-        F.to_json(
-            F.struct(
-                F.array(
-                    F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
-                ).alias("data"),
-                typ.alias("type"),
-                F.unix_millis("ts").alias("ts"),
-            )
-        ).alias("env")
-    )
-    schema = (
-        "data array<struct<user_id: bigint, event_id: bigint, value: double>>,"
-        " type string, ts bigint"
-    )
-    rows = (
-        env.select(F.from_json("env", schema).alias("m"))
-        .select(
-            F.explode("m.data").alias("r"),
-            F.col("m.type").alias("typ"),
-            F.col("m.ts").alias("ms"),
-        )
-        .select("r.user_id", "r.event_id", "r.value", "typ", "ms")
-    )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy(
-            F.col("ms").desc(), F.col("event_id").desc()
-        )
-    )
-    return (
-        rows.withColumn("rn", rn)
-        .filter((F.col("rn") == 1) & (F.col("typ") != "DELETE"))
-        .select("user_id", "event_id", F.round("value", 6).alias("value"))
-    )
-
-
-@register(
     "src_dynamic_partition_pruning",
     oracle="""
     WITH dim AS (
@@ -921,485 +769,3 @@ def src_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
 
 
-@register(
-    "src_cdc_maxwell",
-    oracle="""
-    WITH oped AS (
-      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
-             CASE WHEN event_type = 'signup' THEN 'insert'
-                  WHEN event_type = 'error' THEN 'delete'
-                  ELSE 'update' END AS typ
-      FROM events
-    ), latest AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY ms DESC, event_id DESC) AS rn
-      FROM oped
-    )
-    SELECT user_id, event_id, ROUND(value, 6) AS value
-    FROM latest WHERE rn = 1 AND typ <> 'delete'
-    """,
-    survey="X6 S4",
-)
-def src_cdc_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """maxwell-json CDC FORMAT (Flink flink-formats/flink-json maxwell
-    decoder): Maxwell's Daemon emits one row image per envelope —
-    ``{"database":..,"table":..,"type":"insert|update|delete","ts":..,
-    "data":{...}}`` (lower-case statement types, ``data`` an OBJECT, not
-    Canal's array). Render real envelopes, parse with a typed schema,
-    map type→RowKind, apply the changelog; final state hash-matches the
-    relational replay, same discipline as the debezium/canal twins."""
-    e = load_table(spark, sf_dir, "events")
-    typ = (
-        F.when(F.col("event_type") == "signup", "insert")
-        .when(F.col("event_type") == "error", "delete")
-        .otherwise("update")
-    )
-    env = e.select(
-        F.to_json(
-            F.struct(
-                F.lit("appdb").alias("database"),
-                F.lit("events").alias("table"),
-                typ.alias("type"),
-                F.unix_millis("ts").alias("ts"),
-                F.struct(
-                    F.col("user_id"), F.col("event_id"), F.col("value")
-                ).alias("data"),
-            )
-        ).alias("env")
-    )
-    schema = (
-        "database string, table string, type string, ts bigint,"
-        " data struct<user_id: bigint, event_id: bigint, value: double>"
-    )
-    rows = env.select(F.from_json("env", schema).alias("m")).select(
-        F.col("m.data.user_id").alias("user_id"),
-        F.col("m.data.event_id").alias("event_id"),
-        F.col("m.data.value").alias("value"),
-        F.col("m.type").alias("typ"),
-        F.col("m.ts").alias("ms"),
-    )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy(
-            F.col("ms").desc(), F.col("event_id").desc()
-        )
-    )
-    return (
-        rows.withColumn("rn", rn)
-        .filter((F.col("rn") == 1) & (F.col("typ") != "delete"))
-        .select("user_id", "event_id", F.round("value", 6).alias("value"))
-    )
-
-
-@register(
-    "src_cdc_ogg",
-    oracle="""
-    WITH oped AS (
-      SELECT user_id, event_id, value, CAST(epoch_ms(ts) AS BIGINT) AS ms,
-             CASE WHEN event_type = 'signup' THEN 'I'
-                  WHEN event_type = 'error' THEN 'D'
-                  ELSE 'U' END AS typ
-      FROM events
-    ), latest AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY ms DESC, event_id DESC) AS rn
-      FROM oped
-    )
-    SELECT user_id, event_id, ROUND(value, 6) AS value
-    FROM latest WHERE rn = 1 AND typ <> 'D'
-    """,
-    survey="X6 S4",
-)
-def src_cdc_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ogg-json CDC FORMAT (Flink flink-formats/flink-json Oracle
-    GoldenGate decoder): GoldenGate envelopes carry before/after images
-    with single-letter op codes — ``{"table":"SCHEMA.TABLE","op_type":
-    "I|U|D","op_ts":...,"before":{...},"after":{...}}``; deletes have a
-    NULL after-image, so the row image is COALESCE(after, before).
-    Render, parse, map op→RowKind, apply; final state hash-matches the
-    relational replay."""
-    e = load_table(spark, sf_dir, "events")
-    typ = (
-        F.when(F.col("event_type") == "signup", "I")
-        .when(F.col("event_type") == "error", "D")
-        .otherwise("U")
-    )
-    img = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
-    # envelope with the correct before/after images per op: inserts have
-    # no before-image, deletes no after-image
-    env = e.select(
-        F.to_json(
-            F.struct(
-                F.lit("APP.EVENTS").alias("table"),
-                typ.alias("op_type"),
-                F.unix_millis("ts").alias("op_ts"),
-                F.when(typ != "I", img).alias("before"),
-                F.when(typ != "D", img).alias("after"),
-            )
-        ).alias("env")
-    )
-    row_schema = "struct<user_id: bigint, event_id: bigint, value: double>"
-    schema = (
-        f"table string, op_type string, op_ts bigint,"
-        f" before {row_schema}, after {row_schema}"
-    )
-    m = env.select(F.from_json("env", schema).alias("m"))
-    rows = m.select(
-        F.coalesce(F.col("m.after"), F.col("m.before")).alias("r"),
-        F.col("m.op_type").alias("typ"),
-        F.col("m.op_ts").alias("ms"),
-    ).select("r.user_id", "r.event_id", "r.value", "typ", "ms")
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy(
-            F.col("ms").desc(), F.col("event_id").desc()
-        )
-    )
-    return (
-        rows.withColumn("rn", rn)
-        .filter((F.col("rn") == 1) & (F.col("typ") != "D"))
-        .select("user_id", "event_id", F.round("value", 6).alias("value"))
-    )
-
-
-@register(
-    "src_time_travel",
-    oracle="""
-    WITH b AS (
-      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
-    ), snaps AS (
-      SELECT 0 AS k, (SELECT mn + (mx - mn) // 3 FROM b) AS bound
-      UNION ALL
-      SELECT 1, (SELECT mn + 2 * ((mx - mn) // 3) FROM b)
-      UNION ALL
-      SELECT 2, (SELECT mx FROM b)
-    ), ranked AS (
-      SELECT s.k, e.user_id, e.event_id,
-             ROW_NUMBER() OVER (PARTITION BY s.k, e.user_id
-                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
-      FROM events e JOIN snaps s ON epoch_us(e.ts) <= s.bound
-    )
-    SELECT CAST(k AS INTEGER) AS as_of_batch, user_id,
-           event_id AS last_event_id
-    FROM ranked WHERE rn = 1
-    """,
-    survey="S11 X4 X6",
-)
-def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalog TIME TRAVEL (Flink 1.18+ `SELECT ... FOR SYSTEM_TIME AS OF`
-    on versioned catalog tables [docs: time-travel]): three commit
-    batches of upserts land in the snapshot-retaining MERGE table, then
-    each historical snapshot is read back AS OF its commit — every
-    snapshot must equal the keep-last state of exactly the rows ingested
-    up to that commit.  Snapshots are immutable per-commit manifests over
-    the hash-bucketed CoW versions (the Iceberg/Delta snapshot shape);
-    reading AS OF k touches only the version dirs commit k referenced."""
-    import os
-    import shutil
-    import uuid
-
-    from ..sources import formats
-    from ..streaming import sinks as _sinks
-
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    b = e.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
-    ).first()
-    mn, mx = int(b.mn), int(b.mx)
-    t1 = mn + (mx - mn) // 3
-    t2 = mn + 2 * ((mx - mn) // 3)
-
-    wd = formats.scratch(sf_dir, "time_travel")
-    state = os.path.join(wd, f"tbl-{uuid.uuid4().hex[:8]}")
-    sink = _sinks.ParquetMergeSink(
-        spark, state, pk_cols=["user_id"], order_cols=["ts", "event_id"],
-        retain_history=True,
-    )
-    us = F.unix_micros("ts")
-    sink(e.filter(us <= t1), 0)
-    sink(e.filter((us > t1) & (us <= t2)), 1)
-    sink(e.filter(us > t2), 2)
-
-    parts = [
-        sink.snapshot_df(as_of_batch=k)
-        .select(
-            F.lit(k).alias("as_of_batch"),
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-        )
-        for k in (0, 1, 2)
-    ]
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    out = out.localCheckpoint(eager=True)
-    shutil.rmtree(state, ignore_errors=True)
-    return out
-
-
-@register(
-    "src_snapshot_diff",
-    oracle="""
-    WITH b AS (
-      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
-    ), snaps AS (
-      SELECT 0 AS k, (SELECT mn + (mx - mn) // 3 FROM b) AS bound
-      UNION ALL
-      SELECT 2, (SELECT mx FROM b)
-    ), state AS (
-      SELECT k, user_id, event_id FROM (
-        SELECT s.k, e.user_id, e.event_id, e.event_type,
-               ROW_NUMBER() OVER (PARTITION BY s.k, e.user_id
-                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
-        FROM events e JOIN snaps s ON epoch_us(e.ts) <= s.bound
-      ) WHERE rn = 1 AND event_type <> 'error'
-    ), s0 AS (SELECT user_id, event_id FROM state WHERE k = 0),
-    s2 AS (SELECT user_id, event_id FROM state WHERE k = 2)
-    SELECT CASE WHEN s0.user_id IS NULL THEN '+I'
-                WHEN s2.user_id IS NULL THEN '-D'
-                ELSE '+U' END AS _rowkind,
-           COALESCE(s2.user_id, s0.user_id) AS user_id,
-           COALESCE(s2.event_id, s0.event_id) AS last_event_id
-    FROM s2 FULL OUTER JOIN s0 ON s2.user_id = s0.user_id
-    WHERE s0.user_id IS NULL OR s2.user_id IS NULL
-       OR s0.event_id <> s2.event_id
-    """,
-    survey="S11 X6 X4",
-)
-def src_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental scan between table snapshots (Iceberg incremental
-    read / Flink versioned-table changelog consumption): three CDC
-    commit batches land in the snapshot-retaining MERGE table (``error``
-    events are ``-D`` deletes, everything else upserts), then the
-    RowKind-classified DIFF between commit 0 and commit 2 is read —
-    ``+I`` for keys born after the first commit, ``+U`` for keys whose
-    row changed, ``-D`` for keys deleted since, silence for untouched
-    keys.  One full-outer join on pk with a null-safe payload compare
-    (streaming/sinks.snapshot_changes); the oracle replays both
-    snapshot states relationally and diffs them the same way."""
-    import os
-    import shutil
-    import uuid
-
-    from ..sources import formats
-    from ..streaming import sinks as _sinks
-
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id",
-        F.when(F.col("event_type") == "error", "-D")
-        .otherwise("+U")
-        .alias("op"),
-    )
-    b = e.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
-    ).first()
-    mn, mx = int(b.mn), int(b.mx)
-    t1 = mn + (mx - mn) // 3
-    t2 = mn + 2 * ((mx - mn) // 3)
-
-    wd = formats.scratch(sf_dir, "snapshot_diff")
-    state = os.path.join(wd, f"tbl-{uuid.uuid4().hex[:8]}")
-    sink = _sinks.ParquetMergeSink(
-        spark, state, pk_cols=["user_id"], op_col="op",
-        order_cols=["ts", "event_id"], retain_history=True,
-    )
-    us = F.unix_micros("ts")
-    sink(e.filter(us <= t1), 0)
-    sink(e.filter((us > t1) & (us <= t2)), 1)
-    sink(e.filter(us > t2), 2)
-
-    out = (
-        _sinks.snapshot_changes(sink, 0, 2)
-        .select("_rowkind", "user_id", F.col("event_id").alias("last_event_id"))
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(state, ignore_errors=True)
-    return out
-
-
-@register(
-    "src_snapshot_expire",
-    oracle="""
-    WITH b AS (
-      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
-    ), snaps AS (
-      SELECT 1 AS k,
-             (SELECT mn + 2 * ((mx - mn) // 3) FROM b) AS bound
-      UNION ALL SELECT 2, (SELECT mx FROM b)
-    ), ranked AS (
-      SELECT s.k, e.user_id, e.event_id,
-             ROW_NUMBER() OVER (PARTITION BY s.k, e.user_id
-                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
-      FROM events e JOIN snaps s ON epoch_us(e.ts) <= s.bound
-    )
-    SELECT CAST(k AS INTEGER) AS as_of_batch, user_id,
-           event_id AS last_event_id,
-           CAST(1 AS BIGINT) AS n_expired_snapshots
-    FROM ranked WHERE rn = 1
-    """,
-    survey="S11 X4",
-)
-def src_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot RETENTION for the time-travel catalog (the other half of
-    `FOR SYSTEM_TIME AS OF`: Iceberg expireSnapshots / Delta VACUUM):
-    three commits land in the history-retaining MERGE table, then
-    snapshots older than commit 1 are expired — their manifests drop
-    and version directories no surviving snapshot references are
-    garbage-collected.  The oracle certifies the surviving history:
-    AS OF 1 and AS OF 2 must still equal the keep-last state of the
-    rows ingested up to each commit, with the expired count surfaced
-    (and hash-checked) as a column; the fail-on-expired-read and
-    version-GC behaviors are pinned in tests/test_r7_ops.py.  At 100 TB
-    this is the maintenance job that bounds table history — metadata-
-    only driver work, no data files rewritten."""
-    import os
-    import shutil
-    import uuid
-
-    from ..sources import formats
-    from ..streaming import sinks as _sinks
-
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    b = e.agg(
-        F.min(F.unix_micros("ts")).alias("mn"),
-        F.max(F.unix_micros("ts")).alias("mx"),
-    ).first()
-    mn, mx = int(b.mn), int(b.mx)
-    t1 = mn + (mx - mn) // 3
-    t2 = mn + 2 * ((mx - mn) // 3)
-
-    wd = formats.scratch(sf_dir, "snapshot_expire")
-    state = os.path.join(wd, f"tbl-{uuid.uuid4().hex[:8]}")
-    sink = _sinks.ParquetMergeSink(
-        spark, state, pk_cols=["user_id"], order_cols=["ts", "event_id"],
-        retain_history=True,
-    )
-    us = F.unix_micros("ts")
-    sink(e.filter(us <= t1), 0)
-    sink(e.filter((us > t1) & (us <= t2)), 1)
-    sink(e.filter(us > t2), 2)
-    n_expired, _ = _sinks.expire_snapshots(sink, older_than_batch=1)
-
-    parts = [
-        sink.snapshot_df(as_of_batch=k)
-        .select(
-            F.lit(k).alias("as_of_batch"),
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.lit(n_expired).cast("long").alias("n_expired_snapshots"),
-        )
-        for k in (1, 2)
-    ]
-    out = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
-    shutil.rmtree(state, ignore_errors=True)
-    return out
-
-
-# --------------------------------------------------------------------------
-# WARC/WET ingest — the Common Crawl format (S1 x N4: crawl -> corpus)
-# --------------------------------------------------------------------------
-@register(
-    "src_warc_wet_scan",
-    oracle="""
-    SELECT doc_id,
-           'http://corpus.local/doc/' || doc_id AS target_uri,
-           'conversion' AS warc_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-           md5(text) AS payload_md5
-    FROM documents WHERE doc_id < 200
-    """,
-    survey="S1 N4",
-)
-def src_warc_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC/WET roundtrip (sources/warc.py) — the ingest format a
-    100 TB training-data pipeline actually starts from (Common Crawl
-    WET: one ``warcinfo`` record then one ``conversion`` record per
-    page, ISO 28500 framing).  documents rows are sharded into 8 .warc
-    files by one applyInPandas pass (strict CRLF framing,
-    Content-Length payloads, UTF-8 text), then read back DISTRIBUTED
-    through the binaryFile source + a mapInPandas parse — version-line
-    and terminator validation on the hot path, one output row per
-    conversion record with the payload md5 computed from the raw
-    bytes.  The oracle recomputes uri/length/md5 straight from
-    `documents` — any framing, header, length or encoding bug breaks
-    the hash.  At 100 TB: .warc.gz is per-record gzip members, so the
-    same parse fans out per member; files here shard by hash for the
-    same per-task parallelism shape."""
-    import hashlib
-    import os as _os
-
-    import pandas as pd
-
-    from ..sources import formats, warc
-
-    out_dir = formats.scratch(sf_dir, "warc")
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", "text", (F.col("doc_id") % 8).alias("fid"))
-    )
-
-    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        fid = int(pdf["fid"].iloc[0])
-        pdf = pdf.sort_values("doc_id")
-        records = [
-            {
-                "warc_type": "conversion",
-                "record_id": f"<urn:uuid:{int(r.doc_id):032d}>",
-                "warc_date": "2024-01-01T00:00:00Z",
-                "target_uri": f"http://corpus.local/doc/{int(r.doc_id)}",
-                "content_type": "text/plain",
-                "payload": str(r.text),
-            }
-            for r in pdf.itertuples(index=False)
-        ]
-        data = warc.write_warc(records)
-        path = _os.path.join(out_dir, f"shard-{fid:04d}.warc")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        _os.replace(tmp, path)  # atomic publish, rerun-idempotent
-        return pd.DataFrame({"fid": [fid], "n": [len(records)]})
-
-    shards = docs.groupBy("fid").applyInPandas(
-        write_shard, "fid int, n long"
-    )
-    shards.collect()  # materialize the write stage before the read
-
-    raw = spark.read.format("binaryFile").load(
-        _os.path.join(out_dir, "shard-*.warc")
-    )
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                for r in warc.parse_warc(bytes(rec.content)):
-                    if r["warc_type"] != "conversion":
-                        continue
-                    uri = r["target_uri"] or ""
-                    rows.append(
-                        (
-                            int(uri.rsplit("/", 1)[1]),
-                            uri,
-                            r["warc_type"],
-                            r["content_length"],
-                            hashlib.md5(r["payload"]).hexdigest(),
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "target_uri", "warc_type",
-                    "content_length", "payload_md5",
-                ],
-            )
-
-    return raw.select("content").mapInPandas(
-        parse,
-        "doc_id long, target_uri string, warc_type string, "
-        "content_length long, payload_md5 string",
-    )

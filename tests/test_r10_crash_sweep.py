@@ -21,7 +21,7 @@ _SWEEP = [
      "_outer_join_retract_run", {}, [0, 1]),
     ("flink_1_19_source_spark.queries.streaming2",
      "_join_retract_run", {}, [0, 1]),
-    ("flink_1_19_source_spark.queries.streaming_queries",
+    ("flink_1_19_source_spark.queries.streaming_joins2",
      "_punctuated_wm_run", {}, [0, 1]),
     ("flink_1_19_source_spark.queries.cdc_scd",
      "_scd2_run", {}, [0, 1, 2, 3]),

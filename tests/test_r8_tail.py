@@ -490,7 +490,7 @@ def test_punctuated_watermark_crash_replay_converges(spark, sf_dir):
     batch's own marker — the per-batch wm_prev ledger makes it stable.
     Crash at batch 1: the first batch past the initial marker, so the
     replayed batch has a nonempty newly-closed window set to lose."""
-    from flink_1_19_source_spark.queries.streaming_queries import (
+    from flink_1_19_source_spark.queries.streaming_joins2 import (
         _punctuated_wm_run,
     )
 
