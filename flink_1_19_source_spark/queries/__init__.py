@@ -22,6 +22,7 @@ from . import streaming_queries  # noqa: F401
 from . import streaming_joins2  # noqa: F401  (outer/chained join streams)
 from . import sources  # noqa: F401
 from . import cep  # noqa: F401
+from . import cep2  # noqa: F401  (X5 exclusions/iterative/verbatim MR)
 from . import relational2  # noqa: F401
 from . import tpch  # noqa: F401
 from . import relational  # noqa: F401
@@ -38,6 +39,7 @@ from . import sources2  # noqa: F401  (S11 session-catalog surface)
 from . import sources_cdc  # noqa: F401  (X6 CDC envelope family)
 from . import sources_lake  # noqa: F401  (S11 time travel/snapshots, WARC)
 from . import streaming2  # noqa: F401  (retract-stream chained aggregation)
+from . import streaming_retract2  # noqa: F401  (retract producers/consumers)
 from . import kafka_queries  # noqa: F401  (S6 file-topic contract, X1 idleness)
 from . import dialect2  # noqa: F401  (SIMILAR TO, TIME type, CURRENT_WATERMARK)
 from . import llm2  # noqa: F401  (PII, contamination, repetition, packing)
@@ -46,6 +48,7 @@ from . import dialect3  # noqa: F401  (ALTER/TRUNCATE/LIKE, SQL UDFs, ANALYZE)
 from . import llm_tokenize  # noqa: F401  (BPE/WordPiece, chunking, RAG)
 from . import llm_dedup  # noqa: F401  (streaming LSH/chunk dedup, winnow)
 from . import llm_dsir  # noqa: F401  (DSIR resampling + pipeline)
+from . import llm_surprisal  # noqa: F401  (LM gates, token-budget epochs)
 from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
 from . import llm_media  # noqa: F401  (real JPEG-family codec queries)
 from . import llm_media_stages  # noqa: F401  (N5 stages + PNG/WAV/AVI)

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 from ..operators import text_analysis as ta
 from ..registry import register
 from ..tables import load_table
-from .llm_dsir import _surprisal_scores_from, _token_budget_epochs_core
+from .llm_surprisal import _surprisal_scores_from, _token_budget_epochs_core
 
 _CRAWL_ORACLE = r"""
     WITH base AS (

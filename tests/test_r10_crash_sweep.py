@@ -17,9 +17,9 @@ from .oracle import canon_rows
 
 # (runner module, runner name, kwargs, batch indices to crash at)
 _SWEEP = [
-    ("flink_1_19_source_spark.queries.streaming2",
+    ("flink_1_19_source_spark.queries.streaming_retract2",
      "_outer_join_retract_run", {}, [0, 1]),
-    ("flink_1_19_source_spark.queries.streaming2",
+    ("flink_1_19_source_spark.queries.streaming_retract2",
      "_join_retract_run", {}, [0, 1]),
     ("flink_1_19_source_spark.queries.streaming_joins2",
      "_punctuated_wm_run", {}, [0, 1]),

@@ -31,7 +31,7 @@ def test_topn_over_agg_crash_replay_converges(spark, sf_dir):
     mutated, ledger unmarked) — the availableNow restart replays the
     batch, the absolute-value MERGEs absorb the double application, and
     the drained Top-N equals the crash-free run bit for bit."""
-    from flink_1_19_source_spark.queries.streaming2 import _topn_retract_run
+    from flink_1_19_source_spark.queries.streaming_retract2 import _topn_retract_run
 
     from .oracle import canon_rows
 

@@ -122,7 +122,7 @@ def test_join_over_agg_retract_crash_replay_converges(spark, sf_dir):
     but BEFORE the mirror/ledger commit, then a restart on the same
     checkpoint, must converge — the replayed batch recomputes ABSOLUTE
     counts from the event log, so every MERGE re-applies identically."""
-    from flink_1_19_source_spark.queries.streaming2 import _join_retract_run
+    from flink_1_19_source_spark.queries.streaming_retract2 import _join_retract_run
 
     clean = sorted(
         (r.event_id, r.user_id, r.cnt)
@@ -139,7 +139,7 @@ def test_join_over_agg_retract_slicing_invariant(spark, sf_dir):
     """3-chunk vs 8-chunk replays emit different intermediate
     enrichments (counts mid-stream differ) but identical drained sinks
     — the retraction-consuming join converges for any slicing."""
-    from flink_1_19_source_spark.queries.streaming2 import _join_retract_run
+    from flink_1_19_source_spark.queries.streaming_retract2 import _join_retract_run
 
     def snap(chunks):
         return sorted(

@@ -79,7 +79,7 @@ def test_outer_join_retract_crash_replay_converges(spark, sf_dir):
     recomputes the ABSOLUTE desired rows from the side logs, so the
     re-staged deletes hit already-absent rows (no-op) and the upserts
     re-apply identically."""
-    from flink_1_19_source_spark.queries.streaming2 import (
+    from flink_1_19_source_spark.queries.streaming_retract2 import (
         _outer_join_retract_run,
     )
 
@@ -98,7 +98,7 @@ def test_outer_join_retract_slicing_invariant(spark, sf_dir):
     """3-chunk vs 8-chunk replays emit different mid-stream changelogs
     (null-padded rows retract at different points) but identical drained
     snapshots — the converged table is the batch LEFT JOIN either way."""
-    from flink_1_19_source_spark.queries.streaming2 import (
+    from flink_1_19_source_spark.queries.streaming_retract2 import (
         _outer_join_retract_run,
     )
 
@@ -512,7 +512,7 @@ def test_iterative_prepass_is_exact(spark, sf_dir):
     non-vacuity — the prepass must actually drop rows on this data,
     else the 100x scale fix is a no-op."""
     from flink_1_19_source_spark.operators import cep
-    from flink_1_19_source_spark.queries.cep import _iter_symbol
+    from flink_1_19_source_spark.queries.cep2 import _iter_symbol
     from flink_1_19_source_spark.tables import load_table
 
     e = load_table(spark, sf_dir, "events")
