@@ -25,6 +25,7 @@ from . import cep  # noqa: F401
 from . import cep2  # noqa: F401  (X5 exclusions/iterative/verbatim MR)
 from . import relational2  # noqa: F401
 from . import tpch  # noqa: F401
+from . import tpch_partsupp  # noqa: F401  (Q2/Q9/Q11/Q20 derived-partsupp)
 from . import relational  # noqa: F401
 from . import aggregates  # noqa: F401
 from . import joins  # noqa: F401

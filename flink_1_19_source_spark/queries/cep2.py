@@ -305,7 +305,7 @@ def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays S C+ P relationally: every match starts at an S
     and spans only C rows, so the first non-C row after each S decides
     the match — the same argument the quantifier family fuzz-proves."""
-    from ..functions.flink_sql import run_match_recognize
+    from ..functions.flink_mr import run_match_recognize
     from ..tables import register_views
 
     register_views(spark, sf_dir)
@@ -373,7 +373,7 @@ def sql_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     start-variable shape where that argument breaks raises as
     out-of-subset.  The 24-hour bound BINDS on this corpus (98 -> 61
     matches at sf0.01 — non-vacuity pinned in tests/test_r9_ops.py)."""
-    from ..functions.flink_sql import run_match_recognize
+    from ..functions.flink_mr import run_match_recognize
     from ..tables import register_views
 
     register_views(spark, sf_dir)

@@ -61,7 +61,7 @@ def n5_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import constant_block_coeffs, encode_jpeg_gray
+    from ..operators.jpeg_encode import constant_block_coeffs, encode_jpeg_gray
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -186,10 +186,7 @@ def n5_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import (
-        constant_block_coeffs,
-        encode_jpeg_color_420,
-    )
+    from ..operators.jpeg_encode import (constant_block_coeffs, encode_jpeg_color_420)
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -299,10 +296,7 @@ def n5_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import (
-        constant_block_coeffs,
-        encode_jpeg_gray_progressive,
-    )
+    from ..operators.jpeg_encode import (constant_block_coeffs, encode_jpeg_gray_progressive)
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -402,7 +396,7 @@ def n5_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import constant_block_coeffs, encode_jpeg_gray
+    from ..operators.jpeg_encode import constant_block_coeffs, encode_jpeg_gray
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -500,10 +494,7 @@ def n5_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import (
-        constant_block_coeffs,
-        encode_jpeg_gray_progressive_sa,
-    )
+    from ..operators.jpeg_encode import (constant_block_coeffs, encode_jpeg_gray_progressive_sa)
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -627,10 +618,7 @@ def n5_jpeg_color_progressive_decode(
     import pandas as pd
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import (
-        constant_block_coeffs,
-        encode_jpeg_color_progressive_420,
-    )
+    from ..operators.jpeg_encode import (constant_block_coeffs, encode_jpeg_color_progressive_420)
 
     d = (
         load_table(spark, sf_dir, "documents")

@@ -461,7 +461,7 @@ def n5_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..operators import multimodal
-    from ..operators.jpeg_codec import constant_block_coeffs, encode_jpeg_gray
+    from ..operators.jpeg_encode import constant_block_coeffs, encode_jpeg_gray
 
     d = (
         load_table(spark, sf_dir, "documents")

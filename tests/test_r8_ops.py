@@ -160,6 +160,7 @@ def test_jpeg_color_420_ac_path_matches_numpy_reference():
     import numpy as np
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
     def blk_px(zz):
         S = np.zeros(64)
@@ -179,7 +180,7 @@ def test_jpeg_color_420_ac_path_matches_numpy_reference():
     yb = [mkblk() for _ in range(4 * mw * mh)]
     cbb = [mkblk() for _ in range(mw * mh)]
     crb = [mkblk() for _ in range(mw * mh)]
-    data = jc.encode_jpeg_color_420(yb, cbb, crb, mw, mh,
+    data = je.encode_jpeg_color_420(yb, cbb, crb, mw, mh,
                                     width=41, height=27)
     w, h, nc, px = jc.decode_jpeg(data)
     assert (w, h, nc) == (41, 27, 3)
@@ -213,17 +214,18 @@ def test_jpeg_color_decoder_error_paths_and_gray_compat():
     import pytest
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
-    yb = [jc.constant_block_coeffs(100 + i) for i in range(4)]
-    color = jc.encode_jpeg_color_420(
-        yb, [jc.constant_block_coeffs(90)], [jc.constant_block_coeffs(70)],
+    yb = [je.constant_block_coeffs(100 + i) for i in range(4)]
+    color = je.encode_jpeg_color_420(
+        yb, [je.constant_block_coeffs(90)], [je.constant_block_coeffs(70)],
         1, 1,
     )
     with pytest.raises(ValueError, match="single-component"):
         jc.decode_jpeg_gray(color)
 
-    blocks = [jc.constant_block_coeffs(v) for v in (10, 200, 128, 55)]
-    gray = jc.encode_jpeg_gray(blocks, 2, 2)
+    blocks = [je.constant_block_coeffs(v) for v in (10, 200, 128, 55)]
+    gray = je.encode_jpeg_gray(blocks, 2, 2)
     w, h, lum = jc.decode_jpeg_gray(gray)
     a = np.frombuffer(lum, np.uint8).reshape(16, 16)
     assert (w, h) == (16, 16)
@@ -386,6 +388,7 @@ def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
     import numpy as np
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
     def ref(zz):
         S = np.zeros(64)
@@ -398,7 +401,7 @@ def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
     blocks = []
     for i in range(mw * mh):
         if i % 3 == 0:
-            blocks.append(jc.constant_block_coeffs((i * 37) % 256))
+            blocks.append(je.constant_block_coeffs((i * 37) % 256))
         elif i % 3 == 1:
             blocks.append([
                 int(rng.integers(-60, 60)) if rng.random() < 0.3 else 0
@@ -415,7 +418,7 @@ def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
         exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = ref(blk)
 
     for bands in (((1, 5), (6, 63)), ((1, 2), (3, 10), (11, 63))):
-        data = jc.encode_jpeg_gray_progressive(blocks, mw, mh, bands=bands)
+        data = je.encode_jpeg_gray_progressive(blocks, mw, mh, bands=bands)
         w, h, nc, px = jc.decode_jpeg(data)
         assert (w, h, nc) == (40, 32, 1)
         assert np.array_equal(
@@ -423,9 +426,9 @@ def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
         ), bands
 
     # progressive and baseline encodings of the same blocks agree
-    _, _, _, base = jc.decode_jpeg(jc.encode_jpeg_gray(blocks, mw, mh))
+    _, _, _, base = jc.decode_jpeg(je.encode_jpeg_gray(blocks, mw, mh))
     _, _, _, prog = jc.decode_jpeg(
-        jc.encode_jpeg_gray_progressive(blocks, mw, mh)
+        je.encode_jpeg_gray_progressive(blocks, mw, mh)
     )
     assert base == prog
 
@@ -434,8 +437,8 @@ def test_jpeg_progressive_ac_and_eobrun_match_numpy_reference():
     first[0], first[3] = 8, 12
     last = [0] * 64
     last[0], last[63] = -16, -3
-    blocks2 = [first] + [jc.constant_block_coeffs(100)] * 58 + [last]
-    data = jc.encode_jpeg_gray_progressive(blocks2, 10, 6, bands=((1, 63),))
+    blocks2 = [first] + [je.constant_block_coeffs(100)] * 58 + [last]
+    data = je.encode_jpeg_gray_progressive(blocks2, 10, 6, bands=((1, 63),))
     w, h, nc, px = jc.decode_jpeg(data)
     exp2 = np.zeros((48, 80), np.uint8)
     for i, blk in enumerate(blocks2):
@@ -535,10 +538,9 @@ def test_jpeg_restart_markers_roundtrip_and_sequence_check():
     import numpy as np
     import pytest
 
-    from flink_1_19_source_spark.operators.jpeg_codec import (
-        constant_block_coeffs,
-        decode_jpeg,
-        encode_jpeg_gray,
+    from flink_1_19_source_spark.operators.jpeg_codec import decode_jpeg
+    from flink_1_19_source_spark.operators.jpeg_encode import (
+        constant_block_coeffs, encode_jpeg_gray,
     )
 
     blocks = [constant_block_coeffs((10 + 37 * i) % 256) for i in range(20)]
@@ -828,6 +830,7 @@ def test_jpeg_successive_approximation_exact_and_prefix_decodable():
     import random
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
     random.seed(5)
     for trial in range(25):
@@ -841,23 +844,23 @@ def test_jpeg_successive_approximation_exact_and_prefix_decodable():
             blocks.append(b)
         al = random.choice([1, 2])
 
-        full = jc.encode_jpeg_gray_progressive_sa(blocks, n, 1, al=al)
+        full = je.encode_jpeg_gray_progressive_sa(blocks, n, 1, al=al)
         _, _, _, pf = jc.decode_jpeg(full)
-        ref = jc.encode_jpeg_gray_progressive(blocks, n, 1)
+        ref = je.encode_jpeg_gray_progressive(blocks, n, 1)
         _, _, _, pr = jc.decode_jpeg(ref)
         assert pf == pr, ("full-ladder mismatch", trial)
 
-        coarse = jc.encode_jpeg_gray_progressive_sa(
+        coarse = je.encode_jpeg_gray_progressive_sa(
             blocks, n, 1, al=al, coarse_only=True
         )
         _, _, _, pc = jc.decode_jpeg(coarse)
         approx = [
             [
-                (b[0] >> al) << al if k == 0 else jc._pt(b[k], al) << al
+                (b[0] >> al) << al if k == 0 else je._pt(b[k], al) << al
                 for k in range(64)
             ]
             for b in blocks
         ]
-        refc = jc.encode_jpeg_gray_progressive(approx, n, 1)
+        refc = je.encode_jpeg_gray_progressive(approx, n, 1)
         _, _, _, pa = jc.decode_jpeg(refc)
         assert pc == pa, ("coarse-prefix mismatch", trial)

@@ -314,10 +314,9 @@ def test_color_progressive_equals_baseline_decode():
     bands the closed-form oracle can't reach."""
     import random
 
-    from flink_1_19_source_spark.operators.jpeg_codec import (
-        decode_jpeg,
-        encode_jpeg_color_420,
-        encode_jpeg_color_progressive_420,
+    from flink_1_19_source_spark.operators.jpeg_codec import decode_jpeg
+    from flink_1_19_source_spark.operators.jpeg_encode import (
+        encode_jpeg_color_420, encode_jpeg_color_progressive_420,
     )
 
     rnd = random.Random(11)
@@ -562,7 +561,7 @@ def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
     post-filter argument breaks — a repeated start variable."""
     import pytest
 
-    from flink_1_19_source_spark.functions.flink_sql import (
+    from flink_1_19_source_spark.functions.flink_mr import (
         run_match_recognize,
     )
     from flink_1_19_source_spark.tables import register_views
@@ -622,7 +621,7 @@ def test_match_recognize_statement_rejects_out_of_subset(spark, sf_dir):
 def test_match_recognize_statement_or_define_and_bounded(spark, sf_dir):
     """OR-chained DEFINE (C matches click OR view) and a bounded
     quantifier parse and agree with the direct operator call."""
-    from flink_1_19_source_spark.functions.flink_sql import (
+    from flink_1_19_source_spark.functions.flink_mr import (
         run_match_recognize,
     )
     from flink_1_19_source_spark.operators import cep
