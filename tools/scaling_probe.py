@@ -81,6 +81,14 @@ QUERIES = [
     "n4_fuzzy_contamination",   # bench shingles broadcast, 1 doc shuffle
     "n6_length_bucketed_batches",  # bit-arith buckets, 1 shuffle
     "x5_reluctant_quantifier",  # keyed regex scan via _scan_by_key
+    # r9 third wave (the two shapes without a curve on record)
+    "n5_thumbnail_pipeline_real",   # decode->sample->resize->PNG encode
+    "n5_corrupt_media_side_output",  # CRC-gated error side, map-only
+    # r10 additions
+    "n2_suffix_array_spans",    # prefix-doubling ranks, log L rounds
+    "n3_hnsw_topk",             # layered graph build + beam search
+    "n4_logistic_train",        # hard-sigmoid GD, 1 agg per iteration
+    "n5_audio_downsample_pipeline_real",  # WAV decode->decimate->ENCODE
 ]
 
 
