@@ -83,6 +83,11 @@ HEADLINE = [
     "n4_unigram_encode",
     "n3_maxsim_topk",
     "n5_gif_decode_real",
+    # r10 representatives
+    "n2_suffix_array_spans",
+    "n3_hnsw_topk",
+    "n4_logistic_train",
+    "n5_audio_downsample_pipeline_real",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

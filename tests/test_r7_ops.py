@@ -50,6 +50,7 @@ def test_jpeg_codec_ac_path_matches_numpy_idct_reference():
     import numpy as np
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
     def ref(zz):
         S = np.zeros(64)
@@ -63,13 +64,13 @@ def test_jpeg_codec_ac_path_matches_numpy_idct_reference():
         zz[0] = int(rng.integers(-1000, 1000))
         for _ in range(int(rng.integers(0, 10))):
             zz[int(rng.integers(1, 64))] = int(rng.integers(-200, 200))
-        w, h, px = jc.decode_jpeg_gray(jc.encode_jpeg_gray([zz], 1, 1))
+        w, h, px = jc.decode_jpeg_gray(je.encode_jpeg_gray([zz], 1, 1))
         got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8)
         assert (got == ref(zz)).all()
 
     zz = [0] * 64
     zz[0], zz[40] = 8 * (200 - 128), 7  # two ZRLs before the AC code
-    w, h, px = jc.decode_jpeg_gray(jc.encode_jpeg_gray([zz], 1, 1))
+    w, h, px = jc.decode_jpeg_gray(je.encode_jpeg_gray([zz], 1, 1))
     assert (np.frombuffer(px, dtype=np.uint8).reshape(8, 8) == ref(zz)).all()
 
 
@@ -78,10 +79,11 @@ def test_jpeg_decoder_rejects_unsupported_shapes():
     import pytest
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
     with pytest.raises(ValueError, match="SOI"):
         jc.decode_jpeg_gray(b"\x89PNG")
-    data = bytearray(jc.encode_jpeg_gray([jc.constant_block_coeffs(9)], 1, 1))
+    data = bytearray(je.encode_jpeg_gray([je.constant_block_coeffs(9)], 1, 1))
     i = bytes(data).find(b"\xff\xc0")
     # SOF2 (progressive) gained a real path in r8, so the unsupported
     # frame check uses SOF3 (lossless) instead
@@ -104,9 +106,10 @@ def test_jpeg_decoder_honors_sof0_quant_table_selector():
     import pytest
 
     from flink_1_19_source_spark.operators import jpeg_codec as jc
+    from flink_1_19_source_spark.operators import jpeg_encode as je
 
-    zz = jc.constant_block_coeffs(77)
-    data = bytearray(jc.encode_jpeg_gray([zz], 1, 1))
+    zz = je.constant_block_coeffs(77)
+    data = bytearray(je.encode_jpeg_gray([zz], 1, 1))
     # retag the (sole) quant table as id 1 and point SOF0's Tq at it
     dqt = bytes(data).find(b"\xff\xdb")
     assert data[dqt + 4] == 0x00  # Pq=0/Tq=0 byte
