@@ -82,6 +82,7 @@ _R10_MUST = [
     "n3_hnsw_topk",
     "n5_audio_downsample_pipeline_real",
     "n4_logistic_train",
+    "s_logistic_train_stream",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

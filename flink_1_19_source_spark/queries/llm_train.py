@@ -180,3 +180,95 @@ def n4_logistic_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feats.unpersist(blocking=False)
+
+
+@register(
+    "s_logistic_train_stream",
+    oracle=_lg_oracle(),
+    survey="N4 X8 X2 X4",
+    tags=("streaming",),
+)
+def s_logistic_train_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING logistic model maintenance — the probabilistic twin of
+    s_perceptron_train_stream, same crash-safe absolutive loop: each
+    micro-batch's integer features append overwrite-idempotently to a
+    self-compacting SegmentStore, the model refreshes by re-running the
+    FULL hard-sigmoid fit over the accumulated log every 4th batch
+    (never weights+delta, so replays and slicings converge), versioned
+    weights land in a ledgered Derby table.  The drained snapshot is
+    the post-drain refresh over the complete log — by construction
+    equal to n4_logistic_train on the full corpus (same data, same
+    exact-integer update rule), including the min-max calibrated
+    probability column."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import jdbc as jdbc_mod
+    from ..streaming import replay, retract
+    from ..streaming.segments import SegmentStore
+    from .llm_text import _doc_features
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_logistic")
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    run = uuid.uuid4().hex[:8]
+    url = jdbc_mod.derby_url(os.path.join(wd, f"derby-{run}"))
+    wtab = jdbc_mod.JdbcTableSource(url, "LW_WEIGHTS")
+    ledger = retract.BatchLedger(jdbc_mod.JdbcTableSource(url, "LW_LEDGER"))
+    wtab.ensure_table(
+        spark.createDataFrame(
+            [],
+            "batch_id long, a0 long, a1 long, a2 long, a3 long, "
+            "a4 long, b long",
+        ),
+        overwrite=True,
+    )
+    ledger.init(spark)
+    log = SegmentStore(spark, os.path.join(wd, f"flog-{run}"), compact_every=2)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if ledger.seen(spark, batch_id):
+            return
+        log.append(_doc_features(batch_df), batch_id)
+        if batch_id % 4 == 3:  # refresh cadence
+            w, b = _logistic_fit(log.read())
+            row = spark.createDataFrame(
+                [(int(batch_id), *[int(x) for x in w], int(b))],
+                "batch_id long, a0 long, a1 long, a2 long, a3 long, "
+                "a4 long, b long",
+            )
+            wtab.upsert(row, pk_cols=["batch_id"])
+        ledger.mark(spark, batch_id)
+
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # post-drain refresh: the final model over the complete log
+    feats = log.read()
+    w, b = _logistic_fit(feats)
+    fs = list(_LG_FEATS)
+    margin = sum((F.col(f) * F.lit(wi) for f, wi in zip(fs, w)), F.lit(b))
+    mm = feats.select("doc_id", "y", margin.cast("long").alias("margin"))
+    c = int(
+        mm.agg(
+            F.greatest(F.max(F.abs(F.col("margin"))), F.lit(1))
+        ).collect()[0][0]
+    )
+    return mm.select(
+        "doc_id", "y", "margin",
+        (
+            (F.col("margin") + F.lit(c)).cast("double")
+            / F.lit(2 * c).cast("double")
+        ).alias("prob_en"),
+        (F.col("margin") >= 0).alias("pred_en"),
+        (
+            F.when(F.col("margin") >= 0, 1).otherwise(-1) == F.col("y")
+        ).alias("correct"),
+    )

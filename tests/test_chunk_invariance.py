@@ -118,6 +118,8 @@ INVARIANT_QUERIES = [
     # log with the shared exact-integer update rule — same data, same
     # rule, same model at any slicing
     "s_perceptron_train_stream",
+    # logistic twin: same absolutive refresh loop, hard-sigmoid rule
+    "s_logistic_train_stream",
     # punctuated watermark: the running max-marker is monotone and its
     # final value is the global max, so each window emits exactly once
     # at any slicing and the converged sink is slicing-independent
