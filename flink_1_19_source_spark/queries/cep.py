@@ -193,12 +193,15 @@ def s_pattern_within_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay
     from ..streaming.cep_stream import pattern_within_stream
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_pwithin")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     sym = (
         F.when(F.col("event_type") == "signup", "S")
@@ -332,12 +335,15 @@ def s_skip_modes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay
     from ..streaming.cep_stream import streaming_match_skip
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_skipmodes")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     out = streaming_match_skip(
         sdf, "user_id", "ts", "event_id", _skip_symbol(), "CB*C",
@@ -540,12 +546,15 @@ def s_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay
     from ..streaming.cep_stream import streaming_match_skip
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_quant")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     sym = (
         F.when(F.col("event_type") == "signup", "S")
@@ -650,12 +659,15 @@ def s_skip_to_variable_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay
     from ..streaming.cep_stream import streaming_match_skip_to
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_skipto")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     out = streaming_match_skip_to(
         sdf, "user_id", "ts", "event_id", _skip_symbol(), _SKIP_TO_PATTERN,
@@ -829,12 +841,15 @@ def s_reluctant_quantifier_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ..streaming import replay
     from ..streaming.cep_stream import streaming_match_skip
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_reluctant")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     out = streaming_match_skip(
         sdf, "user_id", "ts", "event_id", _reluctant_symbol(), "S[CP]*?P",

@@ -110,12 +110,15 @@ def s_exclusion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay
     from ..streaming.cep_stream import streaming_match_exclusion
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_exclusion")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     out = streaming_match_exclusion(
         sdf, "user_id", "ts", "event_id",
@@ -241,12 +244,15 @@ def s_iterative_condition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import replay
     from ..streaming.cep_stream import streaming_match_iterative
-    from .streaming_queries import _CHUNKS, _drain_to_memory, _work_dir
+    from .streaming_queries import (
+        _CHUNKS, _FILES_PER_TRIGGER, _drain_to_memory, _work_dir,
+    )
 
     wd = _work_dir(sf_dir, "s_iter_cond")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
         order_by=["ts", "event_id"],
+        files_per_trigger=_FILES_PER_TRIGGER,
     )
     out = streaming_match_iterative(
         sdf, "user_id", "ts", "event_id", "value", _iter_symbol()

@@ -464,7 +464,7 @@ def s_cdc_debezium_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _work_dir(sf_dir, "s_cdc_dbz")
     sdf = _replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=4,
-        order_by=["ts", "event_id"],
+        order_by=["ts", "event_id"], files_per_trigger=2,
     )
     row = F.struct(F.col("user_id"), F.col("event_id"), F.col("value"))
     op = (
