@@ -397,7 +397,8 @@ def s_hll_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{run}")
 
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS,
+        files_per_trigger=2,
     )
     h = f"CAST(conv(substring(md5(CAST(event_id AS STRING)),1,15),16,10) AS BIGINT)"
 
@@ -520,7 +521,8 @@ def s_bloom_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{run}")
 
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS,
+        files_per_trigger=2,
     )
 
     def fold(batch, bid: int) -> None:
@@ -657,7 +659,8 @@ def s_quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(wd, f"ckpt-{run}")
 
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS,
+        files_per_trigger=2,
     )
 
     def fold(batch, bid: int) -> None:
@@ -780,7 +783,8 @@ def s_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS,
+        files_per_trigger=2,
     )
 
     def fold(batch, bid: int) -> None:

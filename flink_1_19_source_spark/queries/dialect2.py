@@ -598,6 +598,7 @@ def s_sql_window_tvf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _work_dir(sf_dir, "s_sqltvf")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        files_per_trigger=2,
     )
     sdf.withWatermark("ts", "10 minutes").createOrReplaceTempView(
         "events_stream"
@@ -664,6 +665,7 @@ def s_sql_session_tvf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _work_dir(sf_dir, "s_sqlsess")
     sdf = replay.replay_table(
         spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_CHUNKS,
+        files_per_trigger=2,
     )
     sdf.withWatermark("ts", "10 minutes").createOrReplaceTempView(
         "events_stream"

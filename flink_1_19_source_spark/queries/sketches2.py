@@ -204,7 +204,8 @@ def s_theta_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge=lambda df: _theta_retain(df).drop("rk"),
     )
     sdf = replay.replay_table(
-        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS
+        spark, sf_dir, "events", os.path.join(wd, "src"), chunks=_sq._CHUNKS,
+        files_per_trigger=2,
     )
 
     def fold(batch, bid: int) -> None:
