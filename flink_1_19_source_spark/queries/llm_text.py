@@ -375,7 +375,9 @@ def s_perceptron_train_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         log.append(_doc_features(batch_df), batch_id)
         if batch_id % 4 == 3:  # refresh cadence
-            w, b = _perceptron_fit(log.read())
+            snap = log.read().persist()
+            w, b = _perceptron_fit(snap)
+            snap.unpersist(blocking=False)
             row = spark.createDataFrame(
                 [(int(batch_id), *[int(x) for x in w], int(b))],
                 "batch_id long, a0 long, a1 long, a2 long, a3 long, "
@@ -389,7 +391,7 @@ def s_perceptron_train_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
     shutil.rmtree(ckpt, ignore_errors=True)
     # post-drain refresh: the final model over the complete log
-    feats = log.read()
+    feats = log.read().persist()
     w, b = _perceptron_fit(feats)
     fs = list(_PCT_FEATS)
     margin = sum((F.col(f) * F.lit(wi) for f, wi in zip(fs, w)), F.lit(b))
