@@ -227,6 +227,17 @@ HEADLINERS = {
         "theta sketch: per side one distinct pass + rank-limit to k+1 "
         "rows; intersection joins two k-row sets under a broadcast theta"
     ),
+    "n2_suffix_array_spans": (
+        "suffix-array substring dedup: each prefix-doubling round is one "
+        "gpos self-join + a range-partitioned dense rank (row_number "
+        "within range partitions + broadcast offsets — no single-task "
+        "window); materialized per round, so the plan stays O(1) deep"
+    ),
+    "n4_logistic_train": (
+        "in-engine logistic GD: the scored output plan is one cached "
+        "feature scan + codegen'd margin expression; each training "
+        "iteration was a map-side-combining 1-row aggregate"
+    ),
 }
 
 
