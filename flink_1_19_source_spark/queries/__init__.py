@@ -83,6 +83,8 @@ _R10_MUST = [
     "n5_audio_downsample_pipeline_real",
     "n4_logistic_train",
     "s_logistic_train_stream",
+    "n5_flac_archive_pipeline_real",
+    "n5_gif_thumbnail_pipeline_real",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -118,3 +118,246 @@ def n5_audio_downsample_pipeline_real(
         "doc_id long, sample_rate int, n_out long, sum_s long, "
         "sum_sq long, min_s long, max_s long, pos_weighted long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — FLAC ENCODE: the compressed-audio WRITE path, hash-certified
+# --------------------------------------------------------------------------
+@register(
+    "n5_flac_archive_pipeline_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 200 + 60 AS n
+      FROM documents WHERE doc_id < 120
+    ), sam AS (
+      SELECT doc_id, UNNEST(range(0, n)) AS i FROM dims
+    ), src AS (
+      SELECT doc_id, i,
+             CASE doc_id % 3
+               WHEN 0 THEN doc_id % 400 - 200
+               WHEN 1 THEN (doc_id*41 + i*13) % 60001 - 30000
+               ELSE (doc_id*53 + i*i*17) % 60001 - 30000
+             END AS s
+      FROM sam
+    ), gained AS (
+      SELECT doc_id, i, s * 3 AS g,
+             LEAST(32767, GREATEST(-32768, s * 3)) AS o
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(CASE WHEN g > 32767 OR g < -32768
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(o) AS BIGINT) AS sum_s,
+           CAST(SUM(o * o) AS BIGINT) AS sum_sq,
+           CAST(MIN(o) AS BIGINT) AS min_s,
+           CAST(MAX(o) AS BIGINT) AS max_s,
+           CAST(SUM((i + 1) * o) AS BIGINT) AS pos_weighted
+    FROM gained GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_flac_archive_pipeline_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio archival pipeline with a certified **FLAC ENCODE** stage —
+    the first COMPRESSED write path (PNG/WAV were raw-payload writes;
+    here the encoder itself does predictor selection + rice coding):
+    PCM-16 WAV decode → saturating 3x gain (int16 clamp — the exact-
+    integer reference for a normalize/limiter stage; the clip COUNT is
+    a certified output so the rail events themselves are oracle-checked)
+    → **FLAC ENCODE** (operators/flac_codec: best fixed predictor 0-4,
+    one rice partition, CRC-8/16 framing, block_size=64 so every clip
+    spans multiple frames) → FLAC DECODE of the encoder's own bytes →
+    per-clip checksums computed ONLY from the round-tripped samples.
+    The three waveform classes steer the encoder through its subframe
+    tiers (constant → CONSTANT, clamped ramp → order-1 runs at the
+    rails, quadratic → order-2 predictor).  FLAC is lossless, so any
+    rice-parameter, zigzag, warmup, UTF-8 frame-number or CRC bug in
+    the WRITE path breaks the hash against an oracle that never sees a
+    FLAC byte.  Map-only; compression non-vacuity (encoded bytes well
+    under 16-bit PCM) is test-pinned, not assumed."""
+    import pandas as pd
+
+    from ..operators.flac_codec import decode_flac, encode_flac
+    from ..operators.wav_codec import decode_wav, encode_wav
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode_src(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 200 + 60
+                if did % 3 == 0:
+                    samples = [did % 400 - 200] * n
+                elif did % 3 == 1:
+                    samples = [
+                        (did*41 + i*13) % 60001 - 30000 for i in range(n)
+                    ]
+                else:
+                    samples = [
+                        (did*53 + i*i*17) % 60001 - 30000 for i in range(n)
+                    ]
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_bytes": payloads}
+            )
+
+    media = d.mapInPandas(encode_src, "doc_id long, media_bytes binary")
+    cols = [
+        "doc_id", "sample_rate", "n_out", "n_clipped", "sum_s",
+        "sum_sq", "min_s", "max_s", "pos_weighted",
+    ]
+
+    def pipeline(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rate, ch, samples = decode_wav(bytes(r.media_bytes))
+                assert ch == 1 and rate == 8000
+                gained = [s * 3 for s in samples]
+                clipped = sum(
+                    1 for g in gained if g > 32767 or g < -32768
+                )
+                processed = [
+                    min(32767, max(-32768, g)) for g in gained
+                ]
+                # the certified write path: every checksum below comes
+                # from bytes the in-engine FLAC ENCODER produced
+                out_rate, out_ch, rt = decode_flac(
+                    encode_flac(processed, sample_rate=rate,
+                                block_size=64)
+                )
+                assert out_ch == 1
+                rows.append((
+                    int(r.doc_id), out_rate, len(rt), clipped, sum(rt),
+                    sum(s * s for s in rt), min(rt), max(rt),
+                    sum((j + 1) * s for j, s in enumerate(rt)),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        pipeline,
+        "doc_id long, sample_rate int, n_out long, n_clipped long, "
+        "sum_s long, sum_sq long, min_s long, max_s long, "
+        "pos_weighted long",
+    )
+
+
+# --------------------------------------------------------------------------
+# N5 — GIF ENCODE behind a palette-quantization stage (image WRITE path #2)
+# --------------------------------------------------------------------------
+@register(
+    "n5_gif_thumbnail_pipeline_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), rgb AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*3 + (i % w)*5 + (i // w)*11) % 256 AS r,
+             (doc_id*7 + (i % w)*13 + (i // w)*3) % 256 AS g,
+             (doc_id*11 + (i % w)*2 + (i // w)*7) % 256 AS b
+      FROM px
+    ), quant AS (
+      SELECT doc_id, w, h, i,
+             (r // 32) * 32 AS rq,
+             (g // 32) * 32 AS gq,
+             (b // 64) * 64 AS bq
+      FROM rgb
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(rq) AS BIGINT) AS sum_r,
+           CAST(SUM(gq) AS BIGINT) AS sum_g,
+           CAST(SUM(bq) AS BIGINT) AS sum_b,
+           CAST(SUM((i + 1) * (rq + 2*gq + 3*bq)) AS BIGINT) AS wsum
+    FROM quant GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_gif_thumbnail_pipeline_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image archival pipeline with a certified **GIF ENCODE** stage —
+    the first compressed IMAGE write path (the PNG stage wrote raw
+    filtered scanlines through stdlib zlib; here the engine's own
+    variable-width LZW compressor emits the bitstream): full-color RGB
+    frames → **uniform 3-3-2 palette quantization** (r,g to 8 levels,
+    b to 4 — the classic 256-entry uniform cube; index = high bits,
+    SQL-expressible as integer floor-division) → **GIF ENCODE** over
+    the quantized indices (operators/gif_codec: 9→12-bit code growth,
+    CLEAR at 4096, sub-block framing; half the docs INTERLACED through
+    the Appendix-E four-pass write) → GIF DECODE of the encoder's own
+    bytes → per-image channel sums and the position-weighted fold,
+    computed ONLY from round-tripped pixels.  Quantization is lossy but
+    exact-deterministic; GIF over the indices is lossless — so the
+    oracle replays quantization in closed form and any LZW code-width,
+    dictionary-growth or interlace bug in the WRITE path breaks the
+    hash.  Map-only at any corpus size; LZW-beats-raw is test-pinned."""
+    import pandas as pd
+
+    from ..operators.gif_codec import decode_gif, encode_gif
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    # the 256-entry uniform 3-3-2 cube is the same for every image
+    pal332 = [
+        (((k >> 5) & 7) * 32, ((k >> 2) & 7) * 32, (k & 3) * 64)
+        for k in range(256)
+    ]
+    cols = ["doc_id", "width", "height", "n_px",
+            "sum_r", "sum_g", "sum_b", "wsum"]
+
+    def pipeline(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 9, 12 + did % 5
+                # source RGB frame (closed form; stands in for a decode)
+                idx = []
+                for i in range(w * h):
+                    x, y = i % w, i // w
+                    r = (did*3 + x*5 + y*11) % 256
+                    g = (did*7 + x*13 + y*3) % 256
+                    b = (did*11 + x*2 + y*7) % 256
+                    # 3-3-2 uniform quantization -> palette index
+                    idx.append(((r >> 5) << 5) | ((g >> 5) << 2)
+                               | (b >> 6))
+                # the certified write path: encode, then trust ONLY the
+                # bytes the in-engine LZW compressor produced
+                ow, oh, rgb = decode_gif(
+                    encode_gif(idx, w, h, pal332,
+                               interlace=did % 2 == 1)
+                )
+                sr = sg = sb = ws = 0
+                for i in range(ow * oh):
+                    rr, gg, bb = rgb[3*i], rgb[3*i+1], rgb[3*i+2]
+                    sr += rr
+                    sg += gg
+                    sb += bb
+                    ws += (i + 1) * (rr + 2*gg + 3*bb)
+                rows.append((did, ow, oh, ow * oh, sr, sg, sb, ws))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        pipeline,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_r long, sum_g long, sum_b long, wsum long",
+    )

@@ -180,3 +180,59 @@ def test_logistic_train_converges_and_probs_monotone(spark):
     assert all(a <= b for a, b in zip(probs, probs[1:]))
     # and it is not the trivial all-0/1 map: the band must be used
     assert any(0.0 < p < 1.0 for p in probs)
+
+
+def test_flac_encode_write_path_compresses_and_clips():
+    """The FLAC ENCODE stage must actually compress (encoded bytes well
+    under 16-bit PCM on the ramp class) and the saturating-gain stage
+    must actually bind (rail events exist) — otherwise the pipeline's
+    compression/limiter claims are vacuous."""
+    from flink_1_19_source_spark.operators.flac_codec import (
+        decode_flac, encode_flac,
+    )
+
+    did = 7  # class 1: clamped ramp
+    n = did % 200 + 60
+    src = [(did*41 + i*13) % 60001 - 30000 for i in range(n)]
+    gained = [s * 3 for s in src]
+    assert any(g > 32767 or g < -32768 for g in gained)
+    processed = [min(32767, max(-32768, g)) for g in gained]
+    blob = encode_flac(processed, sample_rate=8000, block_size=64)
+    # multiple frames (block_size 64 < n) and real compression
+    assert len(blob) < 2 * n * 0.8, (len(blob), 2 * n)
+    rate, ch, rt = decode_flac(blob)
+    assert (rate, ch) == (8000, 1) and rt == processed
+
+
+def test_gif_encode_write_path_compresses_both_interlace_modes():
+    """The GIF ENCODE stage must beat raw 8-bit indices on the smooth
+    quantized gradient (LZW non-vacuity) and round-trip bit-exactly in
+    BOTH interlace modes; quantization must be a real palette cube
+    (every emitted channel a multiple of its step)."""
+    from flink_1_19_source_spark.operators.gif_codec import (
+        decode_gif, encode_gif,
+    )
+
+    pal332 = [
+        (((k >> 5) & 7) * 32, ((k >> 2) & 7) * 32, (k & 3) * 64)
+        for k in range(256)
+    ]
+    for did in (4, 5):  # one non-interlaced, one interlaced
+        w, h = 16 + did % 9, 12 + did % 5
+        idx = []
+        for i in range(w * h):
+            x, y = i % w, i // w
+            r = (did*3 + x*5 + y*11) % 256
+            g = (did*7 + x*13 + y*3) % 256
+            b = (did*11 + x*2 + y*7) % 256
+            idx.append(((r >> 5) << 5) | ((g >> 5) << 2) | (b >> 6))
+        blob = encode_gif(idx, w, h, pal332, interlace=did % 2 == 1)
+        # LZW payload (between the min-code byte and the trailer) beats
+        # one raw byte per pixel
+        assert len(blob) - (13 + 768 + 10 + 1) < w * h
+        ow, oh, rgb = decode_gif(blob)
+        assert (ow, oh) == (w, h)
+        for i, p in enumerate(idx):
+            er, eg, eb = pal332[p]
+            assert (rgb[3*i], rgb[3*i+1], rgb[3*i+2]) == (er, eg, eb)
+            assert er % 32 == 0 and eg % 32 == 0 and eb % 64 == 0
