@@ -64,6 +64,7 @@ from . import llm_suffix  # noqa: F401  (N2 suffix-array substring dedup)
 from . import llm_graph_ann  # noqa: F401  (N3 HNSW-family graph ANN)
 from . import llm_media_encode  # noqa: F401  (N5 encode-side stages)
 from . import llm_train  # noqa: F401  (N4 logistic training)
+from . import llm_doremi  # noqa: F401  (N6 DoReMi domain reweighting)
 
 from ..registry import REGISTRY
 
@@ -85,6 +86,7 @@ _R10_MUST = [
     "s_logistic_train_stream",
     "n5_flac_archive_pipeline_real",
     "n5_gif_thumbnail_pipeline_real",
+    "n6_doremi_weights",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -236,3 +236,25 @@ def test_gif_encode_write_path_compresses_both_interlace_modes():
             er, eg, eb = pal332[p]
             assert (rgb[3*i], rgb[3*i+1], rgb[3*i+2]) == (er, eg, eb)
             assert er % 32 == 0 and eg % 32 == 0 and eb % 64 == 0
+
+
+def test_doremi_weights_exact_apportionment_and_monotone(spark, sf_dir):
+    """DoReMi pins: the alpha shares are an exact apportionment of 10^6
+    (largest remainder never loses or invents a ppm), the mixture is
+    genuinely non-uniform on this corpus (the DRO loop did something),
+    and alpha is monotone in the final weight (the apportionment cannot
+    invert the DRO ordering by more than the +1 remainder unit)."""
+    from flink_1_19_source_spark.queries.llm_doremi import (
+        n6_doremi_weights,
+    )
+
+    rows = n6_doremi_weights(spark, sf_dir).collect()
+    assert sum(r["alpha_ppm"] for r in rows) == 1_000_000
+    alphas = sorted(r["alpha_ppm"] for r in rows)
+    assert alphas[0] < alphas[-1]  # non-uniform
+    by_w = sorted(rows, key=lambda r: (r["w_final"], r["source"]))
+    for a, b in zip(by_w, by_w[1:]):
+        assert a["alpha_ppm"] <= b["alpha_ppm"] + 1
+    # the heaviest-excess domain is never below the uniform share
+    top = max(rows, key=lambda r: r["w_final"])
+    assert top["alpha_ppm"] >= 1_000_000 // len(rows)
