@@ -88,10 +88,23 @@ def layer_edges(layer: DataFrame, m: int = M_EDGES) -> DataFrame:
     The layer's (id, qv, nq) rows broadcast as a numpy matrix; each
     Arrow batch computes an int64 block product against it and keeps
     its rows' top-m by (sim desc, dst asc).  Returns (src, dst, sim)."""
+    return cross_topm(layer, layer, m)
+
+
+def cross_topm(src_df: DataFrame, dst_df: DataFrame,
+               m: int = M_EDGES) -> DataFrame:
+    """Exact top-m (src, dst, sim) edges from each src row to the
+    (broadcast) dst set, self-pairs excluded by id — the blocked int64
+    block-product shared by the one-shot layer build and the streaming
+    incremental build (src=new/dst=all and src=old/dst=new passes)."""
     import numpy as np
 
-    spark = layer.sparkSession
-    rows = layer.select("vec_id", "qv", "nq").collect()
+    spark = src_df.sparkSession
+    rows = dst_df.select("vec_id", "qv", "nq").collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "src long, dst long, sim double"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["qv"] for r in rows], dtype=np.int64)
     nrm = np.array([r["nq"] for r in rows], dtype=np.int64)
@@ -124,7 +137,7 @@ def layer_edges(layer: DataFrame, m: int = M_EDGES) -> DataFrame:
                 {"src": out_src, "dst": out_dst, "sim": out_sim}
             )
 
-    return layer.mapInPandas(gen, "src long, dst long, sim double")
+    return src_df.mapInPandas(gen, "src long, dst long, sim double")
 
 
 def _score(cand: DataFrame, nodes: DataFrame, qset: DataFrame) -> DataFrame:
@@ -179,7 +192,20 @@ def hnsw_topk(
         lv: layer_edges(layers[lv]).localCheckpoint(eager=True)
         for lv in (2, 1, 0)
     }
+    return search_layers(nodes, edges, qset, k)
 
+
+def search_layers(
+    nodes: DataFrame,
+    edges: dict[int, DataFrame],
+    qset: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """The deterministic layered beam search over PREBUILT (nodes,
+    per-layer edges) — shared verbatim by the one-shot build
+    (hnsw_topk) and the streaming incremental build, so the two
+    cannot drift.  ``nodes``/``qset`` are quantized frames with
+    (vec_id, qv, nq[, lvl])."""
     ep = (
         nodes.orderBy(F.col("lvl").desc(), F.col("vec_id"))
         .limit(1)

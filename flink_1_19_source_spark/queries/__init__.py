@@ -87,6 +87,7 @@ _R10_MUST = [
     "n5_flac_archive_pipeline_real",
     "n5_gif_thumbnail_pipeline_real",
     "n6_doremi_weights",
+    "s_hnsw_ingest_stream",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -142,3 +142,126 @@ def n3_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ann.hnsw_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
     )
+
+
+# --------------------------------------------------------------------------
+# N3-S — streaming HNSW graph maintenance at ingest
+# --------------------------------------------------------------------------
+@register(
+    "s_hnsw_ingest_stream",
+    oracle=_build_oracle(),
+    survey="N3 X2 X4",
+    tags=("streaming", "approx"),
+)
+def s_hnsw_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HNSW maintenance — the graph index kept fresh at
+    ingest time (the HNSW twin of s_ivf_ingest_stream): each arriving
+    micro-batch of embeddings is hash-assigned its layers, and the
+    per-layer top-M edge set is maintained INCREMENTALLY with two
+    blocked passes per batch — new-nodes x accumulated-index (the
+    insert's own neighbor search) and accumulated-index x new-nodes
+    (existing nodes adopting better neighbors), each keeping per-src
+    top-M.  This is EXACT, not approximate maintenance: a node's true
+    global top-M neighbor v always survives the batch-local top-M of
+    the batch v arrived in (fewer than M closer nodes exist globally,
+    so fewer exist in any subset), so the union of per-batch candidate
+    segments re-ranked at read time IS the one-shot graph — the oracle
+    is n3_hnsw_topk's full-replay SQL, hash-matched.  Segments append
+    per batch (bid-gated, crash-replay idempotent) and a SegmentStore
+    fold every 2 batches re-ranks per (lvl, src) top-M so edge state
+    stays bounded by M x nodes, never by stream length.  After the
+    drain, the SAME search (graph_ann.search_layers) answers top-5 —
+    build paths cannot drift from the one-shot operator.  At 100 TB
+    the per-batch passes are the standard ANN-ingest shape: new x
+    index via candidate blocking, index x new via the broadcast of
+    the (small) arriving batch."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    m = graph_ann.M_EDGES
+    wd = _work_dir(sf_dir, "s_hnsw")
+    run = uuid.uuid4().hex[:8]
+    node_dir = os.path.join(wd, f"nodes-{run}")
+    edge_dir = os.path.join(wd, f"edges-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    def topm(df):
+        w = Window.partitionBy("lvl", "src").orderBy(
+            F.desc("sim"), "dst"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .drop("rn")
+        )
+
+    nodes_store = SegmentStore(spark, node_dir, compact_every=2)
+    edges_store = SegmentStore(
+        spark, edge_dir, compact_every=2, merge=topm
+    )
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "embeddings", os.path.join(wd, "src"),
+        ts_col="vec_id", chunks=_CHUNKS, order_by=["vec_id"],
+    )
+
+    def fold(batch, bid: int) -> None:
+        new = graph_ann.with_levels(
+            graph_ann.quantized(batch, "vec_id", "embedding")
+        ).localCheckpoint(eager=True)
+        seen = nodes_store.read()
+        old = (
+            seen.join(new.select("vec_id"), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+            if seen is not None else None
+        )
+        segs = []
+        for lv in (2, 1, 0):
+            new_lv = new.filter(F.col("lvl") >= lv)
+            old_lv = (
+                old.filter(F.col("lvl") >= lv) if old is not None
+                else None
+            )
+            all_lv = (
+                new_lv.unionByName(old_lv) if old_lv is not None
+                else new_lv
+            )
+            e1 = graph_ann.cross_topm(new_lv, all_lv, m)
+            parts = [e1]
+            if old_lv is not None:
+                parts.append(graph_ann.cross_topm(old_lv, new_lv, m))
+            seg = parts[0] if len(parts) == 1 else (
+                parts[0].unionByName(parts[1])
+            )
+            segs.append(seg.withColumn("lvl", F.lit(lv)))
+        edge_seg = segs[0]
+        for s in segs[1:]:
+            edge_seg = edge_seg.unionByName(s)
+        edges_store.append(edge_seg, bid)
+        nodes_store.append(new, bid)
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    nodes = nodes_store.read().localCheckpoint(eager=True)
+    ranked = topm(edges_store.read()).localCheckpoint(eager=True)
+    edges = {
+        lv: ranked.filter(F.col("lvl") == lv).select("src", "dst", "sim")
+        for lv in (2, 1, 0)
+    }
+    qset = nodes.filter(F.col("vec_id") < 8)
+    out = graph_ann.search_layers(nodes, edges, qset, k=5)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(node_dir, ignore_errors=True)
+    shutil.rmtree(edge_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -120,6 +120,11 @@ INVARIANT_QUERIES = [
     "s_perceptron_train_stream",
     # logistic twin: same absolutive refresh loop, hard-sigmoid rule
     "s_logistic_train_stream",
+    # incremental HNSW: the union of per-batch top-M candidate segments
+    # re-ranked at read time equals the one-shot top-M graph for ANY
+    # slicing (a global top-M neighbor survives any subset's top-M), and
+    # the search over an identical graph is deterministic
+    "s_hnsw_ingest_stream",
     # punctuated watermark: the running max-marker is monotone and its
     # final value is the global max, so each window emits exactly once
     # at any slicing and the converged sink is slicing-independent
