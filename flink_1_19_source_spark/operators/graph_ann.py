@@ -140,6 +140,66 @@ def cross_topm(src_df: DataFrame, dst_df: DataFrame,
     return src_df.mapInPandas(gen, "src long, dst long, sim double")
 
 
+def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
+                       m: int = M_EDGES) -> DataFrame:
+    """Per-LAYER exact top-m edges in ONE pass: for every layer lv in
+    (2, 1, 0), each src row with lvl >= lv keeps its top-m among dst
+    rows with lvl >= lv.  One dst collect + one scan of src replaces
+    the 3-layer x per-layer loop — the streaming incremental build's
+    per-batch hot path.  Returns (lvl, src, dst, sim)."""
+    import numpy as np
+
+    spark = src_df.sparkSession
+    rows = dst_df.select("vec_id", "qv", "nq", "lvl").collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "lvl int, src long, dst long, sim double"
+        )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    nrm = np.array([r["nq"] for r in rows], dtype=np.int64)
+    lvl = np.array([r["lvl"] for r in rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((ids, mat, nrm, lvl))
+
+    def gen(batches):
+        b_ids, b_mat, b_nrm, b_lvl = bc.value
+        layer_mask = {lv: b_lvl >= lv for lv in (2, 1, 0)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
+            a_nrm = pdf["nq"].to_numpy(dtype=np.int64)
+            a_lvl = pdf["lvl"].to_numpy(dtype=np.int64)
+            dots = a_mat @ b_mat.T  # exact int64
+            sims = dots.astype(np.float64) / np.sqrt(
+                a_nrm[:, None].astype(np.float64)
+                * b_nrm[None, :].astype(np.float64)
+            )
+            out_lvl, out_src, out_dst, out_sim = [], [], [], []
+            for i in range(len(a_ids)):
+                srow = sims[i]
+                for lv in (2, 1, 0):
+                    if a_lvl[i] < lv:
+                        continue
+                    mask = layer_mask[lv] & (b_ids != a_ids[i])
+                    cand_ids = b_ids[mask]
+                    cand_sim = srow[mask]
+                    order = np.lexsort((cand_ids, -cand_sim))[:m]
+                    out_lvl.extend([lv] * len(order))
+                    out_src.extend([a_ids[i]] * len(order))
+                    out_dst.extend(cand_ids[order])
+                    out_sim.extend(cand_sim[order])
+            yield pd.DataFrame(
+                {"lvl": out_lvl, "src": out_src, "dst": out_dst,
+                 "sim": out_sim}
+            )
+
+    return src_df.mapInPandas(
+        gen, "lvl int, src long, dst long, sim double"
+    )
+
+
 def _score(cand: DataFrame, nodes: DataFrame, qset: DataFrame) -> DataFrame:
     """Attach sim(query, node) to (query_id, node) pairs — the unrolled
     exact-integer dot, JVM-side."""

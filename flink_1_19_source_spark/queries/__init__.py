@@ -88,6 +88,7 @@ _R10_MUST = [
     "n5_gif_thumbnail_pipeline_real",
     "n6_doremi_weights",
     "s_hnsw_ingest_stream",
+    "n3_hnsw_recall_report",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

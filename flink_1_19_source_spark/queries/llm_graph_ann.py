@@ -224,28 +224,18 @@ def s_hnsw_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
             if seen is not None else None
         )
-        segs = []
-        for lv in (2, 1, 0):
-            new_lv = new.filter(F.col("lvl") >= lv)
-            old_lv = (
-                old.filter(F.col("lvl") >= lv) if old is not None
-                else None
+        all_nodes = (
+            new.unionByName(old.select(*new.columns))
+            if old is not None else new
+        )
+        # one layered pass per direction: new x accumulated-index (the
+        # insert's neighbor search) and accumulated-index x new
+        # (existing nodes adopting better neighbors)
+        edge_seg = graph_ann.cross_topm_layered(new, all_nodes, m)
+        if old is not None:
+            edge_seg = edge_seg.unionByName(
+                graph_ann.cross_topm_layered(old, new, m)
             )
-            all_lv = (
-                new_lv.unionByName(old_lv) if old_lv is not None
-                else new_lv
-            )
-            e1 = graph_ann.cross_topm(new_lv, all_lv, m)
-            parts = [e1]
-            if old_lv is not None:
-                parts.append(graph_ann.cross_topm(old_lv, new_lv, m))
-            seg = parts[0] if len(parts) == 1 else (
-                parts[0].unionByName(parts[1])
-            )
-            segs.append(seg.withColumn("lvl", F.lit(lv)))
-        edge_seg = segs[0]
-        for s in segs[1:]:
-            edge_seg = edge_seg.unionByName(s)
         edges_store.append(edge_seg, bid)
         nodes_store.append(new, bid)
 
@@ -265,3 +255,75 @@ def s_hnsw_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(edge_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# N3 — HNSW quality evaluation as data (recall-vs-exact report)
+# --------------------------------------------------------------------------
+@register(
+    "n3_hnsw_recall_report",
+    oracle=f"""
+    WITH hnsw AS ({_build_oracle()}),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), q AS (SELECT * FROM vn WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, vn.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, vn.e) / (q.nrm * vn.nrm)
+                          DESC, vn.vec_id) AS rk
+        FROM vn CROSS JOIN q WHERE q.vec_id <> vn.vec_id
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_found,
+           ROUND(CAST(COUNT(h.neighbor_id) AS DOUBLE) / COUNT(*), 9)
+             AS recall
+    FROM exact e
+    LEFT JOIN hnsw h
+      ON h.query_id = e.query_id AND h.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    survey="N3",
+)
+def n3_hnsw_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW quality evaluation AS DATA — completes the recall-report
+    family (LSH, IVF, IVF-PQ): per query, how many of the exact cosine
+    top-5 the layered-graph beam search returned.  BOTH sides are
+    in-engine and the oracle replays BOTH — the exact float-cosine rank
+    and the entire quantized-integer graph walk — so the curve itself
+    is value-hash-certified, not just spot-pinned.  This is the report
+    a production deployment watches when tuning M/ef against corpus
+    drift; at 100 TB the exact side runs on a hash-sampled query slice
+    (the house sampling device), the graph side is the serving path."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    got = (
+        graph_ann.hnsw_topk(e, q, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_f", F.lit(1))
+    )
+    return (
+        exact.join(got, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_f").alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_true"), 9
+            ),
+        )
+    )
