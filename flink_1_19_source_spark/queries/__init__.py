@@ -89,6 +89,7 @@ _R10_MUST = [
     "n6_doremi_weights",
     "s_hnsw_ingest_stream",
     "n3_hnsw_recall_report",
+    "s_doremi_weights_stream",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -1,4 +1,4 @@
-"""N6 — DoReMi-style domain reweighting (SURVEY §2.11).
+"""N6 — DoReMi-style domain reweighting (SURVEY §2.11), batch + stream.
 
 Domain Reweighting with Minimax Optimization [Xie et al. 2023,
 "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
@@ -18,6 +18,11 @@ run converges to); the reference is each domain's OWN unigram LM
 (the domain-specific reference model of the paper).  A domain the
 generic model handles much worse than its own model carries high
 excess loss and is upweighted — exactly the DoReMi signal.
+
+The BATCH query uses t = doc_id % 4 as the proxy's training order;
+the STREAMING twin is the online mixture controller — the round IS
+the arriving micro-batch (t = replay chunk index), the scorers are
+the fixed trained models, and the weight state is domain-sized.
 """
 
 from __future__ import annotations
@@ -34,15 +39,15 @@ _ETA = 100          # millibit -> ppm step scale per round
 _W_SCALE = 1_000_000
 _PPM = 1_000_000
 
-
-@register(
-    "n6_doremi_weights",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id, source, doc_id % 4 AS t,
+# The oracle template: {t_expr} assigns each document its DRO round.
+_ORACLE_TMPL = r"""
+    WITH docs AS (
+      SELECT doc_id, source, text, {t_expr} AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, source, t,
              UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
                                 x -> x <> '')) AS w
-      FROM documents
+      FROM docs
     ), cg AS (
       SELECT w, COUNT(*) AS c FROM toks GROUP BY w
     ), ng AS (
@@ -102,61 +107,49 @@ _PPM = 1_000_000
                 + CASE WHEN rk <= short.k THEN 1 ELSE 0 END
              AS BIGINT) AS alpha_ppm
     FROM ranked CROSS JOIN short
-    """,
-    survey="N6",
-)
-def n6_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi domain reweighting, exact-integer edition: per-token
-    excess loss = max(0, proxy_bits - reference_bits) where
-    proxy_bits = floor(log2(Ng/cg(w))) against the corpus-wide unigram
-    LM and reference_bits the same against the token's own domain LM
-    (both as bit_length(n//c) - 1, the exact floor-log2); four
-    Group-DRO rounds each consume the round's batch (t = doc_id % 4 —
-    the proxy's training order) and update the domain weight
-    multiplicatively, w <- w * (10^6 + ETA*mean_excess_millibits) //
-    10^6 in scaled int64 floor arithmetic (the integer stand-in for
-    exp(eta*loss), exact to replay); the final mixture alpha is the
-    largest-remainder share of 10^6 — the exact apportionment device
-    the Hare-quota query certified.  100 TB shape: token counting is
-    one token-keyed shuffle each for the global and per-domain LMs
-    (vocabulary-sized outputs, co-partitioned scoring joins), the
-    per-(domain, round) excess is one aggregate, and the weight
-    recursion runs on a DOMAIN-sized frame — the loop never touches
-    the corpus again."""
-    from ..operators import text_analysis as ta
+"""
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        (F.col("doc_id") % 4).alias("t"),
-        F.explode(ta.tokens(F.col("text"))).alias("w"),
-    )
+
+def _unigram_models(toks: DataFrame):
+    """The fixed scorers: corpus-wide (proxy) and per-domain
+    (reference) unigram counts — vocabulary-sized frames."""
     cg = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cg"))
     ng = cg.agg(F.sum("cg").alias("ng"))
     cd = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cd"))
     nd = cd.groupBy("source").agg(F.sum("cd").alias("nd"))
+    return cg, ng, cd, nd
 
-    bits = lambda n, c: (  # noqa: E731 — floor(log2(n/c)) exactly
-        F.length(F.bin(F.expr(f"{n} div {c}"))) - F.lit(1)
-    )
+
+def _bits(n: str, c: str):
+    """floor(log2(n/c)) exactly, as bit_length(n//c) - 1."""
+    return F.length(F.bin(F.expr(f"{n} div {c}"))) - F.lit(1)
+
+
+def _cell_excess(toks_t: DataFrame, cg, ng, cd, nd) -> DataFrame:
+    """(source, t, ex): per-(domain, round) mean excess in millibits,
+    integer division."""
     scored = (
-        toks.join(cg, "w")
+        toks_t.join(cg, "w")
         .join(cd, ["source", "w"])
         .join(F.broadcast(nd), "source")
         .crossJoin(F.broadcast(ng))
         .select(
             "source", "t",
             F.greatest(
-                F.lit(0), bits("ng", "cg") - bits("nd", "cd")
+                F.lit(0), _bits("ng", "cg") - _bits("nd", "cd")
             ).alias("excess"),
         )
     )
-    cell = scored.groupBy("source", "t").agg(
+    return scored.groupBy("source", "t").agg(
         F.expr("(1000 * sum(excess)) div count(*)").alias("ex")
     )
+
+
+def _weights_from_cells(sources: DataFrame, cell: DataFrame) -> DataFrame:
+    """Grid-fill, the 4-round multiplicative recursion, and the
+    largest-remainder apportionment — all on a DOMAIN-sized frame."""
     grid = (
-        d.select("source").distinct()
-        .join(cell, "source", "left")
+        sources.join(cell, "source", "left")
         .groupBy("source")
         .agg(*[
             F.coalesce(
@@ -195,3 +188,118 @@ def n6_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
         .cast("long").alias("alpha_ppm"),
     )
+
+
+@register(
+    "n6_doremi_weights",
+    oracle=_ORACLE_TMPL.format(t_expr="doc_id % 4"),
+    survey="N6",
+)
+def n6_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting, exact-integer edition: per-token
+    excess loss = max(0, proxy_bits - reference_bits) where
+    proxy_bits = floor(log2(Ng/cg(w))) against the corpus-wide unigram
+    LM and reference_bits the same against the token's own domain LM
+    (both as bit_length(n//c) - 1, the exact floor-log2); four
+    Group-DRO rounds each consume the round's batch (t = doc_id % 4 —
+    the proxy's training order) and update the domain weight
+    multiplicatively, w <- w * (10^6 + ETA*mean_excess_millibits) //
+    10^6 in scaled int64 floor arithmetic (the integer stand-in for
+    exp(eta*loss), exact to replay); the final mixture alpha is the
+    largest-remainder share of 10^6 — the exact apportionment device
+    the Hare-quota query certified.  100 TB shape: token counting is
+    one token-keyed shuffle each for the global and per-domain LMs
+    (vocabulary-sized outputs, co-partitioned scoring joins), the
+    per-(domain, round) excess is one aggregate, and the weight
+    recursion runs on a DOMAIN-sized frame — the loop never touches
+    the corpus again."""
+    from ..operators import text_analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(ta.tokens(F.col("text"))).alias("w")
+    )
+    cg, ng, cd, nd = _unigram_models(toks)
+    cell = _cell_excess(
+        toks.withColumn("t", F.col("doc_id") % 4), cg, ng, cd, nd
+    )
+    return _weights_from_cells(d.select("source").distinct(), cell)
+
+
+# Slicing-DEPENDENT by design (the round IS the arriving batch), so the
+# stream pins its own chunk count instead of the shared _CHUNKS.
+_DOREMI_CHUNKS = 4
+
+
+@register(
+    "s_doremi_weights_stream",
+    oracle=_ORACLE_TMPL.format(
+        t_expr="(ROW_NUMBER() OVER (ORDER BY doc_id) - 1)"
+               " // ((COUNT(*) OVER () + 3) // 4)"
+    ),
+    survey="N6 X2 X4",
+    tags=("streaming",),
+)
+def s_doremi_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DoReMi — the ONLINE mixture controller: the scorers
+    (corpus-wide proxy + per-domain reference unigram LMs) are the
+    fixed trained models, and each arriving micro-batch IS a Group-DRO
+    round — the batch's per-domain mean excess appends to a bid-gated
+    domain-sized ledger (crash-replay idempotent: re-running a batch
+    overwrites its own round's rows, never another's), and after the
+    drain the same multiplicative recursion + largest-remainder
+    apportionment (shared helpers — the batch operator and the
+    controller cannot drift) produces the mixture.  Deliberately
+    slicing-DEPENDENT: the round boundary is the batch boundary, so
+    the replay pins its own chunk count (4) and the oracle assigns
+    t by the replay's exact equal-count split (rank // ceil(n/4)).
+    At 100 TB the per-batch work is one scoring join against the
+    broadcast vocabulary and one domain-sized aggregate; controller
+    state never exceeds |domains| x rounds rows."""
+    import os
+    import shutil
+    import uuid
+
+    from ..operators import text_analysis as ta
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import _stream_shuffle_partitions, _work_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(ta.tokens(F.col("text"))).alias("w")
+    )
+    cg, ng, cd, nd = (
+        x.localCheckpoint(eager=True)
+        for x in _unigram_models(toks)
+    )
+
+    wd = _work_dir(sf_dir, "s_doremi")
+    run = uuid.uuid4().hex[:8]
+    ledger_dir = os.path.join(wd, f"ledger-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    store = SegmentStore(spark, ledger_dir, compact_every=2)
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_DOREMI_CHUNKS, order_by=["doc_id"],
+    )
+
+    def fold(batch, bid: int) -> None:
+        btoks = batch.select(
+            "source",
+            F.lit(bid).alias("t"),
+            F.explode(ta.tokens(F.col("text"))).alias("w"),
+        )
+        store.append(_cell_excess(btoks, cg, ng, cd, nd), bid)
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    cell = store.read().localCheckpoint(eager=True)
+    out = _weights_from_cells(
+        d.select("source").distinct(), cell
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(ledger_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
