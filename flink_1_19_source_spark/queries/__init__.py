@@ -65,6 +65,7 @@ from . import llm_graph_ann  # noqa: F401  (N3 HNSW-family graph ANN)
 from . import llm_media_encode  # noqa: F401  (N5 encode-side stages)
 from . import llm_train  # noqa: F401  (N4 logistic training)
 from . import llm_doremi  # noqa: F401  (N6 DoReMi domain reweighting)
+from . import audit  # noqa: F401  (N7 per-document audit trail)
 
 from ..registry import REGISTRY
 
@@ -90,6 +91,7 @@ _R10_MUST = [
     "s_hnsw_ingest_stream",
     "n3_hnsw_recall_report",
     "s_doremi_weights_stream",
+    "pipeline_audit_trail",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -1,0 +1,208 @@
+"""N7 — per-document pipeline AUDIT TRAIL (provenance/disposition).
+
+The report every production data pipeline ships next to its corpus:
+for EVERY input document, which stage removed it — or, if it
+survived, how many times the final schedule repeats it.  Attribution
+is per-document (a dedup loser names the exact winner it lost to),
+which is what an operator debugging "why is my document missing from
+the training mix?" actually needs; the per-language attrition counts
+of pipeline_crawl_end_to_end are this table's GROUP BY.
+
+Every stage is the corresponding certified operator's shared core
+(language id, exact-integer surprisal gate, keep-best priority dedup,
+token-budget epoch schedule), so the audit cannot disagree with the
+pipeline it audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import text_analysis as ta
+from ..registry import register
+from ..tables import load_table
+from .llm_surprisal import _epoch_doc_repeats, _surprisal_scores_from
+
+_AUDIT_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             MD5(substring(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ',
+                                               'g')), 1, 100)) AS fp
+      FROM documents
+    ), lid AS (
+      SELECT doc_id,
+        len(list_filter(tk, t -> list_contains(
+          ['der','die','und','das','ist','nicht'], t))) AS s_de,
+        len(list_filter(tk, t -> list_contains(
+          ['the','and','of','to','is','it'], t))) AS s_en,
+        len(list_filter(tk, t -> list_contains(
+          ['el','los','y','es','una','para'], t))) AS s_es,
+        len(list_filter(tk, t -> list_contains(
+          ['le','les','et','est','une','pour'], t))) AS s_fr,
+        len(list_filter(tk, t -> list_contains(
+          ['de5','shi4','le5','zai4','he2','you3'], t))) AS s_zh
+      FROM base
+    ), langd AS (
+      SELECT doc_id,
+             CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+               WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+               WHEN s_fr THEN 'fr' ELSE 'zh' END AS det_lang
+      FROM lid
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM base WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(*) AS nv FROM (
+        SELECT DISTINCT w1 AS w FROM big
+        UNION SELECT DISTINCT w2 FROM big)
+    ), scoredoc AS (
+      SELECT b.doc_id,
+             SUM(LENGTH(bin((c1.n1 + v.nv) // (c2.n2 + 1))) - 1)
+               AS sum_bits,
+             COUNT(*) AS n_bigrams
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ), thr AS (
+      SELECT (1000 * SUM(sum_bits)) // SUM(n_bigrams) AS t FROM scoredoc
+    ), disp1 AS (
+      SELECT b.doc_id, l.det_lang, b.tk, b.n_chars, b.fp,
+             CASE WHEN len(b.tk) < 2 THEN 'too_short'
+                  WHEN (1000 * s.sum_bits) // s.n_bigrams > thr.t
+                       THEN 'quality_gate'
+             END AS drop1
+      FROM base b
+      JOIN langd l ON l.doc_id = b.doc_id
+      LEFT JOIN scoredoc s ON s.doc_id = b.doc_id
+      CROSS JOIN thr
+    ), dedup AS (
+      SELECT doc_id, fp, det_lang, tk,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS winner
+      FROM disp1 WHERE drop1 IS NULL
+    ), per_doc AS (
+      SELECT det_lang AS source, doc_id, CAST(len(tk) AS BIGINT) AS nt
+      FROM dedup WHERE rk = 1
+    ), src AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS t_tokens, COUNT(*) AS n_docs
+      FROM per_doc GROUP BY source
+    ), tot AS (
+      SELECT SUM(t_tokens) AS tt, COUNT(*) AS ns FROM src
+    ), alloc AS (
+      SELECT source, t_tokens,
+             LEAST(4, ((4 * tot.tt) // tot.ns) // t_tokens) AS full_epochs,
+             CASE WHEN ((4 * tot.tt) // tot.ns) // t_tokens >= 4 THEN 0
+                  ELSE ((4 * tot.tt) // tot.ns) % t_tokens
+             END AS rem
+      FROM src, tot
+    ), ranked AS (
+      SELECT p.source, p.doc_id, p.nt,
+             SUM(p.nt) OVER (
+               PARTITION BY p.source
+               ORDER BY md5(CONCAT('epoch:', CAST(p.doc_id AS VARCHAR))),
+                        p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS csum
+      FROM per_doc p
+    ), reps AS (
+      SELECT r.doc_id,
+             a.full_epochs
+             + CASE WHEN r.csum <= a.rem THEN 1 ELSE 0 END AS repeats
+      FROM ranked r JOIN alloc a ON a.source = r.source
+    )
+    SELECT d1.doc_id, d1.det_lang,
+           CASE WHEN d1.drop1 IS NOT NULL THEN d1.drop1
+                WHEN dd.rk > 1 THEN 'dedup_loser'
+                ELSE 'kept' END AS disposition,
+           CAST(CASE WHEN dd.rk > 1 THEN dd.winner ELSE -1 END
+             AS BIGINT) AS lost_to,
+           CAST(COALESCE(reps.repeats, 0) AS BIGINT) AS repeats
+    FROM disp1 d1
+    LEFT JOIN dedup dd ON dd.doc_id = d1.doc_id
+    LEFT JOIN reps ON reps.doc_id = d1.doc_id
+"""
+
+
+@register(
+    "pipeline_audit_trail",
+    oracle=_AUDIT_ORACLE,
+    survey="N7 N4 N1 N6",
+)
+def pipeline_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT audit of the quality→dedup→schedule chain: every
+    input document gets a disposition — 'too_short' (no bigrams for
+    the gate to score), 'quality_gate' (mean surprisal above the
+    corpus threshold), 'dedup_loser' (lost its prefix-fingerprint
+    group to the named winner — lost_to carries the exact doc_id, the
+    attribution a missing-document investigation needs; -1 otherwise),
+    or 'kept' with its REPEAT count under the token-budget epoch
+    schedule (full epochs of its language + 1 if the doc lands in the
+    hash-ranked partial epoch).  Stage logic is the certified shared
+    cores (_surprisal_scores_from, the keep-best window,
+    _epoch_doc_repeats), so audit and pipeline cannot drift.  100 TB
+    shape: identical to the pipeline it audits — the only additions
+    are per-row CASE columns and one broadcast of the domain-sized
+    allocation table; the audit is the pipeline's own plan with the
+    drops kept instead of filtered."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        ta.lang_id(F.col("text")).alias("det_lang"),
+        ta.tokens(F.col("text")).alias("tk"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.substring(ta.normalize(F.col("text")), 1, 100)).alias("fp"),
+    ).localCheckpoint(eager=True)
+
+    scores = _surprisal_scores_from(base.select("doc_id", "tk"))
+    disp1 = (
+        base.join(scores.select("doc_id", "keep"), "doc_id", "left")
+        .select(
+            "doc_id", "det_lang", "tk", "n_chars", "fp",
+            F.when(F.size("tk") < 2, F.lit("too_short"))
+            .when(~F.col("keep"), F.lit("quality_gate"))
+            .alias("drop1"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    dedup = (
+        disp1.filter(F.col("drop1").isNull())
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("winner", F.first("doc_id").over(w))
+        .select("doc_id", "det_lang", "tk", "rk", "winner")
+    )
+    per_doc = dedup.filter(F.col("rk") == 1).select(
+        F.col("det_lang").alias("source"),
+        "doc_id",
+        F.size("tk").cast("long").alias("nt"),
+    )
+    reps = _epoch_doc_repeats(per_doc)
+    return (
+        disp1.join(
+            dedup.select("doc_id", "rk", "winner"), "doc_id", "left"
+        )
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id", "det_lang",
+            F.when(F.col("drop1").isNotNull(), F.col("drop1"))
+            .when(F.col("rk") > 1, F.lit("dedup_loser"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+            F.when(F.col("rk") > 1, F.col("winner"))
+            .otherwise(F.lit(-1)).cast("long").alias("lost_to"),
+            F.coalesce("repeats", F.lit(0)).cast("long").alias("repeats"),
+        )
+    )

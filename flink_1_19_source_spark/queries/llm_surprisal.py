@@ -484,6 +484,55 @@ def _token_budget_epochs_core(per_doc: DataFrame) -> DataFrame:
     called by n6_token_budget_epochs and pipeline_crawl_end_to_end so
     the schedule arithmetic cannot drift between the certified operator
     and the composite."""
+    alloc, ranked = _epoch_alloc_ranked(per_doc)
+    partial = (
+        ranked.join(
+            F.broadcast(alloc.select("source", "rem")), "source"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("csum") <= F.col("rem"), 1))
+            .cast("long").alias("partial_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("csum") <= F.col("rem"), F.col("nt"))),
+                F.lit(0),
+            ).cast("long").alias("partial_tokens"),
+        )
+    )
+    return (
+        alloc.join(partial, "source")
+        .select(
+            "source", F.col("t_tokens").cast("long").alias("t_tokens"),
+            F.col("full_epochs").cast("long").alias("full_epochs"),
+            "partial_docs", "partial_tokens",
+            (F.col("full_epochs") * F.col("t_tokens")
+             + F.col("partial_tokens")).cast("long").alias("tokens_alloc"),
+        )
+    )
+
+
+def _epoch_doc_repeats(per_doc: DataFrame) -> DataFrame:
+    """Per-DOCUMENT repeat count under the same schedule: full epochs
+    of the doc's source plus one if the doc falls in the hash-ranked
+    partial epoch — the document-level view pipeline_audit_trail
+    reports (shares the exact alloc/rank arithmetic above)."""
+    alloc, ranked = _epoch_alloc_ranked(per_doc)
+    return (
+        ranked.join(
+            F.broadcast(alloc.select("source", "rem", "full_epochs")),
+            "source",
+        )
+        .select(
+            "doc_id",
+            (F.col("full_epochs")
+             + F.when(F.col("csum") <= F.col("rem"), 1).otherwise(0))
+            .cast("long").alias("repeats"),
+        )
+    )
+
+
+def _epoch_alloc_ranked(per_doc: DataFrame):
+    """(alloc, ranked) internals of the token-budget schedule."""
     from pyspark.sql.window import Window
 
     src = per_doc.groupBy("source").agg(
@@ -510,27 +559,4 @@ def _token_budget_epochs_core(per_doc: DataFrame) -> DataFrame:
         "doc_id",
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = per_doc.withColumn("csum", F.sum("nt").over(w))
-    partial = (
-        ranked.join(
-            F.broadcast(alloc.select("source", "rem")), "source"
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.when(F.col("csum") <= F.col("rem"), 1))
-            .cast("long").alias("partial_docs"),
-            F.coalesce(
-                F.sum(F.when(F.col("csum") <= F.col("rem"), F.col("nt"))),
-                F.lit(0),
-            ).cast("long").alias("partial_tokens"),
-        )
-    )
-    return (
-        alloc.join(partial, "source")
-        .select(
-            "source", F.col("t_tokens").cast("long").alias("t_tokens"),
-            F.col("full_epochs").cast("long").alias("full_epochs"),
-            "partial_docs", "partial_tokens",
-            (F.col("full_epochs") * F.col("t_tokens")
-             + F.col("partial_tokens")).cast("long").alias("tokens_alloc"),
-        )
-    )
+    return alloc, ranked

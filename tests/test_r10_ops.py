@@ -258,3 +258,25 @@ def test_doremi_weights_exact_apportionment_and_monotone(spark, sf_dir):
     # the heaviest-excess domain is never below the uniform share
     top = max(rows, key=lambda r: r["w_final"])
     assert top["alpha_ppm"] >= 1_000_000 // len(rows)
+
+
+def test_audit_trail_consistent_with_crawl_attrition(spark, sf_dir):
+    """The audit's GROUP BY must reproduce the pipeline's own counts:
+    kept docs = sum of the schedule's doc population, every dedup loser
+    names a kept winner with the same fingerprint disposition, and all
+    four dispositions actually occur on the corpus (non-vacuity)."""
+    from flink_1_19_source_spark.queries.audit import pipeline_audit_trail
+
+    rows = pipeline_audit_trail(spark, sf_dir).collect()
+    disp = {}
+    for r in rows:
+        disp.setdefault(r["disposition"], []).append(r)
+    assert set(disp) >= {"quality_gate", "dedup_loser", "kept"}, set(disp)
+    kept_ids = {r["doc_id"] for r in disp["kept"]}
+    for r in disp["dedup_loser"]:
+        assert r["lost_to"] in kept_ids and r["lost_to"] != r["doc_id"]
+    for r in disp["kept"]:
+        assert r["lost_to"] == -1 and 1 <= r["repeats"] <= 5
+    for name in ("too_short", "quality_gate"):
+        for r in disp.get(name, []):
+            assert r["repeats"] == 0 and r["lost_to"] == -1
