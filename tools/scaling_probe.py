@@ -89,6 +89,14 @@ QUERIES = [
     "n3_hnsw_topk",             # layered graph build + beam search
     "n4_logistic_train",        # hard-sigmoid GD, 1 agg per iteration
     "n5_audio_downsample_pipeline_real",  # WAV decode->decimate->ENCODE
+    # r10 continuation: compressed write paths, mixture control, audit
+    "n5_flac_archive_pipeline_real",   # gain/clamp -> FLAC ENCODE roundtrip
+    "n5_gif_thumbnail_pipeline_real",  # 3-3-2 quantize -> GIF LZW ENCODE
+    "n6_doremi_weights",        # 2 vocab shuffles + domain-sized loop
+    "n3_hnsw_recall_report",    # exact topk + graph walk, joined
+    "pipeline_audit_trail",     # the crawl chain with drops kept
+    "s_doremi_weights_stream",  # drained online-controller stream
+    "s_hnsw_ingest_stream",     # drained incremental graph build
 ]
 
 
