@@ -422,3 +422,39 @@ def test_perceptron_result_single_scan_no_join(spark, sf_dir):
     df = REGISTRY["n4_perceptron_train"].fn(spark, sf_dir)
     txt = audit.plan_text(df, "simple")
     assert "Join" not in txt, txt
+
+
+def test_r10c_encode_pipelines_are_map_only(spark, sf_dir):
+    """The compressed write paths (FLAC archive, GIF thumbnail) are
+    decode->process->ENCODE->decode chains inside mapInPandas: zero
+    exchanges — the write path of a media corpus build must stay
+    map-only at any scale."""
+    for name in (
+        "n5_flac_archive_pipeline_real",
+        "n5_gif_thumbnail_pipeline_real",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert audit.shuffle_count(df) == 0, (
+            name, audit.plan_text(df, "simple"),
+        )
+
+
+def test_doremi_broadcasts_domain_tables(spark, sf_dir):
+    """DoReMi's scoring join shuffles only the token stream against the
+    vocabulary-keyed count tables; the DOMAIN-sized frames (per-domain
+    totals, the global total, the apportionment scalars) must join by
+    broadcast — at 100 TB they are the only parts guaranteed to fit
+    anywhere, and a shuffled corpus x domain join would be the
+    bottleneck."""
+    df = REGISTRY["n6_doremi_weights"].fn(spark, sf_dir)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt, txt
+
+
+def test_audit_trail_reads_corpus_once(spark, sf_dir):
+    """The audit is the pipeline's own plan with drops kept: the text
+    projection is checkpointed once and every stage reuses it — the
+    final plan must not rescan documents.parquet."""
+    df = REGISTRY["pipeline_audit_trail"].fn(spark, sf_dir)
+    txt = audit.plan_text(df)
+    assert "documents.parquet" not in txt, txt[:2000]
