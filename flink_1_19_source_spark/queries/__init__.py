@@ -92,6 +92,7 @@ _R10_MUST = [
     "n3_hnsw_recall_report",
     "s_doremi_weights_stream",
     "pipeline_audit_trail",
+    "x8_knn_triangles",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

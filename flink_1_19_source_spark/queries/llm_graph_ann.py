@@ -327,3 +327,132 @@ def n3_hnsw_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X8/N3 — triangle counting + clustering coefficients on the kNN graph
+# --------------------------------------------------------------------------
+@register(
+    "x8_knn_triangles",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, vn.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.e, vn.e)
+                                / (q.nrm * vn.nrm), 9) DESC,
+                          vn.vec_id) AS rk
+        FROM vn CROSS JOIN vn q WHERE q.vec_id <> vn.vec_id
+      ) WHERE rk <= 5
+    ), mutual AS (
+      SELECT query_id, neighbor_id FROM topk
+      INTERSECT
+      SELECT neighbor_id, query_id FROM topk
+    ), edges AS (
+      SELECT query_id AS a, neighbor_id AS b
+      FROM mutual WHERE query_id < neighbor_id
+    ), tri AS (
+      SELECT x.a, x.b, y.b AS c
+      FROM edges x
+      JOIN edges y ON y.a = x.b
+      JOIN edges z ON z.a = x.a AND z.b = y.b
+    ), tnode AS (
+      SELECT a AS n FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), tcnt AS (
+      SELECT n, COUNT(*) AS t FROM tnode GROUP BY n
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY n
+    )
+    SELECT emb.vec_id,
+           CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN COALESCE(deg.d, 0) >= 2
+                THEN ROUND(2.0 * COALESCE(tcnt.t, 0)
+                           / (deg.d * (deg.d - 1)), 9)
+                ELSE 0.0 END AS lcc
+    FROM embeddings emb
+    LEFT JOIN deg ON deg.n = emb.vec_id
+    LEFT JOIN tcnt ON tcnt.n = emb.vec_id
+    """,
+    survey="X8 N3",
+)
+def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficients over the
+    MUTUAL-kNN similarity graph — the graph-analytics lens on embedding
+    neighborhoods (dense triangles = tight semantic clusters, the
+    signal SemDeDup-style cluster dedup and graph-ANN navigability
+    both rest on).  Edges = pairs in each other's exact cosine top-5
+    (mutualization by set INTERSECT); triangles by the canonical-order
+    two-hop join a<b<c — each triangle counted exactly once, the
+    distributed triangle-counting standard [Suri & Vassilvitskii
+    2011] — then per-node counts and lcc = 2T/(d(d-1)).  100 TB shape:
+    the kNN edges come from the certified ANN tier instead of the
+    brute-force pass (same downstream plan); the cyclic join shuffles
+    on the shared vertex each hop and the canonical ordering keeps
+    every intermediate bounded by the edge list."""
+    from ..operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(e, e, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    mutual = topk.intersect(
+        topk.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+        )
+    )
+    edges = mutual.filter(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
+    ).localCheckpoint(eager=True)
+    x, y, z = edges.alias("x"), edges.alias("y"), edges.alias("z")
+    tri = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .join(
+            z,
+            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+        )
+        .select(
+            F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    tnode = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    tcnt = tnode.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        e.select("vec_id")
+        .join(deg, F.col("vec_id") == deg["n"], "left").drop("n")
+        .join(tcnt, F.col("vec_id") == tcnt["n"], "left").drop("n")
+        .select(
+            "vec_id",
+            F.coalesce("d", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.coalesce("d", F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce("t", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )
