@@ -280,3 +280,21 @@ def test_audit_trail_consistent_with_crawl_attrition(spark, sf_dir):
     for name in ("too_short", "quality_gate"):
         for r in disp.get(name, []):
             assert r["repeats"] == 0 and r["lost_to"] == -1
+
+
+def test_knn_triangles_nonvacuous_and_bounded(spark, sf_dir):
+    """The mutual-kNN graph on the fixture must actually contain
+    triangles (otherwise the cyclic join is untested), every lcc must
+    lie in [0, 1], and triangle counts must respect the degree bound
+    T <= d(d-1)/2."""
+    from flink_1_19_source_spark.registry import REGISTRY, queries
+
+    queries()
+    rows = REGISTRY["x8_knn_triangles"].fn(spark, sf_dir).collect()
+    assert sum(r["triangles"] for r in rows) > 0
+    for r in rows:
+        assert 0.0 <= r["lcc"] <= 1.0, r
+        d = r["degree"]
+        assert r["triangles"] <= d * (d - 1) // 2, r
+        if d < 2:
+            assert r["triangles"] == 0 and r["lcc"] == 0.0
