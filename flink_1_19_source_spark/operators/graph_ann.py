@@ -245,11 +245,12 @@ def hnsw_topk(
     ).localCheckpoint(eager=True)
     qset = quantized(queries, id_col, vec_col).localCheckpoint(eager=True)
 
-    layers = {
-        lv: nodes.filter(F.col("lvl") >= lv) for lv in (2, 1, 0)
-    }
+    # all three layers' edges in ONE collect + one scan: a src at
+    # level L contributes its top-M within every layer <= L (identical
+    # to per-layer layer_edges, test-pinned)
+    ranked = cross_topm_layered(nodes, nodes).localCheckpoint(eager=True)
     edges = {
-        lv: layer_edges(layers[lv]).localCheckpoint(eager=True)
+        lv: ranked.filter(F.col("lvl") == lv).select("src", "dst", "sim")
         for lv in (2, 1, 0)
     }
     return search_layers(nodes, edges, qset, k)
@@ -286,23 +287,27 @@ def search_layers(
             .select("query_id", "node")
         )
 
+    # materialize every SECOND round: each un-checkpointed round only
+    # doubles the (tiny, already-materialized) previous frontier in the
+    # plan, and halving the action count halves the per-job overhead
+    # that dominates at beam sizes this small
     for lv in (2, 1):
-        for _ in range(UPPER_STEPS):
+        for step in range(UPPER_STEPS):
             nbr = cur.join(
                 edges[lv], cur["node"] == edges[lv]["src"]
             ).select("query_id", F.col("dst").alias("node"))
-            cur = best_of(
-                cur.unionByName(nbr), 1
-            ).localCheckpoint(eager=True)
+            cur = best_of(cur.unionByName(nbr), 1)
+            if step % 2 == 1:
+                cur = cur.localCheckpoint(eager=True)
 
     beam = cur
-    for _ in range(K_ROUNDS):
+    for rnd in range(K_ROUNDS):
         nbr = beam.join(
             edges[0], beam["node"] == edges[0]["src"]
         ).select("query_id", F.col("dst").alias("node"))
-        beam = best_of(
-            beam.unionByName(nbr), EF_BEAM
-        ).localCheckpoint(eager=True)
+        beam = best_of(beam.unionByName(nbr), EF_BEAM)
+        if rnd % 2 == 1:
+            beam = beam.localCheckpoint(eager=True)
 
     final = _score(beam, nodes, qset).filter(
         F.col("query_id") != F.col("node")

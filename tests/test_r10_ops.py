@@ -298,3 +298,33 @@ def test_knn_triangles_nonvacuous_and_bounded(spark, sf_dir):
         assert r["triangles"] <= d * (d - 1) // 2, r
         if d < 2:
             assert r["triangles"] == 0 and r["lcc"] == 0.0
+
+
+def test_layered_topm_equals_per_layer_reference(spark, sf_dir):
+    """cross_topm_layered (the one-pass build) must produce, per layer,
+    exactly the reference per-layer layer_edges sets — the claim the
+    one-shot and streaming HNSW builds rest on."""
+    from flink_1_19_source_spark.operators import graph_ann as ga
+    from flink_1_19_source_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    nodes = ga.with_levels(
+        ga.quantized(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < 120
+            ),
+            "vec_id", "embedding",
+        )
+    ).localCheckpoint(eager=True)
+    got_all = ga.cross_topm_layered(nodes, nodes).collect()
+    for lv in (2, 1, 0):
+        got = {
+            (r["src"], r["dst"]) for r in got_all if r["lvl"] == lv
+        }
+        ref = {
+            (r["src"], r["dst"])
+            for r in ga.layer_edges(
+                nodes.filter(F.col("lvl") >= lv)
+            ).collect()
+        }
+        assert got == ref, (lv, got ^ ref)
