@@ -115,6 +115,49 @@ def duplicate_token_spans(
     is exactly "the corpus L-gram starting at p occurs twice", so the
     oracle can verify the suffix-rank result with a direct gram
     formulation — same set, different algorithm."""
+    hits = covered_hits(docs, id_col, text_col, length)
+    # Island rule: two covered starts p < q belong to one maximal span
+    # iff their token intervals [p, p+L) and [q, q+L) overlap or touch,
+    # i.e. q - p <= L — NOT only consecutive starts (back-to-back
+    # copies of an L-token block leave a start gap of exactly L whose
+    # intervals still tile one contiguous duplicated region).
+    wisl = Window.partitionBy("doc_id").orderBy("tpos")
+    isl = hits.withColumn(
+        "brk",
+        F.coalesce(
+            (F.col("tpos") - F.lag("tpos").over(wisl) > length).cast("int"),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            wisl.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("tpos").cast("long").alias("span_start"),
+            (F.max("tpos") + length).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def covered_hits(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int = 8,
+) -> DataFrame:
+    """(r, gpos, doc_id, tpos) for every position whose ``length``-token
+    window occurs >= 2 times in the corpus (equal suffix ranks at
+    resolution ``length``) — the shared core of span extraction
+    (duplicate_token_spans) and the keep-first cut action
+    (exactsubstr_cut)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
@@ -148,17 +191,39 @@ def duplicate_token_spans(
     allpos = body.select("gpos", "token").unionByName(seps)
     ranks = prefix_double_ranks(allpos, length)  # checkpointed inside
     dup = ranks.groupBy("r").count().filter(F.col("count") >= 2).select("r")
-    hits = (
+    return (
         ranks.join(dup, "r", "left_semi")
         .join(body.select("gpos", "doc_id", "tpos"), "gpos")
     )
-    # Island rule: two covered starts p < q belong to one maximal span
-    # iff their token intervals [p, p+L) and [q, q+L) overlap or touch,
-    # i.e. q - p <= L — NOT only consecutive starts (back-to-back
-    # copies of an L-token block leave a start gap of exactly L whose
-    # intervals still tile one contiguous duplicated region).
+
+
+def exactsubstr_cut(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int = 8,
+) -> DataFrame:
+    """The ExactSubstr CUT action (Lee et al. 2022): for every
+    duplicated ``length``-token window, the globally-FIRST occurrence
+    (min (doc_id, tpos) within the window's rank group) is canonical;
+    every other occurrence's token interval is cut.  Overlapping cut
+    intervals merge per document (the same overlap-or-touch island
+    rule as span extraction), and the report is per-document:
+    (doc_id, n_tok, cut_tokens, kept_tokens, n_cut_spans).
+
+    Range semantics match the reference tool's: a canonical occurrence
+    is never cut by ITS OWN group, but may still be clipped where an
+    overlapping OTHER duplicate's non-canonical interval crosses it —
+    cuts are a union of ranges, not a per-copy decision."""
+    hits = covered_hits(docs, id_col, text_col, length)
+    wc = Window.partitionBy("r").orderBy("doc_id", "tpos")
+    cutw = (
+        hits.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "tpos")
+    )
     wisl = Window.partitionBy("doc_id").orderBy("tpos")
-    isl = hits.withColumn(
+    isl = cutw.withColumn(
         "brk",
         F.coalesce(
             (F.col("tpos") - F.lag("tpos").over(wisl) > length).cast("int"),
@@ -166,18 +231,28 @@ def duplicate_token_spans(
         ),
     ).withColumn(
         "grp",
-        F.sum("brk").over(
-            wisl.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.sum("brk").over(wisl.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("tpos").cast("long").alias("span_start"),
-            (F.max("tpos") + length).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id", "span_start", "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-        )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        (F.max("tpos") + length - F.min("tpos")).alias("cut_len")
+    )
+    cuts = spans.groupBy("doc_id").agg(
+        F.sum("cut_len").cast("long").alias("cut_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_cut_spans"),
+    )
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    return doclen.join(cuts, "doc_id", "left").select(
+        "doc_id", "n_tok",
+        F.coalesce("cut_tokens", F.lit(0)).cast("long").alias("cut_tokens"),
+        (F.col("n_tok") - F.coalesce("cut_tokens", F.lit(0)))
+        .cast("long").alias("kept_tokens"),
+        F.coalesce("n_cut_spans", F.lit(0)).cast("long")
+        .alias("n_cut_spans"),
     )

@@ -93,6 +93,7 @@ _R10_MUST = [
     "s_doremi_weights_stream",
     "pipeline_audit_trail",
     "x8_knn_triangles",
+    "n2_exactsubstr_cut",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

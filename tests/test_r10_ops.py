@@ -328,3 +328,32 @@ def test_layered_topm_equals_per_layer_reference(spark, sf_dir):
             ).collect()
         }
         assert got == ref, (lv, got ^ ref)
+
+
+def test_exactsubstr_cut_keeps_first_occurrence(spark):
+    """Planted corpus: the cut must remove every occurrence EXCEPT the
+    globally-first one — doc 0 (canonical) keeps all tokens, later
+    copies lose exactly the duplicated block, unique docs untouched."""
+    from flink_1_19_source_spark.operators import suffix_array as sa
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "u00 u01 " + dup + " u02 u03"),     # canonical holder
+            (1, dup + " u10 u11 u12"),              # loses 8 tokens
+            (2, "u20 " + dup + " " + dup + " u21"),  # loses 16 tokens
+            (3, "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),   # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["cut_tokens"], r["kept_tokens"],
+                      r["n_cut_spans"])
+        for r in sa.exactsubstr_cut(docs, "doc_id", "text", 8).collect()
+    }
+    assert got == {
+        0: (12, 0, 12, 0),
+        1: (11, 8, 3, 1),
+        2: (18, 16, 2, 1),
+        3: (10, 0, 10, 0),
+    }, got
