@@ -97,6 +97,8 @@ QUERIES = [
     "pipeline_audit_trail",     # the crawl chain with drops kept
     "s_doremi_weights_stream",  # drained online-controller stream
     "s_hnsw_ingest_stream",     # drained incremental graph build
+    "x8_knn_triangles",         # canonical-order cyclic join
+    "n2_exactsubstr_cut",       # SA passes + one group-keyed window
 ]
 
 
