@@ -241,6 +241,15 @@ _DOREMI_CHUNKS = 4
     tags=("streaming",),
 )
 def s_doremi_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doremi_stream_run(spark, sf_dir)
+
+
+def _doremi_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
     """STREAMING DoReMi — the ONLINE mixture controller: the scorers
     (corpus-wide proxy + per-domain reference unigram LMs) are the
     fixed trained models, and each arriving micro-batch IS a Group-DRO
@@ -285,6 +294,8 @@ def s_doremi_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="doc_id", chunks=_DOREMI_CHUNKS, order_by=["doc_id"],
     )
 
+    crashed = {"n": 0}
+
     def fold(batch, bid: int) -> None:
         btoks = batch.select(
             "source",
@@ -292,8 +303,22 @@ def s_doremi_weights_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(ta.tokens(F.col("text"))).alias("w"),
         )
         store.append(_cell_excess(btoks, cg, ng, cd, nd), bid)
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            # ledger state mutated, checkpoint uncommitted
+            raise RuntimeError("injected crash after ledger append")
 
     with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(
+                        sdf, fold, checkpoint_dir=ckpt
+                    )
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
     cell = store.read().localCheckpoint(eager=True)

@@ -154,6 +154,15 @@ def n3_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "approx"),
 )
 def s_hnsw_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hnsw_ingest_run(spark, sf_dir)
+
+
+def _hnsw_ingest_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
     """STREAMING HNSW maintenance — the graph index kept fresh at
     ingest time (the HNSW twin of s_ivf_ingest_stream): each arriving
     micro-batch of embeddings is hash-assigned its layers, and the
@@ -213,6 +222,7 @@ def s_hnsw_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "embeddings", os.path.join(wd, "src"),
         ts_col="vec_id", chunks=_CHUNKS, order_by=["vec_id"],
     )
+    crashed = {"n": 0}
 
     def fold(batch, bid: int) -> None:
         new = graph_ann.with_levels(
@@ -237,9 +247,24 @@ def s_hnsw_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 graph_ann.cross_topm_layered(old, new, m)
             )
         edges_store.append(edge_seg, bid)
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            # worst spot: the two stores are TORN — edges carry the
+            # batch, nodes do not, checkpoint uncommitted
+            raise RuntimeError("injected crash between store appends")
         nodes_store.append(new, bid)
 
     with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(
+                        sdf, fold, checkpoint_dir=ckpt
+                    )
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
     nodes = nodes_store.read().localCheckpoint(eager=True)

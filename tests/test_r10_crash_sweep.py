@@ -56,3 +56,29 @@ def test_crash_sweep_every_batch_index(
         fn(spark, sf_dir, crash_once_at=b, crash_times=2, **kwargs)
     )
     assert got == clean, f"{fn_name}: double crash at batch {b} diverged"
+
+
+# r10 continuation: the two new ingest-state streams join the sweep —
+# the HNSW runner's injected crash lands BETWEEN its two stores (edges
+# carry the batch, nodes do not: the torn-state window), the DoReMi
+# controller's lands after its ledger append with the checkpoint
+# uncommitted.
+_SWEEP_R10C = [
+    ("flink_1_19_source_spark.queries.llm_graph_ann",
+     "_hnsw_ingest_run", {}, [0, 1, 2, 3]),
+    ("flink_1_19_source_spark.queries.llm_doremi",
+     "_doremi_stream_run", {}, [0, 1, 2, 3]),
+]
+
+
+@pytest.mark.parametrize(
+    "mod_name,fn_name,kwargs,indices",
+    _SWEEP_R10C,
+    ids=[row[1] for row in _SWEEP_R10C],
+)
+def test_crash_sweep_r10c_ingest_streams(
+    spark, sf_dir, mod_name, fn_name, kwargs, indices
+):
+    test_crash_sweep_every_batch_index(
+        spark, sf_dir, mod_name, fn_name, kwargs, indices
+    )
