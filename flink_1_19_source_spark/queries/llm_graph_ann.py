@@ -359,20 +359,27 @@ def n3_hnsw_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "x8_knn_triangles",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {graph_ann.SCALE})
+                    AS BIGINT)) AS qv
       FROM embeddings
-    ), vn AS (
-      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), nz AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+      FROM qz
     ), topk AS (
       SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, vn.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY ROUND(list_dot_product(q.e, vn.e)
-                                / (q.nrm * vn.nrm), 9) DESC,
-                          vn.vec_id) AS rk
-        FROM vn CROSS JOIN vn q WHERE q.vec_id <> vn.vec_id
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                          / SQRT(CAST(a.nq AS DOUBLE)
+                                 * CAST(b.nq AS DOUBLE)) DESC,
+                          b.vec_id) AS rk
+        FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
       ) WHERE rk <= 5
     ), mutual AS (
       SELECT query_id, neighbor_id FROM topk
@@ -415,8 +422,10 @@ def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUTUAL-kNN similarity graph — the graph-analytics lens on embedding
     neighborhoods (dense triangles = tight semantic clusters, the
     signal SemDeDup-style cluster dedup and graph-ANN navigability
-    both rest on).  Edges = pairs in each other's exact cosine top-5
-    (mutualization by set INTERSECT); triangles by the canonical-order
+    both rest on).  Edges = pairs in each other's exact top-5 under the quantized-integer
+    similarity (the graph tier's certified numeric contract — the
+    blocked int64 matrix product, NOT a 4M-row Catalyst array fold;
+    mutualization by set INTERSECT); triangles by the canonical-order
     two-hop join a<b<c — each triangle counted exactly once, the
     distributed triangle-counting standard [Suri & Vassilvitskii
     2011] — then per-node counts and lcc = 2T/(d(d-1)).  100 TB shape:
@@ -424,11 +433,12 @@ def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pass (same downstream plan); the cyclic join shuffles
     on the shared vertex each hop and the canonical ordering keeps
     every intermediate bounded by the edge list."""
-    from ..operators import similarity
-
     e = load_table(spark, sf_dir, "embeddings")
-    topk = similarity.cosine_topk(e, e, k=5).select(
-        "query_id", "neighbor_id"
+    nodes = graph_ann.quantized(e, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    topk = graph_ann.cross_topm(nodes, nodes, m=5).select(
+        F.col("src").alias("query_id"), F.col("dst").alias("neighbor_id")
     )
     mutual = topk.intersect(
         topk.select(
