@@ -66,6 +66,7 @@ from . import llm_media_encode  # noqa: F401  (N5 encode-side stages)
 from . import llm_train  # noqa: F401  (N4 logistic training)
 from . import llm_doremi  # noqa: F401  (N6 DoReMi domain reweighting)
 from . import audit  # noqa: F401  (N7 per-document audit trail)
+from . import manifest  # noqa: F401  (N7 training-manifest composite)
 
 from ..registry import REGISTRY
 
@@ -94,6 +95,7 @@ _R10_MUST = [
     "pipeline_audit_trail",
     "x8_knn_triangles",
     "n2_exactsubstr_cut",
+    "pipeline_training_manifest",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in
