@@ -67,6 +67,7 @@ from . import llm_train  # noqa: F401  (N4 logistic training)
 from . import llm_doremi  # noqa: F401  (N6 DoReMi domain reweighting)
 from . import audit  # noqa: F401  (N7 per-document audit trail)
 from . import manifest  # noqa: F401  (N7 training-manifest composite)
+from . import heavy_hitters  # noqa: F401  (A9 Misra-Gries frequent items)
 
 from ..registry import REGISTRY
 
@@ -96,6 +97,7 @@ _R10_MUST = [
     "x8_knn_triangles",
     "n2_exactsubstr_cut",
     "pipeline_training_manifest",
+    "a19_heavy_hitters_mg",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -1,0 +1,136 @@
+"""A9 — Misra-Gries heavy hitters: the frequent-items member of the
+mergeable-sketch family (HLL, Bloom, quantile, count-min, theta).
+
+The production pattern is TWO-PHASE: a bounded-memory candidate pass
+(per-partition Misra-Gries summaries, k counters each — memory is
+k x partitions regardless of vocabulary size), then an exact recount
+of the tiny candidate set.  The guarantee that makes the recount
+exact — and the DuckDB oracle an equivalence proof, not a spot check:
+if an item's global count exceeds N/k, then by pigeonhole its count
+in SOME partition exceeds n_p/k, and MG(k) never evicts an item above
+that bar [Misra & Gries 1982], so the candidate union contains every
+true heavy hitter for ANY partitioning.  A dropped hitter is a hash
+mismatch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import text_analysis as ta
+from ..registry import register
+from ..tables import load_table
+
+K_HH = 32      # counters per summary == 1/phi (threshold N/32)
+N_PARTS = 8    # deterministic partition count for the candidate pass
+
+
+def mg_summary(seq: list[str], k: int = K_HH) -> dict[str, int]:
+    """Classic Misra-Gries: k counters; a full table decrements every
+    counter (evicting zeros) instead of admitting a new item.  Retains
+    any item whose count exceeds len(seq)/k; stored counts
+    underestimate by at most len(seq)/k."""
+    counters: dict[str, int] = {}
+    for w in seq:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < k:
+            counters[w] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def heavy_hitters(
+    toks: DataFrame, spark: SparkSession, k: int = K_HH
+) -> DataFrame:
+    """(token, cnt, rank) for every token with cnt * k > N, via the
+    two-phase MG candidate pass + exact recount.  ``toks`` must carry
+    (pid, ord1, ord2, w)."""
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ord1", "ord2"])
+        c = mg_summary(list(pdf["w"]), k)
+        return pd.DataFrame(
+            {"pid": pdf["pid"].iloc[:1].repeat(len(c)).tolist(),
+             "w": list(c), "mg": list(c.values())}
+        ) if c else pd.DataFrame({"pid": [], "w": [], "mg": []})
+
+    cand = (
+        toks.groupBy("pid")
+        .applyInPandas(summarize, "pid int, w string, mg long")
+        .select("w")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        toks.join(F.broadcast(cand), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "token"))
+            .cast("long"),
+        )
+    )
+
+
+@register(
+    "a19_heavy_hitters_mg",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM toks
+    ), c AS (
+      SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+    )
+    SELECT w AS token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+             AS rank
+    FROM c, tot WHERE cnt * {K_HH} > n
+    """,
+    survey="A9 A14",
+)
+def a19_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) via per-partition MISRA-GRIES
+    summaries + exact recount: phase 1 runs MG(32) inside each of 8
+    deterministic partitions (memory bounded at 32 counters per
+    partition whatever the vocabulary), phase 2 recounts only the
+    candidate union and keeps tokens with cnt*32 > N.  The pigeonhole
+    retention guarantee makes the final set EXACTLY the true heavy
+    hitters for any partitioning — which is why a plain GROUP BY
+    HAVING oracle is a full equivalence proof of the sketch path.
+    Fixture honesty: this corpus has a 31-word vocabulary, so the
+    fixture run never evicts (31 <= 32 counters); the eviction path
+    and the retention bar are pinned on a planted adversarial corpus
+    in tests/test_r10_ops.py.  At 100 TB (vocab >> k) phase 1 is one
+    map-side pass with k-counter state and phase 2 a semi-join
+    recount of <= k x partitions candidates — the point of the
+    sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % N_PARTS).cast("int").alias("pid"),
+        F.col("doc_id").alias("ord1"),
+        F.posexplode(ta.tokens(F.col("text"))).alias("ord2", "w"),
+    )
+    return heavy_hitters(toks, spark, K_HH)

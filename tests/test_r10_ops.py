@@ -399,3 +399,46 @@ def test_training_manifest_shards_respect_budget(spark, sf_dir):
             off += r["nt"]
     again = pipeline_training_manifest(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_misra_gries_eviction_and_retention_guarantee(spark):
+    """The MG path on a planted adversarial corpus (vocab >> k):
+    (1) the pure-Python summary actually evicts (bounded memory binds),
+    (2) the stored count underestimates by at most n/k,
+    (3) the end-to-end two-phase query returns EXACTLY the true heavy
+    hitters — including one whose count sits just above the bar —
+    while thousands of light items are pruned before the recount."""
+    from flink_1_19_source_spark.queries.heavy_hitters import (
+        K_HH, heavy_hitters, mg_summary,
+    )
+    from pyspark.sql import functions as F
+
+    # planted stream: 2000 distinct light items + two heavy ones
+    seq = [f"u{i}" for i in range(2000)]
+    seq += ["heavy"] * 300 + ["edge"] * 80
+    # deterministic interleave so heavy items fight the light flood
+    import random
+
+    rnd = random.Random(7)
+    rnd.shuffle(seq)
+    summ = mg_summary(seq, K_HH)
+    assert len(summ) <= K_HH
+    n = len(seq)
+    # retention: both true hitters (count > n/32 = 74.4) survive
+    assert "heavy" in summ and "edge" in summ
+    # underestimate bound
+    assert summ["heavy"] >= 300 - n // K_HH
+    # end-to-end: exact heavy hitters, nothing else
+    rows = [
+        (i % 8, i, j, w)
+        for i, w in enumerate(seq)
+        for j in [0]
+    ]
+    toks = spark.createDataFrame(
+        rows, "pid int, ord1 long, ord2 long, w string"
+    )
+    got = {
+        (r["token"], r["cnt"])
+        for r in heavy_hitters(toks, spark, K_HH).collect()
+    }
+    assert got == {("heavy", 300), ("edge", 80)}, got
