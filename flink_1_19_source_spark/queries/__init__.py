@@ -98,6 +98,7 @@ _R10_MUST = [
     "n2_exactsubstr_cut",
     "pipeline_training_manifest",
     "a19_heavy_hitters_mg",
+    "s_heavy_hitters_stream",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -134,3 +134,149 @@ def a19_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(ta.tokens(F.col("text"))).alias("ord2", "w"),
     )
     return heavy_hitters(toks, spark, K_HH)
+
+
+@register(
+    "s_heavy_hitters_stream",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM toks
+    ), c AS (
+      SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+    )
+    SELECT w AS token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+             AS rank
+    FROM c, tot WHERE cnt * {K_HH} > n
+    """,
+    survey="A9 X2 X4",
+    tags=("streaming",),
+)
+def s_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _heavy_hitters_stream_run(spark, sf_dir)
+
+
+def _heavy_hitters_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """STREAMING heavy hitters — the frequent-items index maintained at
+    ingest: each micro-batch contributes (a) its Misra-Gries candidate
+    set (bounded at k counters however large the batch) and (b) its
+    additive per-token count segment; at the drain, candidates whose
+    summed count clears cnt*k > N are the answer.  The final set is
+    provably SLICING-INVARIANT: a global heavy hitter exceeds the bar
+    in some batch by pigeonhole (so it is in some batch's MG set for
+    ANY chunking), and the count fold is a plain sum — the oracle is
+    therefore the same GROUP BY HAVING equivalence as the batch query.
+    Segments are bid-gated (crash-replay idempotent, sweep-pinned) and
+    SegmentStore folds keep both stores bounded: candidates by
+    distinct, counts by per-token sum — vocabulary-sized state, the
+    same contract as the DSIR stats stream.  At 100 TB the per-batch
+    MG pass is map-side with k-counter state; the count segments are
+    the token-keyed shuffle every LM count pass already pays."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_heavy_hitters")
+    run = uuid.uuid4().hex[:8]
+    cand_dir = os.path.join(wd, f"cand-{run}")
+    cnt_dir = os.path.join(wd, f"cnt-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    cand_store = SegmentStore(
+        spark, cand_dir, compact_every=2, merge=lambda df: df.distinct()
+    )
+    cnt_store = SegmentStore(
+        spark, cnt_dir, compact_every=2,
+        merge=lambda df: df.groupBy("w").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+    )
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        toks = batch.select(
+            (F.col("doc_id") % N_PARTS).cast("int").alias("pid"),
+            F.col("doc_id").alias("ord1"),
+            F.posexplode(ta.tokens(F.col("text"))).alias("ord2", "w"),
+        ).localCheckpoint(eager=True)
+
+        def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ord1", "ord2"])
+            c = mg_summary(list(pdf["w"]), K_HH)
+            return pd.DataFrame({"w": list(c)})
+
+        cand_store.append(
+            toks.groupBy("pid")
+            .applyInPandas(summarize, "w string")
+            .distinct(),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            # torn: candidates carry the batch, counts do not
+            raise RuntimeError("injected crash between store appends")
+        cnt_store.append(
+            toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")), bid
+        )
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(
+                        sdf, fold, checkpoint_dir=ckpt
+                    )
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    cand = cand_store.read().distinct()
+    counts = (
+        cnt_store.read()
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    out = (
+        counts.join(F.broadcast(cand), "w", "left_semi")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * K_HH > F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "token"))
+            .cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(cand_dir, ignore_errors=True)
+    shutil.rmtree(cnt_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -120,6 +120,11 @@ INVARIANT_QUERIES = [
     "s_perceptron_train_stream",
     # logistic twin: same absolutive refresh loop, hard-sigmoid rule
     "s_logistic_train_stream",
+    # streaming heavy hitters: the candidate union contains every true
+    # hitter for ANY chunking (pigeonhole over batch x partition cells)
+    # and the count fold is a plain sum, so the filtered final set is
+    # exactly the true heavy hitters at any slicing
+    "s_heavy_hitters_stream",
     # incremental HNSW: the union of per-batch top-M candidate segments
     # re-ranked at read time equals the one-shot top-M graph for ANY
     # slicing (a global top-M neighbor survives any subset's top-M), and

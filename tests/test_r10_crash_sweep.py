@@ -68,6 +68,8 @@ _SWEEP_R10C = [
      "_hnsw_ingest_run", {}, [0, 1, 2, 3]),
     ("flink_1_19_source_spark.queries.llm_doremi",
      "_doremi_stream_run", {}, [0, 1, 2, 3]),
+    ("flink_1_19_source_spark.queries.heavy_hitters",
+     "_heavy_hitters_stream_run", {}, [0, 1, 2, 3]),
 ]
 
 
