@@ -99,6 +99,9 @@ QUERIES = [
     "s_hnsw_ingest_stream",     # drained incremental graph build
     "x8_knn_triangles",         # canonical-order cyclic join
     "n2_exactsubstr_cut",       # SA passes + one group-keyed window
+    "pipeline_training_manifest",  # schedule + per-source shard windows
+    "a19_heavy_hitters_mg",     # MG candidate pass + semi-join recount
+    "s_heavy_hitters_stream",   # drained candidate/count segments
 ]
 
 
