@@ -759,3 +759,92 @@ def matryoshka_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def d4_selection(
+    spark,
+    vectors: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup_threshold: float = 0.3,
+    prune_num: int = 1,
+    prune_den: int = 4,
+) -> DataFrame:
+    """D4 data selection [Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification":
+    SemDeDup first removes semantic near-duplicates inside embedding
+    clusters, then the surviving points CLOSEST to their cluster
+    centroid — the most prototypical, least diverse — are pruned too].
+
+    Three stages, every per-document verdict visible in the output:
+
+    1. assign — nearest coarse centroid (the shared `_centroid_assign_udf`
+       convention; same codebook layout as IVF/SemDeDup).
+    2. ``dedup_dropped`` — the greedy SemDeDup rule: a lower-id
+       cluster-mate at >= ``dedup_threshold`` cosine covers the row.
+    3. ``proto_pruned`` — survivors rank per cluster by cosine TO THE
+       CENTROID descending (ties by id); the top
+       ``prune_num/prune_den`` fraction (floor, so small clusters keep
+       everything) is pruned; the rest is ``selected``.
+
+    Scale shape: stage 2's pair join is keyed on the cluster id
+    (Σ|cluster|², never corpus²) and stage 3 is ONE rank window per
+    cluster over codebook-sized broadcast arithmetic — at 100 TB the
+    cluster id is the partition key, exactly the IVF layout."""
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, ce array<double>",
+    )
+    assign = _centroid_assign_udf(centroids, 1)
+    v = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            as_double(F.col(vec_col)).alias("e"),
+        )
+        .withColumn("cluster", F.explode(assign(F.col("e"))))
+        .join(F.broadcast(cent_df), "cluster")
+        .withColumn(
+            "cos_centroid", F.round(cosine(F.col("e"), F.col("ce")), 9)
+        )
+        .select("vid", "cluster", "e", "cos_centroid")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 9)
+            >= F.lit(dedup_threshold)
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    surv = v.join(dropped, "vid", "left_anti")
+    wrk = Window.partitionBy("cluster").orderBy(
+        F.col("cos_centroid").desc(), "vid"
+    )
+    wnc = Window.partitionBy("cluster")
+    ranked = surv.withColumn("prk", F.row_number().over(wrk)).withColumn(
+        "nc", F.count(F.lit(1)).over(wnc)
+    )
+    kept = ranked.select(
+        "vid", "cluster", "cos_centroid",
+        F.when(
+            F.col("prk") <= F.expr(f"({prune_num} * nc) div {prune_den}"),
+            F.lit("proto_pruned"),
+        )
+        .otherwise(F.lit("selected"))
+        .alias("stage"),
+    )
+    dd = (
+        v.join(dropped, "vid")
+        .select("vid", "cluster", "cos_centroid",
+                F.lit("dedup_dropped").alias("stage"))
+    )
+    return kept.unionByName(dd).select(
+        F.col("vid").alias(id_col), "cluster", "cos_centroid", "stage"
+    )

