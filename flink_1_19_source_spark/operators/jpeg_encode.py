@@ -688,3 +688,107 @@ def encode_jpeg_color_progressive_420(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Pixel-domain encode: the real transform-coding write path (round 10)
+# --------------------------------------------------------------------------
+
+#: ITU-T T.81 Annex K Table K.1 — the example luminance quantization
+#: table every baseline encoder ships, in RASTER order.  Its DC step is
+#: 16, which the pipeline fixtures exploit: 16/8 = 2, so a constant
+#: block whose level-shifted value is even survives quantize→IDCT
+#: bit-exactly (the closed-form device the DuckDB oracle replays).
+ANNEX_K_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def fdct_quantize_block(block_px, qtable_raster) -> list[int]:
+    """One 8x8 block of 8-bit samples → zigzag-ordered QUANTIZED
+    coefficients: level shift (−128), orthonormal forward DCT (the
+    exact transpose of the decoder's IDCT basis, so the pair is an
+    exact inverse in float64), then per-coefficient division by the
+    raster-order quant table with round-half-away-from-zero — the
+    deterministic rule a SQL oracle can replay in integers whenever the
+    true quotient is representable."""
+    import numpy as np
+
+    from .jpeg_codec import _M
+
+    B = np.asarray(block_px, dtype=np.float64).reshape(8, 8) - 128.0
+    S = _M @ B @ _M.T  # forward DCT; decoder reconstructs M.T @ S @ M
+    q = np.asarray(qtable_raster, dtype=np.float64).reshape(8, 8)
+    x = S / q
+    quant = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    flat = quant.reshape(64)
+    return [int(flat[ZIGZAG[i]]) for i in range(64)]
+
+
+def encode_jpeg_gray_pixels(
+    pixels,
+    width: int,
+    height: int,
+    qtable_raster=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit grayscale PIXELS as a baseline JPEG — the complete
+    transform-coding write path (level shift → FDCT → quantization →
+    zigzag → Huffman), unlike :func:`encode_jpeg_gray` which takes
+    pre-quantized coefficients (the fixture-writer convention of the
+    decode certifications).  The DQT written is the REAL table used
+    (default Annex K luminance), so any conforming decoder reconstructs
+    the same image.  Dimensions must be block-aligned (the N5 pipeline
+    fixtures are; edge padding is a framing, not transform, concern).
+    ``restart_interval`` > 0 writes DRI and RSTm markers with per-
+    interval DC prediction reset (T.81 E.2.4)."""
+    if qtable_raster is None:
+        qtable_raster = ANNEX_K_LUMA_Q
+    assert width % 8 == 0 and height % 8 == 0, (width, height)
+    blocks_w, blocks_h = width // 8, height // 8
+    import numpy as np
+
+    img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
+    coeff_blocks = []
+    for by in range(blocks_h):
+        for bx in range(blocks_w):
+            blk = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coeff_blocks.append(fdct_quantize_block(blk, qtable_raster))
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for i, blk in enumerate(coeff_blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart((i // restart_interval - 1) & 7)
+            prev_dc = 0
+        prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes)
+
+    # DQT payload is zigzag-ordered per T.81 B.2.4.1
+    qzz = bytes(int(qtable_raster[ZIGZAG[i]]) for i in range(64))
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _segment(0xFFDB, bytes([0]) + qzz)
+    if restart_interval:
+        out += _segment(0xFFDD, struct.pack(">H", restart_interval))
+    out += _segment(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += _segment(
+        0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    )
+    out += _segment(
+        0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    out += _segment(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -102,6 +102,7 @@ _R10_MUST = [
     "s_heavy_hitters_stream",
     "n4_ccnet_buckets",
     "n6_d4_selection",
+    "n5_jpeg_archive_pipeline_real",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

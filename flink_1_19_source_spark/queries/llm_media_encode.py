@@ -361,3 +361,118 @@ def n5_gif_thumbnail_pipeline_real(
         "doc_id long, width int, height int, n_px long, "
         "sum_r long, sum_g long, sum_b long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — JPEG ENCODE: the transform-coded image WRITE path, hash-certified
+# --------------------------------------------------------------------------
+@register(
+    "n5_jpeg_archive_pipeline_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8*(3 + doc_id % 3) AS w, 8*(2 + doc_id % 2) AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), v AS (
+      SELECT doc_id, w, h, i,
+             128 + 2*((doc_id*7 + ((i % w) // 8)*3
+                       + ((i // w) // 8)*5) % 90 - 45) AS s
+      FROM px
+    ), g AS (
+      SELECT doc_id, w, h, i, 2*(s - 128) + 128 AS gv FROM v
+    ), o AS (
+      SELECT doc_id, w, h, i, gv,
+             LEAST(186, GREATEST(68, gv)) AS ov
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN gv > 186 OR gv < 68
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(ov) AS BIGINT) AS sum_px,
+           CAST(MIN(ov) AS BIGINT) AS min_px,
+           CAST(MAX(ov) AS BIGINT) AS max_px,
+           CAST(SUM((i + 1) * ov) AS BIGINT) AS wsum
+    FROM o GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_jpeg_archive_pipeline_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image archival pipeline with a certified **JPEG ENCODE** stage —
+    the first TRANSFORM-CODED write path (PNG wrote raw scanlines, GIF
+    wrote palette indices; here the engine's own encoder runs level
+    shift → forward DCT → Annex-K quantization → zigzag → Huffman):
+    closed-form grayscale frames (8x8-blockwise constant, the analysis
+    device) → saturating 2x contrast stretch (int clamp to [68, 186];
+    the clip COUNT is a certified output, so the rail events are
+    oracle-checked like the FLAC limiter's) → **JPEG ENCODE**
+    (operators/jpeg_encode.encode_jpeg_gray_pixels with the REAL
+    Table K.1 DQT written to the stream; every 3rd doc adds DRI/RSTm
+    restart markers with per-interval DC reset) → JPEG DECODE of the
+    encoder's own bytes by the certified T.81 decoder → per-image
+    checksums computed ONLY from round-tripped pixels.
+
+    The oracle never sees a JPEG byte: Table K.1's DC step is 16, so a
+    constant block at an EVEN level-shift offset quantizes to
+    DC = (v-128)/2 exactly and reconstructs bit-exactly (16·DC/8 =
+    2·DC, an exact float op) — the quantize→IDCT round trip is the
+    identity on the fixture and any FDCT scaling, zigzag, DQT-order,
+    DC-prediction, restart or Huffman WRITE bug breaks the hash.  The
+    non-constant (genuinely lossy) path is pinned in tests against an
+    independent numpy transform replay.  Map-only at any corpus
+    size."""
+    import pandas as pd
+
+    from ..operators.jpeg_codec import decode_jpeg_gray
+    from ..operators.jpeg_encode import encode_jpeg_gray_pixels
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    cols = ["doc_id", "width", "height", "n_px", "n_clipped",
+            "sum_px", "min_px", "max_px", "wsum"]
+
+    def pipeline(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (3 + did % 3), 8 * (2 + did % 2)
+                src = []
+                for i in range(w * h):
+                    bx, by = (i % w) // 8, (i // w) // 8
+                    src.append(
+                        128 + 2 * ((did*7 + bx*3 + by*5) % 90 - 45)
+                    )
+                gained = [2 * (s - 128) + 128 for s in src]
+                clipped = sum(
+                    1 for gv in gained if gv > 186 or gv < 68
+                )
+                frame = [min(186, max(68, gv)) for gv in gained]
+                # the certified write path: every checksum below comes
+                # from bytes the in-engine transform coder produced
+                W, H, rt = decode_jpeg_gray(
+                    encode_jpeg_gray_pixels(
+                        frame, w, h,
+                        restart_interval=2 if did % 3 == 0 else 0,
+                    )
+                )
+                px = list(rt)
+                rows.append((
+                    did, W, H, W * H, clipped, sum(px), min(px),
+                    max(px), sum((i + 1) * p for i, p in enumerate(px)),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        pipeline,
+        "doc_id long, width int, height int, n_px long, n_clipped long, "
+        "sum_px long, min_px long, max_px long, wsum long",
+    )
