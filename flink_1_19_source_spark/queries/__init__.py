@@ -103,6 +103,7 @@ _R10_MUST = [
     "n4_ccnet_buckets",
     "n6_d4_selection",
     "n5_jpeg_archive_pipeline_real",
+    "pipeline_data_card",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

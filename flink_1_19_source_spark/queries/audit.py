@@ -206,3 +206,149 @@ def pipeline_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("repeats", F.lit(0)).cast("long").alias("repeats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N7 — the corpus DATA CARD: per-source statistics sheet
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_data_card",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(len(list_filter(string_split_regex(LOWER(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS nt,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), firsts AS (
+      SELECT fp, MIN(doc_id) AS first_id FROM base GROUP BY fp
+    ), big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS i
+            FROM base WHERE len(tk) >= 2)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT COUNT(*) AS nv FROM (
+        SELECT DISTINCT w1 AS w FROM big
+        UNION SELECT DISTINCT w2 FROM big)
+    ), scored AS (
+      SELECT b.doc_id,
+             LENGTH(bin((c1.n1 + v.nv) // (c2.n2 + 1))) - 1 AS bits
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    ), agg AS (
+      SELECT doc_id, SUM(bits) AS sum_bits, COUNT(*) AS n_bigrams
+      FROM scored GROUP BY doc_id
+    ), thr AS (
+      SELECT (1000 * SUM(sum_bits)) // SUM(n_bigrams) AS t FROM agg
+    ), flags AS (
+      SELECT b.doc_id, b.source, b.lang, b.nt,
+             b.doc_id <> f.first_id AS is_dup,
+             a.doc_id IS NULL AS is_short,
+             CASE WHEN a.doc_id IS NULL THEN NULL
+                  ELSE (1000 * a.sum_bits) // a.n_bigrams <= thr.t
+             END AS keep
+      FROM base b
+      JOIN firsts f ON f.fp = b.fp
+      LEFT JOIN agg a ON a.doc_id = b.doc_id
+      CROSS JOIN thr
+    ), med AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY nt, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS nc
+      FROM flags
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN rn = (nc + 1) // 2 THEN nt END) AS BIGINT)
+             AS median_nt,
+           CAST(SUM(CASE WHEN is_short THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(SUM(CASE WHEN keep = false THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_fail,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
+           CAST(SUM(CASE WHEN NOT is_dup AND keep = true
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM med GROUP BY source
+    """,
+    survey="N1 N4 N7",
+)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD — the per-source statistics sheet published
+    next to a training corpus (the "data card" convention of corpus
+    releases: per source, how much is there, in which languages, and
+    how much survives cleaning).  EIGHTH composite; every column is a
+    certified shared core so the card cannot disagree with the
+    pipeline it summarizes:
+
+    - ``n_docs`` / ``n_langs`` / ``total_tokens`` / ``median_nt`` —
+      volume and the (lower-)median document length in tokens, exact
+      by rank rather than an approximate percentile sketch.
+    - ``n_short`` — docs with <2 tokens (no bigram evidence; the same
+      exclusion the surprisal gate applies).
+    - ``n_quality_fail`` — scored docs failing the exact-integer
+      surprisal gate (`_surprisal_scores_from`).
+    - ``n_exact_dup`` — docs that are NOT the corpus-first of their
+      normalized-text fingerprint group (n1_fingerprint_dedup's
+      digest; winner attribution crosses sources, as in the audit
+      trail).  Independent tallies: a duplicate can also fail quality.
+    - ``n_clean`` — corpus-first AND gate-passing: the rows a training
+      mix would actually draw.
+
+    One read of the corpus; the card is two shuffles (fingerprint key,
+    then source) plus the gate's bigram join — at 100 TB each column
+    is the already-certified operator's plan, and the final GROUP BY
+    source is 20 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", "lang",
+        ta.tokens(F.col("text")).alias("tk"),
+        ta.fingerprint(F.col("text")).alias("fp"),
+    ).withColumn("nt", F.size("tk").cast("long"))
+    firsts = base.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    scores = _surprisal_scores_from(base.select("doc_id", "tk")).select(
+        "doc_id", "keep"
+    )
+    flags = (
+        base.join(firsts, "fp")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang", "nt",
+            (F.col("doc_id") != F.col("first_id")).alias("is_dup"),
+            F.col("keep").isNull().alias("is_short"),
+            "keep",
+        )
+    )
+    wm = Window.partitionBy("source").orderBy("nt", "doc_id")
+    wc = Window.partitionBy("source")
+    med = flags.withColumn("rn", F.row_number().over(wm)).withColumn(
+        "nc", F.count(F.lit(1)).over(wc)
+    )
+    return med.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(nc + 1) div 2"), F.col("nt"))
+        ).cast("long").alias("median_nt"),
+        F.sum(F.when(F.col("is_short"), 1).otherwise(0)).cast("long")
+        .alias("n_short"),
+        F.sum(F.when(F.col("keep") == False, 1).otherwise(0))  # noqa: E712
+        .cast("long").alias("n_quality_fail"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long")
+        .alias("n_exact_dup"),
+        F.sum(
+            F.when((~F.col("is_dup")) & (F.col("keep") == True), 1)  # noqa: E712
+            .otherwise(0)
+        ).cast("long").alias("n_clean"),
+    )

@@ -132,3 +132,35 @@ def test_jpeg_pixel_encode_matches_independent_transform_replay():
     assert data_rst != data
     W2, H2, out2 = decode_jpeg_gray(data_rst)
     assert out2 == out
+
+
+def test_data_card_totals_agree_with_certified_operators(spark, sf_dir):
+    """The card's columns must reconcile with the operators they
+    summarize: dup totals with n1_fingerprint_dedup, gate totals with
+    n4_lm_surprisal_filter, and the doc count with the corpus."""
+    from flink_1_19_source_spark.queries.audit import pipeline_data_card
+    from flink_1_19_source_spark.queries.llm import n1_fingerprint_dedup
+    from flink_1_19_source_spark.queries.llm_surprisal import (
+        n4_lm_surprisal_filter,
+    )
+
+    card = pipeline_data_card(spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in card) == n_corpus
+
+    fp = n1_fingerprint_dedup(spark, sf_dir).collect()
+    assert sum(r["n_exact_dup"] for r in card) == sum(
+        r["n_copies"] - 1 for r in fp
+    )
+
+    gate = n4_lm_surprisal_filter(spark, sf_dir).collect()
+    assert sum(r["n_quality_fail"] for r in card) == sum(
+        1 for r in gate if not r["keep"]
+    )
+    assert sum(r["n_short"] for r in card) == n_corpus - len(gate)
+
+    for r in card:
+        assert r["n_clean"] <= r["n_docs"] - max(
+            r["n_exact_dup"], r["n_quality_fail"]
+        )
+        assert r["median_nt"] is not None and r["median_nt"] >= 0
