@@ -104,6 +104,7 @@ _R10_MUST = [
     "n6_d4_selection",
     "n5_jpeg_archive_pipeline_real",
     "pipeline_data_card",
+    "s_data_card_stream",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

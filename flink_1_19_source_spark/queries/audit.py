@@ -352,3 +352,181 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("long").alias("n_clean"),
     )
+
+
+# --------------------------------------------------------------------------
+# N7-S — streaming data card maintenance at ingest
+# --------------------------------------------------------------------------
+@register(
+    "s_data_card_stream",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(len(list_filter(string_split_regex(LOWER(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS nt,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), firsts AS (
+      SELECT fp, MIN(doc_id) AS first_id FROM base GROUP BY fp
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(b.nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN b.doc_id <> f.first_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+    FROM base b JOIN firsts f ON f.fp = b.fp
+    GROUP BY b.source
+    """,
+    survey="N1-S N7 X2 X4",
+    tags=("streaming",),
+)
+def s_data_card_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-card maintenance — the card's additive columns
+    kept fresh at ingest without ever re-reading history.  Two segment
+    families per micro-batch, both OVERWRITE-idempotent (the X4
+    pattern of the CMS/LSH/IVF ingest tier):
+
+    - stats segments: per-(source, lang) doc/token counts — sums are
+      additive, so the drained fold equals the one-shot aggregation
+      for ANY slicing;
+    - fingerprint segments: per-(fp, source) (min doc_id, copies) —
+      min and count are additive too, and at drain time the
+      corpus-first OWNER of each fingerprint is the source holding the
+      global min, so per-source duplicate attribution is exact and
+      slicing-invariant (the same winner convention as the batch card
+      and the audit trail).
+
+    The gate columns (n_short / n_quality_fail) are deliberately
+    absent: the surprisal gate is corpus-global (its threshold and LM
+    counts are not additive), so a streaming card reports the additive
+    sheet and quality stays a batch pass over whatever snapshot needs
+    it — the card's oracle is the closed-form subset the batch
+    composite also certifies.  SegmentStore folds every 2 batches keep
+    live state O(sources x langs + distinct fingerprints)."""
+    return _data_card_stream_run(spark, sf_dir)
+
+
+def _data_card_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """Runner for s_data_card_stream with crash injection for the
+    sweep: the injected crash lands BETWEEN the two store appends
+    (stats carry the batch, fingerprints do not — the torn-state
+    window), and bid-gated segments make the recovery replay
+    idempotent."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_datacard")
+    run = uuid.uuid4().hex[:8]
+    stats_store = SegmentStore(
+        spark, os.path.join(wd, f"stats-{run}"), compact_every=2,
+        merge=lambda df: df.groupBy("source", "lang").agg(
+            F.sum("docs").alias("docs"), F.sum("tokens").alias("tokens")
+        ),
+    )
+    fp_store = SegmentStore(
+        spark, os.path.join(wd, f"fp-{run}"), compact_every=2,
+        merge=lambda df: df.groupBy("fp", "source").agg(
+            F.min("min_id").alias("min_id"), F.sum("copies").alias("copies")
+        ),
+    )
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        base = batch.select(
+            "doc_id", "source", "lang",
+            F.size(ta.tokens(F.col("text"))).cast("long").alias("nt"),
+            ta.fingerprint(F.col("text")).alias("fp"),
+        )
+        stats_store.append(
+            base.groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("docs"),
+                F.sum("nt").cast("long").alias("tokens"),
+            )
+            .coalesce(1),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash between store appends")
+        fp_store.append(
+            base.groupBy("fp", "source")
+            .agg(
+                F.min("doc_id").alias("min_id"),
+                F.count(F.lit(1)).cast("long").alias("copies"),
+            )
+            .coalesce(1),
+            bid,
+        )
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(
+                        sdf, fold, checkpoint_dir=ckpt
+                    )
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    stats = (
+        stats_store.read()
+        .groupBy("source", "lang")
+        .agg(F.sum("docs").alias("docs"), F.sum("tokens").alias("tokens"))
+    )
+    fps = (
+        fp_store.read()
+        .groupBy("fp", "source")
+        .agg(F.min("min_id").alias("min_id"), F.sum("copies").alias("copies"))
+    )
+    wfp = Window.partitionBy("fp")
+    owned = fps.withColumn("gmin", F.min("min_id").over(wfp)).select(
+        "source",
+        "copies",
+        # the source owning the corpus-first doc spends one of its
+        # copies on the winner; every other copy is a duplicate
+        F.when(F.col("min_id") == F.col("gmin"), F.col("copies") - 1)
+        .otherwise(F.col("copies"))
+        .alias("dups"),
+    )
+    dup = owned.groupBy("source").agg(
+        F.sum("dups").cast("long").alias("n_exact_dup")
+    )
+    card = stats.groupBy("source").agg(
+        F.sum("docs").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+    )
+    out = (
+        card.join(dup, "source")
+        .select(
+            "source", "n_docs", "n_langs", "total_tokens", "n_exact_dup"
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(os.path.join(wd, f"stats-{run}"), ignore_errors=True)
+    shutil.rmtree(os.path.join(wd, f"fp-{run}"), ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

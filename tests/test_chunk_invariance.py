@@ -134,6 +134,10 @@ INVARIANT_QUERIES = [
     # final value is the global max, so each window emits exactly once
     # at any slicing and the converged sink is slicing-independent
     "s_punctuated_watermark_stream",
+    # streaming data card: per-(source,lang) sums and per-(fp,source)
+    # (min, count) are additive over any partition of the corpus, and
+    # the corpus-first owner is the global min — all slicing-invariant
+    "s_data_card_stream",
 ]
 
 

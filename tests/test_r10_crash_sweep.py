@@ -70,6 +70,10 @@ _SWEEP_R10C = [
      "_doremi_stream_run", {}, [0, 1, 2, 3]),
     ("flink_1_19_source_spark.queries.heavy_hitters",
      "_heavy_hitters_stream_run", {}, [0, 1, 2, 3]),
+    # streaming data card: crash between the stats append and the
+    # fingerprint append (stats carry the batch, fingerprints do not)
+    ("flink_1_19_source_spark.queries.audit",
+     "_data_card_stream_run", {}, [0, 1, 2, 3]),
 ]
 
 
