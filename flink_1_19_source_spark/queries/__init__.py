@@ -69,6 +69,7 @@ from . import audit  # noqa: F401  (N7 per-document audit trail)
 from . import manifest  # noqa: F401  (N7 training-manifest composite)
 from . import heavy_hitters  # noqa: F401  (A9 Misra-Gries frequent items)
 from . import llm_select  # noqa: F401  (N6 D4 embedding-space selection)
+from . import ccnet_pipeline  # noqa: F401  (N7 CCNet composite)
 
 from ..registry import REGISTRY
 
@@ -105,6 +106,7 @@ _R10_MUST = [
     "n5_jpeg_archive_pipeline_real",
     "pipeline_data_card",
     "s_data_card_stream",
+    "pipeline_ccnet_end_to_end",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

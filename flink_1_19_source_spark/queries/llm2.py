@@ -272,6 +272,29 @@ def n6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N1/N4 — corpus-level duplicate-chunk removal (CCNet-style)
 # --------------------------------------------------------------------------
+def _chunks_and_kept(d: DataFrame):
+    """Shared chunk-dedup core (n1_chunk_dedup and the CCNet composite):
+    10-word chunks, corpus-first occurrence kept by (doc_id, chunk_id)
+    rank over the chunk text.  Returns (all chunks, surviving chunks)."""
+    from pyspark.sql.window import Window
+
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),"
+                " i -> array_join(slice(w, i*10+1, 10), ' '))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    )
+    kept = chunks.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return chunks, kept
+
+
 @register(
     "n1_chunk_dedup",
     oracle="""
@@ -310,23 +333,7 @@ def n1_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key the shuffle on md5(chunk) — 16 bytes instead of the text — and
     keep first by (doc_id, chunk_id) min, same plan shape). Output:
     per-doc chunk counts + fingerprint of the deduped text."""
-    d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
-    chunks = w.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),"
-                " i -> array_join(slice(w, i*10+1, 10), ' '))"
-            )
-        ).alias("chunk_id", "chunk_text"),
-    )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
-    )
-    kept = chunks.withColumn("rn", rn).filter(F.col("rn") == 1)
+    chunks, kept = _chunks_and_kept(load_table(spark, sf_dir, "documents"))
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.md5(

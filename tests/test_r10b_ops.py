@@ -164,3 +164,30 @@ def test_data_card_totals_agree_with_certified_operators(spark, sf_dir):
             r["n_exact_dup"], r["n_quality_fail"]
         )
         assert r["median_nt"] is not None and r["median_nt"] >= 0
+
+
+def test_ccnet_composite_reconciles_and_dedups(spark, sf_dir):
+    """The CCNet composite's chunk totals must reconcile with
+    n1_chunk_dedup, dedup must actually fire, buckets must partition
+    the scored set, and the post-dedup stages must run off the
+    checkpointed rebuild (no second corpus scan in the final plan)."""
+    from flink_1_19_source_spark.queries.ccnet_pipeline import (
+        pipeline_ccnet_end_to_end,
+    )
+    from flink_1_19_source_spark.queries.llm2 import n1_chunk_dedup
+
+    out = pipeline_ccnet_end_to_end(spark, sf_dir)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "documents.parquet" not in plan  # downstream reuses the rebuild
+    rows = out.collect()
+
+    cd = n1_chunk_dedup(spark, sf_dir).collect()
+    assert sum(r["n_chunks"] for r in rows) == sum(r["n_chunks"] for r in cd)
+    total_dup = sum(r["n_chunks"] - r["n_kept"] for r in cd)
+    assert sum(r["n_dup_chunks"] for r in rows) == total_dup
+    assert total_dup > 0  # the dedup stage is non-vacuous on this corpus
+
+    for r in rows:
+        assert r["n_head"] + r["n_middle"] + r["n_tail"] == r["n_scored"]
+        assert r["n_scored"] <= r["n_docs"]
+    assert sum(r["n_scored"] for r in rows) > 0
