@@ -107,6 +107,7 @@ _R10_MUST = [
     "pipeline_data_card",
     "s_data_card_stream",
     "pipeline_ccnet_end_to_end",
+    "n4_kn3_surprisal_filter",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

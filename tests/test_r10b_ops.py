@@ -191,3 +191,28 @@ def test_ccnet_composite_reconciles_and_dedups(spark, sf_dir):
         assert r["n_head"] + r["n_middle"] + r["n_tail"] == r["n_scored"]
         assert r["n_scored"] <= r["n_docs"]
     assert sum(r["n_scored"] for r in rows) > 0
+
+
+def test_kn3_gate_discriminates_on_planted_corpus(spark):
+    """Trigram KN: a corpus of fluent repeated phrases plus one
+    gibberish document — the gibberish doc must carry strictly higher
+    mean surprisal than every fluent doc, and all whole-bit surprisals
+    must be non-negative (the properness/telescoping property)."""
+    from flink_1_19_source_spark.queries.llm_surprisal import (
+        _kn3_scores_from,
+    )
+    from flink_1_19_source_spark.operators import text_analysis as ta
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, fluent) for i in range(20)]
+    docs.append((100, "zq xv qj kx vz jq wq qk zx vj"))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _kn3_scores_from(
+        d.select("doc_id", ta.tokens(F.col("text")).alias("tk"))
+    ).collect()
+    assert all(r["sum_bits"] >= 0 for r in out)
+    by_id = {r["doc_id"]: r for r in out}
+    gib = by_id[100]["mean_millibits"]
+    for i in range(20):
+        assert by_id[i]["mean_millibits"] < gib, (i, by_id[i], gib)
+    assert not by_id[100]["keep"]
