@@ -108,6 +108,7 @@ _R10_MUST = [
     "s_data_card_stream",
     "pipeline_ccnet_end_to_end",
     "n4_kn3_surprisal_filter",
+    "s_kn3_stats_stream",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

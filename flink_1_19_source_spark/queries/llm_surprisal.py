@@ -650,9 +650,10 @@ def n4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N4 — TRIGRAM interpolated Kneser-Ney surprisal gate (the KenLM shape)
 # --------------------------------------------------------------------------
-@register(
-    "n4_kn3_surprisal_filter",
-    oracle=r"""
+# Shared by the batch gate and the streaming stats twin: identical
+# drained counts imply identical scores, so both certify against the
+# same closed-form replay.
+_KN3_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(LOWER(text), '\s+'),
@@ -705,7 +706,12 @@ def n4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mean_millibits,
            (1000 * sum_bits) // n_trigrams <= t AS keep
     FROM agg, thr
-    """,
+"""
+
+
+@register(
+    "n4_kn3_surprisal_filter",
+    oracle=_KN3_ORACLE,
     survey="N4",
 )
 def n4_kn3_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,11 +752,10 @@ def n4_kn3_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kn3_scores_from(tk_df: DataFrame) -> DataFrame:
-    """Shared trigram-KN core over a (doc_id, tk) tokens frame — split
-    out so tests can plant corpora through the exact scoring path."""
+def _kn3_tri(tk_df: DataFrame) -> DataFrame:
+    """Trigram event stream (doc_id, w1, w2, w3) from a tokens frame."""
     tk = tk_df.filter(F.size("tk") >= 3)
-    tri = tk.select(
+    return tk.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -760,7 +765,22 @@ def _kn3_scores_from(tk_df: DataFrame) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2", "p.w3")
+
+
+def _kn3_scores_from(tk_df: DataFrame) -> DataFrame:
+    """Shared trigram-KN core over a (doc_id, tk) tokens frame — split
+    out so tests can plant corpora through the exact scoring path."""
+    tri = _kn3_tri(tk_df)
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    return _kn3_score(tri, c3)
+
+
+def _kn3_score(tri: DataFrame, c3: DataFrame) -> DataFrame:
+    """Score trigram events against a (w1,w2,w3,c123) count table —
+    the count table may come from the one-shot aggregation or from a
+    drained stream's additive segments (s_kn3_stats_stream); every
+    derived statistic is an aggregation of c3, so identical counts
+    imply identical scores."""
     ctx = c3.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12p"), F.count(F.lit(1)).alias("t12")
     )
@@ -811,3 +831,83 @@ def _kn3_scores_from(tk_df: DataFrame) -> DataFrame:
             (mean_mb <= F.col("t")).alias("keep"),
         )
     )
+
+
+@register(
+    "s_kn3_stats_stream",
+    oracle=_KN3_ORACLE,
+    survey="N4 X2 X4",
+    tags=("streaming",),
+)
+def s_kn3_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING trigram-LM stats maintenance — the KN gate's count
+    pass made incremental: each arriving micro-batch explodes to
+    trigrams and lands as an OVERWRITE-idempotent (w1,w2,w3,c123)
+    count segment; SegmentStore folds every 2 batches with a key-wise
+    re-SUM, so live state is O(trigram types) regardless of uptime.
+    Counts are ADDITIVE over any partition of the corpus, so the
+    drained c3 equals the one-shot aggregation for ANY slicing — and
+    since every derived KN statistic (context totals, continuation
+    counts, Ncc) is an aggregation of c3, the post-drain scoring pass
+    (`_kn3_score` — the same shared core as the batch gate) hash-
+    matches n4_kn3_surprisal_filter's oracle verbatim.
+
+    The 100 TB shape: the LM count tables a continuous ingest keeps
+    fresh without re-reading history — new data updates O(batch
+    trigram types) state; re-scoring a snapshot is a separate batch
+    job, exactly the DSIR-stats contract."""
+    import os
+    import shutil
+    import uuid
+
+    from ..operators import text_analysis as ta
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_kn3")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("w1", "w2", "w3").agg(
+            F.sum("c123").alias("c123")
+        ),
+    )
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+
+    def fold(batch, bid: int) -> None:
+        tri = _kn3_tri(
+            batch.select("doc_id", ta.tokens(F.col("text")).alias("tk"))
+        )
+        store.append(
+            tri.groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+            .coalesce(1),
+            bid,
+        )
+
+    with _stream_shuffle_partitions(spark):
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    c3 = (
+        store.read()
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("c123").alias("c123"))
+        .localCheckpoint(eager=True)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    out = _kn3_score(
+        _kn3_tri(d.select("doc_id", ta.tokens(F.col("text")).alias("tk"))),
+        c3,
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

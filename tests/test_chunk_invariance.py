@@ -138,6 +138,10 @@ INVARIANT_QUERIES = [
     # (min, count) are additive over any partition of the corpus, and
     # the corpus-first owner is the global min — all slicing-invariant
     "s_data_card_stream",
+    # streaming trigram-LM stats: (w1,w2,w3) counts are additive, and
+    # every derived KN statistic is an aggregation of the drained c3 —
+    # identical counts imply identical scores at any slicing
+    "s_kn3_stats_stream",
 ]
 
 
