@@ -238,6 +238,24 @@ HEADLINERS = {
         "feature scan + codegen'd margin expression; each training "
         "iteration was a map-side-combining 1-row aggregate"
     ),
+    "n4_ccnet_buckets": (
+        "CCNet buckets: the certified one-shuffle surprisal core plus "
+        "ONE per-language NTILE rank window — no second corpus pass"
+    ),
+    "n6_d4_selection": (
+        "D4 selection: cluster-keyed pair join (Σ|cluster|², never "
+        "corpus²) + broadcast centroid table + one rank window per "
+        "cluster"
+    ),
+    "pipeline_data_card": (
+        "data card: one corpus read feeds fingerprint + gate cores; "
+        "two key shuffles (fp, source) and a 20-row report"
+    ),
+    "n4_kn3_surprisal_filter": (
+        "trigram KN: one trigram explode + one trigram-keyed count "
+        "shuffle; all four derived stat tables aggregate c3 (no second "
+        "corpus pass); scoring co-partitions on (w1,w2)/(w2,w3)"
+    ),
 }
 
 

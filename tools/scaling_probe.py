@@ -102,6 +102,15 @@ QUERIES = [
     "pipeline_training_manifest",  # schedule + per-source shard windows
     "a19_heavy_hitters_mg",     # MG candidate pass + semi-join recount
     "s_heavy_hitters_stream",   # drained candidate/count segments
+    # r10 third session: selection/bucketing tier + the new composites
+    "n4_ccnet_buckets",         # surprisal core + per-lang NTILE window
+    "n6_d4_selection",          # cluster-keyed pair join + proto rank
+    "n5_jpeg_archive_pipeline_real",  # FDCT+quant+Huffman ENCODE roundtrip
+    "pipeline_data_card",       # fingerprint + gate cores, per-source agg
+    "s_data_card_stream",       # drained additive card segments
+    "pipeline_ccnet_end_to_end",  # chunk dedup -> lang-id -> KN buckets
+    "n4_kn3_surprisal_filter",  # trigram KN rationals, 1 trigram shuffle
+    "s_kn3_stats_stream",       # drained additive trigram-count segments
 ]
 
 
