@@ -856,6 +856,19 @@ def s_kn3_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh without re-reading history — new data updates O(batch
     trigram types) state; re-scoring a snapshot is a separate batch
     job, exactly the DSIR-stats contract."""
+    return _kn3_stats_stream_run(spark, sf_dir)
+
+
+def _kn3_stats_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """Runner for s_kn3_stats_stream with crash injection for the
+    sweep: the injected crash lands AFTER the count-segment append
+    with the checkpoint uncommitted — the bid-gated segment makes the
+    recovery replay idempotent (overwrite, not double-count)."""
     import os
     import shutil
     import uuid
@@ -883,6 +896,8 @@ def s_kn3_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
     )
 
+    crashed = {"n": 0}
+
     def fold(batch, bid: int) -> None:
         tri = _kn3_tri(
             batch.select("doc_id", ta.tokens(F.col("text")).alias("tk"))
@@ -893,8 +908,21 @@ def s_kn3_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .coalesce(1),
             bid,
         )
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash after segment append")
 
     with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(
+                        sdf, fold, checkpoint_dir=ckpt
+                    )
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
         replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
 
     c3 = (
