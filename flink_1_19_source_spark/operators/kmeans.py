@@ -188,3 +188,50 @@ def assign_blas(vectors: DataFrame, centroids: list[list[float]],
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(part, out_schema)
+
+
+def kmeans_cte_sql_subspace(
+    prefix: str, k: int, rounds: int, dim_lo: int, dsub: int = 16
+) -> str:
+    """CTE chain fragment for k-means over ONE PQ subspace (embedding
+    dims [dim_lo, dim_lo+dsub)) with all CTE names prefixed, so several
+    subspace fits compose inside a single WITH (the trained-PQ oracle
+    unrolls four of these).  Starts with a leading comma — append after
+    an opening ``WITH <something> AS (...)``."""
+    parts = [
+        f"""
+    , {prefix}corpus AS (
+      SELECT vec_id, i AS dim,
+             ROUND(CAST(embedding[i + 1 + {dim_lo}] AS DOUBLE), 6) AS x
+      FROM embeddings, range({dsub}) t(i)
+    ), {prefix}cent0 AS (
+      SELECT vec_id AS cluster, dim, x AS c
+      FROM {prefix}corpus WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , {prefix}dist{r} AS (
+      SELECT {prefix}corpus.vec_id, {prefix}cent{r - 1}.cluster,
+             CAST(SUM(CAST(ROUND(({prefix}corpus.x - {prefix}cent{r - 1}.c)
+                                 * ({prefix}corpus.x - {prefix}cent{r - 1}.c),
+                                 6) AS DECIMAL(27,6))) AS DOUBLE) AS dist
+      FROM {prefix}corpus
+      JOIN {prefix}cent{r - 1} ON {prefix}corpus.dim = {prefix}cent{r - 1}.dim
+      GROUP BY 1, 2
+    ), {prefix}asg{r} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM {prefix}dist{r}
+      ) WHERE rn = 1
+    ), {prefix}cent{r} AS (
+      SELECT a.cluster, {prefix}corpus.dim,
+             ROUND(CAST(SUM(CAST({prefix}corpus.x AS DECIMAL(27,6)))
+                        AS DOUBLE) / COUNT(*), 9) AS c
+      FROM {prefix}asg{r} a
+      JOIN {prefix}corpus ON {prefix}corpus.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )""")
+    return "".join(parts)

@@ -348,6 +348,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
@@ -383,13 +384,19 @@ def pq_topk(
     def subvec(vec: Column) -> Column:
         return F.slice(vec, F.col("m") * ds + 1, ds)
 
-    # codebook: (m, code_id, codeword) — tiny, broadcast everywhere
-    cb = (
-        vectors.filter(F.col(id_col) < codebook_ids)
-        .select(F.col(id_col).alias("cb_k"), as_double(F.col(vec_col)).alias("v"))
-        .select("cb_k", "v", subs)
-        .select("m", "cb_k", subvec(F.col("v")).alias("cw"))
-    )
+    # codebook: (m, code_id, codeword) — tiny, broadcast everywhere.
+    # An externally TRAINED codebook (per-subspace k-means — see
+    # n3_pq_trained_topk) plugs in via ``codebook``; the default is the
+    # deterministic first-``codebook_ids`` fixture convention.
+    if codebook is not None:
+        cb = codebook.select("m", "cb_k", "cw")
+    else:
+        cb = (
+            vectors.filter(F.col(id_col) < codebook_ids)
+            .select(F.col(id_col).alias("cb_k"), as_double(F.col(vec_col)).alias("v"))
+            .select("cb_k", "v", subs)
+            .select("m", "cb_k", subvec(F.col("v")).alias("cw"))
+        )
     # squared distance of every (vector, subspace) to every codeword
     sub = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")

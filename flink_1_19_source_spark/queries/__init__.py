@@ -109,6 +109,7 @@ _R10_MUST = [
     "pipeline_ccnet_end_to_end",
     "n4_kn3_surprisal_filter",
     "s_kn3_stats_stream",
+    "n3_pq_trained_topk",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

@@ -224,3 +224,127 @@ def n2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, "doc_id", "text", n=3, max_hamming=3)
 
 
+
+
+# --------------------------------------------------------------------------
+# N3 — PQ with TRAINED per-subspace codebooks (the FAISS-default fit)
+# --------------------------------------------------------------------------
+def _pq_trained_oracle(n_sub: int = 4, dsub: int = 16, k_codes: int = 8,
+                       rounds: int = 2, k: int = 5) -> str:
+    from ..operators.kmeans import kmeans_cte_sql_subspace
+
+    chains = "".join(
+        kmeans_cte_sql_subspace(f"s{s}", k_codes, rounds, s * dsub, dsub)
+        for s in range(n_sub)
+    )
+    cb_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS m, cluster AS cb_k, list(c ORDER BY dim) AS cw "
+        f"FROM s{s}cent{rounds} GROUP BY cluster"
+        for s in range(n_sub)
+    )
+    return f"""
+    WITH _one AS (SELECT 1){chains}
+    , cb AS (
+      {cb_union}
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), ms AS (SELECT UNNEST(range(0, {n_sub})) AS m),
+    sub AS (
+      SELECT v.vec_id AS vid, ms.m,
+             list_slice(v.e, ms.m*{dsub} + 1, ms.m*{dsub} + {dsub}) AS sv
+      FROM v, ms
+    ), dist AS (
+      SELECT s.vid, s.m, cb.cb_k,
+             list_sum(list_transform(range(1, {dsub + 1}),
+                      j -> (s.sv[j] - cb.cw[j]) * (s.sv[j] - cb.cw[j]))) AS d2
+      FROM sub s JOIN cb ON s.m = cb.m
+    ), codes AS (
+      SELECT vid AS neighbor_id, m, cb_k AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, m
+                                     ORDER BY d2, cb_k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), score AS (
+      SELECT d.vid AS query_id, c.neighbor_id, SUM(d.d2) AS ad
+      FROM codes c JOIN dist d ON d.m = c.m AND d.cb_k = c.code
+      WHERE d.vid < 8
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(ad, 6) AS approx_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ad, neighbor_id) AS rank
+      FROM score
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "n3_pq_trained_topk",
+    oracle=_pq_trained_oracle(),
+    survey="N3 X8",
+    tags=("approx",),
+)
+def n3_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with TRAINED per-subspace codebooks — the
+    fit FAISS's IndexPQ actually runs [Jégou et al. 2011 §III: an
+    independent k-means per subquantizer], closing the one fixture
+    convention left in the PQ family (n3_pq_topk's codebook is the
+    first-8-subvectors fixture; n3_ivf_trained_topk trained the COARSE
+    level — this trains the PRODUCT level): four independent k-means
+    fits (k=8, 2 Lloyd rounds, operators/kmeans.py quantized-exact
+    arithmetic) over each 16-dim slice of the corpus, their centroids
+    becoming the codewords; encode/LUT/ADC then run the SAME certified
+    scoring kernel via pq_topk's codebook hook.  The oracle re-trains
+    all four codebooks via generated Lloyd unrollings (one CTE chain
+    per subspace) and replays the whole quantizer — fit AND scoring are
+    value-certified end to end.
+
+    At 100 TB the four fits run offline on a sample (separable, like
+    any codebook), codes store at 4 bytes/vector, and scoring shuffles
+    code rows only — identical plan shape to the fixture edition."""
+    from functools import reduce
+
+    from ..operators import kmeans as km
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_parts = []
+    for s in range(4):
+        sub_corpus = e.select(
+            "vec_id",
+            F.posexplode(
+                F.slice(F.col("embedding"), s * 16 + 1, 16)
+            ).alias("dim", "xf"),
+        ).select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("xf").cast("double"), 6).alias("x"),
+        )
+        fit = km.kmeans_long(sub_corpus, k=8, rounds=2)
+        cb_parts.append(
+            fit.select(
+                F.lit(s).alias("m"),
+                F.col("cluster").alias("cb_k"),
+                "dim",
+                "centroid",
+            )
+        )
+    cb = (
+        reduce(lambda a, b: a.unionByName(b), cb_parts)
+        .groupBy("m", "cb_k")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, centroid))),"
+                " x -> x.centroid)"
+            ).alias("cw")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.pq_topk(
+        e, q, dim=64, n_subspaces=4, k=5, codebook=cb
+    )
