@@ -110,6 +110,7 @@ _R10_MUST = [
     "n4_kn3_surprisal_filter",
     "s_kn3_stats_stream",
     "n3_pq_trained_topk",
+    "n5_qoi_archive_pipeline_real",
 ]
 
 # Padding: the oldest driver-certified wave (round 1), re-validated in

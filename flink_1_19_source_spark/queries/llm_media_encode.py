@@ -476,3 +476,99 @@ def n5_jpeg_archive_pipeline_real(
         "doc_id long, width int, height int, n_px long, n_clipped long, "
         "sum_px long, min_px long, max_px long, wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# N5 — QOI ENCODE/DECODE: a complete modern lossless codec pair
+# --------------------------------------------------------------------------
+@register(
+    "n5_qoi_archive_pipeline_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 24 + doc_id % 9 AS w, 12 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 150
+    ), px AS (
+      SELECT doc_id, w, h, UNNEST(range(0, w*h)) AS i FROM dims
+    ), rgb AS (
+      SELECT doc_id, w, h, i,
+             (doc_id*3 + (i % w)*5 + (i // w)*11) % 256 AS r,
+             (doc_id*7 + (i % w)*13 + (i // w)*3) % 256 AS g,
+             (doc_id*11 + (i % w)*2 + (i // w)*7) % 256 AS b
+      FROM px
+    ), gray AS (
+      SELECT doc_id, w, h, i,
+             (77*r + 150*g + 29*b) // 256 AS y
+      FROM rgb
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(MIN(y) AS BIGINT) AS min_y,
+           CAST(MAX(y) AS BIGINT) AS max_y,
+           CAST(SUM((i + 1) * y) AS BIGINT) AS wsum
+    FROM gray GROUP BY doc_id
+    """,
+    survey="N5",
+)
+def n5_qoi_archive_pipeline_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image archival pipeline through a complete **QOI** codec pair —
+    a real modern format (qoiformat.org) with a redundancy model the
+    PNG/GIF/JPEG paths don't exercise: a 64-slot hash-indexed running
+    color cache, wraparound DIFF/LUMA delta ops, and run-length, all
+    byte-aligned.  Stages: closed-form RGB frames → **BT.601 integer
+    grayscale** ((77R + 150G + 29B) >> 8 — the standard fixed-point
+    luma, exactly replayable in SQL) → **QOI ENCODE**
+    (operators/qoi_codec — the engine's own op-priority encoder) →
+    **QOI DECODE** of the encoder's own bytes → per-image checksums
+    from round-tripped pixels only.  QOI is lossless, so any hash/
+    cache-update, delta-bias, run-flush or end-marker bug in either
+    direction breaks the hash against an oracle that never sees a QOI
+    byte.  All five chunk ops fire on the fixture family (test-pinned,
+    via the encoder's op counters); map-only at any corpus size."""
+    import pandas as pd
+
+    from ..operators.qoi_codec import decode_qoi, encode_qoi
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    cols = ["doc_id", "width", "height", "n_px",
+            "sum_y", "min_y", "max_y", "wsum"]
+
+    def pipeline(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 24 + did % 9, 12 + did % 5
+                gray = []
+                for i in range(w * h):
+                    x, y = i % w, i // w
+                    r = (did*3 + x*5 + y*11) % 256
+                    g = (did*7 + x*13 + y*3) % 256
+                    b = (did*11 + x*2 + y*7) % 256
+                    yv = (77*r + 150*g + 29*b) // 256
+                    gray += [yv, yv, yv]
+                # the certified write path: trust ONLY the bytes the
+                # in-engine QOI encoder produced
+                W, H, rt = decode_qoi(encode_qoi(gray, w, h))
+                ys = [rt[3*i] for i in range(W * H)]
+                # lossless: all three channels round-trip identically
+                assert rt[1::3] == rt[0::3] and rt[2::3] == rt[0::3]
+                rows.append((
+                    did, W, H, W * H, sum(ys), min(ys), max(ys),
+                    sum((i + 1) * v for i, v in enumerate(ys)),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        pipeline,
+        "doc_id long, width int, height int, n_px long, "
+        "sum_y long, min_y long, max_y long, wsum long",
+    )

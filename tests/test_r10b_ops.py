@@ -261,3 +261,66 @@ def test_pq_trained_beats_or_matches_fixture_recall(spark, sf_dir):
     t5 = {(r.query_id, r.neighbor_id, r.rank) for r in pq_t}
     f5 = {(r.query_id, r.neighbor_id, r.rank) for r in pq_f}
     assert t5 != f5
+
+
+def test_qoi_codec_roundtrips_and_op_coverage():
+    """QOI: 50-image fuzz roundtrip across run/gradient/alternating/
+    random/mixed families, all five chunk ops fire on the crafted
+    fixture, the stream compresses vs raw, and corruption (bad magic,
+    truncation, missing end marker) raises cleanly."""
+    import random
+
+    import pytest
+
+    from flink_1_19_source_spark.operators.qoi_codec import (
+        _encode_ops, decode_qoi, encode_qoi,
+    )
+
+    rng = random.Random(7)
+    for trial in range(50):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        mode = trial % 5
+        px = []
+        for i in range(w * h):
+            x, y = i % w, i // w
+            if mode == 0:
+                px += [10, 20, 30]
+            elif mode == 1:
+                px += [x % 256, (x + y) % 256, y % 256]
+            elif mode == 2:
+                px += [200, 0, 0] if i % 2 else [0, 0, 200]
+            elif mode == 3:
+                px += [rng.randint(0, 255) for _ in range(3)]
+            else:
+                px += [(x*37) % 256, (i*91) % 256, (y*53) % 256]
+        W, H, out = decode_qoi(encode_qoi(px, w, h))
+        assert (W, H) == (w, h) and list(out) == px, (trial, w, h)
+
+    w, h = 32, 16
+    px = []
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if y < 3:
+            px += [10, 20, 30]
+        elif y < 6:
+            px += [x % 256, x % 256, x % 256]
+        elif y < 9:
+            g = (9 * (x + (y - 6) * w)) % 256
+            px += [(g + 3) % 256, g, (g - 5) % 256]
+        elif y < 12:
+            px += [200, 0, 0] if x % 2 else [0, 0, 200]
+        else:
+            px += [(x*97 + y*13) % 256, (x*31) % 256, (y*211 + x*5) % 256]
+    chunks, stats = _encode_ops(px, w * h)
+    assert all(v > 0 for v in stats.values()), stats
+    data = encode_qoi(px, w, h)
+    assert len(data) < 3 * w * h  # compresses vs raw
+    W, H, out = decode_qoi(data)
+    assert list(out) == px
+
+    with pytest.raises(ValueError):
+        decode_qoi(b"nope" + data[4:])
+    with pytest.raises(ValueError):
+        decode_qoi(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        decode_qoi(data[:-8] + b"\x00" * 7 + b"\x02")
