@@ -191,19 +191,23 @@ def assign_blas(vectors: DataFrame, centroids: list[list[float]],
 
 
 def kmeans_cte_sql_subspace(
-    prefix: str, k: int, rounds: int, dim_lo: int, dsub: int = 16
+    prefix: str, k: int, rounds: int, dim_lo: int, dsub: int = 16,
+    sample: int | None = None,
 ) -> str:
     """CTE chain fragment for k-means over ONE PQ subspace (embedding
     dims [dim_lo, dim_lo+dsub)) with all CTE names prefixed, so several
     subspace fits compose inside a single WITH (the trained-PQ oracle
-    unrolls four of these).  Starts with a leading comma — append after
-    an opening ``WITH <something> AS (...)``."""
+    unrolls four of these).  ``sample`` caps the training set to the
+    first N vec_ids — the offline-fit-on-a-sample convention that keeps
+    codebook training O(sample), not O(corpus).  Starts with a leading
+    comma — append after an opening ``WITH <something> AS (...)``."""
+    where = f"WHERE vec_id < {sample}" if sample is not None else ""
     parts = [
         f"""
     , {prefix}corpus AS (
       SELECT vec_id, i AS dim,
              ROUND(CAST(embedding[i + 1 + {dim_lo}] AS DOUBLE), 6) AS x
-      FROM embeddings, range({dsub}) t(i)
+      FROM embeddings, range({dsub}) t(i) {where}
     ), {prefix}cent0 AS (
       SELECT vec_id AS cluster, dim, x AS c
       FROM {prefix}corpus WHERE vec_id < {k}

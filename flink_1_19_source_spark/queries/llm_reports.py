@@ -229,12 +229,16 @@ def n2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N3 — PQ with TRAINED per-subspace codebooks (the FAISS-default fit)
 # --------------------------------------------------------------------------
+_PQ_FIT_SAMPLE = 1024  # offline-fit sample bound: training is O(sample)
+
+
 def _pq_trained_oracle(n_sub: int = 4, dsub: int = 16, k_codes: int = 8,
                        rounds: int = 2, k: int = 5) -> str:
     from ..operators.kmeans import kmeans_cte_sql_subspace
 
     chains = "".join(
-        kmeans_cte_sql_subspace(f"s{s}", k_codes, rounds, s * dsub, dsub)
+        kmeans_cte_sql_subspace(f"s{s}", k_codes, rounds, s * dsub, dsub,
+                                sample=_PQ_FIT_SAMPLE)
         for s in range(n_sub)
     )
     cb_union = "\n      UNION ALL ".join(
@@ -296,24 +300,27 @@ def n3_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-8-subvectors fixture; n3_ivf_trained_topk trained the COARSE
     level — this trains the PRODUCT level): four independent k-means
     fits (k=8, 2 Lloyd rounds, operators/kmeans.py quantized-exact
-    arithmetic) over each 16-dim slice of the corpus, their centroids
-    becoming the codewords; encode/LUT/ADC then run the SAME certified
-    scoring kernel via pq_topk's codebook hook.  The oracle re-trains
-    all four codebooks via generated Lloyd unrollings (one CTE chain
-    per subspace) and replays the whole quantizer — fit AND scoring are
-    value-certified end to end.
+    arithmetic) over each 16-dim slice of the FIRST-1024 training
+    sample — the offline-fit-on-a-sample convention, so training is
+    O(sample) however large the corpus — their centroids becoming the
+    codewords; encode/LUT/ADC then run the SAME certified scoring
+    kernel over the FULL corpus via pq_topk's codebook hook.  The
+    oracle re-trains all four codebooks via generated Lloyd unrollings
+    (one sample-bounded CTE chain per subspace) and replays the whole
+    quantizer — fit AND scoring are value-certified end to end.
 
-    At 100 TB the four fits run offline on a sample (separable, like
-    any codebook), codes store at 4 bytes/vector, and scoring shuffles
-    code rows only — identical plan shape to the fixture edition."""
+    At 100 TB the fits stay sample-sized, codes store at 4
+    bytes/vector, and scoring shuffles code rows only — identical plan
+    shape to the fixture edition."""
     from functools import reduce
 
     from ..operators import kmeans as km
 
     e = load_table(spark, sf_dir, "embeddings")
-    cb_parts = []
-    for s in range(4):
-        sub_corpus = e.select(
+    fit_sample = e.filter(F.col("vec_id") < _PQ_FIT_SAMPLE)
+
+    def _fit_subspace(s: int) -> DataFrame:
+        sub_corpus = fit_sample.select(
             "vec_id",
             F.posexplode(
                 F.slice(F.col("embedding"), s * 16 + 1, 16)
@@ -324,14 +331,20 @@ def n3_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("xf").cast("double"), 6).alias("x"),
         )
         fit = km.kmeans_long(sub_corpus, k=8, rounds=2)
-        cb_parts.append(
-            fit.select(
-                F.lit(s).alias("m"),
-                F.col("cluster").alias("cb_k"),
-                "dim",
-                "centroid",
-            )
+        return fit.select(
+            F.lit(s).alias("m"),
+            F.col("cluster").alias("cb_k"),
+            "dim",
+            "centroid",
         )
+
+    # the four fits are fully independent lineages — submit them from
+    # four driver threads so their per-round checkpoints overlap (the
+    # result is deterministic either way; only wall-clock changes)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        cb_parts = list(pool.map(_fit_subspace, range(4)))
     cb = (
         reduce(lambda a, b: a.unionByName(b), cb_parts)
         .groupBy("m", "cb_k")
