@@ -111,6 +111,8 @@ QUERIES = [
     "pipeline_ccnet_end_to_end",  # chunk dedup -> lang-id -> KN buckets
     "n4_kn3_surprisal_filter",  # trigram KN rationals, 1 trigram shuffle
     "s_kn3_stats_stream",       # drained additive trigram-count segments
+    "n3_pq_trained_topk",       # 4 subspace k-means fits + ADC scoring
+    "n5_qoi_archive_pipeline_real",  # gray stage -> QOI encode roundtrip
 ]
 
 
