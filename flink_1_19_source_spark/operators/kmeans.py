@@ -102,28 +102,35 @@ def kmeans_long(corpus_long: DataFrame, k: int, rounds: int) -> DataFrame:
     )
 
 
-def kmeans_cte_sql(k: int, rounds: int, dims: int = 64) -> str:
+def kmeans_cte_sql(k: int, rounds: int, dims: int = 64,
+                   sample: int | None = None) -> str:
     """The DuckDB CTE chain unrolling the fit (``WITH corpus …,
     cent{rounds} …``) — exposed so composed oracles (e.g. the trained-
-    codebook IVF) can build on the identical centroids."""
+    codebook IVF) can build on the identical centroids.  ``sample``
+    caps the TRAINING set to the first N vec_ids (the offline-fit-on-a-
+    sample convention: the fit rounds run over ``fitc``, downstream
+    assignment CTEs still see the full ``corpus``)."""
+    where = f"WHERE vec_id < {sample}" if sample is not None else ""
     parts = [
         f"""
     WITH corpus AS (
       SELECT vec_id, i AS dim,
              ROUND(CAST(embedding[i + 1] AS DOUBLE), 6) AS x
       FROM embeddings, range({dims}) t(i)
+    ), fitc AS (
+      SELECT * FROM corpus {where}
     ), cent0 AS (
-      SELECT vec_id AS cluster, dim, x AS c FROM corpus WHERE vec_id < {k}
+      SELECT vec_id AS cluster, dim, x AS c FROM fitc WHERE vec_id < {k}
     )"""
     ]
     for r in range(1, rounds + 1):
         parts.append(f"""
     , dist{r} AS (
-      SELECT corpus.vec_id, cent{r - 1}.cluster,
-             CAST(SUM(CAST(ROUND((corpus.x - cent{r - 1}.c)
-                                 * (corpus.x - cent{r - 1}.c), 6)
+      SELECT fitc.vec_id, cent{r - 1}.cluster,
+             CAST(SUM(CAST(ROUND((fitc.x - cent{r - 1}.c)
+                                 * (fitc.x - cent{r - 1}.c), 6)
                            AS DECIMAL(27,6))) AS DOUBLE) AS dist
-      FROM corpus JOIN cent{r - 1} ON corpus.dim = cent{r - 1}.dim
+      FROM fitc JOIN cent{r - 1} ON fitc.dim = cent{r - 1}.dim
       GROUP BY 1, 2
     ), asg{r} AS (
       SELECT vec_id, cluster FROM (
@@ -133,10 +140,10 @@ def kmeans_cte_sql(k: int, rounds: int, dims: int = 64) -> str:
         FROM dist{r}
       ) WHERE rn = 1
     ), cent{r} AS (
-      SELECT a.cluster, corpus.dim,
-             ROUND(CAST(SUM(CAST(corpus.x AS DECIMAL(27,6))) AS DOUBLE)
+      SELECT a.cluster, fitc.dim,
+             ROUND(CAST(SUM(CAST(fitc.x AS DECIMAL(27,6))) AS DOUBLE)
                    / COUNT(*), 9) AS c
-      FROM asg{r} a JOIN corpus ON corpus.vec_id = a.vec_id
+      FROM asg{r} a JOIN fitc ON fitc.vec_id = a.vec_id
       GROUP BY 1, 2
     )""")
     return "".join(parts)

@@ -532,16 +532,25 @@ def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, centroids, k=5, nprobe=3)
 
 
+#: Offline-fit sample bound for the trained-IVF codebook (the same
+#: convention as trained-PQ's _PQ_FIT_SAMPLE): the Lloyd rounds train on
+#: the first N vec_ids only, so the fit is O(sample) however large the
+#: corpus — and 256 < the sf0.01 corpus, so the driver oracle certifies
+#: the SAMPLE-BOUNDED fit, not a degenerate full-corpus one.
+_IVF_FIT_SAMPLE = 256
+
+
 def _ivf_trained_oracle(k: int = 8, rounds: int = 2, nprobe: int = 2,
                         topk: int = 5) -> str:
     """Composed oracle: the generated k-means unrolling (bit-exact
-    quantized arithmetic) trains the codebook IN SQL, then the IVF
-    assign→probe→re-rank replays on top of it. Bucket formation uses the
-    same decimal-exact distance as the fit (no float ties), re-ranking
-    uses round-9 cosine like the other N3 oracles."""
+    quantized arithmetic) trains the codebook IN SQL on the first
+    _IVF_FIT_SAMPLE vec_ids, then the IVF assign→probe→re-rank replays
+    over the FULL corpus on top of it. Bucket formation uses the same
+    decimal-exact distance as the fit (no float ties), re-ranking uses
+    round-9 cosine like the other N3 oracles."""
     from ..operators import kmeans as km
 
-    prefix = km.kmeans_cte_sql(k, rounds)
+    prefix = km.kmeans_cte_sql(k, rounds, sample=_IVF_FIT_SAMPLE)
     return f"""
     {prefix}
     , qdist AS (
@@ -595,12 +604,14 @@ def n3_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED codebook — the production answer to 'the
     fixed-codebook IVF is a fixture': k-means (k=8, 2 Lloyd rounds,
     operators/kmeans.py quantized-exact arithmetic) fits the coarse
-    centroids in-engine; corpus vectors land in their nearest trained
-    list; queries probe their 2 nearest lists; exact round-9 cosine
-    re-ranks inside. Fully oracled end to end — DuckDB re-trains the
-    identical codebook via the generated Lloyd unrolling and replays the
-    probe. At 100 TB the fit runs offline on a sample, assignment
-    becomes the BLAS ``assign_blas`` path, and list_id becomes the
+    centroids in-engine on a SAMPLE (first _IVF_FIT_SAMPLE vec_ids —
+    the offline-fit convention, so codebook training is O(sample) not
+    O(corpus)); all corpus vectors land in their nearest trained list;
+    queries probe their 2 nearest lists; exact round-9 cosine re-ranks
+    inside. Fully oracled end to end — DuckDB re-trains the identical
+    sample-bounded codebook via the generated Lloyd unrolling and
+    replays the probe over the full corpus. At 100 TB assignment
+    becomes the BLAS ``assign_blas`` path and list_id becomes the
     table's partition key (scan pruning does the probing)."""
     from ..operators import kmeans as km
 
@@ -614,7 +625,9 @@ def n3_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    fit = km.kmeans_long(corpus, k=8, rounds=2)
+    fit = km.kmeans_long(
+        corpus.filter(F.col("vec_id") < _IVF_FIT_SAMPLE), k=8, rounds=2
+    )
     cent = (
         fit.select("cluster", "dim", F.col("centroid").alias("c"))
         .coalesce(1)

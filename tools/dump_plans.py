@@ -256,6 +256,20 @@ HEADLINERS = {
         "shuffle; all four derived stat tables aggregate c3 (no second "
         "corpus pass); scoring co-partitions on (w1,w2)/(w2,w3)"
     ),
+    "n3_ivf_trained_topk": (
+        "trained-codebook IVF: the Lloyd fit runs on the first "
+        "_IVF_FIT_SAMPLE vec_ids only (O(sample) training, one "
+        "broadcast join + two small shuffles per round); full-corpus "
+        "assignment is one broadcast of the 8x64 centroid table; the "
+        "probe join broadcasts the query lists"
+    ),
+    "n3_hnsw_topk": (
+        "distributed graph-ANN build: block-pair grid (hash-packed "
+        "sub-matrices crossJoined, one int64 block product per task) "
+        "+ ONE global (lvl, src) rank window — no driver collect, no "
+        "task sees more than two blocks; search is bounded "
+        "frontier-expand joins"
+    ),
 }
 
 

@@ -113,6 +113,10 @@ QUERIES = [
     "s_kn3_stats_stream",       # drained additive trigram-count segments
     "n3_pq_trained_topk",       # 4 subspace k-means fits + ADC scoring
     "n5_qoi_archive_pipeline_real",  # gray stage -> QOI encode roundtrip
+    # r11: the sample-bounded trained-IVF fit (the last >10s bench entry
+    # without a curve) — fit cost must stay flat across sf while the
+    # assignment tracks corpus size
+    "n3_ivf_trained_topk",
 ]
 
 
