@@ -22,6 +22,9 @@ Scale notes:
   distributed sort plus a P-row prefix sum.  Rank values are
   independent of partition boundaries, so the result is deterministic
   under any partitioning.
+- The doc-offset prefix sum in the corpus builder uses the additive
+  twin of the same trick (prefix_sum_distributed) — no single-task
+  window anywhere in the pipeline.
 - Each doubling round materializes via localCheckpoint (the X8 iterate
   convention) so the plan stays O(1) deep across rounds.
 - Per-document separator tokens (unique per doc) make any window that
@@ -65,6 +68,40 @@ def dense_rank_distributed(df: DataFrame, cols: list[str], out: str) -> DataFram
         *cols, (F.col("_lr") + F.col("_off")).cast("long").alias(out)
     )
     return df.join(ranked, list(cols))
+
+
+def prefix_sum_distributed(
+    df: DataFrame, cols: list[str], val: str, out: str
+) -> DataFrame:
+    """Attach the EXCLUSIVE prefix sum of ``val`` in ``cols`` order
+    without a single-task global window — the additive twin of
+    dense_rank_distributed: repartitionByRange(cols) -> per-partition
+    running sum -> add broadcast per-partition total offsets.  Range
+    partitions are contiguous and ordered, so local running sum +
+    offset is the exact global prefix sum, independent of where the
+    sampled partition boundaries land."""
+    d = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # materialize: the locally-summed table feeds two consumers (the
+    # per-partition totals and the join back)
+    d = d.withColumn(
+        "_lsum", F.coalesce(F.sum(val).over(w), F.lit(0))
+    ).localCheckpoint(eager=True)
+    totals = d.groupBy("_pid").agg(F.sum(val).alias("_tot"))
+    # one row per shuffle partition — tiny by construction
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(woff), F.lit(0))
+    )
+    return (
+        d.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+        .withColumn(out, (F.col("_lsum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lsum")
+    )
 
 
 def prefix_double_ranks(pos: DataFrame, length: int) -> DataFrame:
@@ -168,16 +205,14 @@ def covered_hits(
         (F.max("tpos") + 1).alias("n_tok")
     )
     # Document offset table: one row per doc; gpos = doc offset + tpos,
-    # with one reserved slot per doc for its separator.  At 100 TB this
-    # prefix sum over #docs rows runs through the same range-partition
-    # offset trick as dense_rank_distributed; at test scale a plain
-    # cumulative window is exact and cheap.
-    wdoc = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = doclen.withColumn(
-        "off", F.coalesce(F.sum(F.col("n_tok") + 1).over(wdoc), F.lit(0))
-    )
+    # with one reserved slot per doc for its separator.  The prefix sum
+    # over #docs rows runs through the same range-partition offset
+    # machinery as the suffix ranks (prefix_sum_distributed) — no
+    # single-task window anywhere in the corpus builder.
+    offs = prefix_sum_distributed(
+        doclen.withColumn("_slot", F.col("n_tok") + 1),
+        ["doc_id"], "_slot", "off",
+    ).drop("_slot")
     body = toks.join(offs, "doc_id").select(
         (F.col("off") + F.col("tpos")).alias("gpos"),
         "token", "doc_id", "tpos",

@@ -166,3 +166,46 @@ def test_qoi_corrupt_header_raises_not_allocates():
     rgb = [v % 256 for v in range(3 * 4 * 2)]
     w, h, back = qoi.decode_qoi(qoi.encode_qoi(rgb, 4, 2))
     assert (w, h, list(back)) == (4, 2, rgb)
+
+
+def test_prefix_sum_distributed_matches_window(spark):
+    """The range-partitioned exclusive prefix sum must equal the plain
+    single-task cumulative window on any input — including duplicate
+    weights and a value pattern that straddles partition boundaries."""
+    from pyspark.sql.window import Window
+
+    from flink_1_19_source_spark.operators.suffix_array import (
+        prefix_sum_distributed,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(513)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["off"]
+        for r in prefix_sum_distributed(df, ["k"], "v", "off").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["off"]
+        for r in df.withColumn(
+            "off", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_suffix_array_builder_has_no_single_task_window():
+    """Scale pin for the r10 verdict's residual: no unpartitioned
+    Window.orderBy remains in the suffix-array module (every global
+    order operation must ride the range-partition offset machinery,
+    whose own per-partition-offsets window is over P rows and keyed
+    by _pid)."""
+    import inspect
+    import re
+
+    from flink_1_19_source_spark.operators import suffix_array
+
+    src = inspect.getsource(suffix_array)
+    # the only Window.orderBy allowed is the P-row _pid offset table
+    for m in re.finditer(r"Window\.orderBy\(([^)]*)\)", src):
+        assert '"_pid"' in m.group(1), m.group(0)
