@@ -172,10 +172,35 @@ def _run(real_stdout: int) -> None:
 
     import statistics
 
+    # Prior run's per-query timings: any single-run query that lands
+    # >1.5x its previous number gets two confirmation runs (median of
+    # 3 accepted instead) — machine-load spikes can no longer masquerade
+    # as per-query regressions (the r10 lesson: a 44% uniform drift on
+    # untouched queries cost a round of adjudication).
+    prev_times: dict[str, float] = {}
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path) as f:
+            prev_times = json.load(f).get("queries", {})
+    except Exception:
+        pass
+
+    load_start = os.getloadavg()
+
     times: dict[str, float] = {}
     samples_map: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
+    rebenched: list[str] = []
     headline = set(HEADLINE)
+
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        _ = len(rows)
+        return time.perf_counter() - t0
+
     for i, name in enumerate(sorted(qs)):
         if name in EXCLUDED:
             continue
@@ -185,17 +210,25 @@ def _run(real_stdout: int) -> None:
         # Headline queries: median of 3 runs, so same-machine variance
         # (±7% observed between back-to-back solo runs) can't masquerade
         # as a regression — round-to-round drift on a median is signal.
-        # The long tail stays single-run to bound total bench time.
+        # The long tail stays single-run unless it trips the 1.5x
+        # regression check against the prior BENCH_FULL.json.
         runs = 3 if name in headline else 1
         samples: list[float] = []
         try:
             for _ in range(runs):
-                t0 = time.perf_counter()
-                rows = qs[name](spark, sf_dir).collect()
-                _ = len(rows)
-                samples.append(time.perf_counter() - t0)
+                samples.append(timed_run(name))
+            prev = prev_times.get(name)
+            if (
+                runs == 1
+                and prev is not None
+                and samples[0] > 1.5 * prev
+                and samples[0] - prev > 0.5
+            ):
+                samples.append(timed_run(name))
+                samples.append(timed_run(name))
+                rebenched.append(name)
             times[name] = round(statistics.median(samples), 3)
-            if runs > 1:
+            if len(samples) > 1:
                 samples_map[name] = [round(s, 3) for s in samples]
         except Exception as ex:  # keep benching; a failed query is reported
             failed[name] = f"{type(ex).__name__}: {ex}"[:200]
@@ -207,12 +240,21 @@ def _run(real_stdout: int) -> None:
 
     total = round(sum(times.values()), 3)
     stream_sec = round(sum(v for k, v in times.items() if k.startswith("s_")), 3)
+    # Machine-load context: 1/5/15-min loadavg at start and end, so a
+    # reader can tell a loaded-box run (r10: driver 811s vs solo 648s on
+    # identical code) from a genuine plan regression.
+    load_ctx = {
+        "loadavg_start": [round(v, 2) for v in load_start],
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+        "cpus": os.cpu_count(),
+    }
     full = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load": load_ctx,
     }
     if failed:
         full["failed"] = failed
@@ -220,7 +262,8 @@ def _run(real_stdout: int) -> None:
         full["excluded"] = EXCLUDED
     if samples_map:
         full["headline_samples"] = samples_map  # raw 3-run timings
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    if rebenched:
+        full["rebenched"] = rebenched  # tripped the 1.5x check; median-of-3
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
 
@@ -233,6 +276,8 @@ def _run(real_stdout: int) -> None:
         "n_queries": len(times),
         "n_failed": len(failed),
         "headline_runs": 3,  # headline values are medians of 3
+        "n_rebenched": len(rebenched),  # tail queries that tripped 1.5x
+        "load": load_ctx,
 
         "batch_sec": round(total - stream_sec, 3),
         "stream_sec": stream_sec,
