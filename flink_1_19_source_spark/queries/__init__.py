@@ -50,6 +50,7 @@ from . import llm_tokenize  # noqa: F401  (BPE/WordPiece, chunking, RAG)
 from . import llm_dedup  # noqa: F401  (streaming LSH/chunk dedup, winnow)
 from . import llm_dsir  # noqa: F401  (DSIR resampling + pipeline)
 from . import llm_surprisal  # noqa: F401  (LM gates, token-budget epochs)
+from . import llm_surprisal3  # noqa: F401  (trigram KN gate + stats stream)
 from . import llm_retrieval  # noqa: F401  (BM25, RRF, IVF-PQ, Hamming ANN)
 from . import llm_media  # noqa: F401  (real JPEG-family codec queries)
 from . import llm_media_stages  # noqa: F401  (N5 stages + PNG/WAV/AVI)

@@ -76,7 +76,7 @@ _SWEEP_R10C = [
      "_data_card_stream_run", {}, [0, 1, 2, 3]),
     # streaming trigram-LM stats: crash after the count-segment append
     # with the checkpoint uncommitted — overwrite, never double-count
-    ("flink_1_19_source_spark.queries.llm_surprisal",
+    ("flink_1_19_source_spark.queries.llm_surprisal3",
      "_kn3_stats_stream_run", {}, [0, 1, 2, 3]),
 ]
 

@@ -197,7 +197,7 @@ def test_kn3_gate_discriminates_on_planted_corpus(spark):
     gibberish document — the gibberish doc must carry strictly higher
     mean surprisal than every fluent doc, and all whole-bit surprisals
     must be non-negative (the properness/telescoping property)."""
-    from flink_1_19_source_spark.queries.llm_surprisal import (
+    from flink_1_19_source_spark.queries.llm_surprisal3 import (
         _kn3_scores_from,
     )
     from flink_1_19_source_spark.operators import text_analysis as ta
