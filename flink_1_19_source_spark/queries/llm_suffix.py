@@ -12,6 +12,8 @@ by theorem, not by sharing an algorithm.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import suffix_array
 from ..registry import register
@@ -162,3 +164,186 @@ def n2_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_array.exactsubstr_cut(
         docs, "doc_id", "text", length=_SA_L
     )
+
+
+# --------------------------------------------------------------------------
+# N2-S — STREAMING ExactSubstr maintenance (the at-ingest twin)
+# --------------------------------------------------------------------------
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, tpos, gram) for every fully-inside L-token window —
+    the L-gram equivalence form of the suffix machinery's duplicated
+    windows (identical window <=> identical gram; separators make any
+    cross-document window impossible by construction)."""
+    tk = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        ).alias("tk"),
+    ).filter(F.size("tk") >= _SA_L)
+    return tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(tk) - {_SA_L}),"
+                f" i -> struct(i AS tpos,"
+                f" array_join(slice(tk, i + 1, {_SA_L}), chr(1)) AS gram))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.tpos", "p.gram")
+
+
+@register(
+    "s_exactsubstr_cut_stream",
+    oracle=_CUT_ORACLE,
+    survey="N2 N1 X2 X4",
+    tags=("streaming",),
+)
+def s_exactsubstr_cut_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ExactSubstr maintenance — the suffix-dedup tier's
+    at-ingest twin (every other dedup family already had one): each
+    arriving micro-batch explodes to its fully-inside L-token windows
+    and lands as an OVERWRITE-idempotent (gram, cnt, min_doc, min_tpos)
+    segment; SegmentStore folds every 2 batches with a key-wise
+    {SUM(cnt), MIN(doc, tpos)} re-merge, so live state is O(distinct
+    L-grams) regardless of uptime.  Counts and first-occurrence keys
+    are both ADDITIVE over any corpus slicing, so the drained table
+    equals the one-shot aggregation — and the post-drain cut pass
+    (windows with cnt >= 2, every occurrence except the global
+    (doc, tpos) minimum cut, islands merged) reproduces
+    n2_exactsubstr_cut's report verbatim: the oracle is the same
+    L-gram-equivalence SQL, hash-matched.
+
+    100 TB shape: per batch one gram explode + one gram-keyed segment
+    write (O(batch windows)); the fold is domain-bounded; re-cutting a
+    snapshot is a separate batch job — the kn3-stats contract."""
+    return _exactsubstr_stream_run(spark, sf_dir)
+
+
+def _exactsubstr_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """Runner with crash injection for the sweep: the crash lands AFTER
+    the segment append with the checkpoint uncommitted — the bid-gated
+    overwrite makes the recovery replay idempotent (no double counts,
+    no lost first-occurrence keys)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_exactsubstr")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    def remerge(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("gram")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.min(F.struct("min_doc", "min_tpos")).alias("mk"),
+            )
+            .select(
+                "gram", "cnt",
+                F.col("mk.min_doc").alias("min_doc"),
+                F.col("mk.min_tpos").alias("min_tpos"),
+            )
+        )
+
+    store = SegmentStore(spark, seg_dir, compact_every=2, merge=remerge)
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        seg = (
+            _doc_grams(batch.select("doc_id", "text"))
+            .groupBy("gram")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.min(F.struct(
+                    F.col("doc_id").alias("min_doc"),
+                    F.col("tpos").alias("min_tpos"),
+                )).alias("mk"),
+            )
+            .select(
+                "gram", "cnt",
+                F.col("mk.min_doc").alias("min_doc"),
+                F.col("mk.min_tpos").alias("min_tpos"),
+            )
+        )
+        store.append(seg.coalesce(1), bid)
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash after segment append")
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    dup = (
+        remerge(store.read())
+        .filter(F.col("cnt") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hits = _doc_grams(docs).join(dup, "gram").filter(
+        ~(
+            (F.col("doc_id") == F.col("min_doc"))
+            & (F.col("tpos") == F.col("min_tpos"))
+        )
+    ).select("doc_id", "tpos")
+    wisl = Window.partitionBy("doc_id").orderBy("tpos")
+    isl = hits.withColumn(
+        "brk",
+        F.coalesce(
+            (F.col("tpos") - F.lag("tpos").over(wisl) > _SA_L).cast("int"),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(wisl.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        (F.max("tpos") + _SA_L - F.min("tpos")).alias("cut_len")
+    )
+    cuts = spans.groupBy("doc_id").agg(
+        F.sum("cut_len").cast("long").alias("cut_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_cut_spans"),
+    )
+    doclen = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    out = doclen.join(cuts, "doc_id", "left").select(
+        "doc_id", "n_tok",
+        F.coalesce("cut_tokens", F.lit(0)).cast("long").alias("cut_tokens"),
+        (F.col("n_tok") - F.coalesce("cut_tokens", F.lit(0)))
+        .cast("long").alias("kept_tokens"),
+        F.coalesce("n_cut_spans", F.lit(0)).cast("long")
+        .alias("n_cut_spans"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

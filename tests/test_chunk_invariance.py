@@ -142,6 +142,10 @@ INVARIANT_QUERIES = [
     # every derived KN statistic is an aggregation of the drained c3 —
     # identical counts imply identical scores at any slicing
     "s_kn3_stats_stream",
+    # streaming ExactSubstr: gram counts sum and the first-occurrence
+    # key is a MIN — both additive over any corpus slicing, and the
+    # post-drain cut is a pure function of the drained table
+    "s_exactsubstr_cut_stream",
 ]
 
 

@@ -78,6 +78,11 @@ _SWEEP_R10C = [
     # with the checkpoint uncommitted — overwrite, never double-count
     ("flink_1_19_source_spark.queries.llm_surprisal3",
      "_kn3_stats_stream_run", {}, [0, 1, 2, 3]),
+    # r11: streaming ExactSubstr maintenance — crash after the gram
+    # count/first-occurrence segment append; the summing + MIN merge is
+    # exactly the class the bid-gated overwrite must protect
+    ("flink_1_19_source_spark.queries.llm_suffix",
+     "_exactsubstr_stream_run", {}, [0, 1, 2, 3]),
 ]
 
 
