@@ -71,6 +71,7 @@ from . import manifest  # noqa: F401  (N7 training-manifest composite)
 from . import heavy_hitters  # noqa: F401  (A9 Misra-Gries frequent items)
 from . import llm_select  # noqa: F401  (N6 D4 embedding-space selection)
 from . import ccnet_pipeline  # noqa: F401  (N7 CCNet composite)
+from . import llm_bytebpe  # noqa: F401  (N4 byte-level BPE, GPT-2 regex)
 
 from ..registry import REGISTRY
 

@@ -209,3 +209,54 @@ def test_suffix_array_builder_has_no_single_task_window():
     # the only Window.orderBy allowed is the P-row _pid offset table
     for m in re.finditer(r"Window\.orderBy\(([^)]*)\)", src):
         assert '"_pid"' in m.group(1), m.group(0)
+
+
+def test_bytelevel_pretokenizer_is_lossless(spark, sf_dir):
+    """The GPT-2-style pre-tokenizer's alternatives cover every
+    character class (letters, digits, other-non-space, whitespace), so
+    concatenating a document's pre-tokens must reproduce the document
+    byte-for-byte — the property that makes byte-level BPE OOV-free."""
+    from flink_1_19_source_spark.queries.llm_bytebpe import _BB_PAT
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(_BB_PAT), F.lit(0)),
+            "",
+        ).alias("re"),
+        "text",
+    ).filter(F.col("re") != F.col("text"))
+    assert bad.count() == 0
+
+
+def test_bytelevel_bpe_learns_planted_merge(spark, tmp_path):
+    """A corpus dominated by one repeated word must learn its leading
+    byte pair as merge #1, and the encode must land between the
+    post-merge floor and the raw byte count."""
+    import os
+
+    from flink_1_19_source_spark.queries.llm_bytebpe import (
+        _bb_train_spark, n4_bpe_bytelevel_encode,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    rows = [(i, "zebra zebra zebra zebra") for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    merges, words, tok = _bb_train_spark(spark, sf, n=4)
+    assert merges, "no merges learned"
+    # ' zebra' (leading space) is the most frequent pre-token; its top
+    # pair by count is a pair of its bytes — all hex symbols
+    for _, a, b, cnt in merges:
+        assert set(a + b) <= set("0123456789ABCDEF"), (a, b)
+        assert cnt > 0
+    out = {
+        r["doc_id"]: r["n_bbpe_tokens"]
+        for r in n4_bpe_bytelevel_encode(spark, sf).collect()
+    }
+    raw_bytes = len("zebra zebra zebra zebra".encode())
+    for v in out.values():
+        assert 0 < v < raw_bytes  # merges actually compressed
