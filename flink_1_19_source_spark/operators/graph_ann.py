@@ -416,3 +416,55 @@ def search_layers(
             "rank",
         )
     )
+
+
+def knn_graph_blocked(
+    vectors: DataFrame,
+    centroids,
+    m: int = M_EDGES,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SUB-QUADRATIC kNN-graph construction via IVF candidate blocking —
+    the declared layer-0 build at extreme scale, now implemented: every
+    vector lands in its ONE nearest coarse list (the IVF corpus-side
+    convention) and probes its ``nprobe`` nearest lists as a source;
+    candidates are the list-keyed join of the two (each (src, dst) pair
+    can match at most once — dst has one list), scored with round-9
+    cosine and reduced to per-src top-m by ONE rank window.
+
+    Work is sum over lists of |probes(list)| x |list| ~= N^2 x
+    nprobe / K instead of the block-pair grid's N^2 — with K grown as
+    sqrt(N) (the FAISS sizing rule) that is O(N^1.5), and the join is
+    an ordinary shuffle join on list_id: no broadcast of either side,
+    no driver collect, skew bounded by the largest list.  The exact
+    block-pair build (cross_topm) is this operator's recall reference;
+    the floor is pinned in tests/test_r11_ops.py.  Returns
+    (src, dst, cosine_sim, rank <= m)."""
+    from .similarity import _centroid_assign_udf, as_double, cosine
+
+    corpus_assign = _centroid_assign_udf(centroids, 1)
+    probe_assign = _centroid_assign_udf(centroids, nprobe)
+    v = vectors.select(
+        F.col(id_col).alias("dst"), as_double(F.col(vec_col)).alias("nvec")
+    ).withColumn("list_id", F.explode(corpus_assign(F.col("nvec"))))
+    p = vectors.select(
+        F.col(id_col).alias("src"), as_double(F.col(vec_col)).alias("svec")
+    ).withColumn("list_id", F.explode(probe_assign(F.col("svec"))))
+    scored = (
+        v.join(p, "list_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            F.round(cosine(F.col("svec"), F.col("nvec")), 9)
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+    )

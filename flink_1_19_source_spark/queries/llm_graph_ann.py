@@ -497,3 +497,77 @@ def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("lcc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N3/X8 — sub-quadratic kNN graph via IVF candidate blocking
+# --------------------------------------------------------------------------
+@register(
+    "n3_knn_graph_blocked",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
+    ), cn AS (
+      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+      FROM v WHERE vec_id < 16
+    ), assign AS (
+      SELECT vn.vec_id, cn.cid,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
+                        DESC, cn.cid) AS rk
+      FROM vn CROSS JOIN cn
+    ), corpus_list AS (
+      SELECT vec_id AS dst, cid AS list_id FROM assign WHERE rk = 1
+    ), probe_list AS (
+      SELECT vec_id AS src, cid AS list_id FROM assign WHERE rk <= 4
+    ), scored AS (
+      SELECT p.src, c.dst,
+             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9)
+               AS cosine_sim
+      FROM probe_list p JOIN corpus_list c ON p.list_id = c.list_id
+      JOIN vn a ON a.vec_id = p.src
+      JOIN vn b ON b.vec_id = c.dst
+      WHERE p.src <> c.dst
+    )
+    SELECT src, dst, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY cosine_sim DESC, dst) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey="N3 X8",
+    tags=("approx",),
+)
+def n3_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic kNN-GRAPH construction via IVF candidate blocking
+    (operators/graph_ann.knn_graph_blocked) — the implemented scale
+    path the exact block-pair build (n3_hnsw_topk's layer edges,
+    x8_knn_triangles' edges) is the correctness reference for: every
+    vector sits in its one nearest coarse list and probes its 4
+    nearest lists; candidates are a plain list_id-keyed SHUFFLE join
+    (neither side broadcast, no driver collect), per-src exact top-5
+    inside.  Work ~ N^2 x nprobe / K; grow the codebook as sqrt(N)
+    (the FAISS sizing rule) and the build is O(N^1.5) — this is what
+    layer 0 runs at 100 TB, with upper layers (N/16, N/256) staying on
+    the exact grid.  Codebook = first 16 corpus vectors (the
+    n3_ivf_topk fixture convention) so DuckDB replays assignment,
+    probing, and ranking verbatim; recall vs the exact kNN graph is
+    pinned in tests/test_r11_ops.py (the synthetic near-uniform
+    embeddings are IVF's worst case — no cluster structure to prune
+    by; on clustered real corpora the same nprobe/K recovers far
+    more, and the pinned number is itself visible as data through the
+    recall-report pattern)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()  # codebook-sized collect: K=16 rows
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    return graph_ann.knn_graph_blocked(
+        e, centroids, m=5, nprobe=4, id_col="vec_id", vec_col="embedding"
+    )

