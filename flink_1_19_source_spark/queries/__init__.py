@@ -5,15 +5,16 @@ registry entries.  Import order seeds the registry, then the window
 list below reorders it explicitly so the certification window is an
 exact, named set rather than a module-prefix accident.
 
-Round-10 window = ``_R10_MUST`` (every query that has NEVER carried a
-driver CORRECTNESS row: the 12 r9-verdict stragglers — perceptron pair,
-crawl composite, EXPLAIN/SHOW CREATE/WITHIN dialect surface, Matryoshka
-ANN, fuzzy decontamination pair, length-bucketed batching, thumbnail
-pipeline, corrupt-media side output — plus every query NEW in round 10)
-padded to exactly 50 with ``_R10_PAD`` (the oldest-certified r1 wave,
-re-validated).  Certifying ``_R10_MUST`` drives certification debt to
-ZERO for the first time.  See STATUS.md "driver certification window"
-for the ledger.
+Round-11 window = ``_R11_MUST`` (every query NEW in round 11 — the
+byte-level BPE pair, the streaming ExactSubstr twin, the IVF-blocked
+kNN graph — plus every r10 query whose code or oracle changed this
+round: the de-collected HNSW family, the sample-bounded trained IVF,
+the kmeans-oracle consumers, the prefix-sum-rewired suffix pair, the
+split KN3 tier, the QOI pipeline behind the decode-bound fix) padded
+to exactly 50 with ``_R11_PAD`` — the queries whose LATEST
+certification is oldest (the one r1 leftover, the full r2 wave, and
+the r3 wave in name order).  See STATUS.md "driver certification
+window" for the ledger.
 """
 
 from . import windows  # noqa: F401
@@ -75,72 +76,57 @@ from . import llm_bytebpe  # noqa: F401  (N4 byte-level BPE, GPT-2 regex)
 
 from ..registry import REGISTRY
 
-# Every query without a driver CORRECTNESS row in the r1-r9 union (the
-# 12 r9 stragglers, verdict-listed) followed by every query NEW in
-# round 10.  These MUST all certify this round.
-_R10_MUST = [
-    "n4_perceptron_train", "s_perceptron_train_stream",
-    "pipeline_crawl_end_to_end", "sql_explain_surface",
-    "sql_match_recognize_within", "sql_show_create_table",
-    "n3_matryoshka_topk", "n4_fuzzy_contamination",
-    "s_fuzzy_contamination_stream", "n6_length_bucketed_batches",
-    "n5_thumbnail_pipeline_real", "n5_corrupt_media_side_output",
-    # --- new in round 10 (appended as implemented) ---
-    "n2_suffix_array_spans",
+# Every query NEW in round 11, then every query whose code or oracle
+# changed this round.  These MUST all certify this round.
+_R11_MUST = [
+    # new in r11
+    "n4_bpe_bytelevel_train",
+    "n4_bpe_bytelevel_encode",
+    "s_exactsubstr_cut_stream",
+    "n3_knn_graph_blocked",
+    # r11 changed code/oracle: sample-bounded trained-IVF fit (results
+    # changed), kmeans CTE gains the fitc stage (oracle text changed)
+    "n3_ivf_trained_topk",
+    "x8_kmeans_embeddings",
+    # de-collected block-pair graph ANN build (results must be UNCHANGED)
     "n3_hnsw_topk",
-    "n5_audio_downsample_pipeline_real",
-    "n4_logistic_train",
-    "s_logistic_train_stream",
-    "n5_flac_archive_pipeline_real",
-    "n5_gif_thumbnail_pipeline_real",
-    "n6_doremi_weights",
-    "s_hnsw_ingest_stream",
     "n3_hnsw_recall_report",
-    "s_doremi_weights_stream",
-    "pipeline_audit_trail",
+    "s_hnsw_ingest_stream",
     "x8_knn_triangles",
+    # distributed doc-offset prefix sum in the suffix corpus builder
+    "n2_suffix_array_spans",
     "n2_exactsubstr_cut",
-    "pipeline_training_manifest",
-    "a19_heavy_hitters_mg",
-    "s_heavy_hitters_stream",
-    "n4_ccnet_buckets",
-    "n6_d4_selection",
-    "n5_jpeg_archive_pipeline_real",
-    "pipeline_data_card",
-    "s_data_card_stream",
-    "pipeline_ccnet_end_to_end",
+    # KN3 tier moved to llm_surprisal3 (same registry names)
     "n4_kn3_surprisal_filter",
     "s_kn3_stats_stream",
-    "n3_pq_trained_topk",
+    # QOI decode now bounds allocation against the payload
     "n5_qoi_archive_pipeline_real",
 ]
 
-# Padding: the oldest driver-certified wave (round 1), re-validated in
-# registry order until the window holds exactly 50 entries.
-_R10_PAD = [
-    "q1_pricing_summary", "r1_projection", "r2_filter_three_valued",
-    "r3_flatmap_tokens", "r4_unnest_posexplode", "r5_values_literal",
-    "r6_side_output_split", "r7_async_enrich", "a3_distinct_agg",
-    "a4_grouping_sets", "a5_std_aggregates", "a6_first_last_value",
-    "a7_listagg", "a8_collect_multiset", "a9_approx_count_distinct",
-    "a11_udaf_median", "a12_udtaf_top2", "j1_inner_equi",
-    "j_bucketed_colocated", "j2_outer_joins", "j3_semi_join",
-    "j3_anti_join", "j4_theta_join", "j5_interval_join", "j6_asof_join",
-    "j7_lookup_broadcast", "j8_window_join", "o1_rank_functions",
-    "o2_lead_lag", "o3_first_last_over", "o4_agg_over_frames",
-    "o5_distribution_functions", "o6_topn_pattern",
-    "o7_dedup_keep_first", "o7_dedup_keep_last", "t1_orderby_limit",
-    "t2_limit_offset", "t4_union", "t4_union_distinct", "t5_intersect",
-    "t5_except_all", "t5_intersect_all", "f_string_family",
-    "f_math_family", "f_temporal_family", "f_conditional_family",
-    "f_json_family", "f_collection_family", "f_map_family",
+# Re-validation pad: the queries whose latest driver CORRECTNESS row is
+# OLDEST (r1/r2/r3 unions), in wave order then name order.
+_R11_PAD = [
     "f_cast_hash_family",
+    # r2 wave
+    "f_collection_family", "f_comparison_family", "f_conditional_family",
+    "f_json_family", "f_map_family", "f_math_family", "f_string_family",
+    "f_temporal_family", "o7_dedup_keep_first", "o7_dedup_keep_last",
+    "t1_orderby_limit", "t2_limit_offset", "t4_union", "t4_union_distinct",
+    "t5_except_all", "t5_intersect", "t5_intersect_all",
+    # r3 wave (name order; truncated to fill the window)
+    "n1_exact_dedup", "n1_fingerprint_dedup", "n2_dedup_clusters",
+    "n2_embedding_cosine_pairs", "n2_ngram_jaccard_capped",
+    "n2_ngram_jaccard_pairs", "n3_cosine_topk", "n4_corpus_token_stats",
+    "n4_lang_id", "n4_quality_stats", "n4_tfidf", "n5_frame_sample",
+    "n5_multimodal_features", "n5_resize", "s_cdc_apply",
+    "s_cumulate_stream", "s_dedup_within_watermark_stream", "s_hop_stream",
+    "s_interval_join_stream", "s_keep_last_stream",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R10_MUST) <= 50, len(_R10_MUST)
-    window = _R10_MUST + _R10_PAD[: 50 - len(_R10_MUST)]
+    assert len(_R11_MUST) <= 50, len(_R11_MUST)
+    window = _R11_MUST + _R11_PAD[: 50 - len(_R11_MUST)]
     assert len(window) == 50, len(window)
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
