@@ -88,6 +88,10 @@ HEADLINE = [
     "n3_hnsw_topk",
     "n4_logistic_train",
     "n5_audio_downsample_pipeline_real",
+    # r11 representatives
+    "n3_knn_graph_blocked",
+    "n4_bpe_bytelevel_train",
+    "s_exactsubstr_cut_stream",
 ]
 
 # Correctness-only queries whose runtime is dominated by oracle scaffolding,

@@ -62,7 +62,11 @@ def _step_cte(name: str, prev: str, edges: str, width: int) -> str:
 )"""
 
 
-def _build_oracle() -> str:
+def _build_oracle(e0_cte: str | None = None) -> str:
+    """The full search-replay oracle.  ``e0_cte`` optionally replaces
+    the exact all-pairs layer-0 edge CTE with an alternative edge
+    construction (the blocked-build variant) — the layer assignment,
+    upper layers, and every search step stay shared verbatim."""
     steps = []
     prev = "c0"
     i = 0
@@ -101,7 +105,7 @@ WITH qz AS (
 ),
 {_edge_cte('e2', 2)},
 {_edge_cte('e1', 1)},
-{_edge_cte('e0', 0)},
+{e0_cte if e0_cte is not None else _edge_cte('e0', 0)},
 ep AS (
   SELECT vec_id AS node FROM lv ORDER BY lvl DESC, vec_id LIMIT 1
 ),
@@ -571,3 +575,88 @@ def n3_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ann.knn_graph_blocked(
         e, centroids, m=5, nprobe=4, id_col="vec_id", vec_col="embedding"
     )
+
+
+# --------------------------------------------------------------------------
+# N3 — fully sub-quadratic HNSW: blocked layer 0 + exact upper layers
+# --------------------------------------------------------------------------
+_BLOCKED_E0 = f"""e0 AS (
+  SELECT src, dst FROM (
+    SELECT p.src, c.dst,
+           ROW_NUMBER() OVER (PARTITION BY p.src
+             ORDER BY ROUND(list_dot_product(a.e, b.e)
+                            / (a.nrm * b.nrm), 9) DESC, c.dst) AS rn
+    FROM (
+      SELECT vec_id AS src, cid AS list_id FROM ivfassign WHERE rk <= 4
+    ) p
+    JOIN (
+      SELECT vec_id AS dst, cid AS list_id FROM ivfassign WHERE rk = 1
+    ) c ON p.list_id = c.list_id
+    JOIN fvn a ON a.vec_id = p.src
+    JOIN fvn b ON b.vec_id = c.dst
+    WHERE p.src <> c.dst
+  ) WHERE rn <= {graph_ann.M_EDGES}
+)"""
+
+_IVF_ASSIGN_CTES = """fv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), fvn AS (
+  SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM fv
+), fcn AS (
+  SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+  FROM fv WHERE vec_id < 16
+), ivfassign AS (
+  SELECT fvn.vec_id, fcn.cid,
+         ROW_NUMBER() OVER (PARTITION BY fvn.vec_id
+           ORDER BY list_dot_product(fvn.e, fcn.ce) / (fvn.nrm * fcn.cnrm)
+                    DESC, fcn.cid) AS rk
+  FROM fvn CROSS JOIN fcn
+),
+"""
+
+
+@register(
+    "n3_hnsw_blocked_topk",
+    oracle=_build_oracle(e0_cte=_IVF_ASSIGN_CTES + _BLOCKED_E0),
+    survey="N3",
+    tags=("approx",),
+)
+def n3_hnsw_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY SUB-QUADRATIC HNSW — the end-to-end composition of the
+    round's two builds: layer 0's top-M edges come from the IVF-blocked
+    candidate join (knn_graph_blocked — N^2*nprobe/K work, no broadcast
+    side, no driver collect), upper layers (1/4, 1/16 of the corpus)
+    from the exact block-pair grid, and the SAME search_layers beam
+    walks the result — so nothing in the index build is quadratic in
+    the corpus and nothing is driver-resident.  This is the plan the
+    100 TB deployment runs, now a certified query rather than a
+    docstring claim: the oracle shares every CTE with n3_hnsw_topk's
+    full replay except e0, which replays the IVF assignment + blocked
+    top-M verbatim.  Recall@5 vs exact cosine is pinned in
+    tests/test_r11_ops.py (lower than the exact-graph build by
+    construction on the near-uniform fixture — the recall/cost knob is
+    nprobe/K, and the recall-report pattern exposes it as data)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = graph_ann.with_levels(
+        graph_ann.quantized(emb, "vec_id", "embedding")
+    ).localCheckpoint(eager=True)
+    qset = graph_ann.quantized(
+        emb.filter(F.col("vec_id") < 8), "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()  # codebook-sized collect: K=16 rows
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
+    e0 = graph_ann.knn_graph_blocked(
+        emb, centroids, m=graph_ann.M_EDGES, nprobe=4
+    ).select("src", "dst", F.col("cosine_sim").alias("sim"))
+    edges = {
+        lv: graph_ann.layer_edges(nodes.filter(F.col("lvl") >= lv))
+        for lv in (2, 1)
+    }
+    edges[0] = e0.localCheckpoint(eager=True)
+    return graph_ann.search_layers(nodes, edges, qset, k=5)

@@ -297,3 +297,27 @@ def test_knn_graph_blocked_recall_floor(spark, sf_dir):
     # the synthetic embeddings are near-uniform (IVF's worst case); the
     # floor pins that blocking still beats the in-list-only degenerate
     assert recall >= 0.4, recall
+
+
+def test_hnsw_blocked_recall_pinned_vs_exact(spark, sf_dir):
+    """The fully sub-quadratic HNSW (IVF-blocked layer 0 + exact upper
+    layers, same beam search) must reach recall@5 >= 0.85 vs exact
+    cosine on the sf fixture — measured 0.975 (sf0.001) / 0.925
+    (sf0.01): the ef-16 beam recovers most of what blocking drops."""
+    from flink_1_19_source_spark.operators import similarity
+    from flink_1_19_source_spark.queries.llm_graph_ann import (
+        n3_hnsw_blocked_topk,
+    )
+    from flink_1_19_source_spark.tables import load_table
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in n3_hnsw_blocked_topk(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.85

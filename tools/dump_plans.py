@@ -270,6 +270,12 @@ HEADLINERS = {
         "task sees more than two blocks; search is bounded "
         "frontier-expand joins"
     ),
+    "n3_knn_graph_blocked": (
+        "sub-quadratic kNN graph: IVF assignment is a broadcast-free "
+        "Arrow pass, candidates a plain list_id-keyed shuffle join, "
+        "one per-src rank window — N^2*nprobe/K work, O(N^1.5) under "
+        "sqrt(N) codebook sizing"
+    ),
 }
 
 

@@ -117,6 +117,10 @@ QUERIES = [
     # without a curve) — fit cost must stay flat across sf while the
     # assignment tracks corpus size
     "n3_ivf_trained_topk",
+    "n3_knn_graph_blocked",     # list-keyed shuffle join, no broadcast side
+    "n4_bpe_bytelevel_train",   # corpus shuffle + 24 vocab passes
+    "s_exactsubstr_cut_stream",  # drained gram count/min segments
+    "n3_hnsw_blocked_topk",     # blocked layer 0 + exact upper + beam
 ]
 
 
