@@ -85,6 +85,7 @@ _R11_MUST = [
     "s_exactsubstr_cut_stream",
     "n3_knn_graph_blocked",
     "n3_hnsw_blocked_topk",
+    "n6_unimax_mix",
     # r11 changed code/oracle: sample-bounded trained-IVF fit (results
     # changed), kmeans CTE gains the fitc stage (oracle text changed)
     "n3_ivf_trained_topk",

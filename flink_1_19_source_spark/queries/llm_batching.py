@@ -94,3 +94,127 @@ def n6_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("padding_waste"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N6 — UniMax language-budget allocation (closed-form water-filling)
+# --------------------------------------------------------------------------
+_UNIMAX_EPOCHS = 2   # per-language epoch cap (UniMax's N)
+_UNIMAX_BUDGET_DEN = 2  # budget = total corpus tokens // 2
+
+
+@register(
+    "n6_unimax_mix",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(
+               string_split_regex(LOWER(text), '\\s+'), t -> t <> ''
+             ))) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) // {_UNIMAX_BUDGET_DEN} AS b,
+             COUNT(*) AS l FROM stats
+    ), ordered AS (
+      SELECT lang, n, n * {_UNIMAX_EPOCHS} AS cap,
+             ROW_NUMBER() OVER w AS i,
+             SUM(n * {_UNIMAX_EPOCHS}) OVER w AS c
+      FROM stats WINDOW w AS (ORDER BY n * {_UNIMAX_EPOCHS}, lang
+                              ROWS UNBOUNDED PRECEDING)
+    ), cond AS (
+      SELECT o.*, tot.b, tot.l,
+             CASE WHEN o.cap * (tot.l - o.i + 1) <= tot.b - (o.c - o.cap)
+                  THEN 1 ELSE 0 END AS ok
+      FROM ordered o CROSS JOIN tot
+    ), flagged AS (
+      SELECT *, MIN(ok) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS fl
+      FROM cond
+    ), kk AS (
+      SELECT CAST(SUM(fl) AS BIGINT) AS k,
+             CAST(COALESCE(SUM(cap * fl), 0) AS BIGINT) AS ck
+      FROM flagged
+    )
+    SELECT lang, n AS n_tokens, cap,
+           CAST(CASE WHEN fl = 1 THEN cap
+                ELSE (b - ck) // (l - k)
+                     + CASE WHEN i - k <= (b - ck) % (l - k)
+                            THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc_tokens,
+           CAST(1000 * (CASE WHEN fl = 1 THEN cap
+                ELSE (b - ck) // (l - k)
+                     + CASE WHEN i - k <= (b - ck) % (l - k)
+                            THEN 1 ELSE 0 END END) // n AS BIGINT)
+             AS epochs_millis
+    FROM flagged CROSS JOIN kk
+    """,
+    survey="N6",
+)
+def n6_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation [Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"]: distribute a token budget across
+    languages as uniformly as possible subject to a per-language epoch
+    cap — small languages get capped at cap = n_l x 2 epochs
+    (never over-repeated), the rest share the remaining budget equally.
+
+    The sequential water-filling loop has a CLOSED FORM over the
+    cap-ascending order: a language is capped iff its cap fits the
+    fair share of the budget left after all smaller caps
+    (cap_i x (L-i+1) <= B - c_(i-1)); the capped set is the maximal
+    all-true prefix (one running-MIN window), and the uncapped rest
+    split the remainder by integer division with the first
+    (B-c_k) %% U languages taking the +1 — every step exact int64, so
+    the oracle is an equality, not a tolerance.  The windows run over
+    the LANGUAGE table (domain-sized, like every apportionment op in
+    the N6 tier); the corpus contributes one token-count aggregate.
+    Output: (lang, n_tokens, cap, alloc_tokens, epochs_millis).
+    Budget-conservation (sum alloc == min(B, sum caps)) is test-pinned."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.sum(F.size(ta.tokens(F.col("text")))).cast("long").alias("n")
+    )
+    tot = stats.agg(
+        (F.sum("n").cast("long") / F.lit(_UNIMAX_BUDGET_DEN))
+        .cast("long").alias("b"),
+        F.count(F.lit(1)).alias("l"),
+    )
+    wo = Window.orderBy("cap", "lang")
+    ordered = stats.withColumn(
+        "cap", (F.col("n") * _UNIMAX_EPOCHS).cast("long")
+    ).withColumn("i", F.row_number().over(wo)).withColumn(
+        "c",
+        F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cond = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "ok",
+        (
+            F.col("cap") * (F.col("l") - F.col("i") + 1)
+            <= F.col("b") - (F.col("c") - F.col("cap"))
+        ).cast("int"),
+    )
+    wf = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    flagged = cond.withColumn("fl", F.min("ok").over(wf)).localCheckpoint(
+        eager=True
+    )
+    kk = flagged.agg(
+        F.sum("fl").cast("long").alias("k"),
+        F.coalesce(F.sum(F.col("cap") * F.col("fl")), F.lit(0))
+        .cast("long").alias("ck"),
+    )
+    base = F.expr("(b - ck) div (l - k)")
+    plus = F.when(
+        F.col("i") - F.col("k") <= F.expr("(b - ck) % (l - k)"), 1
+    ).otherwise(0)
+    alloc = F.when(F.col("fl") == 1, F.col("cap")).otherwise(base + plus)
+    return flagged.crossJoin(F.broadcast(kk)).select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        "cap",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(
+            f"CAST(1000 * (CASE WHEN fl = 1 THEN cap"
+            f" ELSE (b - ck) div (l - k)"
+            f" + CASE WHEN i - k <= (b - ck) % (l - k) THEN 1 ELSE 0 END"
+            f" END) div n AS BIGINT)"
+        ).alias("epochs_millis"),
+    )

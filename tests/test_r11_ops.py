@@ -321,3 +321,43 @@ def test_hnsw_blocked_recall_pinned_vs_exact(spark, sf_dir):
         for r in similarity.cosine_topk(e, q, k=5).collect()
     }
     assert len(got & exact) / len(exact) >= 0.85
+
+
+def test_unimax_conserves_budget_and_caps(spark, tmp_path, sf_dir):
+    """UniMax invariants on the real corpus AND a planted skew: every
+    allocation respects its cap, the budget is exactly conserved
+    (sum alloc == min(B, sum caps)), and a tiny language is capped at
+    exactly 2 epochs while big ones share the rest near-evenly."""
+    import os
+
+    from flink_1_19_source_spark.queries.llm_batching import n6_unimax_mix
+
+    def check(sf):
+        rows = n6_unimax_mix(spark, sf).collect()
+        total = sum(r["n_tokens"] for r in rows)
+        b = total // 2
+        caps = sum(r["cap"] for r in rows)
+        for r in rows:
+            assert 0 <= r["alloc_tokens"] <= r["cap"], r
+            assert r["cap"] == 2 * r["n_tokens"], r
+        assert sum(r["alloc_tokens"] for r in rows) == min(b, caps)
+        return rows
+
+    check(sf_dir)
+
+    sf = str(tmp_path / "planted")
+    os.makedirs(sf, exist_ok=True)
+    rows = [(i, "en", "tok " * 100) for i in range(50)]       # 5000 tokens
+    rows += [(100 + i, "de", "tok " * 100) for i in range(50)]
+    rows += [(200, "mi", "tok tok tok")]                      # 3 tokens
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["lang"]: r for r in check(sf)}
+    # the tiny language is capped at exactly 2 epochs
+    assert got["mi"]["alloc_tokens"] == got["mi"]["cap"] == 6
+    assert got["mi"]["epochs_millis"] == 2000
+    # the two big languages split the rest within 1 token
+    big = sorted(got[lg]["alloc_tokens"] for lg in ("en", "de"))
+    assert big[1] - big[0] <= 1
+    assert all(got[lg]["epochs_millis"] < 2000 for lg in ("en", "de"))
