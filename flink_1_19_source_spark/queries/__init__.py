@@ -86,6 +86,7 @@ _R11_MUST = [
     "n3_knn_graph_blocked",
     "n3_hnsw_blocked_topk",
     "n6_unimax_mix",
+    "s_bpe_bytelevel_stats_stream",
     # r11 changed code/oracle: sample-bounded trained-IVF fit (results
     # changed), kmeans CTE gains the fitc stage (oracle text changed)
     "n3_ivf_trained_topk",

@@ -123,6 +123,15 @@ def _bb_train_spark(spark: SparkSession, sf_dir: str, n: int = _BB_MERGES):
         )
         .localCheckpoint()
     )
+    merges, words = _bb_merge_loop(words, n)
+    return merges, words, tok
+
+
+def _bb_merge_loop(words: DataFrame, n: int):
+    """The shared pair-count -> argmax -> merge-apply loop over a
+    (w, s, freq) vocabulary frame — used verbatim by the one-shot
+    trainer and the streaming twin's post-drain pass, so the two
+    cannot drift.  Returns (merges, final_words)."""
     merges: list[tuple[int, str, str, int]] = []
     for i in range(n):
         pairs = (
@@ -161,7 +170,7 @@ def _bb_train_spark(spark: SparkSession, sf_dir: str, n: int = _BB_MERGES):
         )
         if (i + 1) % 8 == 0:
             words = words.localCheckpoint()
-    return merges, words, tok
+    return merges, words
 
 
 @register(
@@ -210,3 +219,119 @@ def n4_bpe_bytelevel_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_syms").cast("long").alias("n_bbpe_tokens"))
     )
+
+
+# --------------------------------------------------------------------------
+# N4-S — STREAMING byte-level BPE vocabulary maintenance
+# --------------------------------------------------------------------------
+@register(
+    "s_bpe_bytelevel_stats_stream",
+    oracle=_bb_train_oracle(),
+    survey="N4 X2 X4",
+    tags=("streaming",),
+)
+def s_bpe_bytelevel_stats_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING byte-level-BPE vocabulary maintenance — the tokenizer
+    trainer's count pass made incremental (the kn3-stats contract):
+    each arriving micro-batch regex-pre-tokenizes (the SAME hash-gated
+    40% sample the one-shot trainer uses — the gate is per-document,
+    so it composes with any slicing) and lands as an
+    OVERWRITE-idempotent (w, freq) count segment; SegmentStore folds
+    every 2 batches with a key-wise re-SUM, so live state is
+    O(pre-token types) regardless of uptime.  Pre-token frequencies
+    are ADDITIVE over any corpus slicing, so the drained vocabulary
+    equals the one-shot aggregation — and the post-drain merge loop
+    (the shared trainer arithmetic over the drained (w, freq) table)
+    reproduces n4_bpe_bytelevel_train's merge table verbatim: the
+    oracle is the same unrolled-CTE SQL, hash-matched.  At 100 TB this
+    is how a tokenizer tracks a growing corpus: new data updates
+    O(batch pre-token types) state, re-deriving merges is a
+    vocabulary-sized batch job, never a corpus re-read."""
+    return _bb_stats_stream_run(spark, sf_dir)
+
+
+def _bb_stats_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """Runner with crash injection: the crash lands AFTER the count
+    segment append with the checkpoint uncommitted — the bid-gated
+    overwrite keeps the summing merge double-count-free on replay."""
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.sampling import keep
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_bbpe")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("w").agg(F.sum("freq").alias("freq")),
+    )
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        tok = batch.filter(
+            keep(F.col("doc_id"), "bbpe", _BB_SAMPLE_RATE)
+        ).select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BB_PAT), F.lit(0))
+            ).alias("w")
+        )
+        store.append(
+            tok.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .coalesce(1),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash after segment append")
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                    raise AssertionError("injected crash did not fire")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    words = (
+        store.read()
+        .groupBy("w")
+        .agg(F.sum("freq").alias("freq"))
+        .select(
+            "w",
+            F.regexp_replace(
+                F.hex(F.encode(F.col("w"), "UTF-8")), "(..)", r"|$1|"
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges, _ = _bb_merge_loop(words, _BB_MERGES)
+    out = spark.createDataFrame(
+        merges, "merge_no long, pair_a string, pair_b string, pair_count long"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

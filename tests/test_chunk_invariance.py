@@ -146,6 +146,10 @@ INVARIANT_QUERIES = [
     # key is a MIN — both additive over any corpus slicing, and the
     # post-drain cut is a pure function of the drained table
     "s_exactsubstr_cut_stream",
+    # streaming byte-BPE vocabulary: per-doc hash gate composes with any
+    # slicing, pre-token counts are additive, and the post-drain merge
+    # loop is a pure function of the drained vocabulary
+    "s_bpe_bytelevel_stats_stream",
 ]
 
 

@@ -83,6 +83,9 @@ _SWEEP_R10C = [
     # exactly the class the bid-gated overwrite must protect
     ("flink_1_19_source_spark.queries.llm_suffix",
      "_exactsubstr_stream_run", {}, [0, 1, 2, 3]),
+    # r11: streaming byte-BPE vocabulary — crash after the count append
+    ("flink_1_19_source_spark.queries.llm_bytebpe",
+     "_bb_stats_stream_run", {}, [0, 1, 2, 3]),
 ]
 
 
