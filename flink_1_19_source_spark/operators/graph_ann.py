@@ -431,8 +431,10 @@ def knn_graph_blocked(
     vector lands in its ONE nearest coarse list (the IVF corpus-side
     convention) and probes its ``nprobe`` nearest lists as a source;
     candidates are the list-keyed join of the two (each (src, dst) pair
-    can match at most once — dst has one list), scored with round-9
-    cosine and reduced to per-src top-m by ONE rank window.
+    can match at most once — dst has one list), scored under the graph
+    tier's quantized-int64 similarity contract (order-free exact dot,
+    bit-identical doubles in numpy/JVM/DuckDB) and reduced to per-src
+    top-m by ONE rank window; output sim is rounded to 9 dp.
 
     Work is sum over lists of |probes(list)| x |list| ~= N^2 x
     nprobe / K instead of the block-pair grid's N^2 — with K grown as
@@ -442,29 +444,90 @@ def knn_graph_blocked(
     block-pair build (cross_topm) is this operator's recall reference;
     the floor is pinned in tests/test_r11_ops.py.  Returns
     (src, dst, cosine_sim, rank <= m)."""
-    from .similarity import _centroid_assign_udf, as_double, cosine
+    import numpy as np
+
+    from .similarity import _centroid_assign_udf, as_double
 
     corpus_assign = _centroid_assign_udf(centroids, 1)
     probe_assign = _centroid_assign_udf(centroids, nprobe)
-    v = vectors.select(
-        F.col(id_col).alias("dst"), as_double(F.col(vec_col)).alias("nvec")
-    ).withColumn("list_id", F.explode(corpus_assign(F.col("nvec"))))
-    p = vectors.select(
-        F.col(id_col).alias("src"), as_double(F.col(vec_col)).alias("svec")
-    ).withColumn("list_id", F.explode(probe_assign(F.col("svec"))))
-    scored = (
-        v.join(p, "list_id")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src", "dst",
-            F.round(cosine(F.col("svec"), F.col("nvec")), 9)
-            .alias("cosine_sim"),
+    qf = quantized(vectors, id_col, vec_col)
+    fv = as_double(F.col(vec_col))
+    # Assignment runs on the raw doubles (the certified IVF convention);
+    # SIMILARITY uses the graph tier's quantized-int64 contract, so the
+    # scoring sum is order-free and numpy/JVM/DuckDB doubles agree
+    # bit-for-bit.  Materialize both assigned sides: two branches over
+    # the SAME source would otherwise re-run the Arrow assignment
+    # inside every join task; at 100 TB this materialization IS the
+    # index layout — list_id as the stored table's partition key.
+    dstf = (
+        qf.join(
+            vectors.select(
+                F.col(id_col).alias("vec_id"),
+                corpus_assign(fv).alias("ls"),
+            ),
+            "vec_id",
         )
+        .withColumn("list_id", F.explode("ls"))
+        .drop("ls")
+        .localCheckpoint(eager=True)
+    )
+    srcf = (
+        qf.join(
+            vectors.select(
+                F.col(id_col).alias("vec_id"),
+                probe_assign(fv).alias("ls"),
+            ),
+            "vec_id",
+        )
+        .withColumn("list_id", F.explode("ls"))
+        .drop("ls")
+        .localCheckpoint(eager=True)
+    )
+    # Pack each list once per side, join on list_id (ONE row per list),
+    # and run the SAME numpy int64 block kernel as the exact build —
+    # per-src top-m within the list, then one global rank window over
+    # the nprobe x m candidates per src.  The per-pair cost is a
+    # BLAS-shaped integer product instead of a per-row Catalyst array
+    # fold (the fold drops out of codegen and runs interpreted —
+    # measured ~20x slower at 1M candidate pairs).
+    pack = F.collect_list(F.struct("vec_id", "qv", "nq"))
+    pairs = (
+        srcf.groupBy("list_id").agg(pack.alias("apack"))
+        .join(dstf.groupBy("list_id").agg(pack.alias("bpack")), "list_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for apack, bpack in zip(pdf["apack"], pdf["bpack"]):
+                a = _unpack(apack, False)
+                b = _unpack(bpack, False)
+                a_ids, b_ids, sims = _block_sims(a, b)
+                out_src, out_dst, out_sim = [], [], []
+                for i in range(len(a_ids)):
+                    srow = sims[i]
+                    mask = b_ids != a_ids[i]
+                    cand_ids = b_ids[mask]
+                    cand_sim = srow[mask]
+                    order = np.lexsort((cand_ids, -cand_sim))[:m]
+                    out_src.extend([a_ids[i]] * len(order))
+                    out_dst.extend(cand_ids[order])
+                    out_sim.extend(cand_sim[order])
+                yield pd.DataFrame(
+                    {"src": out_src, "dst": out_dst,
+                     "cosine_sim": out_sim}
+                )
+
+    cand = pairs.mapInPandas(
+        gen, "src long, dst long, cosine_sim double"
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cosine_sim").desc(), F.col("dst")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= m)
+        .select(
+            "src", "dst", F.round("cosine_sim", 9).alias("cosine_sim"),
+            "rank",
+        )
     )

@@ -527,18 +527,31 @@ def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS dst, cid AS list_id FROM assign WHERE rk = 1
     ), probe_list AS (
       SELECT vec_id AS src, cid AS list_id FROM assign WHERE rk <= 4
+    ), nz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 32768) AS BIGINT)) AS qv
+      FROM embeddings
+    ), nq AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, t -> t * t)) AS BIGINT) AS nq
+      FROM nz
     ), scored AS (
+      -- assignment is float-cosine (the certified IVF convention);
+      -- similarity is the graph tier's quantized-int64 contract
       SELECT p.src, c.dst,
-             ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 9)
-               AS cosine_sim
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+               / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
+               AS sim
       FROM probe_list p JOIN corpus_list c ON p.list_id = c.list_id
-      JOIN vn a ON a.vec_id = p.src
-      JOIN vn b ON b.vec_id = c.dst
+      JOIN nq a ON a.vec_id = p.src
+      JOIN nq b ON b.vec_id = c.dst
       WHERE p.src <> c.dst
     )
-    SELECT src, dst, cosine_sim, rank FROM (
+    SELECT src, dst, ROUND(sim, 9) AS cosine_sim, rank FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
-                    ORDER BY cosine_sim DESC, dst) AS INTEGER) AS rank
+                    ORDER BY sim DESC, dst) AS INTEGER) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -584,16 +597,18 @@ _BLOCKED_E0 = f"""e0 AS (
   SELECT src, dst FROM (
     SELECT p.src, c.dst,
            ROW_NUMBER() OVER (PARTITION BY p.src
-             ORDER BY ROUND(list_dot_product(a.e, b.e)
-                            / (a.nrm * b.nrm), 9) DESC, c.dst) AS rn
+             ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                      / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
+                      DESC, c.dst) AS rn
     FROM (
       SELECT vec_id AS src, cid AS list_id FROM ivfassign WHERE rk <= 4
     ) p
     JOIN (
       SELECT vec_id AS dst, cid AS list_id FROM ivfassign WHERE rk = 1
     ) c ON p.list_id = c.list_id
-    JOIN fvn a ON a.vec_id = p.src
-    JOIN fvn b ON b.vec_id = c.dst
+    JOIN lv a ON a.vec_id = p.src
+    JOIN lv b ON b.vec_id = c.dst
     WHERE p.src <> c.dst
   ) WHERE rn <= {graph_ann.M_EDGES}
 )"""
