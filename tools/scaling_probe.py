@@ -121,6 +121,8 @@ QUERIES = [
     "n4_bpe_bytelevel_train",   # corpus shuffle + 24 vocab passes
     "s_exactsubstr_cut_stream",  # drained gram count/min segments
     "n3_hnsw_blocked_topk",     # blocked layer 0 + exact upper + beam
+    "n6_unimax_mix",            # 1 corpus agg + language-table windows
+    "s_bpe_bytelevel_stats_stream",  # drained pre-token count segments
 ]
 
 
