@@ -361,3 +361,50 @@ def test_unimax_conserves_budget_and_caps(spark, tmp_path, sf_dir):
     big = sorted(got[lg]["alloc_tokens"] for lg in ("en", "de"))
     assert big[1] - big[0] <= 1
     assert all(got[lg]["epochs_millis"] < 2000 for lg in ("en", "de"))
+
+
+def test_knn_graph_blocked_plan_no_corpus_broadcast(spark, sf_dir):
+    """The blocked kNN graph's candidate join must be a plain shuffle
+    join on list_id — NEITHER corpus-sized side broadcast (a broadcast
+    there caps the operator at driver memory), and no nested-loop
+    cross join anywhere."""
+    import numpy as np
+
+    from flink_1_19_source_spark.operators import graph_ann as ga
+    from flink_1_19_source_spark.plans import audit
+    from flink_1_19_source_spark.tables import load_table
+    from pyspark.sql import functions as F2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = np.array(
+        [r.embedding for r in e.filter(F2.col("vec_id") < 16)
+         .orderBy("vec_id").select("embedding").collect()],
+        dtype=float,
+    )
+    df = ga.knn_graph_blocked(e, cent, m=5, nprobe=4)
+    txt = audit.plan_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+
+
+def test_exactsubstr_stream_segments_are_domain_bounded(spark, sf_dir):
+    """The drained ExactSubstr state must be bounded by DISTINCT grams
+    (the domain), not stream length: run the stream, then assert the
+    final cut report matches the batch operator row-for-row (the
+    O(domain) SegmentStore fold is what makes that equality hold at
+    any uptime)."""
+    from flink_1_19_source_spark.operators import suffix_array as sa
+    from flink_1_19_source_spark.queries.llm_suffix import (
+        _SA_L, s_exactsubstr_cut_stream,
+    )
+    from flink_1_19_source_spark.tables import load_table
+
+    got = {
+        tuple(r) for r in s_exactsubstr_cut_stream(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        tuple(r)
+        for r in sa.exactsubstr_cut(docs, "doc_id", "text", _SA_L).collect()
+    }
+    assert got == want
