@@ -166,6 +166,28 @@ def _block_sims(a, b):
     return a_ids, b_ids, sims
 
 
+def _pair_topm(a_ids, b_ids, sims, m, b_mask=None):
+    """Per-src top-m within ONE block pair — self-pairs excluded by id,
+    order (sim desc, dst asc), optional extra b-side boolean mask.  The
+    single selection kernel shared by every blocked build (exact grid,
+    layered grid, IVF-blocked), so a tie-break or masking change cannot
+    drift between them."""
+    import numpy as np
+
+    out_src, out_dst, out_sim = [], [], []
+    for i in range(len(a_ids)):
+        mask = b_ids != a_ids[i]
+        if b_mask is not None:
+            mask &= b_mask
+        cand_ids = b_ids[mask]
+        cand_sim = sims[i][mask]
+        order = np.lexsort((cand_ids, -cand_sim))[:m]
+        out_src.extend([a_ids[i]] * len(order))
+        out_dst.extend(cand_ids[order])
+        out_sim.extend(cand_sim[order])
+    return out_src, out_dst, out_sim
+
+
 def cross_topm(src_df: DataFrame, dst_df: DataFrame,
                m: int = M_EDGES) -> DataFrame:
     """Exact top-m (src, dst, sim) edges from each src row to the dst
@@ -202,16 +224,9 @@ def cross_topm(src_df: DataFrame, dst_df: DataFrame,
                 a = _unpack(apack, False)
                 b = _unpack(bpack, False)
                 a_ids, b_ids, sims = _block_sims(a, b)
-                out_src, out_dst, out_sim = [], [], []
-                for i in range(len(a_ids)):
-                    srow = sims[i]
-                    mask = b_ids != a_ids[i]
-                    cand_ids = b_ids[mask]
-                    cand_sim = srow[mask]
-                    order = np.lexsort((cand_ids, -cand_sim))[:m]
-                    out_src.extend([a_ids[i]] * len(order))
-                    out_dst.extend(cand_ids[order])
-                    out_sim.extend(cand_sim[order])
+                out_src, out_dst, out_sim = _pair_topm(
+                    a_ids, b_ids, sims, m
+                )
                 yield pd.DataFrame(
                     {"src": out_src, "dst": out_dst, "sim": out_sim}
                 )
@@ -258,21 +273,17 @@ def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
                 _, _, sims = _block_sims(
                     (a_ids, a_mat, a_nrm), (b_ids, b_mat, b_nrm)
                 )
-                layer_mask = {lv: b_lvl >= lv for lv in (2, 1, 0)}
                 out_lvl, out_src, out_dst, out_sim = [], [], [], []
-                for i in range(len(a_ids)):
-                    srow = sims[i]
-                    for lv in (2, 1, 0):
-                        if a_lvl[i] < lv:
-                            continue
-                        mask = layer_mask[lv] & (b_ids != a_ids[i])
-                        cand_ids = b_ids[mask]
-                        cand_sim = srow[mask]
-                        order = np.lexsort((cand_ids, -cand_sim))[:m]
-                        out_lvl.extend([lv] * len(order))
-                        out_src.extend([a_ids[i]] * len(order))
-                        out_dst.extend(cand_ids[order])
-                        out_sim.extend(cand_sim[order])
+                for lv in (2, 1, 0):
+                    sel = a_lvl >= lv
+                    src, dst, sim = _pair_topm(
+                        a_ids[sel], b_ids, sims[sel], m,
+                        b_mask=b_lvl >= lv,
+                    )
+                    out_lvl.extend([lv] * len(src))
+                    out_src.extend(src)
+                    out_dst.extend(dst)
+                    out_sim.extend(sim)
                 yield pd.DataFrame(
                     {"lvl": out_lvl, "src": out_src, "dst": out_dst,
                      "sim": out_sim}
@@ -450,7 +461,8 @@ def knn_graph_blocked(
 
     corpus_assign = _centroid_assign_udf(centroids, 1)
     probe_assign = _centroid_assign_udf(centroids, nprobe)
-    qf = quantized(vectors, id_col, vec_col)
+    # one quantization pass feeds BOTH assigned branches below
+    qf = quantized(vectors, id_col, vec_col).localCheckpoint(eager=True)
     fv = as_double(F.col(vec_col))
     # Assignment runs on the raw doubles (the certified IVF convention);
     # SIMILARITY uses the graph tier's quantized-int64 contract, so the
@@ -502,16 +514,9 @@ def knn_graph_blocked(
                 a = _unpack(apack, False)
                 b = _unpack(bpack, False)
                 a_ids, b_ids, sims = _block_sims(a, b)
-                out_src, out_dst, out_sim = [], [], []
-                for i in range(len(a_ids)):
-                    srow = sims[i]
-                    mask = b_ids != a_ids[i]
-                    cand_ids = b_ids[mask]
-                    cand_sim = srow[mask]
-                    order = np.lexsort((cand_ids, -cand_sim))[:m]
-                    out_src.extend([a_ids[i]] * len(order))
-                    out_dst.extend(cand_ids[order])
-                    out_sim.extend(cand_sim[order])
+                out_src, out_dst, out_sim = _pair_topm(
+                    a_ids, b_ids, sims, m
+                )
                 yield pd.DataFrame(
                     {"src": out_src, "dst": out_dst,
                      "cosine_sim": out_sim}

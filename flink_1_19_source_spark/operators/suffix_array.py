@@ -100,7 +100,7 @@ def prefix_sum_distributed(
     return (
         d.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
         .withColumn(out, (F.col("_lsum") + F.col("_off")).cast("long"))
-        .drop("_pid", "_lsum")
+        .drop("_pid", "_lsum", "_off")
     )
 
 

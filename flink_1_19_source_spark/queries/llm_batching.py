@@ -140,10 +140,11 @@ _UNIMAX_BUDGET_DEN = 2  # budget = total corpus tokens // 2
                      + CASE WHEN i - k <= (b - ck) % (l - k)
                             THEN 1 ELSE 0 END
            END AS BIGINT) AS alloc_tokens,
-           CAST(1000 * (CASE WHEN fl = 1 THEN cap
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                1000 * (CASE WHEN fl = 1 THEN cap
                 ELSE (b - ck) // (l - k)
                      + CASE WHEN i - k <= (b - ck) % (l - k)
-                            THEN 1 ELSE 0 END END) // n AS BIGINT)
+                            THEN 1 ELSE 0 END END) // n END AS BIGINT)
              AS epochs_millis
     FROM flagged CROSS JOIN kk
     """,
@@ -167,15 +168,14 @@ def n6_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is an equality, not a tolerance.  The windows run over
     the LANGUAGE table (domain-sized, like every apportionment op in
     the N6 tier); the corpus contributes one token-count aggregate.
-    Output: (lang, n_tokens, cap, alloc_tokens, epochs_millis).
+    Output: (lang, n_tokens, cap, alloc_tokens, epochs_millis); a zero-token language reports 0 millis (guarded in BOTH engines — integer division by zero is NULL in Spark but an error in DuckDB).
     Budget-conservation (sum alloc == min(B, sum caps)) is test-pinned."""
     d = load_table(spark, sf_dir, "documents")
     stats = d.groupBy("lang").agg(
         F.sum(F.size(ta.tokens(F.col("text")))).cast("long").alias("n")
     )
     tot = stats.agg(
-        (F.sum("n").cast("long") / F.lit(_UNIMAX_BUDGET_DEN))
-        .cast("long").alias("b"),
+        F.expr(f"sum(n) div {_UNIMAX_BUDGET_DEN}").cast("long").alias("b"),
         F.count(F.lit(1)).alias("l"),
     )
     wo = Window.orderBy("cap", "lang")
@@ -212,9 +212,10 @@ def n6_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cap",
         alloc.cast("long").alias("alloc_tokens"),
         F.expr(
-            f"CAST(1000 * (CASE WHEN fl = 1 THEN cap"
-            f" ELSE (b - ck) div (l - k)"
-            f" + CASE WHEN i - k <= (b - ck) % (l - k) THEN 1 ELSE 0 END"
-            f" END) div n AS BIGINT)"
+            "CAST(CASE WHEN n = 0 THEN 0 ELSE"
+            " 1000 * (CASE WHEN fl = 1 THEN cap"
+            " ELSE (b - ck) div (l - k)"
+            " + CASE WHEN i - k <= (b - ck) % (l - k) THEN 1 ELSE 0 END"
+            " END) div n END AS BIGINT)"
         ).alias("epochs_millis"),
     )

@@ -506,55 +506,87 @@ def x8_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N3/X8 — sub-quadratic kNN graph via IVF candidate blocking
 # --------------------------------------------------------------------------
-@register(
-    "n3_knn_graph_blocked",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), vn AS (
-      SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM v
-    ), cn AS (
-      SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
-      FROM v WHERE vec_id < 16
-    ), assign AS (
-      SELECT vn.vec_id, cn.cid,
-             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
-               ORDER BY list_dot_product(vn.e, cn.ce) / (vn.nrm * cn.cnrm)
-                        DESC, cn.cid) AS rk
-      FROM vn CROSS JOIN cn
-    ), corpus_list AS (
-      SELECT vec_id AS dst, cid AS list_id FROM assign WHERE rk = 1
-    ), probe_list AS (
-      SELECT vec_id AS src, cid AS list_id FROM assign WHERE rk <= 4
-    ), nz AS (
+_NPROBE_BLOCKED = 4
+
+#: Float-cosine IVF assignment over the first-16-vectors fixture
+#: codebook (the certified n3_ivf_topk convention) — ONE canonical text
+#: shared by every blocked-build oracle so the probe rule cannot drift.
+_IVF_ASSIGN_CTES = """fv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), fvn AS (
+  SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM fv
+), fcn AS (
+  SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
+  FROM fv WHERE vec_id < 16
+), ivfassign AS (
+  SELECT fvn.vec_id, fcn.cid,
+         ROW_NUMBER() OVER (PARTITION BY fvn.vec_id
+           ORDER BY list_dot_product(fvn.e, fcn.ce) / (fvn.nrm * fcn.cnrm)
+                    DESC, fcn.cid) AS rk
+  FROM fvn CROSS JOIN fcn
+)"""
+
+
+def _blocked_scored_sql() -> str:
+    """The blocked candidate generation + quantized scoring SELECT —
+    probes from ``ivfassign`` (rk <= nprobe), corpus lists (rk = 1),
+    quantized vectors from a table named ``lv`` carrying
+    (vec_id, qv, nq).  Shared verbatim by the standalone kNN-graph
+    oracle and the blocked-HNSW e0 CTE."""
+    return f"""SELECT p.src, c.dst, {_SIM.replace('q.', 'a.').replace('n.', 'b.')} AS sim
+      FROM (
+        SELECT vec_id AS src, cid AS list_id FROM ivfassign
+        WHERE rk <= {_NPROBE_BLOCKED}
+      ) p
+      JOIN (
+        SELECT vec_id AS dst, cid AS list_id FROM ivfassign WHERE rk = 1
+      ) c ON p.list_id = c.list_id
+      JOIN lv a ON a.vec_id = p.src
+      JOIN lv b ON b.vec_id = c.dst
+      WHERE p.src <> c.dst"""
+
+
+def _fixture_codebook(e):
+    """The first-16-vectors fixture codebook as a numpy matrix (the
+    shared convention of every IVF-family query)."""
+    import numpy as np
+
+    rows = (
+        e.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()  # codebook-sized collect: K=16 rows
+    )
+    return np.array([r.embedding for r in rows], dtype=float)
+
+
+_KNN_BLOCKED_ORACLE = f"""
+    WITH {_IVF_ASSIGN_CTES},
+    qz AS (
       SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE) * 32768) AS BIGINT)) AS qv
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {graph_ann.SCALE})
+                    AS BIGINT)) AS qv
       FROM embeddings
-    ), nq AS (
+    ), lv AS (
       SELECT vec_id, qv,
              CAST(list_sum(list_transform(qv, t -> t * t)) AS BIGINT) AS nq
-      FROM nz
+      FROM qz
     ), scored AS (
       -- assignment is float-cosine (the certified IVF convention);
       -- similarity is the graph tier's quantized-int64 contract
-      SELECT p.src, c.dst,
-             CAST(list_sum(list_transform(range(1, 65),
-                    i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-               / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
-               AS sim
-      FROM probe_list p JOIN corpus_list c ON p.list_id = c.list_id
-      JOIN nq a ON a.vec_id = p.src
-      JOIN nq b ON b.vec_id = c.dst
-      WHERE p.src <> c.dst
+      {_blocked_scored_sql()}
     )
     SELECT src, dst, ROUND(sim, 9) AS cosine_sim, rank FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
                     ORDER BY sim DESC, dst) AS INTEGER) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "n3_knn_graph_blocked",
+    oracle=_KNN_BLOCKED_ORACLE,
     survey="N3 X8",
     tags=("approx",),
 )
@@ -577,63 +609,32 @@ def n3_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by; on clustered real corpora the same nprobe/K recovers far
     more, and the pinned number is itself visible as data through the
     recall-report pattern)."""
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        e.filter(F.col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()  # codebook-sized collect: K=16 rows
-    )
-    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
     return graph_ann.knn_graph_blocked(
-        e, centroids, m=5, nprobe=4, id_col="vec_id", vec_col="embedding"
+        e, _fixture_codebook(e), m=5, nprobe=_NPROBE_BLOCKED,
+        id_col="vec_id", vec_col="embedding",
     )
 
 
 # --------------------------------------------------------------------------
 # N3 — fully sub-quadratic HNSW: blocked layer 0 + exact upper layers
 # --------------------------------------------------------------------------
-_BLOCKED_E0 = f"""e0 AS (
+# e0 shares _blocked_scored_sql verbatim with the standalone oracle
+# (lv there carries lvl too — the scorer only reads vec_id/qv/nq).
+_BLOCKED_E0 = f"""{_IVF_ASSIGN_CTES},
+e0 AS (
   SELECT src, dst FROM (
-    SELECT p.src, c.dst,
-           ROW_NUMBER() OVER (PARTITION BY p.src
-             ORDER BY CAST(list_sum(list_transform(range(1, 65),
-                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-                      / SQRT(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))
-                      DESC, c.dst) AS rn
-    FROM (
-      SELECT vec_id AS src, cid AS list_id FROM ivfassign WHERE rk <= 4
-    ) p
-    JOIN (
-      SELECT vec_id AS dst, cid AS list_id FROM ivfassign WHERE rk = 1
-    ) c ON p.list_id = c.list_id
-    JOIN lv a ON a.vec_id = p.src
-    JOIN lv b ON b.vec_id = c.dst
-    WHERE p.src <> c.dst
+    SELECT src, dst, sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rn
+    FROM ({_blocked_scored_sql()})
   ) WHERE rn <= {graph_ann.M_EDGES}
 )"""
-
-_IVF_ASSIGN_CTES = """fv AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-), fvn AS (
-  SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM fv
-), fcn AS (
-  SELECT vec_id AS cid, e AS ce, SQRT(list_dot_product(e, e)) AS cnrm
-  FROM fv WHERE vec_id < 16
-), ivfassign AS (
-  SELECT fvn.vec_id, fcn.cid,
-         ROW_NUMBER() OVER (PARTITION BY fvn.vec_id
-           ORDER BY list_dot_product(fvn.e, fcn.ce) / (fvn.nrm * fcn.cnrm)
-                    DESC, fcn.cid) AS rk
-  FROM fvn CROSS JOIN fcn
-),
-"""
 
 
 @register(
     "n3_hnsw_blocked_topk",
-    oracle=_build_oracle(e0_cte=_IVF_ASSIGN_CTES + _BLOCKED_E0),
+    oracle=_build_oracle(e0_cte=_BLOCKED_E0),
     survey="N3",
     tags=("approx",),
 )
@@ -642,18 +643,17 @@ def n3_hnsw_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's two builds: layer 0's top-M edges come from the IVF-blocked
     candidate join (knn_graph_blocked — N^2*nprobe/K work, no broadcast
     side, no driver collect), upper layers (1/4, 1/16 of the corpus)
-    from the exact block-pair grid, and the SAME search_layers beam
-    walks the result — so nothing in the index build is quadratic in
-    the corpus and nothing is driver-resident.  This is the plan the
+    from ONE exact block-pair layered pass, and the SAME search_layers
+    beam walks the result — so nothing in the index build is quadratic
+    in the corpus and nothing is driver-resident.  This is the plan the
     100 TB deployment runs, now a certified query rather than a
     docstring claim: the oracle shares every CTE with n3_hnsw_topk's
     full replay except e0, which replays the IVF assignment + blocked
-    top-M verbatim.  Recall@5 vs exact cosine is pinned in
-    tests/test_r11_ops.py (lower than the exact-graph build by
+    top-M verbatim (the scorer text itself is shared with the
+    standalone kNN-graph oracle).  Recall@5 vs exact cosine is pinned
+    in tests/test_r11_ops.py (lower than the exact-graph build by
     construction on the near-uniform fixture — the recall/cost knob is
     nprobe/K, and the recall-report pattern exposes it as data)."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
     nodes = graph_ann.with_levels(
         graph_ann.quantized(emb, "vec_id", "embedding")
@@ -661,16 +661,16 @@ def n3_hnsw_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qset = graph_ann.quantized(
         emb.filter(F.col("vec_id") < 8), "vec_id", "embedding"
     ).localCheckpoint(eager=True)
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()  # codebook-sized collect: K=16 rows
-    )
-    centroids = np.array([r.embedding for r in cent_rows], dtype=float)
     e0 = graph_ann.knn_graph_blocked(
-        emb, centroids, m=graph_ann.M_EDGES, nprobe=4
+        emb, _fixture_codebook(emb), m=graph_ann.M_EDGES,
+        nprobe=_NPROBE_BLOCKED,
     ).select("src", "dst", F.col("cosine_sim").alias("sim"))
+    # both upper layers in ONE block-pair pass (the hnsw_topk pattern);
+    # the restricted input makes its lv<1 output meaningless — dropped
+    upper = nodes.filter(F.col("lvl") >= 1).localCheckpoint(eager=True)
+    ranked = graph_ann.cross_topm_layered(upper, upper)
     edges = {
-        lv: graph_ann.layer_edges(nodes.filter(F.col("lvl") >= lv))
+        lv: ranked.filter(F.col("lvl") == lv).select("src", "dst", "sim")
         for lv in (2, 1)
     }
     edges[0] = e0.localCheckpoint(eager=True)
