@@ -451,7 +451,10 @@ def knn_graph_blocked(
     nprobe / K instead of the block-pair grid's N^2 — with K grown as
     sqrt(N) (the FAISS sizing rule) that is O(N^1.5), and the join is
     an ordinary shuffle join on list_id: no broadcast of either side,
-    no driver collect, skew bounded by the largest list.  The exact
+    no driver collect, and per-task memory bounded by ~BLOCK_ROWS
+    regardless of list skew (lists larger than BLOCK_ROWS are
+    hash-split into sub-blocks — see _list_packed — so the largest
+    list never has to fit in one Arrow row).  The exact
     block-pair build (cross_topm) is this operator's recall reference;
     the floor is pinned in tests/test_r11_ops.py.  Returns
     (src, dst, cosine_sim, rank <= m)."""
@@ -495,17 +498,73 @@ def knn_graph_blocked(
         .drop("ls")
         .localCheckpoint(eager=True)
     )
-    # Pack each list once per side, join on list_id (ONE row per list),
-    # and run the SAME numpy int64 block kernel as the exact build —
-    # per-src top-m within the list, then one global rank window over
-    # the nprobe x m candidates per src.  The per-pair cost is a
-    # BLAS-shaped integer product instead of a per-row Catalyst array
-    # fold (the fold drops out of codegen and runs interpreted —
-    # measured ~20x slower at 1M candidate pairs).
-    pack = F.collect_list(F.struct("vec_id", "qv", "nq"))
-    pairs = (
-        srcf.groupBy("list_id").agg(pack.alias("apack"))
-        .join(dstf.groupBy("list_id").agg(pack.alias("bpack")), "list_id")
+    cand = ivf_list_topm(srcf, dstf, m)
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(
+            "src", "dst", F.round("cosine_sim", 9).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def _list_packed(assigned: DataFrame, pack_col: str) -> DataFrame:
+    """Pack one side's IVF-assigned quantized rows into
+    (list_id, <pack_col>) sub-matrix rows, each holding <= ~BLOCK_ROWS
+    vectors: lists larger than BLOCK_ROWS are hash-split into
+    ceil(|list|/BLOCK_ROWS) sub-blocks (the _packed machinery applied
+    WITHIN each list), so no shuffle row — and no single pair-task —
+    ever grows with list size or skew.  The per-list sub-block counts
+    ride a broadcast join: one row per list, i.e. codebook-sized (K ~
+    sqrt(N) under the FAISS sizing rule), the same bounded-metadata
+    contract as the codebook itself."""
+    counts = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    nsub = F.greatest(
+        F.ceil(F.col("_cnt") / F.lit(BLOCK_ROWS)), F.lit(1)
+    ).cast("int")
+    sized = assigned.join(
+        F.broadcast(counts.select("list_id", nsub.alias("_nsub"))),
+        "list_id",
+    )
+    return (
+        sized.withColumn(
+            "_sub",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.col("_nsub")).cast("int"),
+        )
+        .groupBy("list_id", "_sub")
+        .agg(
+            F.collect_list(
+                F.struct("vec_id", "qv", "nq")
+            ).alias(pack_col)
+        )
+        .select("list_id", pack_col)
+    )
+
+
+def ivf_list_topm(srcf: DataFrame, dstf: DataFrame,
+                  m: int = M_EDGES) -> DataFrame:
+    """Per-src top-m candidate edges from the IVF list join — the
+    shared kernel of the one-shot blocked build (knn_graph_blocked)
+    and the blocked streaming ingest.  ``srcf``/``dstf`` are quantized
+    frames carrying (vec_id, qv, nq, list_id) — srcf exploded over its
+    nprobe probe lists, dstf over its one corpus list.  Each side is
+    packed into <= ~BLOCK_ROWS sub-blocks per list (_list_packed), the
+    join on list_id crosses the sub-blocks, and the SAME numpy int64
+    block kernel as the exact build scores each pair — per-src top-m
+    within the (sub-)pair is a safe reduction (fewer than m closer
+    vectors exist globally, so fewer exist in any subset); the caller
+    finishes with one global per-src rank window.  The per-pair cost is
+    a BLAS-shaped integer product instead of a per-row Catalyst array
+    fold (the fold drops out of codegen and runs interpreted —
+    measured ~20x slower at 1M candidate pairs)."""
+    pairs = _list_packed(srcf, "apack").join(
+        _list_packed(dstf, "bpack"), "list_id"
     )
 
     def gen(batches):
@@ -522,17 +581,6 @@ def knn_graph_blocked(
                      "cosine_sim": out_sim}
                 )
 
-    cand = pairs.mapInPandas(
+    return pairs.mapInPandas(
         gen, "src long, dst long, cosine_sim double"
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("cosine_sim").desc(), F.col("dst")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= m)
-        .select(
-            "src", "dst", F.round("cosine_sim", 9).alias("cosine_sim"),
-            "rank",
-        )
     )

@@ -79,7 +79,13 @@ def prefix_sum_distributed(
     running sum -> add broadcast per-partition total offsets.  Range
     partitions are contiguous and ordered, so local running sum +
     offset is the exact global prefix sum, independent of where the
-    sampled partition boundaries land."""
+    sampled partition boundaries land.
+
+    PRECONDITION: ``cols`` must be UNIQUE per row.  The running sum
+    orders only by ``cols``, so duplicate key tuples would receive a
+    nondeterministic prefix-sum split among the tied rows (every
+    current caller keys by doc_id or another unique id)."""
+    assert cols, "prefix_sum_distributed needs at least one order column"
     d = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
         "_pid", F.spark_partition_id()
     )

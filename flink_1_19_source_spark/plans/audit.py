@@ -70,6 +70,43 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan_text(df, "simple")
 
 
+def _tree_indent(line: str) -> int:
+    """Column where the node text starts in a simple-explain tree line
+    (the gutter is spaces plus the :- / +- / | connectors)."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-|":
+            return i
+    return len(line)
+
+
+def single_partition_is_aggregate_sized(df: DataFrame) -> bool:
+    """True iff every ``Exchange SinglePartition`` in the plan feeds
+    from already-aggregated rows — its subtree reaches an Aggregate
+    node before any scan — so the single task only ever sees
+    group-count-sized input (e.g. the one-row-per-shuffle-partition
+    offset table of the house range-partitioned rank).  A
+    SinglePartition exchange whose subtree scans a table directly is
+    the corpus-sized one-task global sort/window anti-pattern that
+    cannot survive a 100x scale-up."""
+    lines = plan_text(df, "simple").splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        base = _tree_indent(line)
+        ok = False
+        for sub in lines[i + 1:]:
+            if not sub.strip() or _tree_indent(sub) <= base:
+                break
+            if "Aggregate" in sub:
+                ok = True
+                break
+            if "Scan" in sub:  # FileScan / Scan parquet / Scan ExistingRDD
+                break
+        if not ok:
+            return False
+    return True
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     # with AQE on, codegen spans appear only in the FINAL adaptive plan —
     # execute this exact Dataset first, then read its finalized plan.

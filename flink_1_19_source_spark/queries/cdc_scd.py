@@ -186,7 +186,7 @@ def _scd2_run(
         for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
@@ -377,7 +377,7 @@ def _window_retract_run(
         for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise

@@ -454,7 +454,7 @@ def _state_ttl_run(
         if crash_once_at is not None:
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
@@ -562,7 +562,7 @@ def _state_ttl_agg_run(
         if crash_once_at is not None:
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise

@@ -74,13 +74,23 @@ def _events_topic(
         t.produce(e, "user_id", ["event_id", "event_type", "value"], "ts",
                   epoch=0, partition_expr=part, order_cols=["ts", "event_id"])
         return t
-    # time-sliced epochs: ntile over the same total order that fixes
-    # offsets, so offsets stay monotone with epoch generation
-    from pyspark.sql.window import Window
+    # time-sliced epochs: NTILE over the same total order that fixes
+    # offsets, so offsets stay monotone with epoch generation — computed
+    # as the house range-partitioned rank plus the closed-form NTILE
+    # bucket formula instead of an unpartitioned window (which would
+    # plan Exchange SinglePartition and sort all events in one task);
+    # (ts, event_id) is unique so the dense rank IS the row number
+    from ..operators.suffix_array import dense_rank_distributed
 
-    sliced = e.withColumn(
-        "__epoch", F.ntile(epochs).over(Window.orderBy("ts", "event_id"))
-    )
+    n = e.count()
+    q, r = divmod(n, epochs)
+    rn = F.col("__rn")
+    sliced = dense_rank_distributed(e, ["ts", "event_id"], "__rn").withColumn(
+        "__epoch",
+        F.when(rn <= r * (q + 1), F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - r * (q + 1)) / F.lit(q)))
+        .cast("int"),
+    ).drop("__rn")
     for ep in range(1, epochs + 1):
         t.produce(
             sliced.filter(F.col("__epoch") == ep).drop("__epoch"),

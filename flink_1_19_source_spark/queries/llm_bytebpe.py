@@ -309,7 +309,7 @@ def _bb_stats_stream_run(
             for _ in range(crash_times):
                 try:
                     replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                    raise AssertionError("injected crash did not fire")
+                    raise AssertionError("crash injection never fired")
                 except Exception as e:
                     if "injected crash" not in str(e):
                         raise

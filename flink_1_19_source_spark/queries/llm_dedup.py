@@ -180,7 +180,7 @@ def _minhash_dedup_run(
         if crash_once_at is not None:
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
@@ -888,7 +888,7 @@ def _priority_dedup_run(
         if crash_once_at is not None:
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise

@@ -16,10 +16,19 @@ from ..operators import graph_ann
 from ..registry import register
 from ..tables import load_table
 
-_SIM = (
-    "CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * n.qv[i]))"
-    " AS DOUBLE) / SQRT(CAST(q.nq AS DOUBLE) * CAST(n.nq AS DOUBLE))"
-)
+def _sim_sql(a: str, b: str) -> str:
+    """The quantized-int64 similarity scorer as a function of the two
+    table aliases — the ONE canonical text every graph-ANN oracle
+    embeds, parameterized so no call site has to rewrite alias prefixes
+    by string substitution (a substring edit inside the formula would
+    silently corrupt a derived oracle)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        f" AS DOUBLE) / SQRT(CAST({a}.nq AS DOUBLE) * CAST({b}.nq AS DOUBLE))"
+    )
+
+
+_SIM = _sim_sql("q", "n")
 
 
 def _edge_cte(name: str, min_lvl: int) -> str:
@@ -270,7 +279,7 @@ def _hnsw_ingest_run(
                     replay.run_foreach_batch(
                         sdf, fold, checkpoint_dir=ckpt
                     )
-                    raise AssertionError("injected crash did not fire")
+                    raise AssertionError("crash injection never fired")
                 except Exception as e:
                     if "injected crash" not in str(e):
                         raise
@@ -534,7 +543,7 @@ def _blocked_scored_sql() -> str:
     quantized vectors from a table named ``lv`` carrying
     (vec_id, qv, nq).  Shared verbatim by the standalone kNN-graph
     oracle and the blocked-HNSW e0 CTE."""
-    return f"""SELECT p.src, c.dst, {_SIM.replace('q.', 'a.').replace('n.', 'b.')} AS sim
+    return f"""SELECT p.src, c.dst, {_sim_sql('a', 'b')} AS sim
       FROM (
         SELECT vec_id AS src, cid AS list_id FROM ivfassign
         WHERE rk <= {_NPROBE_BLOCKED}

@@ -292,7 +292,7 @@ def _exactsubstr_stream_run(
             for _ in range(crash_times):
                 try:
                     replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                    raise AssertionError("injected crash did not fire")
+                    raise AssertionError("crash injection never fired")
                 except Exception as e:
                     if "injected crash" not in str(e):
                         raise

@@ -285,7 +285,7 @@ def _kn3_stats_stream_run(
                     replay.run_foreach_batch(
                         sdf, fold, checkpoint_dir=ckpt
                     )
-                    raise AssertionError("injected crash did not fire")
+                    raise AssertionError("crash injection never fired")
                 except Exception as e:
                     if "injected crash" not in str(e):
                         raise

@@ -345,10 +345,17 @@ def n6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     language stratum by a quality proxy (length), then interleave the
     strata round-robin — rank-1 docs of every language first, then
     rank-2, ... The output is a reproducible training manifest position
-    for every document. Two sorts: a per-stratum window (hash exchange
-    on lang) and the global interleave (range exchange) — the same
-    two-phase global sort any 100 TB manifest build needs."""
+    for every document.  Two distributed phases: a per-stratum window
+    (hash exchange on lang) and the global interleave via the house
+    range-partition pattern (dense_rank_distributed: repartitionByRange
+    on the interleave key, per-range-partition local row_number, plus
+    broadcast per-partition offsets) — (stratum_rank, lang, doc_id) is
+    unique per row, so the dense rank IS the global position, and no
+    single task ever sorts the whole corpus (an unpartitioned
+    row_number window would plan as Exchange SinglePartition)."""
     from pyspark.sql.window import Window
+
+    from ..operators.suffix_array import dense_rank_distributed
 
     d = load_table(spark, sf_dir, "documents")
     ranked = d.select(
@@ -359,15 +366,9 @@ def n6_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stratum_rank"),
     )
-    return ranked.select(
-        "doc_id",
-        "lang",
-        "stratum_rank",
-        F.row_number()
-        .over(Window.orderBy("stratum_rank", "lang", "doc_id"))
-        .cast("long")
-        .alias("global_pos"),
-    )
+    return dense_rank_distributed(
+        ranked, ["stratum_rank", "lang", "doc_id"], "global_pos"
+    ).select("doc_id", "lang", "stratum_rank", "global_pos")
 
 
 # --------------------------------------------------------------------------

@@ -333,7 +333,7 @@ def s_crash_resume_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle_partitions(spark):
         try:
             replay.run_foreach_batch(sdf, fn, checkpoint_dir=ckpt)
-            raise AssertionError("injected crash did not fire")
+            raise AssertionError("crash injection never fired")
         except Exception as e:
             if "injected sink crash" not in str(e):
                 raise

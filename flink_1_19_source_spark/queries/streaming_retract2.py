@@ -157,7 +157,7 @@ def _topn_retract_run(
                     level1, fold, checkpoint_dir=ckpt,
                     output_mode=plan.output_mode,
                 )
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
@@ -301,7 +301,7 @@ def _join_retract_run(
         for _ in range(crash_times if crash_once_at is not None else 0):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
@@ -507,7 +507,7 @@ def _outer_join_retract_run(
         for attempt in range(n_crashes):
             try:
                 replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
-                raise AssertionError("injected crash did not fire")
+                raise AssertionError("crash injection never fired")
             except Exception as e:
                 if "injected crash" not in str(e):
                     raise
