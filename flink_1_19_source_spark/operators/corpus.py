@@ -294,6 +294,101 @@ def unigram_viterbi_segment(
     return toks
 
 
+def unigram_em_expected_counts(
+    word: str, probs: "dict[str, float]", max_piece: int = 4,
+    scale: float = 1048576.0,
+) -> "dict[str, int]":
+    """One EM E-step over ONE word (Kudo 2018 §3.2 — the SentencePiece
+    trainer's inner loop): forward-backward over the segmentation
+    lattice, returning each vocab piece's posterior expected count in
+    this word, QUANTIZED to an integer at ``scale`` so every downstream
+    aggregate is exact int64 arithmetic (order-free — the device that
+    lets the DuckDB oracle hash-match the M-step bit for bit).
+
+    Numeric contract, replayed verbatim by the SQL oracle's recursive
+    CTEs: alpha/beta are IEEE doubles accumulated in FIXED l=1..4
+    order with +0.0 for absent pieces (adding +0.0 to a non-negative
+    double is an exact no-op, so skipping absent terms is equivalent);
+    each occurrence's count is the one left-associative op chain
+    ``floor(alpha[i] * p * beta[j] / alpha[L] * scale + 0.5)`` — every
+    op correctly rounded on identical operands in Python, the JVM and
+    DuckDB.  Words with alpha[L] == 0 (no in-vocab segmentation mass)
+    contribute nothing."""
+    import math
+
+    n = len(word)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for j in range(1, n + 1):
+        s = 0.0
+        for length in range(1, min(max_piece, j) + 1):
+            p = probs.get(word[j - length:j])
+            if p is not None:
+                s = s + p * alpha[j - length]
+        alpha[j] = s
+    if alpha[n] <= 0.0:
+        return {}
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for length in range(1, min(max_piece, n - i) + 1):
+            p = probs.get(word[i:i + length])
+            if p is not None:
+                s = s + p * beta[i + length]
+        beta[i] = s
+    out: dict[str, int] = {}
+    for i in range(n):
+        for length in range(1, min(max_piece, n - i) + 1):
+            piece = word[i:i + length]
+            p = probs.get(piece)
+            if p is None:
+                continue
+            ec = math.floor(
+                alpha[i] * p * beta[i + length] / alpha[n] * scale + 0.5
+            )
+            if ec:
+                out[piece] = out.get(piece, 0) + ec
+    return out
+
+
+def unigram_viterbi_product_segment(
+    word: str, probs: "dict[str, float]", max_piece: int = 4
+) -> "list[str]":
+    """Max-PRODUCT Viterbi segmentation over trained piece
+    probabilities (the trained-vocab twin of unigram_viterbi_segment's
+    integer-weight proxy): best[pos] = max over pieces of
+    p(piece) * best[pos + len); the forward walk takes the LONGEST
+    piece achieving the optimum at each cursor.  Every product is one
+    correctly-rounded double op on identical operands, so the DuckDB
+    replay (GREATEST over the same products) is bit-identical —
+    including ties, which compare exact doubles."""
+    n = len(word)
+    best = [0.0] * (n + 1)
+    best[n] = 1.0
+    for pos in range(n - 1, -1, -1):
+        b = None
+        for length in range(1, min(max_piece, n - pos) + 1):
+            p = probs.get(word[pos:pos + length])
+            if p is not None:
+                cand = p * best[pos + length]
+                if b is None or cand > b:
+                    b = cand
+        assert b is not None, f"no piece at {word!r}[{pos}]"
+        best[pos] = b
+    pos, toks = 0, []
+    while pos < n:
+        for length in range(min(max_piece, n - pos), 0, -1):
+            p = probs.get(word[pos:pos + length])
+            if p is not None and p * best[pos + length] == best[pos]:
+                toks.append(word[pos:pos + length])
+                pos += length
+                break
+        else:  # pragma: no cover — singles always present
+            raise AssertionError(f"walk stuck at {word!r}[{pos}]")
+    return toks
+
+
 def fuzzy_contamination(
     corp: DataFrame,
     bench: DataFrame,

@@ -73,6 +73,7 @@ from . import heavy_hitters  # noqa: F401  (A9 Misra-Gries frequent items)
 from . import llm_select  # noqa: F401  (N6 D4 embedding-space selection)
 from . import ccnet_pipeline  # noqa: F401  (N7 CCNet composite)
 from . import llm_bytebpe  # noqa: F401  (N4 byte-level BPE, GPT-2 regex)
+from . import llm_unigram  # noqa: F401  (N4 Unigram-LM EM trainer)
 
 from ..registry import REGISTRY
 
