@@ -512,6 +512,39 @@ def knn_graph_blocked(
     )
 
 
+def ivf_assigned_quantized(
+    vectors: DataFrame,
+    centroids,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_lvl: bool = False,
+) -> DataFrame:
+    """Quantize + coarse-assign one vector set in a single pass:
+    (vec_id, qv, nq[, lvl], list_c, ls_p) where ``list_c`` is the one
+    nearest corpus list (the IVF storage convention) and ``ls_p`` the
+    ``nprobe`` nearest probe lists.  Assignment runs on the raw doubles
+    (the certified IVF convention); similarity downstream uses the
+    quantized-int64 contract.  This is the frame the STREAMING blocked
+    ingest checkpoints per node — assignments are computed once at
+    arrival and never re-derived, exactly how a 100 TB index stores
+    list_id as the table's partition key."""
+    from .similarity import _centroid_assign_udf, as_double
+
+    corpus_assign = _centroid_assign_udf(centroids, 1)
+    probe_assign = _centroid_assign_udf(centroids, nprobe)
+    qf = quantized(vectors, id_col, vec_col)
+    if with_lvl:
+        qf = with_levels(qf)
+    fv = as_double(F.col(vec_col))
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(corpus_assign(fv), 1).alias("list_c"),
+        probe_assign(fv).alias("ls_p"),
+    )
+    return qf.join(assigned, "vec_id")
+
+
 def _list_packed(assigned: DataFrame, pack_col: str) -> DataFrame:
     """Pack one side's IVF-assigned quantized rows into
     (list_id, <pack_col>) sub-matrix rows, each holding <= ~BLOCK_ROWS

@@ -684,3 +684,182 @@ def n3_hnsw_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     edges[0] = e0.localCheckpoint(eager=True)
     return graph_ann.search_layers(nodes, edges, qset, k=5)
+
+
+# --------------------------------------------------------------------------
+# N3-S — BLOCKED streaming ingest: IVF-pruned per-batch index maintenance
+# --------------------------------------------------------------------------
+@register(
+    "s_hnsw_blocked_ingest_stream",
+    oracle=_build_oracle(e0_cte=_BLOCKED_E0),
+    survey="N3 X2 X4",
+    tags=("streaming", "approx"),
+)
+def s_hnsw_blocked_ingest_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _hnsw_blocked_ingest_run(spark, sf_dir)
+
+
+def _hnsw_blocked_ingest_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """BLOCKED streaming ANN ingest — the IVF-pruned twin of
+    s_hnsw_ingest_stream, closing the r11 capability gap: that stream
+    is exact (every batch runs new x all block-pair work); here layer
+    0's per-batch cost is IVF-pruned to |new| x |index| x nprobe / K
+    (the knn_graph_blocked economics AT INGEST TIME), which with K ~
+    sqrt(N) is the O(N^1.5) at-arrival indexing a 100 TB corpus needs.
+
+    Per batch: arrivals are quantized, level-assigned and coarse-
+    assigned ONCE (ivf_assigned_quantized — the stored node row carries
+    its corpus list and probe lists, the streaming analogue of list_id
+    as the index table's partition key); layer-0 candidate edges come
+    from TWO ivf_list_topm list-joins (new-as-src x index-as-dst: the
+    insert's own neighbor search; index-as-src x new-as-dst: existing
+    nodes adopting better neighbors) — candidates only where dst's one
+    corpus list is among src's nprobe probe lists, exactly the one-shot
+    blocked relation, so the union of per-batch segments re-ranked per
+    src IS knn_graph_blocked's graph (a true blocked-top-M neighbor
+    survives the top-M of any subset containing it).  Upper layers
+    (1/4, 1/16 of nodes) stay on the exact layered block-pair passes.
+    Segments append bid-gated (crash-replay idempotent), a SegmentStore
+    fold every 2 batches re-ranks per (lvl, src) top-M so edge state
+    stays bounded by M x nodes, and after the drain the SAME
+    search_layers beam answers top-5 — the oracle is
+    n3_hnsw_blocked_topk's full-replay SQL, hash-matched.  The coarse
+    codebook is pretrained and fixed before the stream starts (the
+    standard IVF deployment shape) — here the first-16-vectors fixture
+    convention shared by every blocked oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    m = graph_ann.M_EDGES
+    cent = _fixture_codebook(load_table(spark, sf_dir, "embeddings"))
+    wd = _work_dir(sf_dir, "s_hnsw_blk")
+    run = uuid.uuid4().hex[:8]
+    node_dir = os.path.join(wd, f"nodes-{run}")
+    edge_dir = os.path.join(wd, f"edges-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+
+    def topm(df):
+        w = Window.partitionBy("lvl", "src").orderBy(
+            F.desc("sim"), "dst"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= m)
+            .drop("rn")
+        )
+
+    nodes_store = SegmentStore(spark, node_dir, compact_every=2)
+    edges_store = SegmentStore(
+        spark, edge_dir, compact_every=2, merge=topm
+    )
+
+    def as_src(nodes):
+        return nodes.select(
+            "vec_id", "qv", "nq", F.explode("ls_p").alias("list_id")
+        )
+
+    def as_dst(nodes):
+        return nodes.select(
+            "vec_id", "qv", "nq", F.col("list_c").alias("list_id")
+        )
+
+    def e0_seg(srcn, dstn):
+        return graph_ann.ivf_list_topm(
+            as_src(srcn), as_dst(dstn), m
+        ).select(
+            F.lit(0).alias("lvl"), "src", "dst",
+            F.col("cosine_sim").alias("sim"),
+        )
+
+    sdf = replay.replay_table(
+        spark, sf_dir, "embeddings", os.path.join(wd, "src"),
+        ts_col="vec_id", chunks=_CHUNKS, order_by=["vec_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        new = graph_ann.ivf_assigned_quantized(
+            batch, cent, _NPROBE_BLOCKED, with_lvl=True
+        ).localCheckpoint(eager=True)
+        seen = nodes_store.read()
+        old = (
+            seen.join(new.select("vec_id"), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+            if seen is not None else None
+        )
+        all_nodes = (
+            new.unionByName(old.select(*new.columns))
+            if old is not None else new
+        )
+        # layer 0: IVF-pruned candidates, both directions
+        edge_seg = e0_seg(new, all_nodes)
+        if old is not None:
+            edge_seg = edge_seg.unionByName(e0_seg(old, new))
+        # upper layers: exact layered block-pair passes on the sparse
+        # lvl >= 1 slice (1/4 + 1/16 of nodes); their lv=0 output is
+        # meaningless on the restricted input — dropped
+        new_up = new.filter(F.col("lvl") >= 1)
+        all_up = all_nodes.filter(F.col("lvl") >= 1)
+        upper = graph_ann.cross_topm_layered(new_up, all_up, m)
+        if old is not None:
+            upper = upper.unionByName(
+                graph_ann.cross_topm_layered(
+                    old.filter(F.col("lvl") >= 1), new_up, m
+                )
+            )
+        edge_seg = edge_seg.unionByName(
+            upper.filter(F.col("lvl") >= 1)
+            .select("lvl", "src", "dst", "sim")
+        )
+        edges_store.append(edge_seg, bid)
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            # worst spot: the two stores are TORN — edges carry the
+            # batch, nodes do not, checkpoint uncommitted
+            raise RuntimeError("injected crash between store appends")
+        nodes_store.append(new, bid)
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(
+                        sdf, fold, checkpoint_dir=ckpt
+                    )
+                    raise AssertionError("crash injection never fired")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    nodes = nodes_store.read().localCheckpoint(eager=True)
+    ranked = topm(edges_store.read()).localCheckpoint(eager=True)
+    edges = {
+        lv: ranked.filter(F.col("lvl") == lv).select("src", "dst", "sim")
+        for lv in (2, 1, 0)
+    }
+    qset = nodes.filter(F.col("vec_id") < 8).select("vec_id", "qv", "nq")
+    out = graph_ann.search_layers(
+        nodes.select("vec_id", "qv", "nq", "lvl"), edges, qset, k=5
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(node_dir, ignore_errors=True)
+    shutil.rmtree(edge_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

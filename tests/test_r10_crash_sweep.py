@@ -86,6 +86,11 @@ _SWEEP_R10C = [
     # r11: streaming byte-BPE vocabulary — crash after the count append
     ("flink_1_19_source_spark.queries.llm_bytebpe",
      "_bb_stats_stream_run", {}, [0, 1, 2, 3]),
+    # r12: BLOCKED streaming ANN ingest — same torn-store window as the
+    # exact HNSW runner (edges carry the batch, nodes do not), now over
+    # the IVF-pruned candidate segments
+    ("flink_1_19_source_spark.queries.llm_graph_ann",
+     "_hnsw_blocked_ingest_run", {}, [0, 1, 2, 3]),
 ]
 
 

@@ -199,3 +199,25 @@ def test_unigram_trained_encode_is_lossless(spark, sf_dir):
         F.sum(F.col("wl") * F.col("freq"))
     ).collect()[0][0]
     assert enc_chars == corpus_chars
+
+
+# --------------------------------------------------------------------------
+# N3-S: blocked streaming ingest == one-shot blocked build
+# --------------------------------------------------------------------------
+def test_blocked_ingest_stream_matches_one_shot(spark, sf_dir):
+    """The IVF-pruned streaming ingest must answer EXACTLY what the
+    one-shot blocked build answers: the per-batch candidate segments
+    union to the full blocked candidate relation, and the read-time
+    per-(lvl, src) top-M fold reproduces knn_graph_blocked's layer 0
+    and the exact layered passes' upper layers."""
+    batch = {
+        tuple(r)
+        for r in REGISTRY["n3_hnsw_blocked_topk"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in REGISTRY["s_hnsw_blocked_ingest_stream"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert stream == batch and len(batch) > 0
