@@ -126,3 +126,60 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 pred, idx = expand_nibble(pred, idx, nib)
                 out.append(pred)
     return rate, channels, out
+
+
+def encode_nibble(pred: int, idx: int, sample: int) -> int:
+    """One IMA ADPCM quantization step: pick the 4-bit code for
+    ``sample`` given decoder state (pred, idx) — the standard
+    successive-approximation against step, step/2, step/4 (IMA 1992
+    reference encoder).  Pure integer, so the SQL oracle replays the
+    ENCODER too, not just the expander; feed the result through
+    expand_nibble to advance the shared state."""
+    step = STEP_TABLE[idx]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def encode_adpcm_pcm(
+    samples: "list[int]",
+    sample_rate: int = 8000,
+    block_align: int = 36,
+) -> bytes:
+    """IMA ADPCM ENCODE from PCM-16: the lossy compressed-audio WRITE
+    path.  Sample 0 becomes each block's header predictor (lossless);
+    every following sample quantizes to one nibble via encode_nibble
+    with the state advanced by the same expand_nibble the decoder runs
+    — encoder and decoder cannot drift.  Each block's header takes the
+    NEXT source sample as its predictor (the IMA WAV convention: block
+    starts are lossless) with the step index carried across blocks
+    (index 0 at stream start).  Sample count must be
+    k * (1 + (block_align - 4) * 2) for whole blocks."""
+    spb = (block_align - 4) * 2  # nibbles (encoded samples) per block
+    if len(samples) % (1 + spb) != 0:
+        raise ValueError("sample count does not fill whole blocks")
+    blocks = []
+    pos = 0
+    idx = 0
+    while pos < len(samples):
+        head_idx = idx
+        pred = samples[pos]
+        nibs = []
+        for s in samples[pos + 1:pos + 1 + spb]:
+            nib = encode_nibble(pred, idx, s)
+            pred, idx = expand_nibble(pred, idx, nib)
+            nibs.append(nib)
+        blocks.append((samples[pos], head_idx, nibs))
+        pos += 1 + spb
+    return encode_adpcm_wav(blocks, sample_rate, block_align)

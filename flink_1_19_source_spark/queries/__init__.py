@@ -74,6 +74,7 @@ from . import llm_select  # noqa: F401  (N6 D4 embedding-space selection)
 from . import ccnet_pipeline  # noqa: F401  (N7 CCNet composite)
 from . import llm_bytebpe  # noqa: F401  (N4 byte-level BPE, GPT-2 regex)
 from . import llm_unigram  # noqa: F401  (N4 Unigram-LM EM trainer)
+from . import llm_media_quality  # noqa: F401  (N5 PSNR/SSIM reports)
 
 from ..registry import REGISTRY
 

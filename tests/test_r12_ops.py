@@ -221,3 +221,57 @@ def test_blocked_ingest_stream_matches_one_shot(spark, sf_dir):
         .collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+# --------------------------------------------------------------------------
+# N5: codec quality reports (PSNR/SSIM)
+# --------------------------------------------------------------------------
+def test_adpcm_encode_roundtrip_invariants():
+    """The new IMA ADPCM ENCODE path: whole-block framing, block-start
+    samples lossless (header predictor), bounded reconstruction, and
+    the encoder is deterministic."""
+    from flink_1_19_source_spark.operators.adpcm_codec import (
+        decode_adpcm_wav, encode_adpcm_pcm,
+    )
+
+    for did in (0, 3, 7, 42):
+        amp = 2 + did % 5
+        src = [((did*41 + i*17) % 4001 - 2000) * amp for i in range(130)]
+        payload = encode_adpcm_pcm(src)
+        rate, ch, rt = decode_adpcm_wav(payload)
+        assert (rate, ch) == (8000, 1)
+        assert len(rt) == len(src)
+        assert rt[0] == src[0] and rt[65] == src[65]  # block headers
+        assert all(-32768 <= s <= 32767 for s in rt)
+        assert encode_adpcm_pcm(src) == payload
+
+
+def test_quality_report_metric_ranges(spark, sf_dir):
+    """SSIM must land in (0, 1] and be exactly 1.0 only for lossless
+    items; PSNR must be present whenever SSE > 0."""
+    gif = REGISTRY["n5_gif_quality_report"].fn(spark, sf_dir).collect()
+    assert gif
+    for r in gif:
+        assert 0.0 < r["ssim"] <= 1.0, r
+        assert (r["sse"] == 0) == (r["psnr_db"] is None), r
+        if r["sse"] == 0:
+            assert r["ssim"] == 1.0, r
+    adp = REGISTRY["n5_adpcm_quality_report"].fn(spark, sf_dir).collect()
+    assert adp
+    for r in adp:
+        assert r["sse"] > 0 and r["psnr_db"] > 0, r  # genuinely lossy
+
+
+def test_ssim_expression_is_one_for_identical_images(spark):
+    """Kernel identity: equal source and round-trip moments give SSIM
+    exactly 1.0 (numerator and denominator are the same doubles)."""
+    from flink_1_19_source_spark.queries.llm_media_quality import (
+        _SSIM_EXPR,
+    )
+
+    row = spark.createDataFrame(
+        [(100, 5000, 5000, 260000, 260000, 260000)],
+        "n_px long, sx long, sy long, sxx long, syy long, sxy long",
+    )
+    got = row.select(F.expr(_SSIM_EXPR).alias("s")).collect()[0]["s"]
+    assert got == 1.0
