@@ -531,17 +531,17 @@ def ivf_assigned_quantized(
     list_id as the table's partition key."""
     from .similarity import _centroid_assign_udf, as_double
 
-    corpus_assign = _centroid_assign_udf(centroids, 1)
-    probe_assign = _centroid_assign_udf(centroids, nprobe)
+    # ONE assignment pass: the corpus list is by definition the first
+    # of the nprobe probe lists (same stable argsort, same tie-break),
+    # so list_c = ls_p[1] — no second Arrow pass over the vectors
+    probe_assign = _centroid_assign_udf(centroids, max(nprobe, 1))
     qf = quantized(vectors, id_col, vec_col)
     if with_lvl:
         qf = with_levels(qf)
     fv = as_double(F.col(vec_col))
     assigned = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.element_at(corpus_assign(fv), 1).alias("list_c"),
-        probe_assign(fv).alias("ls_p"),
-    )
+        F.col(id_col).alias("vec_id"), probe_assign(fv).alias("ls_p")
+    ).withColumn("list_c", F.element_at("ls_p", 1))
     return qf.join(assigned, "vec_id")
 
 

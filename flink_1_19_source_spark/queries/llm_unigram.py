@@ -207,13 +207,23 @@ def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _train_unigram(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[str, int]], int]:
-    """Run seed + EM + prune; returns (kept pieces with final expected
-    counts, ordered by (cnt desc, piece asc)) and the denominator.
-    The distributed work: one corpus pass to word frequencies, one
-    piece-counting shuffle for the seed, and per round one map-only
-    E-step over distinct words plus one combining aggregate; only
-    vocab-sized frames (~|singles| + 300 rows) are ever collected."""
-    words = _words_df(spark, sf_dir).localCheckpoint(eager=True)
+    return _train_unigram_from_words(
+        _words_df(spark, sf_dir).localCheckpoint(eager=True)
+    )
+
+
+def _train_unigram_from_words(
+    words: DataFrame,
+) -> tuple[list[tuple[str, int]], int]:
+    """Run seed + EM + prune over a (w, freq, wl) word-frequency table;
+    returns (kept pieces with final expected counts, ordered by
+    (cnt desc, piece asc)) and the denominator.  Shared verbatim by the
+    one-shot trainer and the streaming maintenance drain — word
+    frequencies are ADDITIVE over any corpus slicing, so the two
+    cannot drift.  The distributed work: one piece-counting shuffle
+    for the seed, and per round one map-only E-step over distinct
+    words plus one combining aggregate; only vocab-sized frames
+    (~|singles| + 300 rows) are ever collected."""
     lens = F.array(*[F.lit(i) for i in range(1, _MAX_PIECE + 1)])
     pieces = (
         words.select(
@@ -425,3 +435,116 @@ def n4_unigram_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         segment, "token string, freq long"
     )
     return emitted.groupBy("token").agg(F.sum("freq").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# N4-S — streaming Unigram-trainer maintenance
+# --------------------------------------------------------------------------
+@register(
+    "s_unigram_stats_stream",
+    oracle=_TRAIN_ORACLE,
+    survey="N4 X2 X4",
+    tags=("streaming",),
+)
+def s_unigram_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Unigram-trainer maintenance — the EM trainer's count
+    pass made incremental (the byte-BPE/kn3-stats contract): each
+    arriving micro-batch lowercases + whitespace-splits its documents
+    (the one-shot trainer's doc_id gate is per-document, so it composes
+    with any slicing) and lands as an OVERWRITE-idempotent (w, freq)
+    count segment; SegmentStore folds every 2 batches with a key-wise
+    re-SUM, so live state is O(word types) regardless of uptime.  Word
+    frequencies are additive over any corpus slicing, so the drained
+    table equals the one-shot aggregation — and the post-drain EM +
+    prune (the shared _train_unigram_from_words arithmetic) reproduces
+    n4_unigram_train verbatim: the oracle is the same lattice-replay
+    SQL, hash-matched.  At 100 TB this is how a tokenizer tracks a
+    growing corpus: new data updates O(batch word types) state;
+    re-running EM is a distinct-word-sized batch job, never a corpus
+    re-read."""
+    return _unigram_stats_stream_run(spark, sf_dir)
+
+
+def _unigram_stats_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+) -> DataFrame:
+    """Runner with crash injection: the crash lands AFTER the count
+    segment append with the checkpoint uncommitted — the bid-gated
+    overwrite keeps the summing merge double-count-free on replay."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_unigram")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("w").agg(F.sum("freq").alias("freq")),
+    )
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=_CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        tok = (
+            batch.filter(F.col("doc_id") < 200)
+            .select(
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+            )
+            .filter(F.col("w") != "")
+        )
+        store.append(
+            tok.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .coalesce(1),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash after segment append")
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                    raise AssertionError("crash injection never fired")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    words = (
+        store.read()
+        .groupBy("w")
+        .agg(F.sum("freq").alias("freq"))
+        .withColumn("wl", F.length("w"))
+        .localCheckpoint(eager=True)
+    )
+    kept, denom = _train_unigram_from_words(words)
+    rows = [
+        (p, c, (c / denom if denom else 0.0), i + 1)
+        for i, (p, c) in enumerate(kept)
+    ]
+    out = spark.createDataFrame(
+        rows, "piece string, ecnt long, prob double, rank int"
+    ).select(
+        "piece", "ecnt", F.round("prob", 9).alias("prob"), "rank"
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -91,6 +91,10 @@ _SWEEP_R10C = [
     # the IVF-pruned candidate segments
     ("flink_1_19_source_spark.queries.llm_graph_ann",
      "_hnsw_blocked_ingest_run", {}, [0, 1, 2, 3]),
+    # r12: streaming Unigram-trainer word counts — crash after the
+    # count-segment append with the checkpoint uncommitted
+    ("flink_1_19_source_spark.queries.llm_unigram",
+     "_unigram_stats_stream_run", {}, [0, 1, 2, 3]),
 ]
 
 
