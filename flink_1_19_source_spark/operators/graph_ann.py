@@ -458,45 +458,23 @@ def knn_graph_blocked(
     block-pair build (cross_topm) is this operator's recall reference;
     the floor is pinned in tests/test_r11_ops.py.  Returns
     (src, dst, cosine_sim, rank <= m)."""
-    import numpy as np
-
-    from .similarity import _centroid_assign_udf, as_double
-
-    corpus_assign = _centroid_assign_udf(centroids, 1)
-    probe_assign = _centroid_assign_udf(centroids, nprobe)
-    # one quantization pass feeds BOTH assigned branches below
-    qf = quantized(vectors, id_col, vec_col).localCheckpoint(eager=True)
-    fv = as_double(F.col(vec_col))
-    # Assignment runs on the raw doubles (the certified IVF convention);
+    # ONE quantization + ONE assignment Arrow pass feeds BOTH sides
+    # (the corpus list is the probe list's first element).  Assignment
+    # runs on the raw doubles (the certified IVF convention);
     # SIMILARITY uses the graph tier's quantized-int64 contract, so the
     # scoring sum is order-free and numpy/JVM/DuckDB doubles agree
-    # bit-for-bit.  Materialize both assigned sides: two branches over
-    # the SAME source would otherwise re-run the Arrow assignment
-    # inside every join task; at 100 TB this materialization IS the
-    # index layout — list_id as the stored table's partition key.
-    dstf = (
-        qf.join(
-            vectors.select(
-                F.col(id_col).alias("vec_id"),
-                corpus_assign(fv).alias("ls"),
-            ),
-            "vec_id",
-        )
-        .withColumn("list_id", F.explode("ls"))
-        .drop("ls")
-        .localCheckpoint(eager=True)
+    # bit-for-bit.  Materialize the assigned frame once: both derived
+    # sides would otherwise re-run the Arrow assignment inside every
+    # join task; at 100 TB this materialization IS the index layout —
+    # list_id as the stored table's partition key.
+    af = ivf_assigned_quantized(
+        vectors, centroids, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    dstf = af.select(
+        "vec_id", "qv", "nq", F.col("list_c").alias("list_id")
     )
-    srcf = (
-        qf.join(
-            vectors.select(
-                F.col(id_col).alias("vec_id"),
-                probe_assign(fv).alias("ls"),
-            ),
-            "vec_id",
-        )
-        .withColumn("list_id", F.explode("ls"))
-        .drop("ls")
-        .localCheckpoint(eager=True)
+    srcf = af.select(
+        "vec_id", "qv", "nq", F.explode("ls_p").alias("list_id")
     )
     cand = ivf_list_topm(srcf, dstf, m)
     w = Window.partitionBy("src").orderBy(

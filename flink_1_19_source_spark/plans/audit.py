@@ -93,17 +93,30 @@ def single_partition_is_aggregate_sized(df: DataFrame) -> bool:
         if "Exchange SinglePartition" not in line:
             continue
         base = _tree_indent(line)
-        ok = False
-        for sub in lines[i + 1:]:
-            if not sub.strip() or _tree_indent(sub) <= base:
+        sub: list[str] = []
+        for ln in lines[i + 1:]:
+            if not ln.strip() or _tree_indent(ln) <= base:
                 break
-            if "Aggregate" in sub:
-                ok = True
-                break
-            if "Scan" in sub:  # FileScan / Scan parquet / Scan ExistingRDD
-                break
-        if not ok:
-            return False
+            sub.append(ln)
+        # EVERY scan in the subtree must pass through an Aggregate on
+        # ITS OWN ancestor path — first-Aggregate-wins over the flat
+        # line list would let a multi-child operator (one aggregated
+        # branch, one scanned branch) feed corpus rows through.  A
+        # node's parent is the nearest line above with smaller indent.
+        for j, ln in enumerate(sub):
+            if "Scan" not in ln:  # FileScan / Scan parquet / ExistingRDD
+                continue
+            depth = _tree_indent(ln)
+            ok = False
+            for k in range(j - 1, -1, -1):
+                dk = _tree_indent(sub[k])
+                if dk < depth:
+                    if "Aggregate" in sub[k]:
+                        ok = True
+                        break
+                    depth = dk
+            if not ok:
+                return False
     return True
 
 

@@ -5,16 +5,17 @@ registry entries.  Import order seeds the registry, then the window
 list below reorders it explicitly so the certification window is an
 exact, named set rather than a module-prefix accident.
 
-Round-11 window = ``_R11_MUST`` (every query NEW in round 11 — the
-byte-level BPE pair, the streaming ExactSubstr twin, the IVF-blocked
-kNN graph — plus every r10 query whose code or oracle changed this
-round: the de-collected HNSW family, the sample-bounded trained IVF,
-the kmeans-oracle consumers, the prefix-sum-rewired suffix pair, the
-split KN3 tier, the QOI pipeline behind the decode-bound fix) padded
-to exactly 50 with ``_R11_PAD`` — the queries whose LATEST
-certification is oldest (the one r1 leftover, the full r2 wave, and
-the r3 wave in name order).  See STATUS.md "driver certification
-window" for the ledger.
+Round-12 window = ``_R12_MUST`` (every query NEW in round 12 — the
+Unigram EM trainer trio, the two codec quality reports, the blocked
+streaming ANN ingest — plus every query whose code or oracle changed
+this round: the distributed curriculum interleave, the sub-blocked
+IVF-list graph family and everything sharing operators/graph_ann, the
+suffix pair behind the prefix-sum precondition assert, the two Kafka
+consumers behind the distributed epoch NTILE, and the one query that
+executes a crash-sentinel line in its normal run) padded to exactly 50
+with ``_R12_PAD`` — the queries whose LATEST certification is oldest
+(the r3 wave, then the r4 wave in name order).  See STATUS.md "driver
+certification window" for the ledger.
 """
 
 from . import windows  # noqa: F401
@@ -78,60 +79,59 @@ from . import llm_media_quality  # noqa: F401  (N5 PSNR/SSIM reports)
 
 from ..registry import REGISTRY
 
-# Every query NEW in round 11, then every query whose code or oracle
+# Every query NEW in round 12, then every query whose code or oracle
 # changed this round.  These MUST all certify this round.
-_R11_MUST = [
-    # new in r11
-    "n4_bpe_bytelevel_train",
-    "n4_bpe_bytelevel_encode",
-    "s_exactsubstr_cut_stream",
+_R12_MUST = [
+    # new in r12
+    "n4_unigram_train",
+    "n4_unigram_train_encode",
+    "s_unigram_stats_stream",
+    "n5_gif_quality_report",
+    "n5_adpcm_quality_report",
+    "s_hnsw_blocked_ingest_stream",
+    # r12 changed code: distributed curriculum interleave (results
+    # must be UNCHANGED)
+    "n6_curriculum_order",
+    # sub-blocked IVF lists + shared graph_ann module changes
     "n3_knn_graph_blocked",
     "n3_hnsw_blocked_topk",
-    "n6_unimax_mix",
-    "s_bpe_bytelevel_stats_stream",
-    # r11 changed code/oracle: sample-bounded trained-IVF fit (results
-    # changed), kmeans CTE gains the fitc stage (oracle text changed)
-    "n3_ivf_trained_topk",
-    "x8_kmeans_embeddings",
-    # de-collected block-pair graph ANN build (results must be UNCHANGED)
     "n3_hnsw_topk",
     "n3_hnsw_recall_report",
     "s_hnsw_ingest_stream",
     "x8_knn_triangles",
-    # distributed doc-offset prefix sum in the suffix corpus builder
+    # distributed epoch NTILE in the Kafka topic builder
+    "s_kafka_tumble_stream",
+    "s_kafka_idle_partition",
+    # prefix_sum_distributed gained its unique-key precondition assert
     "n2_suffix_array_spans",
     "n2_exactsubstr_cut",
-    # KN3 tier moved to llm_surprisal3 (same registry names)
-    "n4_kn3_surprisal_filter",
-    "s_kn3_stats_stream",
-    # QOI decode now bounds allocation against the payload
-    "n5_qoi_archive_pipeline_real",
+    # the one registered query that EXECUTES a crash-sentinel line in
+    # its normal run (the r12 sentinel-message fix)
+    "s_crash_resume_exactly_once",
 ]
 
 # Re-validation pad: the queries whose latest driver CORRECTNESS row is
-# OLDEST (r1/r2/r3 unions), in wave order then name order.
-_R11_PAD = [
-    "f_cast_hash_family",
-    # r2 wave
-    "f_collection_family", "f_comparison_family", "f_conditional_family",
-    "f_json_family", "f_map_family", "f_math_family", "f_string_family",
-    "f_temporal_family", "o7_dedup_keep_first", "o7_dedup_keep_last",
-    "t1_orderby_limit", "t2_limit_offset", "t4_union", "t4_union_distinct",
-    "t5_except_all", "t5_intersect", "t5_intersect_all",
-    # r3 wave (name order; truncated to fill the window)
-    "n1_exact_dedup", "n1_fingerprint_dedup", "n2_dedup_clusters",
-    "n2_embedding_cosine_pairs", "n2_ngram_jaccard_capped",
-    "n2_ngram_jaccard_pairs", "n3_cosine_topk", "n4_corpus_token_stats",
-    "n4_lang_id", "n4_quality_stats", "n4_tfidf", "n5_frame_sample",
-    "n5_multimodal_features", "n5_resize", "s_cdc_apply",
-    "s_cumulate_stream", "s_dedup_within_watermark_stream", "s_hop_stream",
-    "s_interval_join_stream", "s_keep_last_stream",
+# OLDEST (r3 wave, then the r4 wave in name order).
+_R12_PAD = [
+    # r3 wave
+    "s_cdc_apply", "s_cumulate_stream", "s_dedup_within_watermark_stream",
+    "s_hop_stream", "s_interval_join_stream", "s_keep_last_stream",
+    "s_late_data_capture", "s_match_recognize_stream", "s_over_agg_stream",
+    "s_sessionize_timers", "s_topn_stream", "s_tumble_stream",
+    "src_csv_roundtrip", "src_datagen", "src_jdbc_lookup", "src_jdbc_scan",
+    "src_jdbc_upsert", "src_json_roundtrip", "src_orc_roundtrip",
+    "src_parquet_roundtrip", "src_partitioned_pruning",
+    # r4 wave (name order; truncated to fill the window)
+    "f_json2_family", "f_string2_family", "f_temporal2_family",
+    "n2_dedup_end_to_end", "n2_minhash_lsh_pairs", "n2_simhash_fingerprints",
+    "n3_ivf_topk", "n3_lsh_topk", "n4_quality_filter",
+    "n4_winnow_fingerprints", "n6_stratified_sample",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R11_MUST) <= 50, len(_R11_MUST)
-    window = _R11_MUST + _R11_PAD[: 50 - len(_R11_MUST)]
+    assert len(_R12_MUST) <= 50, len(_R12_MUST)
+    window = _R12_MUST + _R12_PAD[: 50 - len(_R12_MUST)]
     assert len(window) == 50, len(window)
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"

@@ -206,10 +206,12 @@ def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _train_unigram(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[tuple[str, int]], int]:
-    return _train_unigram_from_words(
-        _words_df(spark, sf_dir).localCheckpoint(eager=True)
-    )
+) -> tuple[list[tuple[str, int]], int, DataFrame]:
+    """Train over the corpus; also returns the checkpointed word table
+    so consumers (the trained-encode query) don't re-tokenize."""
+    words = _words_df(spark, sf_dir).localCheckpoint(eager=True)
+    kept, denom = _train_unigram_from_words(words)
+    return kept, denom, words
 
 
 def _train_unigram_from_words(
@@ -312,7 +314,7 @@ def n4_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (recursive-CTE forward/backward with 4-slot windows), the
     int64-quantized E-step, prune and renormalize — hash-exact under
     the module's numeric contract."""
-    kept, denom = _train_unigram(spark, sf_dir)
+    kept, denom, _ = _train_unigram(spark, sf_dir)
     rows = [
         (p, c, (c / denom if denom else 0.0), i + 1)
         for i, (p, c) in enumerate(kept)
@@ -416,10 +418,8 @@ def n4_unigram_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the other three encoders, so tokenizer families are
     comparable as data.  Encode itself is map-only over distinct words
     with the trained vocab as broadcast metadata."""
-    kept, denom = _train_unigram(spark, sf_dir)
+    kept, denom, words = _train_unigram(spark, sf_dir)
     probs = {p: (c / denom if denom else 0.0) for p, c in kept}
-
-    words = _words_df(spark, sf_dir)
 
     def segment(batches):
         from ..operators.corpus import unigram_viterbi_product_segment

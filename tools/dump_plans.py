@@ -191,8 +191,11 @@ HEADLINERS = {
         "bucket keys; the new batch probes map-side"
     ),
     "n6_curriculum_order": (
-        "curriculum manifest: per-stratum window + global range-exchange "
-        "interleave — the two-phase global sort"
+        "curriculum manifest: per-stratum window + the DISTRIBUTED global "
+        "interleave (repartitionByRange + per-partition local rank + "
+        "broadcast P-row offsets) — the only SinglePartition exchange in "
+        "the plan is the offsets table's, fed by a HashAggregate; the "
+        "corpus itself is never sorted in one task"
     ),
     "src_sorted_write": (
         "range-partitioned sorted sink: disjoint per-file key ranges, "
@@ -272,9 +275,21 @@ HEADLINERS = {
     ),
     "n3_knn_graph_blocked": (
         "sub-quadratic kNN graph: IVF assignment is a broadcast-free "
-        "Arrow pass, candidates a plain list_id-keyed shuffle join, "
-        "one per-src rank window — N^2*nprobe/K work, O(N^1.5) under "
-        "sqrt(N) codebook sizing"
+        "Arrow pass, candidates a plain list_id-keyed shuffle join over "
+        "~BLOCK_ROWS sub-blocked list packs (per-task memory bounded "
+        "regardless of list skew; the per-list sub-block counts ride a "
+        "codebook-sized broadcast), one per-src rank window — "
+        "N^2*nprobe/K work, O(N^1.5) under sqrt(N) codebook sizing"
+    ),
+    "n4_unigram_train": (
+        "Unigram-LM EM trainer: one corpus pass to word types, map-only "
+        "E-step over distinct words (vocab dict broadcast), one "
+        "map-side-combining aggregate per round ending in a model-sized "
+        "collect — the llm_train shape"
+    ),
+    "n5_adpcm_quality_report": (
+        "codec quality report: map-only encode->decode->exact-moment "
+        "pass, metrics as one shared Spark/DuckDB expression text"
     ),
 }
 

@@ -123,6 +123,14 @@ QUERIES = [
     "n3_hnsw_blocked_topk",     # blocked layer 0 + exact upper + beam
     "n6_unimax_mix",            # 1 corpus agg + language-table windows
     "s_bpe_bytelevel_stats_stream",  # drained pre-token count segments
+    # r12: new operators
+    "n4_unigram_train",         # EM rounds: map-only E-step + 1 agg each
+    "n4_unigram_train_encode",  # trained-vocab max-product Viterbi encode
+    "n5_gif_quality_report",    # map-only quantize->GIF roundtrip + SSIM
+    "n5_adpcm_quality_report",  # map-only ADPCM encode roundtrip + PSNR
+    "n6_curriculum_order",      # stratum window + distributed interleave
+    "s_hnsw_blocked_ingest_stream",  # drained IVF-pruned ingest segments
+    "s_unigram_stats_stream",   # drained word-count segments + EM drain
 ]
 
 
