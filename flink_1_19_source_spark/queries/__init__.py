@@ -89,6 +89,10 @@ _R12_MUST = [
     "n5_gif_quality_report",
     "n5_adpcm_quality_report",
     "s_hnsw_blocked_ingest_stream",
+    "s_unimax_mix_stream",
+    # r12 changed code: UniMax water-filling extracted into the shared
+    # _unimax_alloc helper (results must be UNCHANGED)
+    "n6_unimax_mix",
     # r12 changed code: distributed curriculum interleave (results
     # must be UNCHANGED)
     "n6_curriculum_order",

@@ -102,10 +102,10 @@ def n6_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIMAX_EPOCHS = 2   # per-language epoch cap (UniMax's N)
 _UNIMAX_BUDGET_DEN = 2  # budget = total corpus tokens // 2
 
-
-@register(
-    "n6_unimax_mix",
-    oracle=f"""
+# Shared by the batch operator and the streaming controller — language
+# token counts are additive over any corpus slicing, so both replay the
+# SAME closed-form SQL and must hash-match each other.
+_UNIMAX_ORACLE = f"""
     WITH stats AS (
       SELECT lang,
              CAST(SUM(len(list_filter(
@@ -147,7 +147,12 @@ _UNIMAX_BUDGET_DEN = 2  # budget = total corpus tokens // 2
                             THEN 1 ELSE 0 END END) // n END AS BIGINT)
              AS epochs_millis
     FROM flagged CROSS JOIN kk
-    """,
+    """
+
+
+@register(
+    "n6_unimax_mix",
+    oracle=_UNIMAX_ORACLE,
     survey="N6",
 )
 def n6_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +179,14 @@ def n6_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.groupBy("lang").agg(
         F.sum(F.size(ta.tokens(F.col("text")))).cast("long").alias("n")
     )
+    return _unimax_alloc(stats)
+
+
+def _unimax_alloc(stats: DataFrame) -> DataFrame:
+    """The closed-form water-filling over a (lang, n) token-count table
+    — extracted so the batch operator and the streaming controller run
+    the IDENTICAL arithmetic (shared code, shared oracle; they cannot
+    drift).  Every window here is over the LANGUAGE table."""
     tot = stats.agg(
         F.expr(f"sum(n) div {_UNIMAX_BUDGET_DEN}").cast("long").alias("b"),
         F.count(F.lit(1)).alias("l"),
@@ -219,3 +232,102 @@ def n6_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END) div n END AS BIGINT)"
         ).alias("epochs_millis"),
     )
+
+
+# --------------------------------------------------------------------------
+# N6-S — streaming UniMax re-allocation
+# --------------------------------------------------------------------------
+@register(
+    "s_unimax_mix_stream",
+    oracle=_UNIMAX_ORACLE,
+    survey="N6 X2 X4",
+    tags=("streaming",),
+)
+def s_unimax_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING UniMax — the language-budget controller made
+    incremental (the DSIR/DoReMi at-ingest contract, closing the N6
+    mixing tier's last batch-only pair): each arriving micro-batch
+    lands its per-language token counts as an OVERWRITE-idempotent
+    (lang, n) segment (crash replay re-writes a batch's own rows, never
+    another's), SegmentStore folds every 2 batches with a key-wise
+    re-SUM so live state is O(languages) regardless of uptime, and
+    after the drain the shared closed-form water-filling
+    (_unimax_alloc — the batch operator's exact code path) re-allocates
+    the budget.  Language token counts are additive over ANY corpus
+    slicing, so the drained allocation equals the one-shot batch
+    answer — the oracle is n6_unimax_mix's SQL verbatim, hash-matched,
+    and slicing-invariance is test-pinned.  At 100 TB this is how a
+    multilingual sampler tracks an ingest feed: per-batch work is one
+    language-keyed aggregate, the re-allocation reruns on a
+    language-sized frame — the corpus is never re-read."""
+    return _unimax_stream_run(spark, sf_dir)
+
+
+def _unimax_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    crash_times: int = 1,
+    chunks: int | None = None,
+) -> DataFrame:
+    """Runner with crash injection: the crash fires AFTER the count
+    segment append with the checkpoint uncommitted — the bid-gated
+    overwrite keeps the summing merge double-count-free on replay."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_unimax")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("lang").agg(F.sum("n").alias("n")),
+    )
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=chunks or _CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        store.append(
+            batch.groupBy("lang")
+            .agg(
+                F.sum(F.size(ta.tokens(F.col("text"))))
+                .cast("long").alias("n")
+            )
+            .coalesce(1),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < crash_times:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash after segment append")
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            for _ in range(crash_times):
+                try:
+                    replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                    raise AssertionError("crash injection never fired")
+                except Exception as e:
+                    if "injected crash" not in str(e):
+                        raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    stats = (
+        store.read()
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    out = _unimax_alloc(stats).localCheckpoint(eager=True)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -95,6 +95,10 @@ _SWEEP_R10C = [
     # count-segment append with the checkpoint uncommitted
     ("flink_1_19_source_spark.queries.llm_unigram",
      "_unigram_stats_stream_run", {}, [0, 1, 2, 3]),
+    # r12: streaming UniMax controller — crash after the per-language
+    # token-count segment append with the checkpoint uncommitted
+    ("flink_1_19_source_spark.queries.llm_batching",
+     "_unimax_stream_run", {}, [0, 1, 2, 3]),
 ]
 
 

@@ -275,3 +275,26 @@ def test_ssim_expression_is_one_for_identical_images(spark):
     )
     got = row.select(F.expr(_SSIM_EXPR).alias("s")).collect()[0]["s"]
     assert got == 1.0
+
+
+# --------------------------------------------------------------------------
+# N6-S: streaming UniMax re-allocation
+# --------------------------------------------------------------------------
+def test_unimax_stream_is_slicing_invariant(spark, sf_dir):
+    """Language token counts are additive over any corpus slicing, so
+    the drained streaming allocation must equal the one-shot batch
+    answer for EVERY chunk count — the invariance that lets the
+    controller re-allocate at any ingest cadence."""
+    from flink_1_19_source_spark.queries.llm_batching import (
+        _unimax_stream_run, n6_unimax_mix,
+    )
+
+    want = sorted(tuple(r) for r in n6_unimax_mix(spark, sf_dir).collect())
+    assert want
+    for chunks in (2, 5):
+        got = sorted(
+            tuple(r)
+            for r in _unimax_stream_run(spark, sf_dir, chunks=chunks)
+            .collect()
+        )
+        assert got == want, f"chunks={chunks} diverged from batch"
