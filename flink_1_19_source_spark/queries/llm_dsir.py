@@ -486,9 +486,10 @@ def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N6 — largest-remainder quota mixing (Hare apportionment)
 # --------------------------------------------------------------------------
-@register(
-    "n6_quota_mix",
-    oracle="""
+# Shared by the batch operator and the streaming controller — language
+# doc counts are additive over any corpus slicing, so both replay the
+# SAME apportionment SQL and must hash-match each other.
+_QUOTA_ORACLE = """
     WITH c AS (
       SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
     ), w AS (
@@ -520,7 +521,12 @@ def s_dsir_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ranked.doc_id, ranked.lang
     FROM ranked JOIN quota ON ranked.lang = quota.lang
     WHERE hrk <= quota
-    """,
+    """
+
+
+@register(
+    "n6_quota_mix",
+    oracle=_QUOTA_ORACLE,
     survey="N6",
 )
 def n6_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,13 +548,22 @@ def n6_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hare_quota_select(load_table(spark, sf_dir, "documents"))
 
 
-def _hare_quota_select(d: DataFrame) -> DataFrame:
+def _hare_quota_select(
+    d: DataFrame, counts: DataFrame | None = None
+) -> DataFrame:
     """Hare apportionment + md5 hash-rank selection over any
-    (doc_id, lang) DataFrame; budget = rows // 2."""
-    total = d.groupBy().agg(
-        (F.count(F.lit(1)) / 2).cast("long").alias("budget")
+    (doc_id, lang) DataFrame; budget = rows // 2.  When ``counts``
+    (a (lang, cnt) table) is supplied — the streaming controller's
+    drained segment sums — the apportionment runs on IT and the corpus
+    contributes only the final hash-rank selection pass; doc counts
+    are additive over any slicing, so both paths yield the same
+    quotas."""
+    if counts is None:
+        counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.groupBy().agg(
+        (F.sum("cnt") / 2).cast("long").alias("budget")
     )
-    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    c = counts
     w = c.select(
         "lang", "cnt", F.floor(F.sqrt("cnt")).cast("long").alias("wt")
     )
@@ -590,3 +605,99 @@ def _hare_quota_select(d: DataFrame) -> DataFrame:
         .filter(F.col("hrk") <= F.col("quota"))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# N6-S — streaming quota re-apportionment
+# --------------------------------------------------------------------------
+@register(
+    "s_quota_mix_stream",
+    oracle=_QUOTA_ORACLE,
+    survey="N6 X2 X4",
+    tags=("streaming",),
+)
+def s_quota_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Hare quota re-apportionment — the exact-count mixing
+    gate made incremental (completing the N6 at-ingest family next to
+    DSIR/DoReMi/UniMax): each arriving micro-batch lands its
+    per-language DOC counts as an OVERWRITE-idempotent (lang, cnt)
+    segment, SegmentStore folds every 2 batches with a key-wise re-SUM
+    so live state is O(languages), and after the drain the shared Hare
+    apportionment (_hare_quota_select — the batch operator's exact code
+    path) re-derives the quotas from the summed counts; the selection
+    pass then runs once over the corpus snapshot (the DSIR-stream
+    contract: stats at ingest, scoring as a batch job on whatever
+    snapshot needs it).  Doc counts are additive over ANY slicing, so
+    the drained quotas equal the one-shot batch answer — the oracle is
+    n6_quota_mix's SQL verbatim, hash-matched, and slicing-invariance
+    is test-pinned.  At 100 TB: per-batch work is one language-keyed
+    count, the apportionment reruns on a language-sized frame, and the
+    corpus is read exactly once (by the selection job, not the
+    controller)."""
+    return _quota_stream_run(spark, sf_dir)
+
+
+def _quota_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    chunks: int | None = None,
+) -> DataFrame:
+    """Runner with crash injection: the crash fires AFTER the count
+    segment append with the checkpoint uncommitted — the bid-gated
+    overwrite keeps the summing merge double-count-free on replay."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    wd = _work_dir(sf_dir, "s_quota")
+    run = uuid.uuid4().hex[:8]
+    seg_dir = os.path.join(wd, f"segs-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    store = SegmentStore(
+        spark, seg_dir, compact_every=2,
+        merge=lambda df: df.groupBy("lang").agg(F.sum("cnt").alias("cnt")),
+    )
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=chunks or _CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        store.append(
+            batch.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .coalesce(1),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < 1:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash after segment append")
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("crash injection never fired")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    counts = (
+        store.read()
+        .groupBy("lang")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    out = _hare_quota_select(d, counts=counts).localCheckpoint(eager=True)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

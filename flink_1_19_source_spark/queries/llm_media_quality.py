@@ -187,6 +187,142 @@ def n5_gif_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# JPEG transform coding: SSIM + PSNR per image (closed-form DC replay)
+# --------------------------------------------------------------------------
+# Constant 8x8 blocks make the float64 FDCT exactly DC-only (DC = 8c,
+# c = v - 128; every AC term is symmetric-cancellation float dust far
+# below half a quantizer step), and q = 24 keeps round-half-away
+# boundaries unreachable (|c|/3 + 1/2 is an integer iff 2|c|+3 = 0
+# mod 6 — impossible), so the whole lossy roundtrip collapses to the
+# integer closed form  recon = clamp(3*round(c/3) + 128, 0, 255)
+# with round(c/3) = sign(c) * ((2|c|+3) // 6).
+_JPEG_Q = 24
+
+
+def _jpeg_recon_sql() -> str:
+    """Closed-form reconstruction of one constant block's roundtrip
+    pixel under the all-24 quant table (see the module constant)."""
+    return (
+        "LEAST(255, GREATEST(0,"
+        " 3 * (CASE WHEN v >= 128 THEN (2*(v - 128) + 3) // 6"
+        " ELSE -((2*(128 - v) + 3) // 6) END) + 128))"
+    )
+
+
+_JPEG_Q_ORACLE = f"""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+      FROM documents WHERE doc_id < 150
+    ), blk AS (
+      SELECT doc_id, bw, UNNEST(range(0, bw*bh)) AS bi FROM dims
+    ), val AS (
+      SELECT doc_id,
+             (doc_id*7 + (bi % bw)*31 + (bi // bw)*59) % 256 AS v
+      FROM blk
+    ), rec AS (
+      SELECT doc_id, v, {_jpeg_recon_sql()} AS r FROM val
+    ), mom AS (
+      SELECT doc_id,
+             CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+             CAST(64 * SUM((v - r)*(v - r)) AS BIGINT) AS sse,
+             CAST(MAX(ABS(v - r)) AS BIGINT) AS max_abs_err,
+             CAST(64 * SUM(v) AS BIGINT) AS sx,
+             CAST(64 * SUM(r) AS BIGINT) AS sy,
+             CAST(64 * SUM(v*v) AS BIGINT) AS sxx,
+             CAST(64 * SUM(r*r) AS BIGINT) AS syy,
+             CAST(64 * SUM(v*r) AS BIGINT) AS sxy
+      FROM rec GROUP BY doc_id
+    )
+    SELECT doc_id, n_px, sse, max_abs_err,
+           {_psnr_expr('n_px', 'sse', '65025.0')} AS psnr_db,
+           {_SSIM_EXPR} AS ssim
+    FROM mom
+    """
+
+
+@register(
+    "n5_jpeg_quality_report",
+    oracle=_JPEG_Q_ORACLE,
+    survey="N5",
+)
+def n5_jpeg_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image QUALITY report for the JPEG TRANSFORM-CODING write
+    path (encode_jpeg_gray_pixels: level shift → float64 FDCT →
+    quantization → zigzag → Huffman; DRI/RSTm on odd docs) — the last
+    lossy in-engine write path without a quality column.  Images are
+    built from CONSTANT 8x8 blocks under an all-24 quant table,
+    the regime where the float transform is provably integer-exact
+    (module comment: AC terms are cancellation dust ≪ q/2, the DC
+    rounding boundary is unreachable), so the oracle replays the ENTIRE
+    encode→decode roundtrip in closed integer form — recon =
+    clamp(3·round(c/3)+128) — without seeing a JPEG byte, while the
+    engine measures the REAL encoder's own bytes through the REAL
+    decoder.  Any drift in the DCT basis, quantizer rounding rule,
+    Huffman path or restart handling breaks the hash; the quantization
+    loss itself lands in psnr_db/ssim.  Map-only at any corpus size."""
+    from ..operators.jpeg_codec import decode_jpeg_gray
+    from ..operators.jpeg_encode import encode_jpeg_gray_pixels
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    cols = ["doc_id", "n_px", "sse", "max_abs_err",
+            "sx", "sy", "sxx", "syy", "sxy"]
+    qtab = [_JPEG_Q] * 64
+
+    def pipeline(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 2 + did % 3, 1 + did % 2
+                w, h = 8 * bw, 8 * bh
+                px = [0] * (w * h)
+                for bi in range(bw * bh):
+                    v = (did*7 + (bi % bw)*31 + (bi // bw)*59) % 256
+                    bx, by = bi % bw, bi // bw
+                    for yy in range(8):
+                        base = (by*8 + yy) * w + bx*8
+                        px[base:base + 8] = [v] * 8
+                # quality measured ONLY against the real write path's
+                # own bytes, through the real decoder
+                ow, oh, out = decode_jpeg_gray(
+                    encode_jpeg_gray_pixels(
+                        px, w, h, qtable_raster=qtab,
+                        restart_interval=2 if did % 2 else 0,
+                    )
+                )
+                assert (ow, oh) == (w, h)
+                n = w * h
+                sse = me = sx = sy = sxx = syy = sxy = 0
+                for i in range(n):
+                    lx, ly = px[i], out[i]
+                    e = lx - ly
+                    sse += e * e
+                    me = max(me, abs(e))
+                    sx += lx
+                    sy += ly
+                    sxx += lx * lx
+                    syy += ly * ly
+                    sxy += lx * ly
+                rows.append((did, n, sse, me, sx, sy, sxx, syy, sxy))
+            yield pd.DataFrame(rows, columns=cols)
+
+    mom = d.mapInPandas(
+        pipeline,
+        "doc_id long, n_px long, sse long, max_abs_err long, "
+        "sx long, sy long, sxx long, syy long, sxy long",
+    )
+    return mom.select(
+        "doc_id", "n_px", "sse", "max_abs_err",
+        F.expr(_psnr_expr("n_px", "sse", "65025.0")).alias("psnr_db"),
+        F.expr(_SSIM_EXPR).alias("ssim"),
+    )
+
+
+# --------------------------------------------------------------------------
 # IMA ADPCM encode: PSNR per clip (recursive-CTE encoder replay)
 # --------------------------------------------------------------------------
 def _adpcm_step_sql() -> str:
