@@ -90,6 +90,8 @@ _R12_MUST = [
     "n5_adpcm_quality_report",
     "s_hnsw_blocked_ingest_stream",
     "s_unimax_mix_stream",
+    "s_quota_mix_stream",
+    "n5_jpeg_quality_report",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",
