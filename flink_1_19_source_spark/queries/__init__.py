@@ -76,6 +76,7 @@ from . import ccnet_pipeline  # noqa: F401  (N7 CCNet composite)
 from . import llm_bytebpe  # noqa: F401  (N4 byte-level BPE, GPT-2 regex)
 from . import llm_unigram  # noqa: F401  (N4 Unigram-LM EM trainer)
 from . import llm_media_quality  # noqa: F401  (N5 PSNR/SSIM reports)
+from . import llm_quality_rules  # noqa: F401  (N4 Gopher/C4 rule sets)
 
 from ..registry import REGISTRY
 
@@ -92,6 +93,8 @@ _R12_MUST = [
     "s_unimax_mix_stream",
     "s_quota_mix_stream",
     "n5_jpeg_quality_report",
+    "n4_gopher_rules",
+    "n4_c4_page_clean",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

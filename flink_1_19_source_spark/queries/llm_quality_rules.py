@@ -1,0 +1,325 @@
+"""N4 — the two canonical published quality-rule sets, as first-class
+relational operators: the Gopher document-quality rules [Rae et al.
+2021, "Scaling Language Models: Methods, Analysis & Insights from
+Training Gopher", Table A1] and the C4 page-cleaning filters
+[Raffel et al. 2020, "Exploring the Limits of Transfer Learning with a
+Unified Text-to-Text Transformer", §2.2].
+
+Both are MAP-ONLY: every metric and every rule is a per-row array/
+string expression — zero shuffles, zero UDFs, so a 100 TB corpus is
+filtered at scan speed with predicate pushdown intact.  Every rule
+boundary is evaluated in CROSS-MULTIPLIED INTEGER form (``3·n ≤ Σlen``
+instead of ``Σlen/n ≥ 3.0``) so the pass/fail booleans are exact and
+engine-independent; the ratio columns are reported as ROUND(...,9)
+doubles for humans, but no rule depends on a float comparison.
+
+The C4 line-level rules need multi-line pages and web noise the
+word-soup fixture lacks, so — exactly like the media tier synthesizes
+images and the crawl tier wraps docs into WARC — the page view is
+SYNTHESIZED deterministically in-engine (8-token lines, md5-gated
+missing terminal punctuation, md5-gated javascript / lorem-ipsum /
+curly-brace noise lines) and the DuckDB oracle replays the same
+synthesis byte-for-byte, so every one of the paper's rules genuinely
+fires on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --------------------------------------------------------------------------
+# Gopher rules (Rae et al. 2021, Table A1) — paper constants
+# --------------------------------------------------------------------------
+#: required-stopword list, verbatim from the paper
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_MEAN, _G_MAX_MEAN = 3, 10  # mean word length bounds
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk,
+             string_split(text, chr(10)) AS lines,
+             CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                  + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+                  AS BIGINT) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, t -> LEN(t))) AS BIGINT)
+               AS sum_wlen,
+             CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter([{stops}], s -> list_contains(tk, s)))
+               AS BIGINT) AS n_stopwords,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l ->
+                    starts_with(l, '- ') OR starts_with(l, '* ')
+                    OR starts_with(l, chr(8226)))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+               AS n_ellipsis,
+             n_symbols
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           ROUND(CAST(sum_wlen AS DOUBLE) / n_words, 9) AS mean_word_len,
+           ROUND(CAST(n_symbols AS DOUBLE) / n_words, 9) AS symbol_word_ratio,
+           ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 9)
+             AS frac_alpha_words,
+           n_stopwords,
+           (n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS})
+             AS r_word_count,
+           ({_G_MIN_MEAN} * n_words <= sum_wlen
+            AND sum_wlen <= {_G_MAX_MEAN} * n_words) AS r_mean_word_len,
+           (10 * n_symbols <= n_words) AS r_symbol_ratio,
+           (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+           (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis_lines,
+           (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+           (n_stopwords >= 2) AS r_stopwords,
+           (n_words >= {_G_MIN_WORDS} AND n_words <= {_G_MAX_WORDS}
+            AND {_G_MIN_MEAN} * n_words <= sum_wlen
+            AND sum_wlen <= {_G_MAX_MEAN} * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet <= 9 * n_lines
+            AND 10 * n_ellipsis <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stopwords >= 2) AS gopher_pass
+    FROM m
+    """
+
+
+@register("n4_gopher_rules", oracle=_gopher_oracle(), survey="N4 N6")
+def n4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule set [Rae et al. 2021, Table A1]
+    as one map-only projection: word-count bounds (50..100k), mean word
+    length in [3, 10], symbol-to-word ratio (# / ellipsis) ≤ 0.1, ≤ 90%
+    of lines bullet-initial, ≤ 30% of lines ellipsis-final, ≥ 80% of
+    words containing an alphabetic character, and ≥ 2 distinct required
+    stopwords — the paper's constants, verbatim.  Every rule is an
+    exact cross-multiplied integer comparison (no float boundary can
+    disagree between engines); the ratio columns are reporting-only.
+    100 TB shape: zero shuffles — the whole rule set rides the scan,
+    and ``gopher_pass`` is a pushdown-friendly filter for every
+    downstream stage.
+
+    The repartition is local-fixture parallelism only (one parquet file
+    = one input split); real corpora shard across files."""
+    d = load_table(spark, sf_dir, "documents").repartition(24)
+    stops_arr = "array(" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + ")"
+    base = d.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')").alias("tk"),
+        F.split("text", "\n").alias("lines"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / 3
+        )
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    m = base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        F.expr("aggregate(transform(tk, t -> length(t)), 0L, (a, x) -> a + x)")
+        .alias("sum_wlen"),
+        F.expr("size(filter(tk, t -> t rlike '[a-z]'))")
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.expr(f"size(filter({stops_arr}, s -> array_contains(tk, s)))")
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(
+            "size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %'"
+            " OR l LIKE '•%'))"
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.expr("size(filter(lines, l -> l LIKE '%...'))")
+        .cast("long")
+        .alias("n_ellipsis"),
+        "n_symbols",
+    )
+    nw, sw = F.col("n_words"), F.col("sum_wlen")
+    rules = {
+        "r_word_count": (nw >= _G_MIN_WORDS) & (nw <= _G_MAX_WORDS),
+        "r_mean_word_len": (F.lit(_G_MIN_MEAN) * nw <= sw)
+        & (sw <= F.lit(_G_MAX_MEAN) * nw),
+        "r_symbol_ratio": F.lit(10) * F.col("n_symbols") <= nw,
+        "r_bullet_lines": F.lit(10) * F.col("n_bullet")
+        <= F.lit(9) * F.col("n_lines"),
+        "r_ellipsis_lines": F.lit(10) * F.col("n_ellipsis")
+        <= F.lit(3) * F.col("n_lines"),
+        "r_alpha_words": F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * nw,
+        "r_stopwords": F.col("n_stopwords") >= 2,
+    }
+    gopher_pass = None
+    for c in rules.values():
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(sw.cast("double") / nw, 9).alias("mean_word_len"),
+        F.round(F.col("n_symbols").cast("double") / nw, 9)
+        .alias("symbol_word_ratio"),
+        F.round(F.col("n_alpha_words").cast("double") / nw, 9)
+        .alias("frac_alpha_words"),
+        "n_stopwords",
+        *[c.alias(name) for name, c in rules.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C4 page cleaning (Raffel et al. 2020 §2.2) over a synthesized page view
+# --------------------------------------------------------------------------
+_C4_LINE_W = 8  # tokens per synthesized line
+
+
+def _c4_oracle() -> str:
+    return rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(LOWER(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), pages AS (
+      SELECT doc_id,
+        list_concat(list_concat(list_concat(
+          list_transform(
+            range(0, CAST(CEIL(len(tk) / {_C4_LINE_W}.0) AS BIGINT)),
+            i -> array_to_string(
+                   list_slice(tk, i * {_C4_LINE_W} + 1,
+                              i * {_C4_LINE_W} + {_C4_LINE_W}), ' ')
+                 || CASE WHEN substr(md5('c4p:' || CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(i AS VARCHAR)), 1, 1)
+                         < '3' THEN '' ELSE '.' END),
+          CASE WHEN substr(md5('c4js:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               < '6'
+            THEN ['please enable javascript to view the content menu.']
+            ELSE [] END),
+          CASE WHEN substr(md5('c4lorem:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               < '2'
+            THEN ['lorem ipsum dolor sit amet consectetur.'] ELSE [] END),
+          CASE WHEN substr(md5('c4brace:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               < '2'
+            THEN ['var config = {{ mode: full }}.'] ELSE [] END) AS lines
+      FROM tk
+    ), cleaned AS (
+      SELECT doc_id, lines,
+             list_filter(lines, l ->
+               regexp_matches(l, '[.!?]$')
+               AND len(string_split(l, ' ')) >= 5
+               AND l NOT LIKE '%javascript%') AS kept
+      FROM pages
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CASE
+             WHEN len(list_filter(lines, l -> l LIKE '%lorem ipsum%')) > 0
+               THEN 'drop_lorem'
+             WHEN len(list_filter(lines, l -> contains(l, '{{'))) > 0
+               THEN 'drop_brace'
+             WHEN len(kept) < 3 THEN 'drop_few_sentences'
+             ELSE 'kept'
+           END AS page_status,
+           CASE
+             WHEN len(list_filter(lines, l -> l LIKE '%lorem ipsum%')) = 0
+              AND len(list_filter(lines, l -> contains(l, '{{'))) = 0
+              AND len(kept) >= 3
+             THEN md5(array_to_string(kept, chr(10)))
+           END AS clean_fp
+    FROM cleaned
+    """
+
+
+@register("n4_c4_page_clean", oracle=_c4_oracle(), survey="N4 R6")
+def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning filters [Raffel et al. 2020 §2.2] — line level:
+    retain only lines ending in terminal punctuation AND with ≥ 5 words
+    AND not containing the word "javascript"; page level: drop any page
+    containing "lorem ipsum" or a curly brace, or retaining fewer than
+    3 sentences — the paper's rules verbatim (the ≥-3-times-corpus-wide
+    boilerplate rule is its own certified operator,
+    n4_boilerplate_strip).
+
+    The page view is synthesized deterministically per document
+    (8-token lines; an md5 gate strips terminal punctuation from ~3/16
+    of lines, and independent md5 gates append a javascript menu line
+    to ~6/16 of pages and a lorem-ipsum / curly-brace noise line to
+    ~2/16 each) so every rule genuinely fires; the oracle replays the
+    identical synthesis.  Whole operator is ONE map-only projection —
+    line split, per-line predicate, page verdict are all array
+    expressions, so at 100 TB the clean runs at scan speed and
+    ``page_status`` prunes downstream stages without a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.expr(
+            rf"""
+            concat(
+              transform(
+                sequence(0, cast(ceil(size(filter(split(lower(text), '\\s+'),
+                                                  t -> t <> ''))
+                                 / {_C4_LINE_W}.0) as int) - 1),
+                i -> concat(
+                       array_join(slice(filter(split(lower(text), '\\s+'),
+                                               t -> t <> ''),
+                                        i * {_C4_LINE_W} + 1, {_C4_LINE_W}),
+                                  ' '),
+                       CASE WHEN substring(md5(concat('c4p:',
+                                cast(doc_id as string), ':',
+                                cast(i as string))), 1, 1) < '3'
+                            THEN '' ELSE '.' END)),
+              CASE WHEN substring(md5(concat('c4js:',
+                       cast(doc_id as string))), 1, 1) < '6'
+                THEN array('please enable javascript to view the content menu.')
+                ELSE array() END,
+              CASE WHEN substring(md5(concat('c4lorem:',
+                       cast(doc_id as string))), 1, 1) < '2'
+                THEN array('lorem ipsum dolor sit amet consectetur.')
+                ELSE array() END,
+              CASE WHEN substring(md5(concat('c4brace:',
+                       cast(doc_id as string))), 1, 1) < '2'
+                THEN array('var config = {{ mode: full }}.')
+                ELSE array() END)
+            """
+        ).alias("lines"),
+    )
+    cleaned = pages.select(
+        "doc_id",
+        "lines",
+        F.expr(
+            "filter(lines, l -> l rlike '[.!?]$'"
+            " AND size(split(l, ' ')) >= 5"
+            " AND NOT l LIKE '%javascript%')"
+        ).alias("kept"),
+    )
+    has_lorem = F.expr("exists(lines, l -> l LIKE '%lorem ipsum%')")
+    has_brace = F.expr("exists(lines, l -> contains(l, '{'))")
+    ok = ~has_lorem & ~has_brace & (F.size("kept") >= 3)
+    return cleaned.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        F.when(has_lorem, "drop_lorem")
+        .when(has_brace, "drop_brace")
+        .when(F.size("kept") < 3, "drop_few_sentences")
+        .otherwise("kept")
+        .alias("page_status"),
+        F.when(ok, F.md5(F.array_join("kept", "\n"))).alias("clean_fp"),
+    )

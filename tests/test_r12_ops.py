@@ -298,3 +298,45 @@ def test_unimax_stream_is_slicing_invariant(spark, sf_dir):
             .collect()
         )
         assert got == want, f"chunks={chunks} diverged from batch"
+
+
+# --------------------------------------------------------------------------
+# N4 quality-rule sets: Gopher (Rae et al. 2021) + C4 (Raffel et al. 2020)
+# --------------------------------------------------------------------------
+def test_gopher_rules_map_only_and_exact_boundaries(spark, sf_dir):
+    """The whole rule set must ride the scan: zero hash/range shuffles.
+    Rule booleans must be exact integer comparisons: recompute
+    r_mean_word_len from the reported integers and require agreement,
+    and the corpus must produce BOTH outcomes for the word-count gate
+    (a vacuously-true rule set pins nothing)."""
+    df = REGISTRY["n4_gopher_rules"].fn(spark, sf_dir)
+    assert audit.shuffle_count(df) == 0, audit.plan_text(df, "simple")
+    rows = df.collect()
+    assert rows
+    passes = {r.r_word_count for r in rows}
+    assert passes == {True, False}, passes
+    for r in rows:
+        assert r.gopher_pass == (
+            r.r_word_count and r.r_mean_word_len and r.r_symbol_ratio
+            and r.r_bullet_lines and r.r_ellipsis_lines
+            and r.r_alpha_words and r.r_stopwords
+        )
+        # word-soup fixture: no bullets/ellipses/symbols -> those rules
+        # hold, and every word is alphabetic
+        assert r.r_symbol_ratio and r.r_bullet_lines and r.r_ellipsis_lines
+        assert r.frac_alpha_words == 1.0
+
+
+def test_c4_every_rule_fires(spark, sf_dir):
+    """The synthesized page view must exercise EVERY paper rule: both
+    page-drop reasons occur, pages survive, line-level drops happen on
+    kept pages (javascript / missing punctuation / short tail line),
+    and clean_fp is non-null exactly on kept pages."""
+    rows = REGISTRY["n4_c4_page_clean"].fn(spark, sf_dir).collect()
+    statuses = {r.page_status for r in rows}
+    assert {"kept", "drop_lorem", "drop_brace"} <= statuses, statuses
+    for r in rows:
+        assert (r.clean_fp is not None) == (r.page_status == "kept")
+        assert r.n_kept_lines <= r.n_lines
+    kept = [r for r in rows if r.page_status == "kept"]
+    assert any(r.n_kept_lines < r.n_lines for r in kept)
