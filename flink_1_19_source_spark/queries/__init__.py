@@ -77,6 +77,7 @@ from . import llm_bytebpe  # noqa: F401  (N4 byte-level BPE, GPT-2 regex)
 from . import llm_unigram  # noqa: F401  (N4 Unigram-LM EM trainer)
 from . import llm_media_quality  # noqa: F401  (N5 PSNR/SSIM reports)
 from . import llm_quality_rules  # noqa: F401  (N4 Gopher/C4 rule sets)
+from . import llm_graph2  # noqa: F401  (X8 label-propagation communities)
 
 from ..registry import REGISTRY
 
@@ -95,6 +96,7 @@ _R12_MUST = [
     "n5_jpeg_quality_report",
     "n4_gopher_rules",
     "n4_c4_page_clean",
+    "x8_label_propagation",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

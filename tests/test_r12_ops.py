@@ -340,3 +340,25 @@ def test_c4_every_rule_fires(spark, sf_dir):
         assert r.n_kept_lines <= r.n_lines
     kept = [r for r in rows if r.page_status == "kept"]
     assert any(r.n_kept_lines < r.n_lines for r in kept)
+
+
+def test_label_propagation_structure(spark, sf_dir):
+    """LPA output: one row per vector, community ids are node ids,
+    sizes reconcile, and the graph genuinely clusters (at least one
+    multi-node community AND more than one community)."""
+    df = REGISTRY["x8_label_propagation"].fn(spark, sf_dir)
+    rows = df.collect()
+    n_vec = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert len(rows) == n_vec
+    ids = {r.node_id for r in rows}
+    assert len(ids) == n_vec
+    from collections import Counter
+
+    by_comm = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.community_size == by_comm[r.community]
+        assert r.community in ids
+    assert len(by_comm) > 1
+    assert max(by_comm.values()) > 1
