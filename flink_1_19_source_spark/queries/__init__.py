@@ -78,6 +78,7 @@ from . import llm_unigram  # noqa: F401  (N4 Unigram-LM EM trainer)
 from . import llm_media_quality  # noqa: F401  (N5 PSNR/SSIM reports)
 from . import llm_quality_rules  # noqa: F401  (N4 Gopher/C4 rule sets)
 from . import llm_graph2  # noqa: F401  (X8 label-propagation communities)
+from . import llm_wordpiece  # noqa: F401  (N4 WordPiece trainer)
 
 from ..registry import REGISTRY
 
@@ -97,6 +98,8 @@ _R12_MUST = [
     "n4_gopher_rules",
     "n4_c4_page_clean",
     "x8_label_propagation",
+    "n4_wordpiece_train",
+    "n4_wordpiece_train_encode",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

@@ -362,3 +362,43 @@ def test_label_propagation_structure(spark, sf_dir):
         assert r.community in ids
     assert len(by_comm) > 1
     assert max(by_comm.values()) > 1
+
+
+def test_wordpiece_trainer_is_likelihood_driven(spark, sf_dir):
+    """The WordPiece/BPE discriminator: the merge sequence must NOT be
+    frequency-monotone (BPE's order) — the fixed-point likelihood score
+    picks low-frequency high-affinity pairs first.  Plus structural
+    invariants: contiguous merge numbers, continuation-marked right
+    pairs, scores in (0, 10^12] (cnt <= min(ua, ub) bounds the ratio
+    by 1)."""
+    rows = REGISTRY["n4_wordpiece_train"].fn(spark, sf_dir).collect()
+    assert [r.merge_no for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 24
+    for r in rows:
+        assert r.pair_b.startswith("#"), r
+        assert 0 < r.score_fp <= 10**12, r
+        assert r.pair_count > 0
+    cnts = [r.pair_count for r in rows]
+    assert not all(cnts[i] >= cnts[i + 1] for i in range(len(cnts) - 1)), (
+        "merge order is frequency-monotone — that's BPE, not WordPiece"
+    )
+
+
+def test_wordpiece_trained_encode_shrinks_tokens(spark, sf_dir):
+    """Encoding under the trained vocab must emit fewer symbols than
+    characters (24 merges genuinely fired) and at least one symbol per
+    word."""
+    from flink_1_19_source_spark.queries.llm_wordpiece import (
+        _wp_train_spark,
+    )
+
+    _, words, _ = _wp_train_spark(spark, sf_dir)
+    rows = words.select(
+        "w",
+        "freq",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")).alias(
+            "n_syms"
+        ),
+    ).collect()
+    assert all(1 <= r.n_syms <= len(r.w) for r in rows)
+    assert any(r.n_syms < len(r.w) for r in rows)
