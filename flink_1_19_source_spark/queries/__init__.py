@@ -79,6 +79,7 @@ from . import llm_media_quality  # noqa: F401  (N5 PSNR/SSIM reports)
 from . import llm_quality_rules  # noqa: F401  (N4 Gopher/C4 rule sets)
 from . import llm_graph2  # noqa: F401  (X8 label-propagation communities)
 from . import llm_wordpiece  # noqa: F401  (N4 WordPiece trainer)
+from . import llm_sampling2  # noqa: F401  (N6 exact-k bottom-k sample)
 
 from ..registry import REGISTRY
 
@@ -101,6 +102,8 @@ _R12_MUST = [
     "n4_wordpiece_train",
     "n4_wordpiece_train_encode",
     "x8_sssp_weighted",
+    "n6_exact_k_sample",
+    "s_exact_k_sample_stream",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

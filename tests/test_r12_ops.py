@@ -417,3 +417,57 @@ def test_sssp_weighted_triangle_inequality_vs_bfs(spark, sf_dir):
     assert all(r.dist_w >= 2 for r in reached)
     assert all(not r.reached or r.dist_w is not None for r in rows.values())
     assert any(not r.reached for r in rows.values()) or len(reached) == len(rows) - 1
+
+
+def test_exact_k_sample_stream_invariance_and_crash(spark, sf_dir):
+    """Bottom-k is mergeable, so the drained streaming sample must be
+    bit-identical to the one-shot batch sample at EVERY slicing, and a
+    crash after the segment append (checkpoint uncommitted) must not
+    duplicate or lose candidates."""
+    from flink_1_19_source_spark.queries.llm_sampling2 import (
+        _exact_k_stream_run, n6_exact_k_sample,
+    )
+
+    want = sorted(
+        tuple(r) for r in n6_exact_k_sample(spark, sf_dir).collect()
+    )
+    assert want
+    for chunks in (2, 5):
+        got = sorted(
+            tuple(r)
+            for r in _exact_k_stream_run(spark, sf_dir, chunks=chunks)
+            .collect()
+        )
+        assert got == want, f"chunks={chunks} diverged from batch"
+    got = sorted(
+        tuple(r)
+        for r in _exact_k_stream_run(spark, sf_dir, crash_once_at=1)
+        .collect()
+    )
+    assert got == want, "crash replay diverged from batch"
+
+
+def test_exact_k_sample_is_exact_k_and_uniform_device(spark, sf_dir):
+    """Each language yields min(k, stratum size) rows, ranks are
+    contiguous from 1, and the kept set is exactly the k smallest
+    md5 priorities (re-derived independently here)."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = REGISTRY["n6_exact_k_sample"].fn(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_lang = defaultdict(list)
+    for r in d:
+        pri = hashlib.md5(f"ks:{r.doc_id}".encode()).hexdigest()
+        by_lang[r.lang].append((pri, r.doc_id))
+    got = defaultdict(list)
+    for r in rows:
+        got[r.lang].append((r.smp_rank, r.doc_id))
+    assert set(got) == set(by_lang)
+    for lang, cand in by_lang.items():
+        want = [doc for _, doc in sorted(cand)[:20]]
+        have = [doc for _, doc in sorted(got[lang])]
+        assert have == want, lang
+        assert sorted(rk for rk, _ in got[lang]) == list(
+            range(1, len(want) + 1)
+        )
