@@ -104,6 +104,7 @@ _R12_MUST = [
     "x8_sssp_weighted",
     "n6_exact_k_sample",
     "s_exact_k_sample_stream",
+    "pipeline_quality_gate_end_to_end",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

@@ -323,3 +323,109 @@ def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("page_status"),
         F.when(ok, F.md5(F.array_join("kept", "\n"))).alias("clean_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# N7 — TENTH composite: C4 clean -> Gopher gate -> eval holdout
+# --------------------------------------------------------------------------
+_EVAL_K = 20
+
+
+def _quality_gate_oracle() -> str:
+    return f"""
+    WITH gop AS MATERIALIZED (
+      SELECT doc_id, gopher_pass FROM ({_gopher_oracle()})
+    ), c4p AS MATERIALIZED (
+      SELECT doc_id, page_status FROM ({_c4_oracle()})
+    ), j AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, g.gopher_pass,
+             (c.page_status = 'kept') AS c4_kept
+      FROM documents d
+      JOIN gop g ON g.doc_id = d.doc_id
+      JOIN c4p c ON c.doc_id = d.doc_id
+    ), ev AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5('eval:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM j WHERE gopher_pass AND c4_kept
+    )
+    SELECT j.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT c4_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c4_dropped,
+           CAST(SUM(CASE WHEN c4_kept AND NOT gopher_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_dropped,
+           CAST(SUM(CASE WHEN c4_kept AND gopher_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN e.rk <= {_EVAL_K} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN c4_kept AND gopher_pass
+                          AND COALESCE(e.rk, {_EVAL_K} + 1) > {_EVAL_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+    FROM j LEFT JOIN ev e ON e.doc_id = j.doc_id
+    GROUP BY j.lang
+    """
+
+
+@register(
+    "pipeline_quality_gate_end_to_end",
+    oracle=_quality_gate_oracle(),
+    survey="N7 N4 N6",
+)
+def pipeline_quality_gate_end_to_end(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TENTH end-to-end composite — the published-rule-set QUALITY GATE
+    a pretraining corpus passes before mixing: (1) the C4 page clean
+    (certified n4_c4_page_clean, called through its query fn so the
+    composite cannot drift), (2) the Gopher rule set on the survivors
+    (certified n4_gopher_rules), (3) an exactly-k-per-language eval
+    holdout drawn from the kept set by the bottom-k hash-priority
+    device (salt 'eval:', independent of the 'ks:' sample), and the
+    per-language attrition ledger (docs -> C4-dropped -> Gopher-dropped
+    -> kept -> eval/train) every data card wants.
+
+    100 TB shape: both rule sets are map-only scans (fusable into one
+    projection at the plan level — Spark's columnar scan reuse makes
+    the second flag pass cheap); the only shuffles are the doc_id joins
+    and ONE lang-keyed rank window over the kept set for the holdout;
+    the final report is language-sized."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    g = n4_gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    c = n4_c4_page_clean(spark, sf_dir).select(
+        "doc_id", (F.col("page_status") == "kept").alias("c4_kept")
+    )
+    j = d.join(g, "doc_id").join(c, "doc_id")
+    from pyspark.sql.window import Window
+
+    kept = j.filter(F.col("gopher_pass") & F.col("c4_kept"))
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    ev = (
+        kept.select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string")))
+            .alias("pri"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "rk")
+    )
+    jj = j.join(ev, "doc_id", "left")
+    is_kept = F.col("gopher_pass") & F.col("c4_kept")
+    return jj.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("c4_kept")).cast("long")).alias("n_c4_dropped"),
+        F.sum((F.col("c4_kept") & ~F.col("gopher_pass")).cast("long"))
+        .alias("n_gopher_dropped"),
+        F.sum(is_kept.cast("long")).alias("n_kept"),
+        F.sum((F.col("rk") <= _EVAL_K).cast("long")).alias("n_eval_nullable"),
+        F.sum(
+            (is_kept & (F.coalesce("rk", F.lit(_EVAL_K + 1)) > _EVAL_K))
+            .cast("long")
+        ).alias("n_train"),
+    ).select(
+        "lang", "n_docs", "n_c4_dropped", "n_gopher_dropped", "n_kept",
+        F.coalesce("n_eval_nullable", F.lit(0)).alias("n_eval"),
+        "n_train",
+    )

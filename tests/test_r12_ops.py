@@ -471,3 +471,38 @@ def test_exact_k_sample_is_exact_k_and_uniform_device(spark, sf_dir):
         assert sorted(rk for rk, _ in got[lang]) == list(
             range(1, len(want) + 1)
         )
+
+
+def test_quality_gate_pipeline_ladder_reconciles(spark, sf_dir):
+    """The attrition ledger must reconcile per language: docs =
+    c4_dropped + gopher_dropped + kept; kept = eval + train; eval <=
+    20; and the per-stage counts must agree with the certified
+    component operators recomputed independently."""
+    rows = {
+        r.lang: r
+        for r in REGISTRY["pipeline_quality_gate_end_to_end"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows
+    c4 = {
+        r.doc_id: r.page_status
+        for r in REGISTRY["n4_c4_page_clean"].fn(spark, sf_dir).collect()
+    }
+    gop = {
+        r.doc_id: r.gopher_pass
+        for r in REGISTRY["n4_gopher_rules"].fn(spark, sf_dir).collect()
+    }
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    from collections import Counter
+
+    want_docs = Counter(r.lang for r in d)
+    want_kept = Counter(
+        r.lang for r in d if c4[r.doc_id] == "kept" and gop[r.doc_id]
+    )
+    for lang, r in rows.items():
+        assert r.n_docs == want_docs[lang]
+        assert r.n_docs == r.n_c4_dropped + r.n_gopher_dropped + r.n_kept
+        assert r.n_kept == want_kept.get(lang, 0)
+        assert r.n_kept == r.n_eval + r.n_train
+        assert r.n_eval <= 20
