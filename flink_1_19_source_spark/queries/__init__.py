@@ -105,6 +105,7 @@ _R12_MUST = [
     "n6_exact_k_sample",
     "s_exact_k_sample_stream",
     "pipeline_quality_gate_end_to_end",
+    "n2_c4_span_dedup",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

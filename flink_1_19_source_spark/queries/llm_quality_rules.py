@@ -188,17 +188,25 @@ def n4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _C4_LINE_W = 8  # tokens per synthesized line
 
+#: deterministic 3-line boilerplate footer (~8/16 of pages): the
+#: repeated multi-sentence block the paper's span dedup exists to kill
+_C4_FOOTER = (
+    "subscribe to our newsletter for updates today.",
+    "all rights reserved by the site owner.",
+    "thanks for reading and see you soon.",
+)
 
-def _c4_oracle() -> str:
-    return rf"""
-    WITH tk AS (
+#: the synthesized-page + line-filter CTE chain (tk -> pages ->
+#: cleaned), shared by the page-clean oracle and the span-dedup oracle
+_C4_CLEANED_SQL = rf"""
+    tk AS (
       SELECT doc_id,
              list_filter(string_split_regex(LOWER(text), '\s+'),
                          t -> t <> '') AS tk
       FROM documents
     ), pages AS (
       SELECT doc_id,
-        list_concat(list_concat(list_concat(
+        list_concat(list_concat(list_concat(list_concat(
           list_transform(
             range(0, CAST(CEIL(len(tk) / {_C4_LINE_W}.0) AS BIGINT)),
             i -> array_to_string(
@@ -207,6 +215,9 @@ def _c4_oracle() -> str:
                  || CASE WHEN substr(md5('c4p:' || CAST(doc_id AS VARCHAR)
                                      || ':' || CAST(i AS VARCHAR)), 1, 1)
                          < '3' THEN '' ELSE '.' END),
+          CASE WHEN substr(md5('c4footer:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               < '8'
+            THEN {list(_C4_FOOTER)} ELSE [] END),
           CASE WHEN substr(md5('c4js:' || CAST(doc_id AS VARCHAR)), 1, 1)
                < '6'
             THEN ['please enable javascript to view the content menu.']
@@ -225,7 +236,12 @@ def _c4_oracle() -> str:
                AND len(string_split(l, ' ')) >= 5
                AND l NOT LIKE '%javascript%') AS kept
       FROM pages
-    )
+    )"""
+
+
+def _c4_oracle() -> str:
+    return f"""
+    WITH {_C4_CLEANED_SQL}
     SELECT doc_id,
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(kept) AS BIGINT) AS n_kept_lines,
@@ -247,26 +263,11 @@ def _c4_oracle() -> str:
     """
 
 
-@register("n4_c4_page_clean", oracle=_c4_oracle(), survey="N4 R6")
-def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The C4 cleaning filters [Raffel et al. 2020 §2.2] — line level:
-    retain only lines ending in terminal punctuation AND with ≥ 5 words
-    AND not containing the word "javascript"; page level: drop any page
-    containing "lorem ipsum" or a curly brace, or retaining fewer than
-    3 sentences — the paper's rules verbatim (the ≥-3-times-corpus-wide
-    boilerplate rule is its own certified operator,
-    n4_boilerplate_strip).
-
-    The page view is synthesized deterministically per document
-    (8-token lines; an md5 gate strips terminal punctuation from ~3/16
-    of lines, and independent md5 gates append a javascript menu line
-    to ~6/16 of pages and a lorem-ipsum / curly-brace noise line to
-    ~2/16 each) so every rule genuinely fires; the oracle replays the
-    identical synthesis.  Whole operator is ONE map-only projection —
-    line split, per-line predicate, page verdict are all array
-    expressions, so at 100 TB the clean runs at scan speed and
-    ``page_status`` prunes downstream stages without a shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+def _c4_cleaned_frame(d: DataFrame) -> DataFrame:
+    """The synthesized page view + line filter (doc_id, lines, kept) —
+    the Spark twin of ``_C4_CLEANED_SQL``, shared by the page clean and
+    the span dedup so the two cannot drift."""
+    footer = ", ".join(f"'{ln}'" for ln in _C4_FOOTER)
     pages = d.select(
         "doc_id",
         F.expr(
@@ -285,6 +286,10 @@ def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 cast(doc_id as string), ':',
                                 cast(i as string))), 1, 1) < '3'
                             THEN '' ELSE '.' END)),
+              CASE WHEN substring(md5(concat('c4footer:',
+                       cast(doc_id as string))), 1, 1) < '8'
+                THEN array({footer})
+                ELSE array() END,
               CASE WHEN substring(md5(concat('c4js:',
                        cast(doc_id as string))), 1, 1) < '6'
                 THEN array('please enable javascript to view the content menu.')
@@ -300,7 +305,7 @@ def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("lines"),
     )
-    cleaned = pages.select(
+    return pages.select(
         "doc_id",
         "lines",
         F.expr(
@@ -309,6 +314,31 @@ def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND NOT l LIKE '%javascript%')"
         ).alias("kept"),
     )
+
+
+@register("n4_c4_page_clean", oracle=_c4_oracle(), survey="N4 R6")
+def n4_c4_page_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning filters [Raffel et al. 2020 §2.2] — line level:
+    retain only lines ending in terminal punctuation AND with ≥ 5 words
+    AND not containing the word "javascript"; page level: drop any page
+    containing "lorem ipsum" or a curly brace, or retaining fewer than
+    3 sentences — the paper's rules verbatim (the ≥-3-times-corpus-wide
+    boilerplate rule is its own certified operator,
+    n4_boilerplate_strip; the 3-SENTENCE-SPAN dedup is
+    n2_c4_span_dedup below).
+
+    The page view is synthesized deterministically per document
+    (8-token lines; an md5 gate strips terminal punctuation from ~3/16
+    of lines; half the pages get the same 3-line boilerplate footer —
+    the span-dedup target; independent md5 gates append a javascript
+    menu line to ~6/16 of pages and a lorem-ipsum / curly-brace noise
+    line to ~2/16 each) so every rule genuinely fires; the oracle
+    replays the identical synthesis.  Whole operator is ONE map-only
+    projection — line split, per-line predicate, page verdict are all
+    array expressions, so at 100 TB the clean runs at scan speed and
+    ``page_status`` prunes downstream stages without a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = _c4_cleaned_frame(d)
     has_lorem = F.expr("exists(lines, l -> l LIKE '%lorem ipsum%')")
     has_brace = F.expr("exists(lines, l -> contains(l, '{'))")
     ok = ~has_lorem & ~has_brace & (F.size("kept") >= 3)
@@ -428,4 +458,85 @@ def pipeline_quality_gate_end_to_end(
         "lang", "n_docs", "n_c4_dropped", "n_gopher_dropped", "n_kept",
         F.coalesce("n_eval_nullable", F.lit(0)).alias("n_eval"),
         "n_train",
+    )
+
+
+# --------------------------------------------------------------------------
+# N2 — C4 three-sentence-span dedup (keep-first) over the cleaned pages
+# --------------------------------------------------------------------------
+def _c4_span_oracle() -> str:
+    return f"""
+    WITH {_C4_CLEANED_SQL}
+    , keptp AS (
+      SELECT doc_id, kept FROM cleaned
+      WHERE len(list_filter(lines, l -> l LIKE '%lorem ipsum%')) = 0
+        AND len(list_filter(lines, l -> contains(l, '{{'))) = 0
+        AND len(kept) >= 3
+    ), spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS span_no,
+             md5(kept[i + 1] || ' ' || kept[i + 2] || ' ' || kept[i + 3])
+               AS span_fp
+      FROM (SELECT doc_id, kept, UNNEST(range(0, len(kept) - 2)) AS i
+            FROM keptp)
+    ), ranked AS (
+      SELECT doc_id, span_no,
+             ROW_NUMBER() OVER (PARTITION BY span_fp
+               ORDER BY doc_id, span_no) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS dup_frac
+    FROM ranked GROUP BY doc_id
+    """
+
+
+@register("n2_c4_span_dedup", oracle=_c4_span_oracle(), survey="N2 N4")
+def n2_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's OTHER dedup rule [Raffel et al. 2020 §2.2]: "we discarded
+    all but one of any three-sentence span occurring more than once" —
+    keep-FIRST at span granularity (unlike n4_boilerplate_strip, which
+    drops every occurrence of a frequent line).  Runs over the kept
+    lines of kept pages from the shared C4 clean core; the synthesized
+    boilerplate footer (half the pages share the same 3 lines) gives
+    the rule real work on this corpus, exactly the repeated block the
+    paper's rule existed to kill.
+
+    100 TB shape: span fingerprints are md5 of 3 consecutive kept
+    lines — map-only explode — then ONE span_fp-keyed shuffle for the
+    global keep-first rank and one doc-keyed re-aggregate; the same
+    two-shuffle budget as the chunk-dedup tier."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = _c4_cleaned_frame(d)
+    keptp = cleaned.filter(
+        ~F.expr("exists(lines, l -> l LIKE '%lorem ipsum%')")
+        & ~F.expr("exists(lines, l -> contains(l, '{'))")
+        & (F.size("kept") >= 3)
+    )
+    spans = keptp.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(kept) - 3),"
+                " i -> md5(concat(kept[i], ' ', kept[i + 1], ' ',"
+                " kept[i + 2])))"
+            )
+        ).alias("span_no", "span_fp"),
+    ).select("doc_id", F.col("span_no").cast("long").alias("span_no"),
+             "span_fp")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("span_fp").orderBy("doc_id", "span_no")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_spans"),
+        F.round(
+            F.sum((F.col("rn") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("dup_frac"),
     )

@@ -506,3 +506,18 @@ def test_quality_gate_pipeline_ladder_reconciles(spark, sf_dir):
         assert r.n_kept == want_kept.get(lang, 0)
         assert r.n_kept == r.n_eval + r.n_train
         assert r.n_eval <= 20
+
+
+def test_c4_span_dedup_footer_fires(spark, sf_dir):
+    """The planted boilerplate footer makes the 3-sentence-span rule do
+    real work: at least one doc loses a span to keep-first, exactly one
+    doc keeps the footer span, and docs without the footer have zero
+    duplicate spans unless they collide otherwise (word-soup spans are
+    unique, so dup spans == footer losers)."""
+    rows = REGISTRY["n2_c4_span_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    dup_docs = [r for r in rows if r.n_dup_spans > 0]
+    assert dup_docs, "span dedup is vacuous — footer synthesis broke"
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_frac - round(r.n_dup_spans / r.n_spans, 9)) < 1e-12
