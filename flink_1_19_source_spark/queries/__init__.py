@@ -106,6 +106,7 @@ _R12_MUST = [
     "s_exact_k_sample_stream",
     "pipeline_quality_gate_end_to_end",
     "n2_c4_span_dedup",
+    "s_quality_gate_stream",
     # r12 changed code: UniMax water-filling extracted into the shared
     # _unimax_alloc helper (results must be UNCHANGED)
     "n6_unimax_mix",

@@ -114,6 +114,13 @@ def n4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     The repartition is local-fixture parallelism only (one parquet file
     = one input split); real corpora shard across files."""
     d = load_table(spark, sf_dir, "documents").repartition(24)
+    return _gopher_frame(d)
+
+
+def _gopher_frame(d: DataFrame) -> DataFrame:
+    """The Gopher rule projection over any (doc_id, text) frame — the
+    shared core for the batch query, the quality-gate composite, and
+    the streaming attrition twin."""
     stops_arr = "array(" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + ")"
     base = d.select(
         "doc_id",
@@ -540,3 +547,157 @@ def n2_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("dup_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# N7-S — streaming quality-gate attrition (additive counts + bottom-k)
+# --------------------------------------------------------------------------
+@register(
+    "s_quality_gate_stream",
+    oracle=_quality_gate_oracle(),
+    survey="N7 N6 X2 X4",
+    tags=("streaming",),
+)
+def s_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the quality-gate composite: both rule sets are
+    map-only per-row expressions, so every micro-batch computes its own
+    flags (through the SAME shared cores) and lands TWO
+    overwrite-idempotent segments — (lang, stage-count) attrition rows,
+    additive over any slicing, and the per-language bottom-20
+    eval-holdout candidates of its kept docs, mergeable by the bottom-k
+    law.  The injected crash lands BETWEEN the two appends (the
+    torn-state window) with the checkpoint uncommitted, so replay must
+    overwrite, not double-count.  After the drain the summed counts +
+    re-ranked candidates reproduce the one-shot ledger — the oracle is
+    the batch composite's SQL verbatim.  Live state: O(languages +
+    k x languages)."""
+    return _quality_gate_stream_run(spark, sf_dir)
+
+
+def _quality_gate_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    crash_once_at: int | None = None,
+    chunks: int | None = None,
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from ..streaming import replay
+    from ..streaming.segments import SegmentStore
+    from .streaming_queries import (
+        _CHUNKS, _stream_shuffle_partitions, _work_dir,
+    )
+
+    def take_k(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _EVAL_K)
+            .select("doc_id", "lang", "pri")
+        )
+
+    wd = _work_dir(sf_dir, "s_qgate")
+    run = uuid.uuid4().hex[:8]
+    cnt_dir = os.path.join(wd, f"cnt-{run}")
+    cand_dir = os.path.join(wd, f"cand-{run}")
+    ckpt = os.path.join(wd, f"ckpt-{run}")
+    counts_store = SegmentStore(
+        spark, cnt_dir, compact_every=2,
+        merge=lambda df: df.groupBy("lang").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_c4_dropped").alias("n_c4_dropped"),
+            F.sum("n_gopher_dropped").alias("n_gopher_dropped"),
+            F.sum("n_kept").alias("n_kept"),
+        ),
+    )
+    cand_store = SegmentStore(spark, cand_dir, compact_every=2, merge=take_k)
+    sdf = replay.replay_table(
+        spark, sf_dir, "documents", os.path.join(wd, "src"),
+        ts_col="doc_id", chunks=chunks or _CHUNKS, order_by=["doc_id"],
+    )
+    crashed = {"n": 0}
+
+    def fold(batch, bid: int) -> None:
+        g = _gopher_frame(batch).select("doc_id", "gopher_pass")
+        c = _c4_cleaned_frame(batch)
+        has_lorem = F.expr("exists(lines, l -> l LIKE '%lorem ipsum%')")
+        has_brace = F.expr("exists(lines, l -> contains(l, '{'))")
+        cs = c.select(
+            "doc_id",
+            (~has_lorem & ~has_brace & (F.size("kept") >= 3)).alias(
+                "c4_kept"
+            ),
+        )
+        j = (
+            batch.select("doc_id", "lang")
+            .join(g, "doc_id")
+            .join(cs, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        is_kept = F.col("gopher_pass") & F.col("c4_kept")
+        counts_store.append(
+            j.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((~F.col("c4_kept")).cast("long"))
+                .alias("n_c4_dropped"),
+                F.sum((F.col("c4_kept") & ~F.col("gopher_pass"))
+                      .cast("long")).alias("n_gopher_dropped"),
+                F.sum(is_kept.cast("long")).alias("n_kept"),
+            ).coalesce(1),
+            bid,
+        )
+        if crash_once_at == bid and crashed["n"] < 1:
+            crashed["n"] += 1
+            raise RuntimeError(
+                "injected crash between the two segment stores"
+            )
+        cand = j.filter(is_kept).select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string")))
+            .alias("pri"),
+        )
+        cand_store.append(take_k(cand).coalesce(1), bid)
+
+    with _stream_shuffle_partitions(spark):
+        if crash_once_at is not None:
+            try:
+                replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+                raise AssertionError("crash injection never fired")
+            except Exception as e:
+                if "injected crash" not in str(e):
+                    raise
+        replay.run_foreach_batch(sdf, fold, checkpoint_dir=ckpt)
+
+    counts = counts_store.read().groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_c4_dropped").cast("long").alias("n_c4_dropped"),
+        F.sum("n_gopher_dropped").cast("long").alias("n_gopher_dropped"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+    )
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    n_eval = (
+        cand_store.read()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _EVAL_K)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    )
+    out = (
+        counts.join(n_eval, "lang", "left")
+        .select(
+            "lang", "n_docs", "n_c4_dropped", "n_gopher_dropped", "n_kept",
+            F.coalesce("n_eval", F.lit(0)).alias("n_eval"),
+            (F.col("n_kept") - F.coalesce("n_eval", F.lit(0)))
+            .alias("n_train"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(cnt_dir, ignore_errors=True)
+    shutil.rmtree(cand_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -521,3 +521,34 @@ def test_c4_span_dedup_footer_fires(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_dup_spans <= r.n_spans
         assert abs(r.dup_frac - round(r.n_dup_spans / r.n_spans, 9)) < 1e-12
+
+
+def test_quality_gate_stream_invariance_and_crash(spark, sf_dir):
+    """Counts are additive and the eval holdout is mergeable bottom-k,
+    so every slicing must reproduce the batch ledger bit-for-bit; the
+    crash fires BETWEEN the two stores (counts appended, candidates
+    not) — the torn-state window replay must heal."""
+    from flink_1_19_source_spark.queries.llm_quality_rules import (
+        _quality_gate_stream_run, pipeline_quality_gate_end_to_end,
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in pipeline_quality_gate_end_to_end(spark, sf_dir).collect()
+    )
+    assert want
+    for chunks in (2, 5):
+        got = sorted(
+            tuple(r)
+            for r in _quality_gate_stream_run(spark, sf_dir, chunks=chunks)
+            .collect()
+        )
+        assert got == want, f"chunks={chunks} diverged from batch"
+    for b in (0, 1):
+        got = sorted(
+            tuple(r)
+            for r in _quality_gate_stream_run(
+                spark, sf_dir, crash_once_at=b
+            ).collect()
+        )
+        assert got == want, f"crash at batch {b} diverged"
