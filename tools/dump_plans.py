@@ -291,6 +291,36 @@ HEADLINERS = {
         "codec quality report: map-only encode->decode->exact-moment "
         "pass, metrics as one shared Spark/DuckDB expression text"
     ),
+    "n4_gopher_rules": (
+        "Gopher rule set: every metric and cross-multiplied integer rule "
+        "is a scan-side array expression — zero shuffles, gopher_pass is "
+        "a pushdown-friendly gate"
+    ),
+    "n2_c4_span_dedup": (
+        "C4 3-sentence-span keep-first: map-only span fingerprints, ONE "
+        "span_fp-keyed rank shuffle + one doc-keyed re-agg — the "
+        "chunk-dedup two-shuffle budget"
+    ),
+    "x8_label_propagation": (
+        "synchronous LPA: per round one neighbor-keyed shuffle + (node, "
+        "label) count + node-partitioned rank window — no global window, "
+        "rounds x O(|E|) total"
+    ),
+    "n4_wordpiece_train": (
+        "WordPiece trainer: one corpus pass to word types, then 24 "
+        "vocabulary-sized rounds (pair counts + unit counts + broadcast "
+        "joins + fixed-point argmax collect of ONE row)"
+    ),
+    "n6_exact_k_sample": (
+        "exact-k bottom-k sample: one lang-keyed rank window; "
+        "WindowGroupLimit prunes to k rows per stratum map-side before "
+        "the exchange"
+    ),
+    "pipeline_quality_gate_end_to_end": (
+        "quality-gate composite: two map-only flag scans joined on "
+        "doc_id, one lang-keyed holdout rank window over the kept set, "
+        "language-sized ledger"
+    ),
 }
 
 

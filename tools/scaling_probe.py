@@ -131,6 +131,20 @@ QUERIES = [
     "n6_curriculum_order",      # stratum window + distributed interleave
     "s_hnsw_blocked_ingest_stream",  # drained IVF-pruned ingest segments
     "s_unigram_stats_stream",   # drained word-count segments + EM drain
+    "s_unimax_mix_stream",      # drained additive language-token segments
+    "s_quota_mix_stream",       # drained additive doc-count segments
+    "n5_jpeg_quality_report",   # map-only JPEG roundtrip + PSNR/SSIM
+    # r12 continuation: quality-rule tier, trainers, graph analytics
+    "n4_gopher_rules",          # map-only integer rule set
+    "n4_c4_page_clean",         # map-only synthesized-page line filter
+    "n2_c4_span_dedup",         # span_fp keep-first rank + doc re-agg
+    "n4_wordpiece_train",       # corpus shuffle + 24 likelihood passes
+    "x8_label_propagation",     # 4 relabel rounds over mutual-kNN edges
+    "x8_sssp_weighted",         # 6 Bellman-Ford relaxations, int weights
+    "n6_exact_k_sample",        # lang-keyed bottom-k rank window
+    "s_exact_k_sample_stream",  # drained mergeable bottom-k segments
+    "pipeline_quality_gate_end_to_end",  # flags + holdout + ledger
+    "s_quality_gate_stream",    # drained attrition + candidate segments
 ]
 
 
