@@ -303,8 +303,17 @@ def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
 
 
 def _score(cand: DataFrame, nodes: DataFrame, qset: DataFrame) -> DataFrame:
-    """Attach sim(query, node) to (query_id, node) pairs — the unrolled
-    exact-integer dot, JVM-side."""
+    """Attach sim(query, node) to (query_id, node) pairs — the exact
+    left-fold integer dot, JVM-side.  The fold (one aggregate() over
+    zip_with) is arithmetically IDENTICAL to a 64-term unrolled sum
+    (same left-to-right int64 adds, exact, no rounding anywhere), but
+    its expression tree is O(1) instead of O(DIM): search_layers calls
+    _score once per walk round, and the unrolled tree made Catalyst
+    analysis + codegen the dominant cost of the whole search (measured
+    2.7x on the full layered walk at sf0.1).  Candidate volume here is
+    beam-sized — queries x (M+1) rows — so interpreted evaluation of
+    the fold is noise; the blocked BUILD kernels keep their numpy
+    int64 block product, which is where bulk-pair volume lives."""
     n = nodes.select(
         F.col("vec_id").alias("node"), F.col("qv").alias("nv"),
         F.col("nq").alias("nn"),
@@ -313,10 +322,11 @@ def _score(cand: DataFrame, nodes: DataFrame, qset: DataFrame) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qvq"),
         F.col("nq").alias("qn"),
     )
-    dot = None
-    for i in range(1, DIM + 1):
-        t = F.element_at("qvq", i) * F.element_at("nv", i)
-        dot = t if dot is None else dot + t
+    dot = F.aggregate(
+        F.zip_with("qvq", "nv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return (
         cand.join(n, "node")
         .join(F.broadcast(q), "query_id")
