@@ -75,14 +75,17 @@ def n2_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: tokenize map-side -> concatenated corpus positions with
     per-doc unique separators -> ceil(log2 L)=3 prefix-doubling rounds,
-    each {self-join on gpos+k, distributed dense rank (range-partitioned
-    row_number + broadcast partition offsets — never a single-task
-    window)} -> rank groups with count >= 2 are the duplicated windows
-    -> per-doc gaps-and-islands coalesce into maximal spans.  At 100 TB
-    every round is one join plus one sort-shuffle over the token
-    table — the Manber-Myers loop as O(log L) relational passes, with
-    L=8 the bounded resolution a min-span-length dedup needs (the full
-    suffix ORDER would be the same loop run to log2 N)."""
+    each {self-join on gpos+k, equality-class assignment (one
+    map-side-combining aggregate + join — no global sort, no
+    single-task window; consumers only test rank equality, so ordered
+    dense ranks are unnecessary work)} -> rank groups with count >= 2
+    are the duplicated windows -> per-doc gaps-and-islands coalesce
+    into maximal spans.  At 100 TB every round is one join plus one
+    combining aggregate over the token table — the Manber-Myers loop
+    as O(log L) relational passes, with L=8 the bounded resolution a
+    min-span-length dedup needs (the full suffix ORDER would be the
+    same loop run to log2 N, with dense_rank_distributed supplying the
+    order)."""
     docs = load_table(spark, sf_dir, "documents")
     return suffix_array.duplicate_token_spans(
         docs, "doc_id", "text", length=_SA_L

@@ -552,3 +552,24 @@ def test_quality_gate_stream_invariance_and_crash(spark, sf_dir):
             ).collect()
         )
         assert got == want, f"crash at batch {b} diverged"
+
+
+def test_equality_classes_match_dense_rank_grouping(spark):
+    """r12 optimization pin: prefix_double_ranks switched from ordered
+    dense ranks to equality-class ids (min gpos + 1).  The contract its
+    consumers rely on: same-class iff same key tuple, ids >= 1 (so the
+    Manber-Myers 0 sentinel can never collide), and the id is the
+    class's minimum gpos + 1 (deterministic under any partitioning)."""
+    from flink_1_19_source_spark.operators import suffix_array as sa
+
+    df = spark.createDataFrame(
+        [(0, "b", 5), (1, "a", 5), (2, "b", 5), (3, "a", 7), (4, "b", 5)],
+        "gpos long, k1 string, k2 long",
+    )
+    got = {
+        r["gpos"]: r["cls"]
+        for r in sa.equality_classes(df, ["k1", "k2"], "cls").collect()
+    }
+    # classes: {("a",5): min gpos 1} {("a",7): 3} {("b",5): min gpos 0}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 4, 4: 1}, got
+    assert min(got.values()) >= 1
