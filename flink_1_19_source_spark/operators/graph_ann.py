@@ -106,12 +106,15 @@ def layer_edges(layer: DataFrame, m: int = M_EDGES) -> DataFrame:
     return cross_topm(layer, layer, m)
 
 
-def _n_blocks(df: DataFrame) -> int:
+def _n_blocks(df: DataFrame, n: int | None = None) -> int:
     """Block count for the packed build: one count() aggregate (a
-    1-row job, never row data to the driver).  Returns 0 for an empty
-    frame so callers can early-out; >= 2 above MIN_SPLIT rows (see
-    BLOCK_ROWS note)."""
-    n = df.count()
+    1-row job, never row data to the driver) — or, when the caller
+    already KNOWS the row count (the streaming folds track cumulative
+    index size arithmetically), the count job is skipped.  Returns 0
+    for an empty frame so callers can early-out; >= 2 above MIN_SPLIT
+    rows (see BLOCK_ROWS note)."""
+    if n is None:
+        n = df.count()
     nb = -(-n // BLOCK_ROWS)
     return max(nb, 2) if n > MIN_SPLIT else nb
 
@@ -189,7 +192,9 @@ def _pair_topm(a_ids, b_ids, sims, m, b_mask=None):
 
 
 def cross_topm(src_df: DataFrame, dst_df: DataFrame,
-               m: int = M_EDGES) -> DataFrame:
+               m: int = M_EDGES,
+               n_src: int | None = None,
+               n_dst: int | None = None) -> DataFrame:
     """Exact top-m (src, dst, sim) edges from each src row to the dst
     set, self-pairs excluded by id — fully distributed: both sides are
     hash-packed into sub-matrix blocks, every (src blk, dst blk) pair
@@ -204,12 +209,12 @@ def cross_topm(src_df: DataFrame, dst_df: DataFrame,
     import numpy as np
 
     spark = src_df.sparkSession
-    nb = _n_blocks(dst_df)
+    nb = _n_blocks(dst_df, n_dst)
     if nb == 0:
         return spark.createDataFrame(
             [], "src long, dst long, sim double"
         )
-    na = nb if src_df is dst_df else max(1, _n_blocks(src_df))
+    na = nb if src_df is dst_df else max(1, _n_blocks(src_df, n_src))
     pairs = (
         _packed(src_df, na, False)
         .select(F.col("pack").alias("apack"))
@@ -241,7 +246,9 @@ def cross_topm(src_df: DataFrame, dst_df: DataFrame,
 
 
 def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
-                       m: int = M_EDGES) -> DataFrame:
+                       m: int = M_EDGES,
+                       n_src: int | None = None,
+                       n_dst: int | None = None) -> DataFrame:
     """Per-LAYER exact top-m edges in ONE pass: for every layer lv in
     (2, 1, 0), each src row with lvl >= lv keeps its top-m among dst
     rows with lvl >= lv.  Same distributed block-pair shape as
@@ -251,12 +258,12 @@ def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
     import numpy as np
 
     spark = src_df.sparkSession
-    nb = _n_blocks(dst_df)
+    nb = _n_blocks(dst_df, n_dst)
     if nb == 0:
         return spark.createDataFrame(
             [], "lvl int, src long, dst long, sim double"
         )
-    na = nb if src_df is dst_df else max(1, _n_blocks(src_df))
+    na = nb if src_df is dst_df else max(1, _n_blocks(src_df, n_src))
     pairs = (
         _packed(src_df, na, True)
         .select(F.col("pack").alias("apack"))

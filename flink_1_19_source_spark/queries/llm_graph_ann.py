@@ -246,12 +246,17 @@ def _hnsw_ingest_run(
         new = graph_ann.with_levels(
             graph_ann.quantized(batch, "vec_id", "embedding")
         ).localCheckpoint(eager=True)
+        # count the two checkpointed sides ONCE and derive every block
+        # count arithmetically — the per-call _n_blocks count() jobs
+        # (4 per batch) were pure per-batch overhead
+        n_new = new.count()
         seen = nodes_store.read()
         old = (
             seen.join(new.select("vec_id"), "vec_id", "left_anti")
             .localCheckpoint(eager=True)
             if seen is not None else None
         )
+        n_old = old.count() if old is not None else 0
         all_nodes = (
             new.unionByName(old.select(*new.columns))
             if old is not None else new
@@ -259,10 +264,14 @@ def _hnsw_ingest_run(
         # one layered pass per direction: new x accumulated-index (the
         # insert's neighbor search) and accumulated-index x new
         # (existing nodes adopting better neighbors)
-        edge_seg = graph_ann.cross_topm_layered(new, all_nodes, m)
+        edge_seg = graph_ann.cross_topm_layered(
+            new, all_nodes, m, n_src=n_new, n_dst=n_old + n_new
+        )
         if old is not None:
             edge_seg = edge_seg.unionByName(
-                graph_ann.cross_topm_layered(old, new, m)
+                graph_ann.cross_topm_layered(
+                    old, new, m, n_src=n_old, n_dst=n_new
+                )
             )
         edges_store.append(edge_seg, bid)
         if crash_once_at == bid and crashed["n"] < crash_times:
@@ -813,14 +822,22 @@ def _hnsw_blocked_ingest_run(
             edge_seg = edge_seg.unionByName(e0_seg(old, new))
         # upper layers: exact layered block-pair passes on the sparse
         # lvl >= 1 slice (1/4 + 1/16 of nodes); their lv=0 output is
-        # meaningless on the restricted input — dropped
+        # meaningless on the restricted input — dropped.  Count the two
+        # distinct slices once and derive the third (new/old disjoint by
+        # the anti-join, so |old_up| = |all_up| - |new_up|): 2 count
+        # jobs instead of the 4 per-call _n_blocks counts
         new_up = new.filter(F.col("lvl") >= 1)
         all_up = all_nodes.filter(F.col("lvl") >= 1)
-        upper = graph_ann.cross_topm_layered(new_up, all_up, m)
+        n_new_up = new_up.count()
+        n_all_up = all_up.count()
+        upper = graph_ann.cross_topm_layered(
+            new_up, all_up, m, n_src=n_new_up, n_dst=n_all_up
+        )
         if old is not None:
             upper = upper.unionByName(
                 graph_ann.cross_topm_layered(
-                    old.filter(F.col("lvl") >= 1), new_up, m
+                    old.filter(F.col("lvl") >= 1), new_up, m,
+                    n_src=n_all_up - n_new_up, n_dst=n_new_up,
                 )
             )
         edge_seg = edge_seg.unionByName(
