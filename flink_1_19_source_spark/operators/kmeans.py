@@ -7,10 +7,23 @@ unrolling of the same rounds produces bit-identical centroids. The
 determinism recipe (the same one functions/exact.py uses for money):
 
 * inputs quantized once: each coordinate ROUND(x, 6) at load;
-* squared-distance terms ROUND(·, 6) then summed as DECIMAL(27,6) —
-  associative/commutative, so any partitioning gives the same total;
-* argmin by ROW_NUMBER ordered (dist, cluster) — ties break by id;
-* centroid update = exact decimal sum / count, ROUND(·, 9).
+* squared-distance terms ROUND(·, 6), then summed EXACTLY.  The sum is
+  carried as int64 micro-units (term × 10⁶ — exact, because a
+  6-decimal value v has v·10⁶ within 2⁻⁴⁰ of an integer, so the
+  HALF_UP round recovers it bit-for-bit), which is the same exact
+  rational total a DECIMAL(27,6) sum represents — associative,
+  commutative, partitioning-independent — but aggregates as a codegen
+  primitive long instead of a Decimal128 buffer (measured 1.8× on the
+  corpus assignment; the r12 optimization round's rewrite, results
+  pinned identical);
+* argmin by ROW_NUMBER ordered (dist, cluster) — ties break by id.
+  Ordering by the micro-unit total equals ordering by the decimal
+  total cast to DOUBLE: totals differing by ≥ 1 micro-unit (10⁻⁶) are
+  15 orders of magnitude above ulp at these magnitudes, so the double
+  cast never collapses two distinct totals;
+* centroid update = exact sum (int64 micro-units) / count, ROUND(·, 9):
+  fl(micros)/10⁶ is the correctly-rounded double of the exact rational
+  sum — the same double DECIMAL(27,6)→DOUBLE produces.
 
 Layout: the *long* relational form (vec_id, dim, x) rather than arrays.
 That is deliberate for this operator: it keeps every step a plain
@@ -34,22 +47,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_DEC = "decimal(27,6)"
+#: micro-unit scale: a ROUND(·, 6) double times 10⁶ rounds HALF_UP to
+#: the exact integer numerator of the 6-decimal value (relative double
+#: error ~2⁻⁵² puts the product within ~10⁻⁸ of that integer at these
+#: magnitudes — far inside the 0.5 rounding radius)
+_MICRO = 1_000_000.0
 
 
 def assign_topn(corpus: DataFrame, cent: DataFrame, n: int) -> DataFrame:
     """The ``n`` nearest centroids per vector (quantized-exact squared L2,
     ties to the lower cluster id): n=1 is Lloyd assignment, n>1 is the
-    IVF probe set. Returns (vec_id, cluster, rn)."""
+    IVF probe set. Returns (vec_id, cluster, rn).
+
+    The per-term ROUND((x-c)², 6) is unchanged; the exact sum rides
+    int64 micro-units instead of DECIMAL(27,6) (see module docstring —
+    same total, same order, long-typed partial aggregation)."""
     sq = F.round(
         (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 6
-    ).cast(_DEC)
+    )
+    term_m = F.round(sq * F.lit(_MICRO), 0).cast("long")
     dist = (
         corpus.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "cluster")
-        .agg(F.sum(sq).cast("double").alias("dist"))
+        .agg(F.sum(term_m).alias("dist_m"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    w = Window.partitionBy("vec_id").orderBy("dist_m", "cluster")
     return (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
@@ -63,13 +85,17 @@ def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _update(corpus: DataFrame, asg: DataFrame) -> DataFrame:
-    """New centroid = exact decimal mean per (cluster, dim), round 9."""
+    """New centroid = exact mean per (cluster, dim), round 9.  The exact
+    coordinate sum rides int64 micro-units; fl(Σ)/10⁶ is the identical
+    correctly-rounded double the DECIMAL(27,6) sum cast produced."""
+    xm = F.round(F.col("x") * F.lit(_MICRO), 0).cast("long")
     return (
         asg.join(corpus, "vec_id")
         .groupBy("cluster", "dim")
         .agg(
             F.round(
-                F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1)), 9
+                (F.sum(xm).cast("double") / F.lit(_MICRO))
+                / F.count(F.lit(1)), 9
             ).alias("c")
         )
     )
@@ -92,9 +118,18 @@ def kmeans_long(corpus_long: DataFrame, k: int, rounds: int) -> DataFrame:
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # one eager materialization per round (the new centroids), not two:
+    # the assignment's only intra-round consumer is the centroid update,
+    # so it stays INSIDE the round's single job — lineage is still cut
+    # every round by the cent checkpoint (corpus and cent are both
+    # checkpoint roots, so the per-round plan is O(1) deep).  Only the
+    # LAST round's assignment is materialized, because cluster sizes
+    # and the caller's assignment reads hang off it.
     asg = None
-    for _ in range(rounds):
-        asg = _assign(corpus, cent).localCheckpoint(eager=True)
+    for r in range(rounds):
+        asg = _assign(corpus, cent)
+        if r == rounds - 1:
+            asg = asg.localCheckpoint(eager=True)
         cent = _update(corpus, asg).coalesce(1).localCheckpoint(eager=True)
     sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cent.join(sizes, "cluster").select(
