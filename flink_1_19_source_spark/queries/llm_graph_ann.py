@@ -251,9 +251,19 @@ def _hnsw_ingest_run(
         # (4 per batch) were pure per-batch overhead
         n_new = new.count()
         seen = nodes_store.read()
+        # `old` stays a LAZY anti-join subtree (r12): the eager
+        # localCheckpoint here materialized the ENTIRE accumulated index
+        # into block-manager storage every micro-batch — at scale that
+        # is an index-sized replication per batch for no plan benefit,
+        # since the join's batch side broadcasts and each re-evaluation
+        # is a map-only scan of the segment parquet inside the one
+        # edges-append job (guide §5: cache only when recompute beats
+        # the memory pressure; A/B at fixture scale is a wash).  The
+        # count below keeps the crash-replay-safe n_old a MEASURED
+        # number, never a derived one — a torn nodes append makes
+        # arithmetic tracking wrong exactly when it matters.
         old = (
             seen.join(new.select("vec_id"), "vec_id", "left_anti")
-            .localCheckpoint(eager=True)
             if seen is not None else None
         )
         n_old = old.count() if old is not None else 0
@@ -807,9 +817,13 @@ def _hnsw_blocked_ingest_run(
             batch, cent, _NPROBE_BLOCKED, with_lvl=True
         ).localCheckpoint(eager=True)
         seen = nodes_store.read()
+        # lazy anti-join, same reasoning as the exact fold (r12): the
+        # former eager checkpoint replicated the accumulated index into
+        # block-manager storage every batch; consumers re-evaluate a
+        # broadcast-batch-side, map-only scan inside the one
+        # edges-append job instead
         old = (
             seen.join(new.select("vec_id"), "vec_id", "left_anti")
-            .localCheckpoint(eager=True)
             if seen is not None else None
         )
         all_nodes = (
