@@ -122,6 +122,14 @@ def _scrub(spark, keep_views: set[str]) -> None:
     for t in spark.catalog.listTables():
         if t.isTemporary and t.name not in keep_views:
             spark.catalog.dropTempView(t.name)
+    # collect the previous query's garbage OUTSIDE the timed region, so
+    # the next query doesn't pay the last one's collection debt as fake
+    # per-query time (scrub runs in the finally AFTER the timer stops;
+    # wall-clock cost here never enters the metric)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def main() -> None:
