@@ -554,6 +554,72 @@ def test_quality_gate_stream_invariance_and_crash(spark, sf_dir):
         assert got == want, f"crash at batch {b} diverged"
 
 
+def test_kmeans_micro_unit_sums_match_decimal_reference(spark, sf_dir):
+    """r12 optimization pin: assign_topn / _update carry their exact
+    sums as int64 micro-units instead of DECIMAL(27,6).  Guard the
+    equivalence at the unit level against future edits: on the real
+    fixture corpus the micro-unit assignment must be row-identical to
+    an explicit decimal-sum reference (same distances, same tie-breaks,
+    same rn), and the round-9 centroid doubles of a full fit must match
+    the decimal-path update bit-for-bit."""
+    from flink_1_19_source_spark.operators import kmeans as km
+    from flink_1_19_source_spark.tables import load_table
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("xf").cast("double"), 6).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("x").alias("c")
+    )
+
+    def assign_decimal_ref(n):
+        sq = F.round(
+            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 6
+        ).cast("decimal(27,6)")
+        dist = (
+            corpus.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(sq).cast("double").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select("vec_id", "cluster", "rn")
+        )
+
+    want = {tuple(r) for r in assign_decimal_ref(2).collect()}
+    got = {tuple(r) for r in km.assign_topn(corpus, cent, 2).collect()}
+    assert got == want and len(want) > 0
+
+    # centroid update: exact decimal mean vs micro-unit mean, round 9
+    asg = km._assign(corpus, cent)
+    dec = (
+        asg.join(corpus, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)), 9
+            ).alias("c")
+        )
+    )
+    want_c = {(r.cluster, r.dim): r.c for r in dec.collect()}
+    got_c = {
+        (r.cluster, r.dim): r.c
+        for r in km._update(corpus, asg).collect()
+    }
+    assert got_c == want_c and len(got_c) > 0
+
+
 def test_equality_classes_match_dense_rank_grouping(spark):
     """r12 optimization pin: prefix_double_ranks switched from ordered
     dense ranks to equality-class ids (min gpos + 1).  The contract its
