@@ -259,23 +259,40 @@ def pipeline_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language counts with a broadcast allocation table."""
     base = _crawl_base(spark, sf_dir)
 
-    # stage 1 — quality gate (surprisal over the crawl tokens)
+    # stage 1 — quality gate (surprisal over the crawl tokens).  The
+    # gate's doc_id verdict is checkpointed (r12): it feeds THREE later
+    # branches (qual count, dedup window, epoch schedule), and without
+    # the barrier Catalyst replans the whole bigram-model subtree into
+    # each one — the pre-fix physical plan was 969 nodes / 332 Exchanges
+    # with zero reuse.  The materialized intermediate is doc_id-sized,
+    # exactly the "persist the doc-granular decision, not the corpus"
+    # posture the DSIR composite set.
     scores = _surprisal_scores_from(base.select("doc_id", "tk"))
-    kept = base.join(scores.filter(F.col("keep")).select("doc_id"), "doc_id")
+    kept_ids = (
+        scores.filter(F.col("keep")).select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    kept = base.join(kept_ids, "doc_id")
 
-    # stage 2 — priority keep-best dedup over prefix-duplicate groups
+    # stage 2 — priority keep-best dedup over prefix-duplicate groups;
+    # the post-window survivor set is likewise checkpointed at
+    # (lang, doc, token-count) granularity so the rank window runs once,
+    # not once per consumer branch
     w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
-    uniq = (
+    uniq_small = (
         kept.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .drop("rk")
+        .select(
+            "det_lang",
+            "doc_id",
+            F.size("tk").cast("long").alias("nt"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     # stage 3 — token-budget epoch allocation keyed by detected lang
-    per_doc = uniq.select(
-        F.col("det_lang").alias("source"),
-        "doc_id",
-        F.size("tk").cast("long").alias("nt"),
+    per_doc = uniq_small.select(
+        F.col("det_lang").alias("source"), "doc_id", "nt"
     )
     epochs = _token_budget_epochs_core(per_doc)
 
@@ -283,7 +300,9 @@ def pipeline_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_crawled")
     )
     qual = kept.groupBy("det_lang").agg(F.count(F.lit(1)).alias("n_quality"))
-    unq = uniq.groupBy("det_lang").agg(F.count(F.lit(1)).alias("n_unique"))
+    unq = uniq_small.groupBy("det_lang").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
     return (
         crawled.join(qual, "det_lang", "left")
         .join(unq, "det_lang", "left")

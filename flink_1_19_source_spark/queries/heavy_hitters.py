@@ -26,15 +26,15 @@ from ..registry import register
 from ..tables import load_table
 
 K_HH = 32      # counters per summary == 1/phi (threshold N/32)
-N_PARTS = 8    # deterministic partition count for the candidate pass
 
 
-def mg_summary(seq: list[str], k: int = K_HH) -> dict[str, int]:
-    """Classic Misra-Gries: k counters; a full table decrements every
-    counter (evicting zeros) instead of admitting a new item.  Retains
-    any item whose count exceeds len(seq)/k; stored counts
-    underestimate by at most len(seq)/k."""
-    counters: dict[str, int] = {}
+def mg_feed(
+    counters: dict[str, int], seq, k: int = K_HH
+) -> dict[str, int]:
+    """One Misra-Gries pass of ``seq`` into an existing counter table —
+    the incremental form both the batch per-partition summaries and the
+    streaming per-batch summaries feed (state stays <= k entries however
+    long the stream)."""
     for w in seq:
         if w in counters:
             counters[w] += 1
@@ -48,25 +48,40 @@ def mg_summary(seq: list[str], k: int = K_HH) -> dict[str, int]:
     return counters
 
 
+def mg_summary(seq: list[str], k: int = K_HH) -> dict[str, int]:
+    """Classic Misra-Gries: k counters; a full table decrements every
+    counter (evicting zeros) instead of admitting a new item.  Retains
+    any item whose count exceeds len(seq)/k; stored counts
+    underestimate by at most len(seq)/k."""
+    return mg_feed({}, seq, k)
+
+
 def heavy_hitters(
     toks: DataFrame, spark: SparkSession, k: int = K_HH
 ) -> DataFrame:
     """(token, cnt, rank) for every token with cnt * k > N, via the
-    two-phase MG candidate pass + exact recount.  ``toks`` must carry
-    (pid, ord1, ord2, w)."""
+    two-phase MG candidate pass + exact recount.  ``toks`` must carry a
+    token column ``w``.
 
-    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ord1", "ord2"])
-        c = mg_summary(list(pdf["w"]), k)
-        return pd.DataFrame(
-            {"pid": pdf["pid"].iloc[:1].repeat(len(c)).tolist(),
-             "w": list(c), "mg": list(c.values())}
-        ) if c else pd.DataFrame({"pid": [], "w": [], "mg": []})
+    r12 shape: phase 1 is a MAP-ONLY ``mapInPandas`` — one MG(k)
+    summary per PHYSICAL partition, fed incrementally batch-by-batch so
+    live state really is k counters however large the partition (the
+    former ``groupBy(pid).applyInPandas`` shuffled every token row to 8
+    reducers AND materialized each group as one pandas frame before
+    summarizing, paying a full exchange plus unused ordering columns for
+    zero retention benefit — the pigeonhole guarantee holds for ANY
+    partitioning, so the scan's own partitions serve).  Only the token
+    column crosses the Python boundary."""
+
+    def mg_parts(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            mg_feed(counters, pdf["w"].tolist(), k)
+        yield pd.DataFrame({"w": list(counters)})
 
     cand = (
-        toks.groupBy("pid")
-        .applyInPandas(summarize, "pid int, w string, mg long")
-        .select("w")
+        toks.select("w")
+        .mapInPandas(mg_parts, "w string")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -113,26 +128,24 @@ def heavy_hitters(
 )
 def a19_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items (heavy hitters) via per-partition MISRA-GRIES
-    summaries + exact recount: phase 1 runs MG(32) inside each of 8
-    deterministic partitions (memory bounded at 32 counters per
-    partition whatever the vocabulary), phase 2 recounts only the
-    candidate union and keeps tokens with cnt*32 > N.  The pigeonhole
-    retention guarantee makes the final set EXACTLY the true heavy
-    hitters for any partitioning — which is why a plain GROUP BY
-    HAVING oracle is a full equivalence proof of the sketch path.
-    Fixture honesty: this corpus has a 31-word vocabulary, so the
-    fixture run never evicts (31 <= 32 counters); the eviction path
-    and the retention bar are pinned on a planted adversarial corpus
-    in tests/test_r10_ops.py.  At 100 TB (vocab >> k) phase 1 is one
-    map-side pass with k-counter state and phase 2 a semi-join
-    recount of <= k x partitions candidates — the point of the
-    sketch."""
+    summaries + exact recount: phase 1 runs MG(32) inside each scan
+    partition (memory bounded at 32 counters per partition whatever
+    the vocabulary — and genuinely map-only since r12: no shuffle
+    feeds the candidate pass), phase 2 recounts only the candidate
+    union and keeps tokens with cnt*32 > N.  The pigeonhole retention
+    guarantee makes the final set EXACTLY the true heavy hitters for
+    ANY partitioning — which is why a plain GROUP BY HAVING oracle is
+    a full equivalence proof of the sketch path, and why the summary
+    pass may ride the scan's own partitions instead of paying a
+    deterministic-pid exchange.  Fixture honesty: this corpus has a
+    31-word vocabulary, so the fixture run never evicts (31 <= 32
+    counters); the eviction path and the retention bar are pinned on
+    a planted adversarial corpus in tests/test_r10_ops.py.  At 100 TB
+    (vocab >> k) phase 1 is one map-side pass with k-counter state and
+    phase 2 a semi-join recount of <= k x partitions candidates — the
+    point of the sketch."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        (F.col("doc_id") % N_PARTS).cast("int").alias("pid"),
-        F.col("doc_id").alias("ord1"),
-        F.posexplode(ta.tokens(F.col("text"))).alias("ord2", "w"),
-    )
+    toks = d.select(F.explode(ta.tokens(F.col("text"))).alias("w"))
     return heavy_hitters(toks, spark, K_HH)
 
 
@@ -214,22 +227,22 @@ def _heavy_hitters_stream_run(
     crashed = {"n": 0}
 
     def fold(batch, bid: int) -> None:
+        # same r12 shape as the batch query: the per-batch MG summary is
+        # map-only over the batch's own partitions (retention holds for
+        # any partitioning; the recount at the drain is exact), with
+        # only the token column crossing the Python boundary
         toks = batch.select(
-            (F.col("doc_id") % N_PARTS).cast("int").alias("pid"),
-            F.col("doc_id").alias("ord1"),
-            F.posexplode(ta.tokens(F.col("text"))).alias("ord2", "w"),
+            F.explode(ta.tokens(F.col("text"))).alias("w")
         ).localCheckpoint(eager=True)
 
-        def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["ord1", "ord2"])
-            c = mg_summary(list(pdf["w"]), K_HH)
-            return pd.DataFrame({"w": list(c)})
+        def mg_parts(batches):
+            counters: dict[str, int] = {}
+            for pdf in batches:
+                mg_feed(counters, pdf["w"].tolist(), K_HH)
+            yield pd.DataFrame({"w": list(counters)})
 
         cand_store.append(
-            toks.groupBy("pid")
-            .applyInPandas(summarize, "w string")
-            .distinct(),
-            bid,
+            toks.mapInPandas(mg_parts, "w string").distinct(), bid
         )
         if crash_once_at == bid and crashed["n"] < crash_times:
             crashed["n"] += 1

@@ -340,7 +340,14 @@ def pipeline_dsir_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    final = keep.join(dropped, "doc_id", "left_anti")
+    # `final` hides the winnowing SELF-JOIN behind it and feeds two
+    # branches (the quantile sketch chain and the n_after_dedup count);
+    # checkpointing the doc-id-sized survivor set (r12) keeps the
+    # pair-join from executing once per branch — the before plan held
+    # 36 SortMergeJoins / 68 Exchanges with no reuse
+    final = keep.join(dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     chars = final.join(d.select("doc_id", "n_chars"), "doc_id")
     samp = sketches.bottomk_sample(chars, "lang", "n_chars", "doc_id", k=50)
     est = sketches.bottomk_quantiles(samp, "lang", "n_chars", quantiles=(0.5,))

@@ -273,20 +273,30 @@ def _c4_oracle() -> str:
 def _c4_cleaned_frame(d: DataFrame) -> DataFrame:
     """The synthesized page view + line filter (doc_id, lines, kept) —
     the Spark twin of ``_C4_CLEANED_SQL``, shared by the page clean and
-    the span dedup so the two cannot drift."""
+    the span dedup so the two cannot drift.
+
+    The token array is bound ONCE per evaluation via a single-element
+    ``transform(array(tokens), tks -> ...)`` wrapper (r12): higher-order
+    lambdas are interpreted, so an inlined ``filter(split(lower(text)))``
+    inside the per-line lambda would re-tokenize the WHOLE document once
+    per synthesized line — O(len(text)^2) per doc.  The binding keeps
+    the operator a single map-only projection (no materialization, the
+    100 TB scan-speed claim) while tokenizing each document exactly once
+    per ``lines`` evaluation; the value is bit-identical."""
     footer = ", ".join(f"'{ln}'" for ln in _C4_FOOTER)
     pages = d.select(
         "doc_id",
         F.expr(
             rf"""
+            transform(
+              array(filter(split(lower(text), '\\s+'), t -> t <> '')),
+              tks ->
             concat(
               transform(
-                sequence(0, cast(ceil(size(filter(split(lower(text), '\\s+'),
-                                                  t -> t <> ''))
+                sequence(0, cast(ceil(size(tks)
                                  / {_C4_LINE_W}.0) as int) - 1),
                 i -> concat(
-                       array_join(slice(filter(split(lower(text), '\\s+'),
-                                               t -> t <> ''),
+                       array_join(slice(tks,
                                         i * {_C4_LINE_W} + 1, {_C4_LINE_W}),
                                   ' '),
                        CASE WHEN substring(md5(concat('c4p:',
@@ -309,6 +319,7 @@ def _c4_cleaned_frame(d: DataFrame) -> DataFrame:
                        cast(doc_id as string))), 1, 1) < '2'
                 THEN array('var config = {{ mode: full }}.')
                 ELSE array() END)
+            )[0]
             """
         ).alias("lines"),
     )
@@ -433,7 +444,11 @@ def pipeline_quality_gate_end_to_end(
     c = n4_c4_page_clean(spark, sf_dir).select(
         "doc_id", (F.col("page_status") == "kept").alias("c4_kept")
     )
-    j = d.join(g, "doc_id").join(c, "doc_id")
+    # the flag frame feeds BOTH the holdout rank (via kept) and the
+    # final ledger join; the r12 checkpoint pins the two map-only rule
+    # scans at one execution each instead of one per branch (the before
+    # plan scanned documents 12x)
+    j = d.join(g, "doc_id").join(c, "doc_id").localCheckpoint(eager=True)
     from pyspark.sql.window import Window
 
     kept = j.filter(F.col("gopher_pass") & F.col("c4_kept"))
@@ -517,7 +532,13 @@ def n2_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     global keep-first rank and one doc-keyed re-aggregate; the same
     two-shuffle budget as the chunk-dedup tier."""
     d = load_table(spark, sf_dir, "documents")
-    cleaned = _c4_cleaned_frame(d)
+    # materialize the cleaned page view ONCE (r12): without the barrier
+    # Catalyst collapses the projections and the page-keep filter below
+    # evaluates the whole `lines` synthesis three times per doc (two
+    # exists + one size) and the span projection a fourth — the
+    # checkpoint pins construction at exactly one pass, the same
+    # one-projection cost n4_c4_page_clean pays
+    cleaned = _c4_cleaned_frame(d).localCheckpoint(eager=True)
     keptp = cleaned.filter(
         ~F.expr("exists(lines, l -> l LIKE '%lorem ipsum%')")
         & ~F.expr("exists(lines, l -> contains(l, '{'))")

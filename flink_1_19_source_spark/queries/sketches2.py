@@ -151,13 +151,28 @@ def _theta_result(
         .filter(F.col("h") < F.col("theta"))
         .groupBy().agg(F.count(F.lit(1)).alias("m"))
     )
+    # exact reference counts in ONE pass (r12): the former three serial
+    # driver actions (two distinct().count() + an intersect().count(),
+    # ~5 full scans of events executed back-to-back before the result
+    # frame could even be built) collapse into one user_id-keyed
+    # aggregate with map-side combine — n_a/n_b/n_i are per-user
+    # view/purchase flags summed, value-identical, and the whole query
+    # is now a single lazy action
     e = load_table(spark, sf_dir, "events")
-    va = e.filter(F.col("event_type") == "view").select("user_id")
-    vb = e.filter(F.col("event_type") == "purchase").select("user_id")
-    exact = spark.createDataFrame(
-        [(va.distinct().count(), vb.distinct().count(),
-          va.intersect(vb).count())],
-        "n_a long, n_b long, n_i long",
+    flags = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("in_a"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("in_b"),
+        )
+    )
+    exact = flags.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_i"),
     )
     return (
         exact.crossJoin(inter).crossJoin(th)

@@ -428,17 +428,23 @@ def test_misra_gries_eviction_and_retention_guarantee(spark):
     assert "heavy" in summ and "edge" in summ
     # underestimate bound
     assert summ["heavy"] >= 300 - n // K_HH
-    # end-to-end: exact heavy hitters, nothing else
-    rows = [
-        (i % 8, i, j, w)
-        for i, w in enumerate(seq)
-        for j in [0]
-    ]
+    # end-to-end: exact heavy hitters, nothing else — spread over
+    # several physical partitions so the r12 map-only candidate pass
+    # (one MG summary per scan partition, no shuffle) is exercised with
+    # eviction pressure inside every partition
     toks = spark.createDataFrame(
-        rows, "pid int, ord1 long, ord2 long, w string"
-    )
+        [(w,) for w in seq], "w string"
+    ).repartition(6)
     got = {
         (r["token"], r["cnt"])
         for r in heavy_hitters(toks, spark, K_HH).collect()
     }
     assert got == {("heavy", 300), ("edge", 80)}, got
+    # the incremental feed matches the one-shot summary on a split
+    # stream (the shape the per-partition batch iterator sees)
+    from flink_1_19_source_spark.queries.heavy_hitters import mg_feed
+
+    inc: dict[str, int] = {}
+    for piece in (seq[:700], seq[700:1500], seq[1500:]):
+        mg_feed(inc, piece, K_HH)
+    assert inc == summ
