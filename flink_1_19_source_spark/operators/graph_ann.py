@@ -64,22 +64,31 @@ BLOCK_ROWS = 512
 MIN_SPLIT = 64
 
 
-def quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(vec_id, qv array<long>, nq long): scale-2^15 quantized
-    components plus the exact integer self-dot (the norm term)."""
-    q = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * SCALE).cast("long"),
-        ).alias("qv"),
+def _qv_expr(vec_col: str):
+    """The scale-2^15 component quantization expression (shared by every
+    quantizing entry point so the numeric contract cannot drift)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * SCALE).cast("long"),
     )
-    nq = F.aggregate(
+
+
+def _nq_expr():
+    """Exact integer self-dot of the quantized ``qv`` column."""
+    return F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return q.withColumn("nq", nq)
+
+
+def quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, qv array<long>, nq long): scale-2^15 quantized
+    components plus the exact integer self-dot (the norm term)."""
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"), _qv_expr(vec_col).alias("qv")
+    )
+    return q.withColumn("nq", _nq_expr())
 
 
 def with_levels(q: DataFrame) -> DataFrame:
@@ -119,12 +128,16 @@ def _n_blocks(df: DataFrame, n: int | None = None) -> int:
     return max(nb, 2) if n > MIN_SPLIT else nb
 
 
-def _packed(df: DataFrame, n_blocks: int, with_lvl: bool) -> DataFrame:
+def _packed(
+    df: DataFrame, n_blocks: int, with_lvl: bool, extra: tuple = ()
+) -> DataFrame:
     """Hash-pack quantized rows into (blk, pack array<struct<...>>) —
     each pack is one sub-matrix of <= ~BLOCK_ROWS vectors, small enough
     for a single Arrow task to hold two of them."""
-    fields = [F.col("vec_id"), F.col("qv"), F.col("nq")] + (
-        [F.col("lvl")] if with_lvl else []
+    fields = (
+        [F.col("vec_id"), F.col("qv"), F.col("nq")]
+        + ([F.col("lvl")] if with_lvl else [])
+        + [F.col(c) for c in extra]
     )
     return (
         df.withColumn(
@@ -286,6 +299,116 @@ def cross_topm_layered(src_df: DataFrame, dst_df: DataFrame,
                     src, dst, sim = _pair_topm(
                         a_ids[sel], b_ids, sims[sel], m,
                         b_mask=b_lvl >= lv,
+                    )
+                    out_lvl.extend([lv] * len(src))
+                    out_src.extend(src)
+                    out_dst.extend(dst)
+                    out_sim.extend(sim)
+                yield pd.DataFrame(
+                    {"lvl": out_lvl, "src": out_src, "dst": out_dst,
+                     "sim": out_sim}
+                )
+
+    cand = pairs.mapInPandas(
+        gen, "lvl int, src long, dst long, sim double"
+    )
+    w = Window.partitionBy("lvl", "src").orderBy(
+        F.col("sim").desc(), F.col("dst")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("lvl", "src", "dst", "sim")
+    )
+
+
+def cross_topm_layered_bidir(
+    new_df: DataFrame,
+    all_df: DataFrame,
+    m: int = M_EDGES,
+    n_new: int | None = None,
+    n_all: int | None = None,
+) -> DataFrame:
+    """BOTH incremental-build directions of the streaming ingest fold in
+    ONE block-pair pass: per-NEW-src per-layer top-m over the full node
+    set (the insert's own neighbor search) AND per-OLD-src per-layer
+    top-m over the new set (existing nodes adopting better neighbors).
+    ``all_df`` must carry an int ``is_new`` column (1 = row is in
+    ``new_df``); new/old srcs are disjoint, so one global (lvl, src)
+    rank window finishes BOTH exact selections at once.
+
+    Why it is identical to the former two cross_topm_layered calls: the
+    (new blk x all blk) grid covers every (new, old) pair exactly once
+    (the b-blocks partition the full set, the a-blocks partition new),
+    and the old->new sims are the TRANSPOSE of the new->old half of the
+    sims matrix each pair task already computed — so the second
+    direction adds zero block products, no second packing of the
+    accumulated index (formerly an index-sized groupBy per batch), no
+    second crossJoin job, and roughly half the per-batch plan.  Per-pair
+    top-m stays a safe reduction in both directions (fewer than m
+    closer vectors exist globally, so fewer exist in any block), and
+    the shared window splits by construction into the two per-direction
+    windows the old code ran.  Returns (lvl, src, dst, sim)."""
+    import numpy as np
+
+    spark = new_df.sparkSession
+    nb = _n_blocks(all_df, n_all)
+    if nb == 0:
+        return spark.createDataFrame(
+            [], "lvl int, src long, dst long, sim double"
+        )
+    na = max(1, _n_blocks(new_df, n_new))
+    pairs = (
+        _packed(new_df, na, True)
+        .select(F.col("pack").alias("apack"))
+        .crossJoin(
+            _packed(all_df, nb, True, extra=("is_new",))
+            .select(F.col("pack").alias("bpack"))
+        )
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for apack, bpack in zip(pdf["apack"], pdf["bpack"]):
+                a_ids, a_mat, a_nrm, a_lvl = _unpack(apack, True)
+                b_ids = np.fromiter(
+                    (e["vec_id"] for e in bpack), dtype=np.int64,
+                    count=len(bpack),
+                )
+                b_mat = np.array([e["qv"] for e in bpack], dtype=np.int64)
+                b_nrm = np.fromiter(
+                    (e["nq"] for e in bpack), dtype=np.int64,
+                    count=len(bpack),
+                )
+                b_lvl = np.fromiter(
+                    (e["lvl"] for e in bpack), dtype=np.int64,
+                    count=len(bpack),
+                )
+                b_old = np.fromiter(
+                    (e["is_new"] == 0 for e in bpack), dtype=bool,
+                    count=len(bpack),
+                )
+                _, _, sims = _block_sims(
+                    (a_ids, a_mat, a_nrm), (b_ids, b_mat, b_nrm)
+                )
+                sims_t = sims.T
+                out_lvl, out_src, out_dst, out_sim = [], [], [], []
+                for lv in (2, 1, 0):
+                    a_in = a_lvl >= lv
+                    b_in = b_lvl >= lv
+                    # direction 1: new src -> full set
+                    src, dst, sim = _pair_topm(
+                        a_ids[a_in], b_ids, sims[a_in], m, b_mask=b_in
+                    )
+                    out_lvl.extend([lv] * len(src))
+                    out_src.extend(src)
+                    out_dst.extend(dst)
+                    out_sim.extend(sim)
+                    # direction 2 (transposed): old src -> new set
+                    sel_b = b_in & b_old
+                    src, dst, sim = _pair_topm(
+                        b_ids[sel_b], a_ids, sims_t[sel_b], m,
+                        b_mask=a_in,
                     )
                     out_lvl.extend([lv] * len(src))
                     out_src.extend(src)
@@ -528,19 +651,29 @@ def ivf_assigned_quantized(
 
     # ONE assignment pass: the corpus list is by definition the first
     # of the nprobe probe lists (same stable argsort, same tie-break),
-    # so list_c = ls_p[1] — no second Arrow pass over the vectors
+    # so list_c = ls_p[1] — no second Arrow pass over the vectors.
+    # ONE projection (r13): quantization and assignment both derive
+    # from the same input row, so the former quantized-frame ⋈ assigned-
+    # frame self-join was a join of two selects of the same scan —
+    # Catalyst planned it as a real join per call (an extra exchange or
+    # broadcast per ingest batch); emitting every column in a single
+    # select removes it with bit-identical values.
     probe_assign = _centroid_assign_udf(centroids, max(nprobe, 1))
-    qf = quantized(vectors, id_col, vec_col)
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _qv_expr(vec_col).alias("qv"),
+        probe_assign(as_double(F.col(vec_col))).alias("ls_p"),
+    ).withColumn("nq", _nq_expr()).withColumn(
+        "list_c", F.element_at("ls_p", 1)
+    )
     if with_lvl:
-        qf = with_levels(qf)
-    fv = as_double(F.col(vec_col))
-    assigned = vectors.select(
-        F.col(id_col).alias("vec_id"), probe_assign(fv).alias("ls_p")
-    ).withColumn("list_c", F.element_at("ls_p", 1))
-    return qf.join(assigned, "vec_id")
+        q = with_levels(q)
+    return q
 
 
-def _list_packed(assigned: DataFrame, pack_col: str) -> DataFrame:
+def _list_packed(
+    assigned: DataFrame, pack_col: str, extra: tuple = ()
+) -> DataFrame:
     """Pack one side's IVF-assigned quantized rows into
     (list_id, <pack_col>) sub-matrix rows, each holding <= ~BLOCK_ROWS
     vectors: lists larger than BLOCK_ROWS are hash-split into
@@ -568,7 +701,7 @@ def _list_packed(assigned: DataFrame, pack_col: str) -> DataFrame:
         .groupBy("list_id", "_sub")
         .agg(
             F.collect_list(
-                F.struct("vec_id", "qv", "nq")
+                F.struct("vec_id", "qv", "nq", *extra)
             ).alias(pack_col)
         )
         .select("list_id", pack_col)
@@ -604,6 +737,93 @@ def ivf_list_topm(srcf: DataFrame, dstf: DataFrame,
                 out_src, out_dst, out_sim = _pair_topm(
                     a_ids, b_ids, sims, m
                 )
+                yield pd.DataFrame(
+                    {"src": out_src, "dst": out_dst,
+                     "cosine_sim": out_sim}
+                )
+
+    return pairs.mapInPandas(
+        gen, "src long, dst long, cosine_sim double"
+    )
+
+
+def ivf_list_topm_bidir(
+    fwd_src: DataFrame,
+    rev_src: DataFrame,
+    dst: DataFrame,
+    m: int = M_EDGES,
+) -> DataFrame:
+    """BOTH blocked-ingest directions in ONE list-keyed packed join:
+    ``fwd_src`` rows (the batch's arrivals, exploded over probe lists)
+    score against EVERY ``dst`` row in the list; ``rev_src`` rows (the
+    accumulated index probing the batch) score only against the dst
+    rows flagged ``is_new`` = 1 — exactly the two ivf_list_topm calls
+    the fold ran, whose second call re-packed the index AND the batch
+    per micro-batch (two more shuffles, one more kernel job, double the
+    plan).  The kernel runs two exact block products per pair (fwd
+    rows x all dst, rev rows x new dst) — no masked waste, identical
+    arithmetic; src ids are disjoint across directions (the fold's
+    anti-join), so the caller's per-src top-m selection splits into
+    the two per-direction selections the old code ran.  ``dst`` must
+    carry an int ``is_new`` column."""
+    import numpy as np
+
+    src = fwd_src.withColumn("_fwd", F.lit(1)).unionByName(
+        rev_src.withColumn("_fwd", F.lit(0))
+    )
+    pairs = _list_packed(src, "apack", extra=("_fwd",)).join(
+        _list_packed(dst, "bpack", extra=("is_new",)), "list_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for apack, bpack in zip(pdf["apack"], pdf["bpack"]):
+                a_ids = np.fromiter(
+                    (e["vec_id"] for e in apack), dtype=np.int64,
+                    count=len(apack),
+                )
+                a_mat = np.array([e["qv"] for e in apack], dtype=np.int64)
+                a_nrm = np.fromiter(
+                    (e["nq"] for e in apack), dtype=np.int64,
+                    count=len(apack),
+                )
+                a_fwd = np.fromiter(
+                    (e["_fwd"] == 1 for e in apack), dtype=bool,
+                    count=len(apack),
+                )
+                b_ids = np.fromiter(
+                    (e["vec_id"] for e in bpack), dtype=np.int64,
+                    count=len(bpack),
+                )
+                b_mat = np.array([e["qv"] for e in bpack], dtype=np.int64)
+                b_nrm = np.fromiter(
+                    (e["nq"] for e in bpack), dtype=np.int64,
+                    count=len(bpack),
+                )
+                b_new = np.fromiter(
+                    (e["is_new"] == 1 for e in bpack), dtype=bool,
+                    count=len(bpack),
+                )
+                out_src, out_dst, out_sim = [], [], []
+                if a_fwd.any():
+                    ids, dsts, sims = _block_sims(
+                        (a_ids[a_fwd], a_mat[a_fwd], a_nrm[a_fwd]),
+                        (b_ids, b_mat, b_nrm),
+                    )
+                    s, d, v = _pair_topm(ids, dsts, sims, m)
+                    out_src.extend(s)
+                    out_dst.extend(d)
+                    out_sim.extend(v)
+                a_rev = ~a_fwd
+                if a_rev.any() and b_new.any():
+                    ids, dsts, sims = _block_sims(
+                        (a_ids[a_rev], a_mat[a_rev], a_nrm[a_rev]),
+                        (b_ids[b_new], b_mat[b_new], b_nrm[b_new]),
+                    )
+                    s, d, v = _pair_topm(ids, dsts, sims, m)
+                    out_src.extend(s)
+                    out_dst.extend(d)
+                    out_sim.extend(v)
                 yield pd.DataFrame(
                     {"src": out_src, "dst": out_dst,
                      "cosine_sim": out_sim}

@@ -5,17 +5,18 @@ registry entries.  Import order seeds the registry, then the window
 list below reorders it explicitly so the certification window is an
 exact, named set rather than a module-prefix accident.
 
-Round-12 window = ``_R12_MUST`` (every query NEW in round 12 — the
-Unigram EM trainer trio, the two codec quality reports, the blocked
-streaming ANN ingest — plus every query whose code or oracle changed
-this round: the distributed curriculum interleave, the sub-blocked
-IVF-list graph family and everything sharing operators/graph_ann, the
-suffix pair behind the prefix-sum precondition assert, the two Kafka
-consumers behind the distributed epoch NTILE, and the one query that
-executes a crash-sentinel line in its normal run) padded to exactly 50
-with ``_R12_PAD`` — the queries whose LATEST certification is oldest
-(the r3 wave, then the r4 wave in name order).  See STATUS.md "driver
-certification window" for the ledger.
+Round-13 window = ``_R13_MUST``: first, the r12 certification DEBT —
+the ~16 queries whose computation changed in the final r12 optimizer
+commits (kmeans int64 micro-units and its whole IVF/PQ consumer family,
+the fused theta-sketch exact counts, the map-only Misra-Gries pass, the
+checkpointed crawl/DSIR composites, the equality-class suffix streaming
+twin) AFTER the r12 window had rotated — then every query whose code
+changes in round 13 (the kafka epoch-produce checkpoint, the ANN ingest
+folds, the retract-stream tier), padded to exactly 50 with ``_R13_PAD``
+— the queries whose LATEST driver certification is oldest (r3 wave
+remnants, then the r4 wave in name order; computed from the
+CORRECTNESS_r*.json history).  See STATUS.md "driver certification
+window" for the ledger.
 """
 
 from . import windows  # noqa: F401
@@ -83,76 +84,72 @@ from . import llm_sampling2  # noqa: F401  (N6 exact-k bottom-k sample)
 
 from ..registry import REGISTRY
 
-# Every query NEW in round 12, then every query whose code or oracle
-# changed this round.  These MUST all certify this round.
-_R12_MUST = [
-    # new in r12
-    "n4_unigram_train",
-    "n4_unigram_train_encode",
-    "s_unigram_stats_stream",
-    "n5_gif_quality_report",
-    "n5_adpcm_quality_report",
-    "s_hnsw_blocked_ingest_stream",
-    "s_unimax_mix_stream",
-    "s_quota_mix_stream",
-    "n5_jpeg_quality_report",
-    "n4_gopher_rules",
-    "n4_c4_page_clean",
-    "x8_label_propagation",
-    "n4_wordpiece_train",
-    "n4_wordpiece_train_encode",
-    "x8_sssp_weighted",
-    "n6_exact_k_sample",
-    "s_exact_k_sample_stream",
-    "pipeline_quality_gate_end_to_end",
-    "n2_c4_span_dedup",
-    "s_quality_gate_stream",
-    # r12 changed code: UniMax water-filling extracted into the shared
-    # _unimax_alloc helper (results must be UNCHANGED)
-    "n6_unimax_mix",
-    # r12 changed code: distributed curriculum interleave (results
-    # must be UNCHANGED)
-    "n6_curriculum_order",
-    # sub-blocked IVF lists + shared graph_ann module changes
-    "n3_knn_graph_blocked",
-    "n3_hnsw_blocked_topk",
-    "n3_hnsw_topk",
-    "n3_hnsw_recall_report",
-    "s_hnsw_ingest_stream",
-    "x8_knn_triangles",
-    # distributed epoch NTILE in the Kafka topic builder
+# Round-13 certification debt and touched queries.  These MUST all
+# certify this round.
+_R13_MUST = [
+    # --- r12 debt: computation rewritten AFTER the r12 window rotated
+    # (kmeans int64 micro-unit aggregation + every consumer of
+    # operators/kmeans.assign_topn / kmeans_long)
+    "x8_kmeans_embeddings",
+    "n3_ivf_trained_topk",
+    "n3_pq_trained_topk",
+    "n3_ivf_topk",
+    "n3_pq_topk",
+    "n3_ivf_recall_report",
+    "n3_ivfpq_topk",
+    "n3_ivfpq_recall_report",
+    "s_ivf_ingest_stream",
+    # fused theta-sketch exact counts (one aggregate, zero driver counts)
+    "a18_theta_sketch_intersect",
+    "s_theta_sketch_stream",
+    # map-only Misra-Gries candidate pass
+    "a19_heavy_hitters_mg",
+    "s_heavy_hitters_stream",
+    # checkpointed composite verdicts
+    "pipeline_crawl_end_to_end",
+    "pipeline_dsir_end_to_end",
+    # equality-class suffix ranks: the streaming twin missed the window
+    "s_exactsubstr_cut_stream",
+    # --- r13 changed code: kafka epoch-produce subtree checkpoint
+    # (epochs>1 path) + the sibling consumers sharing _events_topic
     "s_kafka_tumble_stream",
     "s_kafka_idle_partition",
-    # prefix_sum_distributed gained its unique-key precondition assert
-    "n2_suffix_array_spans",
-    "n2_exactsubstr_cut",
-    # the one registered query that EXECUTES a crash-sentinel line in
-    # its normal run (the r12 sentinel-message fix)
-    "s_crash_resume_exactly_once",
+    "src_kafka_roundtrip",
+    "s_kafka_aligned_read",
+    # --- r13 changed code: ANN ingest fold restructure
+    "s_hnsw_ingest_stream",
+    "s_hnsw_blocked_ingest_stream",
+    # --- r13 changed code: retract-stream tier subtree audit
+    "s_outer_join_retract_stream",
+    "s_join_over_agg_retract",
+    "s_window_agg_over_retract",
+    "s_topn_over_agg_retract",
 ]
 
 # Re-validation pad: the queries whose latest driver CORRECTNESS row is
-# OLDEST (r3 wave, then the r4 wave in name order).
-_R12_PAD = [
-    # r3 wave
-    "s_cdc_apply", "s_cumulate_stream", "s_dedup_within_watermark_stream",
-    "s_hop_stream", "s_interval_join_stream", "s_keep_last_stream",
-    "s_late_data_capture", "s_match_recognize_stream", "s_over_agg_stream",
-    "s_sessionize_timers", "s_topn_stream", "s_tumble_stream",
-    "src_csv_roundtrip", "src_datagen", "src_jdbc_lookup", "src_jdbc_scan",
-    "src_jdbc_upsert", "src_json_roundtrip", "src_orc_roundtrip",
-    "src_parquet_roundtrip", "src_partitioned_pruning",
-    # r4 wave (name order; truncated to fill the window)
+# OLDEST (r3-wave remnants, then the r4 wave in name order; derived
+# from the CORRECTNESS_r*.json ledger — n3_ivf_topk skipped, it is in
+# _R13_MUST).
+_R13_PAD = [
+    # r3 wave remnants
+    "src_json_roundtrip", "src_orc_roundtrip", "src_parquet_roundtrip",
+    "src_partitioned_pruning",
+    # r4 wave (name order)
     "f_json2_family", "f_string2_family", "f_temporal2_family",
-    "n2_dedup_end_to_end", "n2_minhash_lsh_pairs", "n2_simhash_fingerprints",
-    "n3_ivf_topk", "n3_lsh_topk", "n4_quality_filter",
+    "n2_dedup_end_to_end", "n2_minhash_lsh_pairs",
+    "n2_simhash_fingerprints", "n3_lsh_topk", "n4_quality_filter",
     "n4_winnow_fingerprints", "n6_stratified_sample",
+    "n6_train_val_test_split", "o4b_range_frames",
+    "q13_customer_distribution", "q16_parts_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q21_waiting_orders", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume",
 ]
 
 
 def _apply_window() -> None:
-    assert len(_R12_MUST) <= 50, len(_R12_MUST)
-    window = _R12_MUST + _R12_PAD[: 50 - len(_R12_MUST)]
+    assert len(_R13_MUST) <= 50, len(_R13_MUST)
+    window = _R13_MUST + _R13_PAD[: 50 - len(_R13_MUST)]
     assert len(window) == 50, len(window)
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"

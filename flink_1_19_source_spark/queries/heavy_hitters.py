@@ -56,6 +56,21 @@ def mg_summary(seq: list[str], k: int = K_HH) -> dict[str, int]:
     return mg_feed({}, seq, k)
 
 
+def mg_parts(k: int = K_HH):
+    """The map-only phase-1 candidate pass, shared by the batch query
+    and the per-batch streaming summaries: one MG(k) summary per
+    physical partition, fed incrementally so live state stays k
+    counters however large the partition."""
+
+    def _run(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            mg_feed(counters, pdf["w"].tolist(), k)
+        yield pd.DataFrame({"w": list(counters)})
+
+    return _run
+
+
 def heavy_hitters(
     toks: DataFrame, spark: SparkSession, k: int = K_HH
 ) -> DataFrame:
@@ -73,15 +88,9 @@ def heavy_hitters(
     partitioning, so the scan's own partitions serve).  Only the token
     column crosses the Python boundary."""
 
-    def mg_parts(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            mg_feed(counters, pdf["w"].tolist(), k)
-        yield pd.DataFrame({"w": list(counters)})
-
     cand = (
         toks.select("w")
-        .mapInPandas(mg_parts, "w string")
+        .mapInPandas(mg_parts(k), "w string")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -235,14 +244,8 @@ def _heavy_hitters_stream_run(
             F.explode(ta.tokens(F.col("text"))).alias("w")
         ).localCheckpoint(eager=True)
 
-        def mg_parts(batches):
-            counters: dict[str, int] = {}
-            for pdf in batches:
-                mg_feed(counters, pdf["w"].tolist(), K_HH)
-            yield pd.DataFrame({"w": list(counters)})
-
         cand_store.append(
-            toks.mapInPandas(mg_parts, "w string").distinct(), bid
+            toks.mapInPandas(mg_parts(K_HH), "w string").distinct(), bid
         )
         if crash_once_at == bid and crashed["n"] < crash_times:
             crashed["n"] += 1

@@ -91,6 +91,13 @@ def _events_topic(
         .otherwise(r + F.ceil((rn - r * (q + 1)) / F.lit(q)))
         .cast("int"),
     ).drop("__rn")
+    # Materialize the ranked slice ONCE: the per-epoch produce loop below
+    # filters this frame `epochs` times, and without the checkpoint each
+    # filter re-executes the whole dense-rank subtree (count + distinct +
+    # range exchange + join-back) — the r12 kafka regression.  The
+    # materialization is events-row-sized (key + payload columns only)
+    # and lives inside this one topic build, never across runs.
+    sliced = sliced.localCheckpoint(eager=True)
     for ep in range(1, epochs + 1):
         t.produce(
             sliced.filter(F.col("__epoch") == ep).drop("__epoch"),

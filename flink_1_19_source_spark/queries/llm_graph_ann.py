@@ -267,22 +267,24 @@ def _hnsw_ingest_run(
             if seen is not None else None
         )
         n_old = old.count() if old is not None else 0
-        all_nodes = (
-            new.unionByName(old.select(*new.columns))
-            if old is not None else new
-        )
-        # one layered pass per direction: new x accumulated-index (the
+        # BOTH incremental directions — new x accumulated-index (the
         # insert's neighbor search) and accumulated-index x new
-        # (existing nodes adopting better neighbors)
-        edge_seg = graph_ann.cross_topm_layered(
-            new, all_nodes, m, n_src=n_new, n_dst=n_old + n_new
-        )
-        if old is not None:
-            edge_seg = edge_seg.unionByName(
-                graph_ann.cross_topm_layered(
-                    old, new, m, n_src=n_old, n_dst=n_new
-                )
+        # (existing nodes adopting better neighbors) — in ONE fused
+        # block-pair pass (r13): the old->new sims are the transpose of
+        # the new->old half of the grid each pair task already computes,
+        # so the former second pass (an index-sized re-pack + crossJoin
+        # + kernel job per batch) is free; see
+        # graph_ann.cross_topm_layered_bidir for the equivalence proof
+        all_flagged = (
+            new.withColumn("is_new", F.lit(1)).unionByName(
+                old.select(*new.columns).withColumn("is_new", F.lit(0))
             )
+            if old is not None
+            else new.withColumn("is_new", F.lit(1))
+        )
+        edge_seg = graph_ann.cross_topm_layered_bidir(
+            new, all_flagged, m, n_new=n_new, n_all=n_old + n_new
+        )
         edges_store.append(edge_seg, bid)
         if crash_once_at == bid and crashed["n"] < crash_times:
             crashed["n"] += 1
@@ -826,34 +828,58 @@ def _hnsw_blocked_ingest_run(
             seen.join(new.select("vec_id"), "vec_id", "left_anti")
             if seen is not None else None
         )
-        all_nodes = (
-            new.unionByName(old.select(*new.columns))
-            if old is not None else new
-        )
-        # layer 0: IVF-pruned candidates, both directions
-        edge_seg = e0_seg(new, all_nodes)
+        # layer 0: IVF-pruned candidates, BOTH directions in ONE packed
+        # list join (r13, graph_ann.ivf_list_topm_bidir): the forward
+        # direction is the batch probing the full set, the reverse is
+        # the accumulated index adopting batch arrivals — formerly two
+        # ivf_list_topm calls whose second re-packed the index AND the
+        # batch every micro-batch.  The reverse src side is additionally
+        # semi-join-pruned to lists the batch actually LANDED in (the
+        # list_id equi-join discards everything else anyway): per-batch
+        # re-pack cost O(|index ∩ touched lists|) instead of
+        # O(|index| x nprobe) — at K ~ sqrt(N) a batch touches few
+        # lists; at the 16-list fixture it is a near-no-op.
         if old is not None:
-            edge_seg = edge_seg.unionByName(e0_seg(old, new))
-        # upper layers: exact layered block-pair passes on the sparse
-        # lvl >= 1 slice (1/4 + 1/16 of nodes); their lv=0 output is
-        # meaningless on the restricted input — dropped.  Count the two
-        # distinct slices once and derive the third (new/old disjoint by
-        # the anti-join, so |old_up| = |all_up| - |new_up|): 2 count
-        # jobs instead of the 4 per-call _n_blocks counts
-        new_up = new.filter(F.col("lvl") >= 1)
-        all_up = all_nodes.filter(F.col("lvl") >= 1)
-        n_new_up = new_up.count()
-        n_all_up = all_up.count()
-        upper = graph_ann.cross_topm_layered(
-            new_up, all_up, m, n_src=n_new_up, n_dst=n_all_up
-        )
-        if old is not None:
-            upper = upper.unionByName(
-                graph_ann.cross_topm_layered(
-                    old.filter(F.col("lvl") >= 1), new_up, m,
-                    n_src=n_all_up - n_new_up, n_dst=n_new_up,
-                )
+            flagged_dst = as_dst(new).withColumn(
+                "is_new", F.lit(1)
+            ).unionByName(
+                as_dst(old).withColumn("is_new", F.lit(0))
             )
+            batch_lists = new.select(
+                F.col("list_c").alias("list_id")
+            ).distinct()
+            old_src_pruned = as_src(old).join(
+                F.broadcast(batch_lists), "list_id", "left_semi"
+            )
+            edge_seg = graph_ann.ivf_list_topm_bidir(
+                as_src(new), old_src_pruned, flagged_dst, m
+            ).select(
+                F.lit(0).alias("lvl"), "src", "dst",
+                F.col("cosine_sim").alias("sim"),
+            )
+        else:
+            edge_seg = e0_seg(new, new)
+        # upper layers: exact layered block-pair work on the sparse
+        # lvl >= 1 slice (1/4 + 1/16 of nodes); their lv=0 output is
+        # meaningless on the restricted input — dropped.  BOTH
+        # directions ride ONE fused pass (r13, see
+        # cross_topm_layered_bidir): the former second call re-packed
+        # the index's upper slice every batch and re-did its block
+        # products; the transpose of the fused grid is free.  Count the
+        # two distinct slices once (2 count jobs, as before).
+        new_up = new.filter(F.col("lvl") >= 1)
+        n_new_up = new_up.count()
+        all_up_flagged = (
+            new.withColumn("is_new", F.lit(1)).unionByName(
+                old.select(*new.columns).withColumn("is_new", F.lit(0))
+            )
+            if old is not None
+            else new.withColumn("is_new", F.lit(1))
+        ).filter(F.col("lvl") >= 1)
+        n_all_up = all_up_flagged.count()
+        upper = graph_ann.cross_topm_layered_bidir(
+            new_up, all_up_flagged, m, n_new=n_new_up, n_all=n_all_up
+        )
         edge_seg = edge_seg.unionByName(
             upper.filter(F.col("lvl") >= 1)
             .select("lvl", "src", "dst", "sim")

@@ -169,10 +169,14 @@ def _theta_result(
             ).alias("in_b"),
         )
     )
+    # coalesce preserves the pre-r12 0-on-empty semantics: SUM over zero
+    # rows is NULL, the old createDataFrame-of-counts path produced 0
     exact = flags.agg(
-        F.sum("in_a").cast("long").alias("n_a"),
-        F.sum("in_b").cast("long").alias("n_b"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_i"),
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)
+        ).cast("long").alias("n_i"),
     )
     return (
         exact.crossJoin(inter).crossJoin(th)

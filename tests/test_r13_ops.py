@@ -1,0 +1,227 @@
+"""Round-13 optimization pins.
+
+Every r13 change is a restructuring whose output must be bit-identical
+to the shape it replaced; these tests pin the equivalences directly:
+
+- the fused bidirectional block-pair pass (one grid, transpose reuse)
+  vs the two cross_topm_layered calls it replaced in both ANN ingest
+  folds;
+- the batch-list semi-join prune on the blocked fold's reverse
+  ivf_list_topm pass (the join discards unmatched lists anyway);
+- the kafka epoch-produce checkpoint (epoch slicing values unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_19_source_spark.operators import graph_ann
+from flink_1_19_source_spark.tables import load_table
+
+
+def _nodes(spark, sf_dir, lo, hi):
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    )
+    return graph_ann.with_levels(
+        graph_ann.quantized(emb, "vec_id", "embedding")
+    ).localCheckpoint(eager=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bidir_pass_equals_two_directional_passes(spark, sf_dir):
+    """cross_topm_layered_bidir(new, all+flag) must produce EXACTLY the
+    union of cross_topm_layered(new, all) and
+    cross_topm_layered(old, new): src sets are disjoint, so the fused
+    global (lvl, src) window splits into the two per-direction windows
+    the old code ran, and the per-pair kernels are byte-shared."""
+    new = _nodes(spark, sf_dir, 0, 60)
+    old = _nodes(spark, sf_dir, 60, 200)
+    all_nodes = new.unionByName(old)
+
+    ref = graph_ann.cross_topm_layered(new, all_nodes).unionByName(
+        graph_ann.cross_topm_layered(old, new)
+    )
+    flagged = new.withColumn("is_new", F.lit(1)).unionByName(
+        old.withColumn("is_new", F.lit(0))
+    )
+    got = graph_ann.cross_topm_layered_bidir(new, flagged)
+    assert _rows(got) == _rows(ref)
+
+
+def test_bidir_pass_first_batch_has_no_reverse_edges(spark, sf_dir):
+    """With every row flagged new (the fold's first batch), the fused
+    pass must equal the plain forward pass — no phantom old->new
+    direction."""
+    new = _nodes(spark, sf_dir, 0, 120)
+    ref = graph_ann.cross_topm_layered(new, new)
+    got = graph_ann.cross_topm_layered_bidir(
+        new, new.withColumn("is_new", F.lit(1))
+    )
+    assert _rows(got) == _rows(ref)
+
+
+def test_blocked_reverse_pass_list_prune_is_invisible(spark, sf_dir):
+    """The blocked fold prunes the reverse pass's exploded index side to
+    lists the batch landed in (semi-join on the batch's corpus lists)
+    BEFORE packing; the list_id equi-join discards those rows anyway, so
+    the per-src top-m must not move."""
+    from flink_1_19_source_spark.queries.llm_graph_ann import (
+        _NPROBE_BLOCKED,
+        _fixture_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _fixture_codebook(emb)
+    new = graph_ann.ivf_assigned_quantized(
+        emb.filter(F.col("vec_id") < 50), cent, _NPROBE_BLOCKED
+    ).localCheckpoint(eager=True)
+    old = graph_ann.ivf_assigned_quantized(
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 220)),
+        cent, _NPROBE_BLOCKED,
+    ).localCheckpoint(eager=True)
+
+    def as_src(nodes):
+        return nodes.select(
+            "vec_id", "qv", "nq", F.explode("ls_p").alias("list_id")
+        )
+
+    def as_dst(nodes):
+        return nodes.select(
+            "vec_id", "qv", "nq", F.col("list_c").alias("list_id")
+        )
+
+    ref = graph_ann.ivf_list_topm(as_src(old), as_dst(new), 5)
+    batch_lists = new.select(F.col("list_c").alias("list_id")).distinct()
+    pruned = as_src(old).join(
+        F.broadcast(batch_lists), "list_id", "left_semi"
+    )
+    got = graph_ann.ivf_list_topm(pruned, as_dst(new), 5)
+    # per-pair candidates may arrive in different pack order; compare
+    # the finished per-src top-m selection both callers apply
+    from pyspark.sql.window import Window
+
+    def topm(df):
+        w = Window.partitionBy("src").orderBy(
+            F.col("cosine_sim").desc(), F.col("dst")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn")
+        )
+
+    assert _rows(topm(got)) == _rows(topm(ref))
+
+
+def test_ivf_list_topm_bidir_equals_two_calls(spark, sf_dir):
+    """The fused layer-0 kernel (one packed list join, two exact block
+    products per pair) must select EXACTLY what the two ivf_list_topm
+    calls selected once the caller's per-src top-m window runs — the
+    sub-block composition differs (the src union packs together), but
+    per-(sub)pair top-m is a safe reduction for any blocking."""
+    from pyspark.sql.window import Window
+
+    from flink_1_19_source_spark.queries.llm_graph_ann import (
+        _NPROBE_BLOCKED,
+        _fixture_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _fixture_codebook(emb)
+    new = graph_ann.ivf_assigned_quantized(
+        emb.filter(F.col("vec_id") < 70), cent, _NPROBE_BLOCKED
+    ).localCheckpoint(eager=True)
+    old = graph_ann.ivf_assigned_quantized(
+        emb.filter((F.col("vec_id") >= 70) & (F.col("vec_id") < 260)),
+        cent, _NPROBE_BLOCKED,
+    ).localCheckpoint(eager=True)
+
+    def as_src(nodes):
+        return nodes.select(
+            "vec_id", "qv", "nq", F.explode("ls_p").alias("list_id")
+        )
+
+    def as_dst(nodes):
+        return nodes.select(
+            "vec_id", "qv", "nq", F.col("list_c").alias("list_id")
+        )
+
+    all_dst = as_dst(new).unionByName(as_dst(old))
+    ref = graph_ann.ivf_list_topm(as_src(new), all_dst, 5).unionByName(
+        graph_ann.ivf_list_topm(as_src(old), as_dst(new), 5)
+    )
+    flagged = as_dst(new).withColumn("is_new", F.lit(1)).unionByName(
+        as_dst(old).withColumn("is_new", F.lit(0))
+    )
+    got = graph_ann.ivf_list_topm_bidir(
+        as_src(new), as_src(old), flagged, 5
+    )
+
+    def topm(df):
+        w = Window.partitionBy("src").orderBy(
+            F.col("cosine_sim").desc(), F.col("dst")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn")
+        )
+
+    assert _rows(topm(got)) == _rows(topm(ref))
+
+
+def test_kafka_epoch_slicing_unchanged_by_checkpoint(spark, sf_dir):
+    """The epoch-produce checkpoint must not move a single row between
+    epochs: the __epoch assignment over the checkpointed ranked frame
+    must equal the closed-form NTILE bucketing over a plain global
+    row_number (the (ts, event_id) order is unique, so the dense rank
+    IS the row number)."""
+    from pyspark.sql.window import Window
+
+    from flink_1_19_source_spark.operators.suffix_array import (
+        dense_rank_distributed,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    epochs = 4
+    n = e.count()
+    q, r = divmod(n, epochs)
+    rn = F.col("__rn")
+    epoch_col = (
+        F.when(rn <= r * (q + 1), F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - r * (q + 1)) / F.lit(q)))
+        .cast("int")
+    )
+    got = (
+        dense_rank_distributed(e, ["ts", "event_id"], "__rn")
+        .withColumn("__epoch", epoch_col)
+        .localCheckpoint(eager=True)
+    )
+    ref = e.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy("ts", "event_id")).cast("long"),
+    ).withColumn("__epoch", epoch_col)
+    diff = (
+        got.select("event_id", "__epoch")
+        .join(
+            ref.select("event_id", F.col("__epoch").alias("__epoch_ref")),
+            "event_id",
+        )
+        .filter(F.col("__epoch") != F.col("__epoch_ref"))
+        .count()
+    )
+    assert diff == 0
+    # and the per-epoch sizes are the NTILE contract: r buckets of q+1,
+    # the rest of q
+    sizes = {
+        row["__epoch"]: row["cnt"]
+        for row in got.groupBy("__epoch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    expect = {ep: (q + 1 if ep <= r else q) for ep in range(1, epochs + 1)}
+    assert sizes == expect

@@ -1,11 +1,10 @@
-#!/usr/bin/env python
-"""Time named queries solo on a fresh session (bench methodology:
-collect() on a warmed session), printing per-query seconds.
+"""Solo per-query timing (median of N) at $SPARK_GRAFT_SF_DIR — the
+same timed action as bench.py (collect on a warmed session, scrub
+between runs) without the 419-query session history, for A/B
+adjudication of individual optimizations.
 
 Usage:
-    python tools/solo_time.py <query> [<query> ...]
-    SPARK_GRAFT_SOLO_SF=/root/testdata/sf0.1 python tools/solo_time.py ...
-    SPARK_GRAFT_SOLO_RUNS=3 python tools/solo_time.py ...   # median of N
+    python tools/solo_time.py [-nN] name [name ...]
 """
 
 from __future__ import annotations
@@ -15,37 +14,55 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main() -> int:
-    names = sys.argv[1:]
-    sf_dir = os.environ.get("SPARK_GRAFT_SOLO_SF", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_SOLO_RUNS", "1"))
+def main() -> None:
+    args = sys.argv[1:]
+    runs = 3
+    if args and args[0].startswith("-n"):
+        runs = int(args[0][2:])
+        args = args[1:]
+    names = args
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from flink_1_19_source_spark.registry import queries
     from flink_1_19_source_spark.session import get_spark
 
-    spark = get_spark(app_name="solo-time")
-    spark.sparkContext.setLogLevel("ERROR")
-    # warm like bench.py does
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     qs = queries()
+    spark = get_spark(app_name="solo")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    def scrub() -> None:
+        spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist(False)
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for name in names:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).collect()
             _ = len(rows)
-            samples.append(time.perf_counter() - t0)
-        med = statistics.median(samples)
+            samples.append(round(time.perf_counter() - t0, 3))
+            scrub()
         print(
-            f"SOLO {name}: {med:.3f}s"
-            + (f" (runs: {[round(s, 3) for s in samples]})" if runs > 1 else ""),
+            f"{name}: median={statistics.median(samples):.3f}"
+            f" samples={samples} load={os.getloadavg()}",
             flush=True,
         )
-    return 0
+    spark.stop()
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
