@@ -128,34 +128,44 @@ def winnow_fingerprints(
 
     Engine-portable hash: first 8 hex chars of md5, so the DuckDB oracle
     can reproduce values bit-for-bit (`CAST(concat('0x', substr(md5(g),
-    1, 8)) AS BIGINT)`). All per-char work is Catalyst (sequence/explode/
-    substring/md5/conv + one window min) — no Python in the path; cost is
-    O(len) rows per doc, the algorithm's inherent footprint, partitioned
-    by document.
+    1, 8)) AS BIGINT)`). All per-char work is Catalyst — no Python in
+    the path; cost is O(len · w) comparisons per doc, the algorithm's
+    inherent footprint.
+
+    r13 shape — ZERO shuffle: the former explode → Exchange(id) → Sort
+    → sliding window-min moved every gram hash of the corpus through a
+    shuffle that existed only to re-group rows ALREADY co-located and
+    ordered (each doc's positions come from one parent row's explode).
+    Now the per-position hashes build as an array IN the document row
+    and the window minima are array ops over it (`array_min(slice(...))`
+    — the same O(w)-per-position re-scan Spark's sliding MIN frame
+    evaluates), exploded only at the end.  Values are bit-identical
+    (pinned: tests/test_r13_ops.py); at corpus scale the removed
+    exchange carried one row per gram position.
 
     Returns (id, pos, fp) — one row per FULL window position; aggregate
     distinct fps per doc downstream.
     """
-    from pyspark.sql.window import Window
-
     t = F.lower(F.col(text_col))
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
-    pos = df.select(
-        F.col(id_col).alias("id"),
-        t.alias("t"),
-        n_grams.alias("n"),
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: F.conv(
+            F.substring(F.md5(t.substr(p, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
     )
-    h = pos.select(
-        "id",
-        "pos",
-        "n",
-        F.conv(F.substring(F.md5(F.substring(F.col("t"), F.col("pos"), k)), 1, 8),
-               16, 10).cast("long").alias("h"),
+    base = df.select(
+        F.col(id_col).alias("id"), hs.alias("hs"), n_grams.alias("n")
     )
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.col("n") - F.lit(w - 1)),
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.array_min(F.slice("hs", p, w)).alias("fp"),
+        ),
+    )
     return (
-        h.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("n") - F.lit(w - 1))
-        .select("id", "pos", "fp")
+        base.filter(F.col("n") >= F.lit(w))
+        .select("id", F.explode(wins).alias("pf"))
+        .select("id", F.col("pf.pos").alias("pos"), F.col("pf.fp").alias("fp"))
     )

@@ -108,6 +108,10 @@ _R13_MUST = [
     # checkpointed composite verdicts
     "pipeline_crawl_end_to_end",
     "pipeline_dsir_end_to_end",
+    # r13 changed code: tokenize-once DSIR scoring core (shared module:
+    # the stats stream rides the refactored _dsir_score_with_stats)
+    "n6_dsir_resample",
+    "s_dsir_stats_stream",
     # equality-class suffix ranks: the streaming twin missed the window
     "s_exactsubstr_cut_stream",
     # --- r13 changed code: kafka epoch-produce subtree checkpoint
@@ -124,6 +128,13 @@ _R13_MUST = [
     "s_join_over_agg_retract",
     "s_window_agg_over_retract",
     "s_topn_over_agg_retract",
+    # --- r13 changed code: state-store partition pin on the one
+    # stateful drain that ran at the session's shuffle-partition count
+    "s_window_topn_stream",
+    # --- r13 changed code: zero-shuffle winnowing fingerprints (array
+    # sliding-min replaces the per-gram exchange + window)
+    "n4_winnow_fingerprints",
+    "n2_winnow_overlap_pairs",
 ]
 
 # Re-validation pad: the queries whose latest driver CORRECTNESS row is
@@ -138,7 +149,7 @@ _R13_PAD = [
     "f_json2_family", "f_string2_family", "f_temporal2_family",
     "n2_dedup_end_to_end", "n2_minhash_lsh_pairs",
     "n2_simhash_fingerprints", "n3_lsh_topk", "n4_quality_filter",
-    "n4_winnow_fingerprints", "n6_stratified_sample",
+    "n6_stratified_sample",
     "n6_train_val_test_split", "o4b_range_frames",
     "q13_customer_distribution", "q16_parts_supplier",
     "q17_small_quantity_revenue", "q18_large_volume_customer",

@@ -47,16 +47,21 @@ def _dsir_bucket_stats(bt: DataFrame) -> DataFrame:
     )
 
 
-def _dsir_score_with_stats(bt: DataFrame, stats_rows) -> DataFrame:
-    """Finish DSIR from collected bucket stats: derive tt/rt and the
-    integer cross-difference weights driver-side, broadcast, score."""
-    spark = bt.sparkSession
+def _dsir_weights(spark: SparkSession, stats_rows) -> DataFrame:
+    """Derive tt/rt and the integer cross-difference weights driver-side
+    from collected (b, rc, tc) bucket stats — ≤ _DSIR_BUCKETS rows."""
     tt = sum(r["tc"] for r in stats_rows)
     rt = sum(r["rc"] for r in stats_rows)
-    weights = spark.createDataFrame(
+    return spark.createDataFrame(
         [(r["b"], r["tc"] * rt - r["rc"] * tt) for r in stats_rows],
         "b long, w long",
     )
+
+
+def _dsir_score_with_stats(bt: DataFrame, stats_rows) -> DataFrame:
+    """Finish DSIR from collected bucket stats: broadcast the weights,
+    score per document."""
+    weights = _dsir_weights(bt.sparkSession, stats_rows)
     return (
         bt.join(F.broadcast(weights), "b")
         .groupBy("doc_id", "lang")
@@ -88,14 +93,44 @@ def _dsir_rank(scored: DataFrame) -> DataFrame:
 def _dsir_scored(d: DataFrame) -> DataFrame:
     """The DSIR scoring core: (doc_id, lang, score, n_tokens) with the
     exact-integer cross-difference weights — shared by n6_dsir_resample
-    and the pipeline composite."""
-    bt = _dsir_bt(d)
-    # ONE stats pass over the corpus: raw AND target per-bucket counts
-    # in the same aggregation, collected once (≤ _DSIR_BUCKETS rows).
-    # tt/rt and the finished weights derive driver-side — the corpus is
-    # tokenized exactly twice total (stats pass + scoring pass), not
-    # once per collect()/action as the naive raw/target/totals DAG does.
-    return _dsir_score_with_stats(bt, _dsir_bucket_stats(bt).collect())
+    and the pipeline composite.
+
+    r13 shape: the corpus is tokenized exactly ONCE.  The token-
+    occurrence rows collapse to per-(doc, bucket) counts first — the
+    map-side partial aggregation compresses before the wire, and the
+    checkpointed frame is bounded by docs x _DSIR_BUCKETS rows (the
+    doc-granular-decision posture, orders of magnitude below token
+    volume) — then the stats pass (collected once, ≤ _DSIR_BUCKETS
+    rows) and the scoring pass both read the counts.  The score is
+    bit-identical to the former tokenize-twice form: Σ_tokens w(b) =
+    Σ_buckets w(b)·cnt(doc, b), exact int64 with no rounding anywhere,
+    and n_tokens = Σ cnt (pinned in tests/test_r13_ops.py)."""
+    db = (
+        _dsir_bt(d)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    stats_rows = (
+        db.groupBy("b")
+        .agg(
+            F.sum("cnt").alias("rc"),
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == "en", F.col("cnt"))),
+                F.lit(0),
+            ).alias("tc"),
+        )
+        .collect()
+    )
+    weights = _dsir_weights(d.sparkSession, stats_rows)
+    return (
+        db.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("w") * F.col("cnt")).cast("long").alias("score"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+    )
 
 
 _DSIR_RESAMPLE_ORACLE = f"""

@@ -155,16 +155,17 @@ def test_kafka_offset_scan_pushes_partition_offset_filters(spark, sf_dir):
     assert "offset" in pushed and "partition" in pushed, pushed
 
 
-def test_r12_certification_window_is_pinned():
-    """The driver certifies list(REGISTRY)[:50]; this pins the round-12
-    window (new + changed-code MUST set + oldest-certified padding) so
-    an accidental import reorder can't silently rotate it."""
-    from flink_1_19_source_spark.queries import _R12_MUST, _R12_PAD
+def test_r13_certification_window_is_pinned():
+    """The driver certifies list(REGISTRY)[:50]; this pins the round-13
+    window (r12 certification debt + r13 changed-code MUST set +
+    oldest-certified padding) so an accidental import reorder can't
+    silently rotate it."""
+    from flink_1_19_source_spark.queries import _R13_MUST, _R13_PAD
 
     window = list(REGISTRY)[:50]
-    assert window == _R12_MUST + _R12_PAD[: 50 - len(_R12_MUST)]
-    # every new/changed query sits inside the certified prefix
-    assert set(_R12_MUST) <= set(window)
+    assert window == _R13_MUST + _R13_PAD[: 50 - len(_R13_MUST)]
+    # every changed query sits inside the certified prefix
+    assert set(_R13_MUST) <= set(window)
     from flink_1_19_source_spark.registry import oracle_sql
 
     oracles = oracle_sql()

@@ -174,6 +174,80 @@ def test_ivf_list_topm_bidir_equals_two_calls(spark, sf_dir):
     assert _rows(topm(got)) == _rows(topm(ref))
 
 
+def test_dsir_scored_tokenize_once_equals_token_row_form(spark, sf_dir):
+    """The doc x bucket counted form must score bit-identically to the
+    token-row form it replaced: Σ_tokens w(b) = Σ_b w(b)·cnt(doc,b),
+    exact int64, and n_tokens = Σ cnt."""
+    from flink_1_19_source_spark.queries.llm_dsir import (
+        _dsir_bt,
+        _dsir_bucket_stats,
+        _dsir_score_with_stats,
+        _dsir_scored,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    got = _rows(_dsir_scored(d).select(
+        "doc_id", "lang", "score", "n_tokens"
+    ))
+    bt = _dsir_bt(d)
+    ref = _rows(
+        _dsir_score_with_stats(bt, _dsir_bucket_stats(bt).collect())
+        .select("doc_id", "lang", "score", "n_tokens")
+    )
+    assert got == ref
+
+
+def test_winnow_arrays_equals_window_form(spark, sf_dir):
+    """The zero-shuffle array form of winnow_fingerprints must emit
+    EXACTLY the (id, pos, fp) rows of the explode→Exchange→Sort→sliding
+    window-min form it replaced — including the short-document edge
+    (docs with fewer than w grams emit nothing in both forms)."""
+    from pyspark.sql.window import Window
+
+    from flink_1_19_source_spark.operators import text_analysis as ta
+
+    k, w = 8, 16
+    d = load_table(spark, sf_dir, "documents")
+    # planted edge docs: shorter than k, between k and w+k-1, exactly
+    # the minimum full-window length
+    extra = spark.createDataFrame(
+        [
+            (900001, "tiny"),
+            (900002, "x" * (k + 3)),
+            (900003, "abcdefgh" * 3),  # n = 17 grams >= w: one+ window
+        ],
+        "doc_id long, text string",
+    )
+    src = d.select("doc_id", "text").unionByName(extra)
+
+    def reference(df):
+        t = F.lower(F.col("text"))
+        n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        pos = df.select(
+            F.col("doc_id").alias("id"), t.alias("t"),
+            n_grams.alias("n"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        )
+        h = pos.select(
+            "id", "pos", "n",
+            F.conv(
+                F.substring(
+                    F.md5(F.substring(F.col("t"), F.col("pos"), k)), 1, 8
+                ), 16, 10,
+            ).cast("long").alias("h"),
+        )
+        win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+        return (
+            h.withColumn("fp", F.min("h").over(win))
+            .filter(F.col("pos") <= F.col("n") - F.lit(w - 1))
+            .select("id", "pos", "fp")
+        )
+
+    got = _rows(ta.winnow_fingerprints(src, "doc_id", "text", k=k, w=w))
+    ref = _rows(reference(src))
+    assert got == ref
+
+
 def test_kafka_epoch_slicing_unchanged_by_checkpoint(spark, sf_dir):
     """The epoch-produce checkpoint must not move a single row between
     epochs: the __epoch assignment over the checkpointed ranked frame
