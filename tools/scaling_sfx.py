@@ -74,17 +74,21 @@ def _gen() -> None:
         return t.set_column(t.schema.get_field_index(col), col, arr)
 
     def repl(name, key_cols, mutate=None):
+        # one part FILE per replica (a directory named <name>.parquet):
+        # a single fat file caps scan parallelism at one input split
+        # whatever the core count — exactly the serial artifact this
+        # probe exists to rule out
         t = read(name)
         strides = {c: int(pc.max(t.column(c)).as_py()) + 1 for c in key_cols}
-        parts = []
+        d = os.path.join(DST, f"{name}.parquet")
+        os.makedirs(d, exist_ok=True)
         for i in range(REPLICAS):
             ti = t
             for c in key_cols:
                 ti = shifted(ti, c, strides[c], i)
             if mutate is not None:
                 ti = mutate(ti, i)
-            parts.append(ti)
-        write(name, pa.concat_tables(parts))
+            pq.write_table(ti, os.path.join(d, f"part-{i:03d}.parquet"))
 
     repl("lineitem", ["l_orderkey"])
     repl("orders", ["o_orderkey"])
